@@ -1,0 +1,114 @@
+"""Assembler configuration.
+
+Re-expresses the reference's global ``hifiasm_opt_t`` (CommandLines.h:35-175)
+as an immutable-ish dataclass; defaults mirror ``init_opt``
+(CommandLines.cpp:243-380). Coverage-derived updates (``ha_opt_update_cov``,
+CommandLines.h:179) are methods here instead of global mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class HifiasmConfig:
+    # --- inputs / outputs ---
+    read_files: List[str] = field(default_factory=list)
+    output_prefix: str = "hifiasm_tpu.asm"
+    threads: int = 1                      # host-side worker threads
+
+    # --- k-mer / minimizer (CommandLines.cpp:260-269) ---
+    k: int = 51                           # k_mer_length (HPC k-mer)
+    w: int = 51                           # mz_win
+    hic_k: int = 31
+    ul_k: int = 19
+    ul_w: int = 19
+    mz_rewin: int = 1000                  # adaptive re-selection window
+    mz_sample_dist: int = 500             # high-occ sampling distance
+    bf_shift: int = 37                    # bloom filter bits (0 = off, -f0)
+    max_kmer_cnt: int = 2000              # index count cutoff clamp
+    high_factor: float = 5.0              # filter-table threshold = hom_cov*high_factor
+    min_hist_kmer_cnt: int = 5
+
+    # --- error correction (CommandLines.cpp:272-281) ---
+    max_ov_diff_ec: float = 0.04          # EC alignment error budget
+    max_ov_diff_final: float = 0.03       # final-pass error budget
+    n_rounds_ec: int = 3                  # number_of_round
+    max_n_chain: int = 100                # MIN_N_CHAIN (CommandLines.h:29)
+
+    # --- coverage (auto-detected unless set) ---
+    hom_cov: int = 20
+    het_cov: int = -1024
+
+    # --- graph cleaning (CommandLines.cpp:284-298) ---
+    clean_rounds: int = 4
+    min_drop_rate: float = 0.2
+    max_drop_rate: float = 0.8
+    small_pop_bubble_size: int = 0
+    large_pop_bubble_size: int = 10_000_000
+    max_hang_len: int = 1000
+    max_hang_rate: float = 0.8
+    gap_fuzz: int = 1000                  # transitive-reduction fuzz
+    min_overlap_len: int = 50
+    min_overlap_coverage: int = 0
+    max_short_tip: int = 3
+
+    # --- purge dups (CommandLines.cpp:299-310) ---
+    purge_level: int = 3                  # -l: 0 off .. 3 aggressive
+    purge_simi_rate_l2: float = 0.75
+    purge_simi_rate_l3: float = 0.55
+
+    # --- trio ---
+    fn_bin_yak_pat: Optional[str] = None  # -1 pat.yak
+    fn_bin_yak_mat: Optional[str] = None  # -2 mat.yak
+    min_cnt: int = 2                      # yak min_cnt
+    mid_cnt: int = 5                      # yak mid_cnt
+
+    # --- hi-c ---
+    hic_reads_1: List[str] = field(default_factory=list)
+    hic_reads_2: List[str] = field(default_factory=list)
+
+    # --- ultralong ---
+    ul_reads: List[str] = field(default_factory=list)
+    ul_error_rate: float = 0.2
+    ul_ec_round: int = 3
+
+    # --- phasing solver (CommandLines.cpp:325-328) ---
+    seed: int = 11
+    n_perturb: int = 10_000
+    f_perturb: float = 0.1
+    n_weight: int = 3
+
+    # --- misc / output flags ---
+    write_paf: bool = False
+    write_ec: bool = False
+    primary: bool = False                 # --primary: p_ctg + a_ctg
+    telo_motif: Optional[str] = None
+
+    # --- device execution ---
+    read_batch: int = 64                  # reads per device batch
+    max_read_len: int = 65536             # padded read length cap
+    use_pallas: bool = True               # use Pallas kernels when on TPU
+
+    def update_cov(self, hom_cov: int, het_cov: int = -1024) -> None:
+        """Coverage-derived config update (~ha_opt_update_cov)."""
+        self.hom_cov = hom_cov
+        if het_cov > 0:
+            self.het_cov = het_cov
+
+    def replace(self, **kw) -> "HifiasmConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# EC window constants (Hash_Table.h:9-34)
+WINDOW = 375
+WINDOW_HC = 775
+THRESHOLD = 15            # max errors per window (band radius)
+THRESHOLD_MAX_SIZE = 31   # absolute error cap -> band fits 2*31+1=63 bits
+WINDOW_UL = 75
+WINDOW_UL_H = 200
+GROUP_SIZE = 4
+OVERLAP_THRESHOLD_HIFI_FILTER = 0.9
