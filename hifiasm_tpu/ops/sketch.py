@@ -113,15 +113,13 @@ def _sliding_extreme(cnt, hsh, w, op):
     return c, h
 
 
-def sketch_read(
-    codes: np.ndarray,
-    k: int,
-    w: int,
-    ft_lookup=None,
-    sample_dist: int = 500,
-    is_unique: bool = False,
-) -> Minimizers:
-    """Sketch one read. ``ft_lookup(hashes)->counts`` is the filter table."""
+def _compute_kmers(codes: np.ndarray, k: int):
+    """All canonical HPC k-mers of a read, vectorized.
+
+    Returns None if fewer than k HPC bases, else a dict with per-position
+    (j-indexed, j = compressed end index from k-1) arrays plus the stretch/
+    eligibility bookkeeping shared by sketching and all-k-mer counting.
+    """
     comp, raw_end, run_len = hpc_compress(codes)
     keep = comp < 4
     # stretch id increments after each removed N run
@@ -132,10 +130,7 @@ def sketch_read(
     stretch = reset_after[keep]
     L = len(comp2)
     if L < k:
-        z = np.zeros(0)
-        return Minimizers(z.astype(_U64), z.astype(np.int64),
-                          z.astype(np.uint8), z.astype(np.int64),
-                          z.astype(np.uint32))
+        return None
 
     b0 = (comp2 & 1).astype(np.uint8)
     b1 = (comp2 >> 1).astype(np.uint8)
@@ -183,6 +178,38 @@ def sketch_read(
         lcount = cs - base
 
     complete = (~sym) & (lcount[j] >= k) & (span < 256) & same_stretch
+    return dict(j=j, hsh=hsh, rev=rev, span=span, sym=sym, complete=complete,
+                elig_full=elig_full, lcount=lcount, stretch=stretch,
+                ends2=ends2, L=L)
+
+
+def all_kmers_read(codes: np.ndarray, k: int) -> np.ndarray:
+    """Hashes of every complete canonical HPC k-mer (the w=1 counting pass
+    of ha_ft_gen, htab.cpp:1143 HAF_COUNT_ALL)."""
+    kd = _compute_kmers(codes, k)
+    if kd is None:
+        return np.zeros(0, dtype=_U64)
+    return kd["hsh"][kd["complete"]]
+
+
+def sketch_read(
+    codes: np.ndarray,
+    k: int,
+    w: int,
+    ft_lookup=None,
+    sample_dist: int = 500,
+    is_unique: bool = False,
+) -> Minimizers:
+    """Sketch one read. ``ft_lookup(hashes)->counts`` is the filter table."""
+    kd = _compute_kmers(codes, k)
+    if kd is None:
+        z = np.zeros(0)
+        return Minimizers(z.astype(_U64), z.astype(np.int64),
+                          z.astype(np.uint8), z.astype(np.int64),
+                          z.astype(np.uint32))
+    j, hsh, rev, span = kd["j"], kd["hsh"], kd["rev"], kd["span"]
+    complete, elig_full = kd["complete"], kd["elig_full"]
+    lcount, stretch, ends2 = kd["lcount"], kd["stretch"], kd["ends2"]
 
     cnt = np.zeros(len(j), dtype=np.uint32)
     if ft_lookup is not None:
