@@ -1,0 +1,174 @@
+"""Minimizer-anchor chain DP.
+
+Re-expresses the reference's quick-DP chaining (``lchain_qdp_mcopy_fast``,
+Hash_Table.cpp:2097-2284; scoring ``comput_sc_ch_ec`` :1515 and ``cal_bw``
+:1475) as an array program: for each anchor i the lookback over predecessors
+j is one vectorized score computation instead of a scalar loop with the
+skip/max_ii CPU heuristics (which only prune work, never improve scores —
+omitting them can only find equal-or-better chains).
+
+Multi-copy extraction (secondary chains of repeats) follows the reference:
+after the best chain, endpoints with f >= mcopy_rate * best are traced
+greedily in score order, stopping at nodes already used.
+
+This is the host implementation; ops/chain_jax.py holds the batched
+lax.scan device version (same scoring, cross-validated in tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+NEG_INF = np.int64(-(1 << 62))
+
+
+@dataclass
+class ChainParams:
+    max_iter: int = 5000
+    max_dis: int = 5000
+    max_skip: int = 25            # unused (see module docstring)
+    bw_rate: float = 0.02         # bw_thres for HiFi EC
+    chn_pen_gap: float = 0.5 * float(np.exp(-0.01 * 51))
+    chn_pen_skip: float = 0.0005 * float(np.exp(-0.01 * 51))
+    mcopy_num: int = 3
+    mcopy_rate: float = 0.7
+    mcopy_khit_cut: int = 32
+
+    @classmethod
+    def for_k(cls, k: int, is_accurate: bool = True, bw_rate: float = 0.02,
+              **kw) -> "ChainParams":
+        """~set_lchain_dp_op (anchor.cpp:2272)."""
+        div = 0.01 if is_accurate else 0.1
+        tmp = float(np.exp(-div * k))
+        return cls(bw_rate=bw_rate, chn_pen_gap=0.5 * tmp,
+                   chn_pen_skip=0.0005 * tmp, **kw)
+
+
+def _pair_scores(self_i, off_i, span_i, w_i, self_j, off_j,
+                 xl, yl, p: ChainParams):
+    """Vectorized comput_sc_ch_ec for one anchor i against predecessors j."""
+    dq = self_i - self_j
+    dr = off_i - off_j
+    ok = (dq > 0) & (dr > 0)
+    dd = np.abs(dr - dq)
+    dg = np.minimum(dr, dq)
+    # banded filter: dd <= 16 always passes, else dd <= bw of projected ovlp
+    sf_s = np.where(self_j <= off_j, 0, self_j - off_j)
+    sf_r = xl - (self_i + 1)
+    ot_r = yl - (off_i + 1)
+    sf_e = np.where(sf_r <= ot_r, xl, self_i + 1 + ot_r)
+    bw = ((sf_e - sf_s) * p.bw_rate).astype(np.int64)
+    ok &= (dd <= 16) | (dd <= bw)
+
+    sc = np.minimum(span_i, dg)
+    sc = np.where(sc >= w_i, sc // np.maximum(w_i, 1), 1)  # normal_w
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lin = p.chn_pen_gap * dd
+        a_pen = sc * (dd / np.maximum(dg, 1)) / p.bw_rate
+        lin = np.where(dd < 4, np.minimum(lin, a_pen), np.maximum(lin, a_pen))
+        lin = lin + p.chn_pen_skip * dg
+    pen = np.where((dd != 0) | (dg > span_i), lin.astype(np.int64), 0)
+    sc = sc - pen
+    return np.where(ok, sc, NEG_INF)
+
+
+def chain_dp_group(self_off: np.ndarray, t_off: np.ndarray, span: np.ndarray,
+                   weight: np.ndarray, xl: int, yl: int, p: ChainParams
+                   ) -> List[Tuple[int, np.ndarray]]:
+    """Chain one (target, strand) anchor group (sorted by (self, t) offset).
+
+    Returns [(score, hit_indices_in_group_order), ...] best chain first,
+    then up to mcopy_num-1 secondary chains.
+    """
+    n = len(self_off)
+    if n == 0:
+        return []
+    self_off = self_off.astype(np.int64)
+    t_off = t_off.astype(np.int64)
+    span = span.astype(np.int64)
+    weight = weight.astype(np.int64)
+    f = np.empty(n, dtype=np.int64)
+    pre = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        base = int(span[i])
+        st = max(0, i - p.max_iter)
+        f[i] = base
+        if i > st:
+            j = np.arange(st, i)
+            sc = _pair_scores(self_off[i], t_off[i], span[i], weight[i],
+                              self_off[j], t_off[j], xl, yl, p)
+            tot = np.where(sc == NEG_INF, NEG_INF, sc + f[j])
+            bj = int(np.argmax(tot))
+            if tot[bj] > base:
+                f[i] = tot[bj]
+                pre[i] = st + bj
+
+    # best chain: max f, tie -> smaller projected overlap length
+    msc = int(f.max())
+    cand = np.flatnonzero(f == msc)
+    if len(cand) > 1:
+        ovl = _chain_len(self_off[cand], self_off[cand], xl,
+                         t_off[cand], t_off[cand], yl)
+        msc_i = int(cand[np.argmin(ovl)])
+    else:
+        msc_i = int(cand[0])
+
+    used = np.zeros(n, dtype=bool)
+    chains = []
+    hits = _trace(pre, msc_i, used)
+    chains.append((msc, hits))
+
+    if p.mcopy_num > 1 and len(hits) >= p.mcopy_khit_cut:
+        plus = min(0, int(f.min()))
+        msc_pos = msc - plus
+        min_sc = int(msc_pos * p.mcopy_rate)
+        fpos = f - plus
+        cand = np.flatnonzero(~used & (fpos >= min_sc))
+        order = cand[np.argsort(-fpos[cand], kind="stable")]
+        for e in order:
+            if len(chains) >= p.mcopy_num:
+                break
+            if used[e]:
+                continue
+            seg = _trace(pre, int(e), used, stop_at_used=True)
+            if len(seg) == 0:
+                continue
+            stop = pre[seg[0]]
+            sc = int(fpos[e]) - (int(f[stop]) - plus if stop >= 0 else 0)
+            # reference: sc = f[e] - f[stop] without double plus; replicate:
+            sc = int(fpos[e]) if stop < 0 else int(fpos[e] - f[stop])
+            if sc >= min_sc and len(seg) > 1:
+                chains.append((sc + plus, seg))
+            else:
+                used[seg] = False
+    return chains
+
+
+def _trace(pre, end, used, stop_at_used=False):
+    idx = []
+    i = end
+    while i >= 0:
+        if stop_at_used and used[i]:
+            break
+        if used[i] and not stop_at_used:
+            break
+        idx.append(i)
+        used[i] = True
+        i = int(pre[i])
+    return np.array(idx[::-1], dtype=np.int64)
+
+
+def _chain_len(xs, xe, xl, ys, ye, yl):
+    """Projected overlap length ~get_chainLen (Hash_Table.cpp:779)."""
+    xs = np.asarray(xs, np.int64)
+    ys = np.asarray(ys, np.int64)
+    xe = np.asarray(xe, np.int64)
+    ye = np.asarray(ye, np.int64)
+    xb = np.where(xs <= ys, 0, xs - ys)
+    xr = xl - xe - 1
+    yr = yl - ye - 1
+    xe2 = np.where(xr <= yr, xl - 1, xe + yr)
+    return xe2 - xb + 1

@@ -1,0 +1,253 @@
+"""Anchor collection and overlap-candidate generation.
+
+~``minimizers_qgen0`` + ``lchain_qgen_mcopy_fast`` + ``ha_ov_type`` quotas
+(anchor.cpp:987-1082, :86-91; Hash_Table.cpp:1840+). Per query read:
+query minimizers against the position table, build anchors in the query
+orientation frame, group by (target, strand), chain each group, and keep at
+most max_n_chain overlaps per overlap type.
+
+Coordinate convention (matches the reference): anchor coordinates are k-mer
+END positions; for rev anchors the target coordinate is flipped to the query
+frame: offset = tlen-1-(pos+1-span) (anchor.cpp:1033).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from hifiasm_tpu.index.pos_table import PositionTable
+from hifiasm_tpu.ops.chain import ChainParams, chain_dp_group, _chain_len
+from hifiasm_tpu.ops.sketch import Minimizers
+
+HA_KMER_GOOD_RATIO = 0.333
+
+
+@dataclass
+class Anchors:
+    tid: np.ndarray        # uint32 target read
+    rev: np.ndarray        # uint8
+    self_off: np.ndarray   # int64 query k-mer end
+    t_off: np.ndarray      # int64 target k-mer end (query frame if rev)
+    span: np.ndarray       # int64
+    weight: np.ndarray     # int64 occurrence-class weight
+
+    def __len__(self):
+        return len(self.tid)
+
+
+@dataclass
+class OverlapRegions:
+    """Columnar overlap candidates (~overlap_region_alloc)."""
+
+    x_id: int
+    y_id: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    rev: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+    x_s: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    x_e: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    y_s: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    y_e: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    score: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    n_hits: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    # chain hits, CSR per overlap
+    hit_start: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    hit_self: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    hit_t: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    hit_span: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+
+    def __len__(self):
+        return len(self.y_id)
+
+    def take(self, idx: np.ndarray) -> "OverlapRegions":
+        out = OverlapRegions(self.x_id)
+        out.y_id = self.y_id[idx]
+        out.rev = self.rev[idx]
+        out.x_s, out.x_e = self.x_s[idx], self.x_e[idx]
+        out.y_s, out.y_e = self.y_s[idx], self.y_e[idx]
+        out.score, out.n_hits = self.score[idx], self.n_hits[idx]
+        # regather hits
+        starts, selfs, ts, spans = [], [], [], []
+        off = 0
+        new_start = []
+        for i in idx:
+            s, n = int(self.hit_start[i]), int(self.n_hits[i])
+            new_start.append(off)
+            selfs.append(self.hit_self[s:s + n])
+            ts.append(self.hit_t[s:s + n])
+            spans.append(self.hit_span[s:s + n])
+            off += n
+        out.hit_start = np.array(new_start, dtype=np.int64)
+        out.hit_self = np.concatenate(selfs) if selfs else np.zeros(0, np.int64)
+        out.hit_t = np.concatenate(ts) if ts else np.zeros(0, np.int64)
+        out.hit_span = np.concatenate(spans) if spans else np.zeros(0, np.int64)
+        return out
+
+
+def collect_anchors(mz: Minimizers, pt: PositionTable, rid: int,
+                    tlens: np.ndarray, hom_cov: int) -> Anchors:
+    """Query each minimizer, expand postings into anchors, sort."""
+    max_cnt = max(int(hom_cov * (2.0 - HA_KMER_GOOD_RATIO)), 2)
+    min_cnt = max(int(hom_cov * HA_KMER_GOOD_RATIO), 2)
+
+    slot, found = pt.lookup_many(mz.hash) if pt.n_distinct else (None, None)
+    if slot is None or not found.any():
+        z = np.zeros(0, np.int64)
+        return Anchors(z.astype(np.uint32), z.astype(np.uint8), z, z, z, z)
+    qsel = np.flatnonzero(found)
+    starts = pt.start[slot[qsel]]
+    counts = pt.count[slot[qsel]]
+    total = int(counts.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return Anchors(z.astype(np.uint32), z.astype(np.uint8), z, z, z, z)
+    # expand CSR ranges
+    qidx = np.repeat(qsel, counts)
+    post = _expand_ranges(starts, counts)
+
+    tid = pt.rid[post].astype(np.uint32)
+    tpos = pt.pos[post].astype(np.int64)
+    trev = pt.rev[post]
+    tspan_idx = pt.span[post].astype(np.int64)
+
+    keep = tid != rid
+    qidx, tid, tpos, trev, tspan_idx = (
+        qidx[keep], tid[keep], tpos[keep], trev[keep], tspan_idx[keep])
+
+    qrev = mz.rev[qidx]
+    qpos = mz.pos[qidx].astype(np.int64)
+    qspan = mz.span[qidx].astype(np.int64)
+    occ = np.repeat(counts, counts)[keep].astype(np.int64)
+
+    rev = (qrev != trev).astype(np.uint8)
+    tl = tlens[tid].astype(np.int64)
+    t_off = np.where(rev == 0, tpos, tl - 1 - (tpos + 1 - tspan_idx))
+
+    # occurrence-class weight (anchor.cpp:1063-1071)
+    w = np.ones(len(occ), dtype=np.int64)
+    w[occ <= min_cnt] = 2
+    hi = occ >= max_cnt
+    wh = 1 + ((occ[hi] + (max_cnt << 1) - 1) // (max_cnt << 1))
+    w[hi] = np.floor(np.power(wh.astype(np.float64), 1.1)).astype(np.int64)
+    w = np.minimum(w, 0xFFFFFF)
+
+    order = np.lexsort((t_off, qpos, rev, tid))
+    return Anchors(tid[order], rev[order], qpos[order], t_off[order],
+                   qspan[order], w[order])
+
+
+def _expand_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """[s0,s0+1..s0+c0-1, s1...] as one flat index array."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    return np.cumsum(out)
+
+
+def chain_anchors(an: Anchors, rid: int, rlen: int, tlens: np.ndarray,
+                  params: ChainParams, max_n_chain: int = 100
+                  ) -> OverlapRegions:
+    """Chain per (tid, rev) group -> overlap regions with quota filter."""
+    ov = OverlapRegions(rid)
+    n = len(an)
+    if n == 0:
+        return ov
+    key = an.tid.astype(np.int64) << 1 | an.rev
+    bounds = np.flatnonzero(np.diff(key)) + 1
+    bounds = np.concatenate([[0], bounds, [n]])
+
+    ys, revs, xss, xes, yss, yes, scores, nhits = [], [], [], [], [], [], [], []
+    hit_self, hit_t, hit_span, hit_start = [], [], [], []
+    off = 0
+    for gi in range(len(bounds) - 1):
+        s, e = bounds[gi], bounds[gi + 1]
+        tid = int(an.tid[s])
+        yl = int(tlens[tid])
+        chains = chain_dp_group(an.self_off[s:e], an.t_off[s:e],
+                                an.span[s:e], an.weight[s:e],
+                                rlen, yl, params)
+        for sc, idx in chains:
+            gidx = idx + s
+            xs, xe = int(an.self_off[gidx[0]]), int(an.self_off[gidx[-1]])
+            ts, te = int(an.t_off[gidx[0]]), int(an.t_off[gidx[-1]])
+            # extend to boundaries (push_ovlp_chain_qgen, Hash_Table.cpp:1752)
+            if xs <= ts:
+                ts -= xs
+                xs = 0
+            else:
+                xs -= ts
+                ts = 0
+            xr, yr = rlen - xe - 1, yl - te - 1
+            if xr <= yr:
+                xe = rlen - 1
+                te += xr
+            else:
+                te = yl - 1
+                xe += yr
+            ys.append(tid)
+            revs.append(int(an.rev[s]))
+            xss.append(xs)
+            xes.append(xe)
+            yss.append(ts)
+            yes.append(te)
+            scores.append(sc)
+            nhits.append(len(gidx))
+            hit_start.append(off)
+            hit_self.append(an.self_off[gidx])
+            hit_t.append(an.t_off[gidx])
+            hit_span.append(an.span[gidx])
+            off += len(gidx)
+
+    ov.y_id = np.array(ys, dtype=np.uint32)
+    ov.rev = np.array(revs, dtype=np.uint8)
+    ov.x_s = np.array(xss, dtype=np.int64)
+    ov.x_e = np.array(xes, dtype=np.int64)
+    ov.y_s = np.array(yss, dtype=np.int64)
+    ov.y_e = np.array(yes, dtype=np.int64)
+    ov.score = np.array(scores, dtype=np.int64)
+    ov.n_hits = np.array(nhits, dtype=np.int64)
+    ov.hit_start = np.array(hit_start, dtype=np.int64)
+    ov.hit_self = np.concatenate(hit_self) if hit_self else np.zeros(0, np.int64)
+    ov.hit_t = np.concatenate(hit_t) if hit_t else np.zeros(0, np.int64)
+    ov.hit_span = np.concatenate(hit_span) if hit_span else np.zeros(0, np.int64)
+
+    ov = filter_overlaps_quota(ov, rlen, max_n_chain)
+    # final order: by x_pos_s (or_xs sort)
+    order = np.lexsort((ov.y_id, ov.x_s))
+    return ov.take(order)
+
+
+def ha_ov_type(x_s, x_e, rlen):
+    """Overlap class: 0 prefix / 1 suffix / 2 contained / 3 containing
+    (anchor.cpp:86-91)."""
+    x_s = np.asarray(x_s)
+    x_e = np.asarray(x_e)
+    out = np.where((x_s == 0) & (x_e == rlen - 1), 2,
+                   np.where((x_s > 0) & (x_e < rlen - 1), 3,
+                            np.where(x_s == 0, 0, 1)))
+    return out
+
+
+def filter_overlaps_quota(ov: OverlapRegions, rlen: int, max_n_chain: int
+                          ) -> OverlapRegions:
+    """Keep <= max_n_chain overlaps per ha_ov_type class (by chain score)."""
+    if len(ov) <= max_n_chain:
+        return ov
+    w = ha_ov_type(ov.x_s, ov.x_e, rlen)
+    order = np.argsort(-ov.score, kind="stable")
+    thresh = np.zeros(4, dtype=np.int64)
+    seen = np.zeros(4, dtype=np.int64)
+    for i in order:
+        c = int(w[i])
+        seen[c] += 1
+        if seen[c] == max_n_chain:
+            thresh[c] = ov.score[i]
+    if (thresh > 0).any():
+        keep = ov.score >= thresh[w]
+        return ov.take(np.flatnonzero(keep))
+    return ov
