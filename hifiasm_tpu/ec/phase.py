@@ -1,0 +1,90 @@
+"""Haplotype phasing of overlaps against a query read.
+
+Re-expresses the het-SNP detection + overlap flipping of ``rphase_hc``
+(ecovlp.cpp:3301) / ``generate_haplotypes_naive_HiFi`` (Correct.cpp:8845):
+a site is heterozygous when BOTH the query allele and one alternate allele
+have >= 2 supporting sequences (query counts for its own allele); overlaps
+that carry the alternate haplotype at the het sites are flagged *trans*
+(the reference's ``is_match = 2`` reverse overlaps) and excluded from the
+consensus, which is what makes the correction haplotype-aware.
+
+Vote collection is a segmented scatter-add over the CSR traceback arrays —
+one ``np.add.at`` per read instead of the reference's per-site hash of
+``haplotype_evdience`` records.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from hifiasm_tpu.ec.window_align import OverlapTracebacks
+from hifiasm_tpu.overlap.anchors import OverlapRegions
+
+
+@dataclass
+class PhaseResult:
+    is_match: np.ndarray     # [n_ov] uint8: 1 cis, 2 trans, 0 dropped
+    het_sites: np.ndarray    # sorted query positions of confirmed het SNPs
+    site_alt: np.ndarray     # alternate allele per het site
+
+
+def _positions(ov: OverlapRegions, tbs: OverlapTracebacks, usable: np.ndarray):
+    """Flat (ov_idx, qpos) for every CSR slot of usable overlaps."""
+    spans = (ov.x_e - ov.x_s + 1).astype(np.int64)
+    oidx = np.repeat(np.arange(len(ov)), spans)
+    qpos = np.concatenate([
+        np.arange(int(ov.x_s[o]), int(ov.x_e[o]) + 1) for o in range(len(ov))
+    ]) if len(ov) else np.zeros(0, np.int64)
+    keep = usable[oidx]
+    return oidx[keep], qpos[keep], keep
+
+
+def phase_overlaps(q: np.ndarray, ov: OverlapRegions, tbs: OverlapTracebacks,
+                   min_het_occ: int = 2) -> PhaseResult:
+    n_ov = len(ov)
+    is_match = np.zeros(n_ov, np.uint8)
+    usable = tbs.fully_aligned()
+    is_match[usable] = 1
+    if n_ov == 0 or not usable.any():
+        return PhaseResult(is_match, np.zeros(0, np.int64),
+                           np.zeros(0, np.uint8))
+
+    oidx, qpos, keep = _positions(ov, tbs, usable)
+    tb = tbs.tb[keep]
+    aligned = tb <= 3                      # substitution-comparable slots
+    oidx_a, qpos_a, tb_a = oidx[aligned], qpos[aligned], tb[aligned]
+
+    qlen = len(q)
+    # allele counts per (position, base); query contributes its own allele
+    cnt = np.zeros((qlen, 4), np.int32)
+    np.add.at(cnt, (qpos_a, tb_a), 1)
+    qsel = np.arange(qlen)
+    cnt[qsel, np.clip(q, 0, 3)] += np.int32(1)
+
+    qa = np.clip(q, 0, 3)
+    occ0 = cnt[qsel, qa]
+    alt_cnt = cnt.copy()
+    alt_cnt[qsel, qa] = 0
+    site_alt = np.argmax(alt_cnt, axis=1).astype(np.uint8)
+    occ1 = alt_cnt[qsel, site_alt]
+    het = (occ0 >= min_het_occ) & (occ1 >= min_het_occ) & (q <= 3)
+    het_sites = np.flatnonzero(het)
+    if len(het_sites) == 0:
+        return PhaseResult(is_match, het_sites, site_alt[het_sites])
+
+    # per-overlap het-site agreement: match query allele vs alternate allele
+    het_mask = np.zeros(qlen, bool)
+    het_mask[het_sites] = True
+    at_het = het_mask[qpos_a]
+    oh, ph, th = oidx_a[at_het], qpos_a[at_het], tb_a[at_het]
+    m_q = th == qa[ph]
+    m_alt = th == site_alt[ph]
+    n_same = np.zeros(n_ov, np.int64)
+    n_flip = np.zeros(n_ov, np.int64)
+    np.add.at(n_same, oh[m_q], 1)
+    np.add.at(n_flip, oh[m_alt], 1)
+    trans = usable & (n_flip > n_same)
+    is_match[trans] = 2
+    return PhaseResult(is_match, het_sites, site_alt[het_sites])

@@ -1,0 +1,181 @@
+"""Error-correction driver: overlap -> phase -> consensus rounds.
+
+Re-expresses ``cal_ec_r`` / ``worker_hap_ec`` / ``sl_ec_r``
+(ecovlp.cpp:6268, :3234, :6410) and the final no-correction overlap pass
+``cal_ov_r`` / ``worker_hap_dc_ec`` (:6385): each round rebuilds the
+minimizer position index over the current (corrected) reads, finds overlap
+candidates per read, aligns them window-wise, phases het sites, and applies
+the windowed consensus.  Corrections are written back only after ALL reads
+finish (the reference's process barrier between ``kt_for`` and ``sl_ec_r``).
+The final pass recomputes precise overlap records (``ma_hit_t``) without
+touching the sequences: cis -> paf, trans -> reverse_paf.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from hifiasm_tpu.config import HifiasmConfig, WINDOW_HC
+from hifiasm_tpu.ec.consensus import windowed_consensus
+from hifiasm_tpu.ec.phase import phase_overlaps
+from hifiasm_tpu.ec.window_align import (
+    OverlapTracebacks, WindowBatcher, align_overlaps,
+)
+from hifiasm_tpu.index.pos_table import FilterTable, build_position_table
+from hifiasm_tpu.io.readstore import ReadStore, revcomp_codes
+from hifiasm_tpu.ops.chain import ChainParams
+from hifiasm_tpu.overlap.anchors import (
+    OverlapRegions, chain_anchors, collect_anchors,
+)
+from hifiasm_tpu.overlap.paf import PafRecords, PafStore
+from hifiasm_tpu.utils.logging import log
+
+LONG_INDEL_WIN_DIFF = 16
+
+
+@dataclass
+class ECResult:
+    paf: PafStore
+    reverse_paf: PafStore
+    hom_cov: int
+    het_cov: int
+    n_corrected: int = 0
+
+
+class _TargetCache:
+    def __init__(self, store: ReadStore):
+        self.store = store
+        self._fwd = {}
+        self._rc = {}
+
+    def __call__(self, tid: int, rev: int) -> np.ndarray:
+        cache = self._rc if rev else self._fwd
+        if tid not in cache:
+            codes = self.store.get_codes(tid)
+            cache[tid] = revcomp_codes(codes) if rev else codes
+        return cache[tid]
+
+    def reset(self):
+        self._fwd.clear()
+        self._rc.clear()
+
+
+def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
+                          e_rate: float, get_target):
+    """Yield (rid, q, ov, tbs) with windows aligned in cross-read batches.
+
+    Pass 1 of each batch chains anchors and plans window jobs; one flush
+    runs ALL windows of the batch through the alignment engine in large
+    fixed-shape launches (the TPU execution shape); pass 2 yields per read.
+    """
+    cp = ChainParams.for_k(cfg.k)
+    bs = max(1, cfg.read_batch)
+    for b0 in range(0, store.n_reads, bs):
+        rids = range(b0, min(b0 + bs, store.n_reads))
+        wb = WindowBatcher(get_target, e_rate, wl=WINDOW_HC)
+        planned = []
+        for rid in rids:
+            q = codes[rid]
+            an = collect_anchors(mzs[rid], pt, rid, store.lens, hom_cov)
+            ov = chain_anchors(an, rid, len(q), store.lens, cp,
+                               max_n_chain=cfg.max_n_chain)
+            planned.append((rid, q, ov, wb.add_read(q, ov)))
+        wb.flush()
+        yield from planned
+
+
+def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
+             round_idx: int) -> Tuple[int, int, int]:
+    """One correction round; returns (hom_cov, het_cov, n_corrected)."""
+    codes = [store.get_codes(i) for i in range(store.n_reads)]
+    pt, peak_hom, peak_het, mzs = build_position_table(
+        codes, cfg.k, cfg.w, ft=ft, min_hist_cnt=cfg.min_hist_kmer_cnt,
+        keep_max=min(cfg.max_kmer_cnt, 4095))
+    hom_cov = peak_hom if peak_hom > 0 else cfg.hom_cov
+    get_target = _TargetCache(store)
+    new_seqs = {}
+    n_corr = 0
+    for rid, q, ov, tbs in _iter_overlap_batches(
+            store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_ec,
+            get_target):
+        ph = phase_overlaps(q, ov, tbs)
+        cns = windowed_consensus(q, ov, tbs, ph)
+        if cns.n_corrected:
+            new_seqs[rid] = cns.seq
+            n_corr += cns.n_corrected
+    # barrier: write corrections back only after every read is processed
+    for rid, seq in new_seqs.items():
+        store.set_codes(rid, seq)
+    log("ec_round", f"round {round_idx}: corrected {n_corr} bases in "
+        f"{len(new_seqs)} reads")
+    return hom_cov, peak_het, n_corr
+
+
+def _push_records(paf: PafStore, rev_paf: PafStore, rid: int, qlen: int,
+                  tlens: np.ndarray, ov: OverlapRegions,
+                  tbs: OverlapTracebacks, is_match: np.ndarray,
+                  e_rate: float) -> None:
+    """Store cis/trans ma_hit records (~push_ne_ovlp, ecovlp.cpp:2585)."""
+    full = tbs.fully_aligned()
+    for flag, dst in ((1, paf), (2, rev_paf)):
+        sel = np.flatnonzero(full & (is_match == flag))
+        if len(sel) == 0:
+            continue
+        qs = ov.x_s[sel]
+        qe = ov.x_e[sel] + 1
+        tn = ov.y_id[sel]
+        rev = ov.rev[sel]
+        tl = tlens[tn].astype(np.int64)
+        ys = tbs.ts[sel]
+        ye = tbs.te[sel]                     # inclusive, query frame
+        ts = np.where(rev == 0, ys, tl - 1 - ye)
+        te = np.where(rev == 0, ye + 1, tl - ys)
+        bl = qe - qs
+        ml = np.maximum(bl - tbs.err[sel], 0)
+        el = (tbs.err[sel] <= bl * (e_rate * 0.5)).astype(np.uint8)
+        # long-indel flag: target extent differs a lot from query extent
+        dlt = np.abs((ye - ys + 1) - bl)
+        no_l_indel = (dlt < LONG_INDEL_WIN_DIFF).astype(np.uint8)
+        dst[rid] = PafRecords.from_columns(
+            qs=qs, qe=qe, tn=tn, ts=ts, te=te, rev=rev, ml=ml, bl=bl,
+            el=el, no_l_indel=no_l_indel)
+
+
+def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
+                       ft: Optional[FilterTable]) -> ECResult:
+    """~cal_ov_r (ecovlp.cpp:6385): precise overlap records, no correction."""
+    codes = [store.get_codes(i) for i in range(store.n_reads)]
+    pt, peak_hom, peak_het, mzs = build_position_table(
+        codes, cfg.k, cfg.w, ft=ft, min_hist_cnt=cfg.min_hist_kmer_cnt,
+        keep_max=min(cfg.max_kmer_cnt, 4095))
+    hom_cov = peak_hom if peak_hom > 0 else cfg.hom_cov
+    get_target = _TargetCache(store)
+    paf = PafStore(store.n_reads)
+    rev_paf = PafStore(store.n_reads)
+    for rid, q, ov, tbs in _iter_overlap_batches(
+            store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_final,
+            get_target):
+        ph = phase_overlaps(q, ov, tbs)
+        _push_records(paf, rev_paf, rid, len(q), store.lens, ov, tbs,
+                      ph.is_match, cfg.max_ov_diff_final)
+    log("final_overlap_pass",
+        f"{paf.total} cis + {rev_paf.total} trans overlaps")
+    return ECResult(paf, rev_paf, hom_cov, peak_het)
+
+
+def run_ec(store: ReadStore, cfg: HifiasmConfig,
+           ft: Optional[FilterTable] = None) -> ECResult:
+    """Full EC: n_rounds of correction + the final overlap pass."""
+    total_corr = 0
+    for r in range(cfg.n_rounds_ec):
+        hom_cov, het_cov, n_corr = ec_round(store, cfg, ft, r)
+        cfg.update_cov(hom_cov, het_cov)
+        total_corr += n_corr
+        if n_corr == 0:
+            break
+    res = final_overlap_pass(store, cfg, ft)
+    res.n_corrected = total_corr
+    return res
