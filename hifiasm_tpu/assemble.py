@@ -1,0 +1,133 @@
+"""End-to-end assembly driver (the ``ha_assemble`` analog, Assembly.cpp:2055).
+
+HiFi-only default path: filter table -> EC rounds -> final overlap pass ->
+symmetrize -> string graph -> cleaning rounds -> unitigs -> GFA.
+Purge/trio/Hi-C/UL attach after the unitig stage as in the reference's
+``clean_graph`` mode dispatch (Overlaps.cpp:39615).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from hifiasm_tpu.config import HifiasmConfig
+from hifiasm_tpu.ec.pipeline import ECResult, run_ec
+from hifiasm_tpu.graph.clean import (
+    asg_arc_del_short, asg_cut_tips, asg_pop_bubble,
+)
+from hifiasm_tpu.graph.gfa import write_fasta, write_gfa
+from hifiasm_tpu.graph.sg import (
+    CoverageCut, StringGraph, gen_init_sg, normalize_paf,
+)
+from hifiasm_tpu.graph.purge import PurgeResult, purge_dups
+from hifiasm_tpu.graph.unitig import UnitigGraph, ma_ug_gen
+from hifiasm_tpu.index.pos_table import build_filter_table
+from hifiasm_tpu.io.readstore import ReadStore
+from hifiasm_tpu.utils.logging import log
+
+
+@dataclass
+class AssemblyResult:
+    store: ReadStore
+    ec: ECResult
+    sg: StringGraph
+    cov: CoverageCut
+    r_to_u: np.ndarray
+    ug: UnitigGraph
+    read_cov: np.ndarray
+    purge: Optional[PurgeResult] = None
+
+
+def clean_rounds(sg: StringGraph, cfg: HifiasmConfig,
+                 read_cov: Optional[np.ndarray]) -> None:
+    """~ul_clean_gfa round schedule (gfa_ut.cpp:3027): drop-ratio ramps
+    min_drop_rate -> max_drop_rate over clean_rounds rounds."""
+    n_r = max(cfg.clean_rounds, 1)
+    ratios = np.linspace(cfg.min_drop_rate, cfg.max_drop_rate, n_r)
+    for r, ratio in enumerate(ratios):
+        asg_cut_tips(sg, cfg.max_short_tip)
+        asg_arc_del_short(sg, float(ratio))
+        asg_pop_bubble(sg, cfg.small_pop_bubble_size or 100000, read_cov)
+    asg_cut_tips(sg, cfg.max_short_tip)
+    asg_pop_bubble(sg, cfg.large_pop_bubble_size, read_cov)
+
+
+def assemble(store: ReadStore, cfg: HifiasmConfig,
+             write_outputs: bool = True) -> AssemblyResult:
+    # filter table over ALL HPC k-mers (~ha_ft_gen); -f0 (bf_shift=0) keeps
+    # the exact-count path, matching the quick-start config
+    codes = (store.get_codes(i) for i in range(store.n_reads))
+    ft, peak_hom, peak_het = build_filter_table(
+        codes, cfg.k, high_factor=cfg.high_factor,
+        max_kmer_cnt=cfg.max_kmer_cnt, min_hist_cnt=cfg.min_hist_kmer_cnt)
+    if peak_hom > 0:
+        cfg.update_cov(peak_hom, peak_het)
+
+    ec = run_ec(store, cfg, ft if len(ft) else None)
+
+    paf = normalize_paf(ec.paf, store.lens)
+    read_cov = np.array([len(paf[i]) for i in range(store.n_reads)],
+                        np.int64)
+    sg, cov, r_to_u = gen_init_sg(
+        paf, store.lens, min_dp=max(cfg.min_overlap_coverage, 1),
+        min_ovlp=cfg.min_overlap_len, max_hang=cfg.max_hang_len,
+        int_frac=cfg.max_hang_rate, gap_fuzz=cfg.gap_fuzz)
+    clean_rounds(sg, cfg, read_cov)
+    ug = ma_ug_gen(sg)
+
+    simi = (cfg.purge_simi_rate_l2 if cfg.purge_level == 2
+            else cfg.purge_simi_rate_l3)
+    purge = purge_dups(ug, ec.reverse_paf, store.n_reads,
+                       purge_level=cfg.purge_level, simi_rate=simi)
+
+    res = AssemblyResult(store, ec, sg, cov, r_to_u, ug, read_cov, purge)
+    if write_outputs:
+        write_assembly_outputs(res, cfg)
+    return res
+
+
+def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
+    prefix = cfg.output_prefix
+    d = os.path.dirname(prefix)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    ug_cov = np.array([
+        int(np.round(res.read_cov[(u.vs >> 1)].mean())) if len(u.vs) else 0
+        for u in res.ug.utgs], np.int64)
+    with open(f"{prefix}.p_utg.gfa", "w") as f:
+        write_gfa(f, res.ug, res.store, res.cov, "utg", ug_cov)
+
+    prim_ids = (res.purge.primary if res.purge is not None
+                else list(range(len(res.ug))))
+    alt_ids = res.purge.alternate if res.purge is not None else []
+    prim = _sub_ug(res.ug, prim_ids)
+    with open(f"{prefix}.p_ctg.gfa", "w") as f:
+        write_gfa(f, prim, res.store, res.cov, "ptg",
+                  ug_cov[prim_ids] if len(prim_ids) else None)
+    with open(f"{prefix}.p_ctg.fa", "w") as f:
+        write_fasta(f, prim, res.store, res.cov)
+    if alt_ids:
+        alt = _sub_ug(res.ug, alt_ids)
+        with open(f"{prefix}.a_ctg.gfa", "w") as f:
+            write_gfa(f, alt, res.store, res.cov, "atg", ug_cov[alt_ids])
+    log("assemble", f"wrote {prefix}.p_utg.gfa / .p_ctg.gfa "
+        f"({len(prim_ids)} primary, {len(alt_ids)} alternate contigs)")
+
+
+def _sub_ug(ug: UnitigGraph, ids) -> UnitigGraph:
+    """Subset unitig graph (arcs restricted to kept unitigs, re-numbered)."""
+    remap = {old: new for new, old in enumerate(ids)}
+    sub = UnitigGraph([ug.utgs[i] for i in ids])
+    if len(ug.a_src):
+        keep = np.array([(int(s) >> 1 in remap) and (int(d) >> 1 in remap)
+                         for s, d in zip(ug.a_src, ug.a_dst)], bool)
+        sub.a_src = np.array([remap[int(s) >> 1] << 1 | (int(s) & 1)
+                              for s in ug.a_src[keep]], np.uint32)
+        sub.a_dst = np.array([remap[int(d) >> 1] << 1 | (int(d) & 1)
+                              for d in ug.a_dst[keep]], np.uint32)
+        sub.a_ol = ug.a_ol[keep]
+    return sub

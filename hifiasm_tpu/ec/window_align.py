@@ -96,8 +96,8 @@ class WindowBatcher:
         self._jobs_tkey: List[int] = []         # (tid << 1) | rev
         self._jobs_tws: List[int] = []          # target window anchor start
         self._jobs_thre: List[int] = []
+        self._jobs_last: List[bool] = []        # final window of its overlap
         self._jobs_dst: List[tuple] = []        # (tbs, ov_idx, ws)
-        self._win_of_ov: Dict[int, list] = {}   # id(tbs) unused; per-ov wins
 
     def add_read(self, q: np.ndarray, ov: OverlapRegions
                  ) -> OverlapTracebacks:
@@ -121,6 +121,7 @@ class WindowBatcher:
                 self._jobs_tkey.append(tkey)
                 self._jobs_tws.append(t_ws)
                 self._jobs_thre.append(_window_threshold(wlen, self.e_rate))
+                self._jobs_last.append(ws + wlen > xe)
                 self._jobs_dst.append((tbs, o, ws))
                 n_win += 1
                 ws += wlen
@@ -152,13 +153,14 @@ class WindowBatcher:
                 continue
             key = (id(tbs), o)
             if key not in seen:
-                tbs.ts[o] = win_y[w, 0]
+                tbs.ts[o] = max(win_y[w, 0], 0)
                 seen[key] = True
             tbs.te[o] = win_y[w, 1] - 1
         self._jobs_x.clear()
         self._jobs_tkey.clear()
         self._jobs_tws.clear()
         self._jobs_thre.clear()
+        self._jobs_last.clear()
         self._jobs_dst.clear()
 
     def _run(self, sel: np.ndarray, thre: int, pending: np.ndarray,
@@ -177,14 +179,23 @@ class WindowBatcher:
             xlen[bi] = len(xw)
             t = self.get_target(self._jobs_tkey[w] >> 1,
                                 self._jobs_tkey[w] & 1)
-            s0 = max(0, self._jobs_tws[w] - thre)
-            e0 = min(len(t), self._jobs_tws[w] + len(xw) + thre)
-            if e0 <= s0:
+            # the band at x position i covers y in [i, i+2e] of the window,
+            # so the window MUST begin thre before the nominal start or the
+            # deletion half of the band is lost; out-of-target positions
+            # stay sentinel 4 (never match) -- virtual padding
+            y0v = self._jobs_tws[w] - thre
+            src_lo = max(0, y0v)
+            src_hi = min(len(t), y0v + len(xw) + 2 * thre)
+            if src_hi <= src_lo:
                 continue
-            seg = t[s0:e0]
-            yb[bi, :len(seg)] = seg
-            ylen[bi] = len(seg)
-            y0[bi] = s0
+            yb[bi, src_lo - y0v:src_hi - y0v] = t[src_lo:src_hi]
+            ylen[bi] = src_hi - y0v
+            y0[bi] = y0v
+            # suffix overlap: the target can run out before the final x
+            # window does (indel drift past the last anchor) — the banded
+            # engine needs ylen >= xlen, so clamp the tail window's x
+            if self._jobs_last[w] and ylen[bi] < xlen[bi]:
+                xlen[bi] = ylen[bi]
         out = self.engine(xb, xlen, yb, ylen, thre)
         for bi in np.flatnonzero(out.err >= 0):
             w = int(sel[bi])

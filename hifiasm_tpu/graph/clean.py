@@ -1,0 +1,171 @@
+"""String-graph cleaning passes.
+
+Re-expresses the cleaning loop of ``clean_graph``/``ul_clean_gfa``
+(Overlaps.cpp:39332, gfa_ut.cpp:3027-3127) for the HiFi path: per round
+(default 4) with an overlap drop-ratio schedule 0.2 -> 0.8: cut short tips
+(<= max_ext reads, ~asg_arc_cut_tips gfa_ut.cpp:3057), drop relatively-weak
+overlaps at branch vertices (~asg_arc_cut_length), and pop small bubbles
+(~asg_bub_pop1_primary_trio, Overlaps.h:1064 — the trio/coverage-aware path
+selection arrives with the purge/trio subsystems; here the kept path is the
+highest-coverage one).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from hifiasm_tpu.graph.sg import StringGraph
+from hifiasm_tpu.utils.logging import log
+
+
+def asg_cut_tips(g: StringGraph, max_ext: int) -> int:
+    """Delete dead-end chains of <= max_ext reads. Returns #reads removed."""
+    n_removed = 0
+    for v0 in range(2 * g.n_seq):
+        if g.seq_del[v0 >> 1]:
+            continue
+        if len(g.arcs_of(v0 ^ 1)) != 0:
+            continue  # has predecessors; not a tip start
+        # walk forward from the tip
+        chain = [v0]
+        v = v0
+        ok_tip = False
+        while len(chain) <= max_ext:
+            ai = g.arcs_of(v)
+            if len(ai) == 0:
+                # isolated chain end; only cut if it merges nowhere (real tip
+                # shorter than max_ext): treat as tip only when the chain
+                # started mid-graph, keep isolated contigs alive
+                ok_tip = False
+                break
+            if len(ai) > 1:
+                ok_tip = True
+                break
+            w = int(g.v[ai[0]])
+            if len(g.arcs_of(w ^ 1)) > 1:
+                ok_tip = True  # merges into a through-path
+                break
+            chain.append(w)
+            v = w
+        if ok_tip and len(chain) <= max_ext:
+            for c in chain:
+                if not g.seq_del[c >> 1]:
+                    g.seq_del[c >> 1] = 1
+                    n_removed += 1
+    if n_removed:
+        g.cleanup()
+    log("asg_cut_tips", f"removed {n_removed} tip reads")
+    return n_removed
+
+
+def asg_arc_del_short(g: StringGraph, drop_ratio: float) -> int:
+    """Drop arcs whose overlap is much weaker than the best at the vertex
+    (~asg_arc_del_short / asg_arc_cut_length). Keeps >= 1 arc per vertex."""
+    to_del = []
+    for v in range(2 * g.n_seq):
+        ai = g.arcs_of(v)
+        if len(ai) < 2:
+            continue
+        ols = g.ol[ai]
+        thres = int(ols.max() * drop_ratio)
+        for k in np.flatnonzero(ols < thres):
+            w = int(g.v[ai[k]])
+            # only drop if target keeps another incoming arc
+            if len(g.arcs_of(w ^ 1)) >= 2:
+                to_del.append(ai[k])
+    if to_del:
+        g.del_[np.array(to_del)] = 1
+        g.symm_del()
+        g.cleanup()
+    log("asg_arc_del_short", f"dropped {len(to_del)} weak arcs "
+        f"(ratio {drop_ratio:.2f})")
+    return len(to_del)
+
+
+def asg_pop_bubble(g: StringGraph, max_dist: int,
+                   read_cov: Optional[np.ndarray] = None) -> int:
+    """Pop simple bubbles/superbubbles within max_dist (miniasm-style
+    asg_bub_pop1). Keeps the highest-coverage path; deletes the rest."""
+    n_pop = 0
+    alen = g.arc_len()
+    for v0 in range(2 * g.n_seq):
+        if g.seq_del[v0 >> 1]:
+            continue
+        if len(g.arcs_of(v0)) < 2:
+            continue
+        result = _bub_finder(g, v0, max_dist, alen, read_cov)
+        if result is None:
+            continue
+        inside, path = result
+        keep_rids = {w >> 1 for w in path} | {v0 >> 1}
+        changed = False
+        for w in inside:
+            rid = w >> 1
+            if rid not in keep_rids and not g.seq_del[rid]:
+                g.seq_del[rid] = 1
+                changed = True
+        if changed:
+            n_pop += 1
+            g.cleanup()
+    log("asg_pop_bubble", f"popped {n_pop} bubbles")
+    return n_pop
+
+
+def _bub_finder(g: StringGraph, v0: int, max_dist: int, alen, read_cov):
+    """Kahn-style superbubble detection from v0 (the asg_bub_pop1 scheme);
+    returns (inside_vertices, best_path_vertices incl. sink) or None."""
+    dist = {v0: 0}
+    score = {v0: 0}
+    parent = {}
+    remaining = {}
+    stack = [v0]
+    inside = []
+    n_pending = 0
+    sink = None
+    while stack:
+        v = stack.pop()
+        ai = g.arcs_of(v)
+        if len(ai) == 0:
+            return None  # tip inside the candidate bubble
+        for a in ai:
+            w = int(g.v[a])
+            if (w >> 1) == (v0 >> 1):
+                return None  # loops back through the source read
+            d = dist[v] + int(alen[a])
+            if d > max_dist:
+                return None
+            cov_w = int(read_cov[w >> 1]) if read_cov is not None else \
+                int(g.ol[a])
+            sc = score[v] + cov_w
+            if w not in dist:
+                dist[w] = d
+                score[w] = sc
+                parent[w] = v
+                remaining[w] = len(g.arcs_of(w ^ 1))
+                inside.append(w)
+                n_pending += 1
+                if len(inside) > 512:
+                    return None
+            else:
+                if d > dist[w]:
+                    dist[w] = d
+                if sc > score[w]:
+                    score[w] = sc
+                    parent[w] = v
+            remaining[w] -= 1
+            if remaining[w] == 0:
+                stack.append(w)
+                n_pending -= 1
+        if len(stack) == 1 and n_pending == 0:
+            sink = stack[0]
+            break
+    if sink is None or sink == v0 or len(inside) < 2:
+        return None
+    path = []
+    w = sink
+    while w != v0:
+        path.append(w)
+        w = parent[w]
+    return inside, path

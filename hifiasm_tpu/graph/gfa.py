@@ -1,0 +1,45 @@
+"""GFA 1.0 output (~ma_ug_print / ma_ug_print_simple, Overlaps.h:1151).
+
+S-lines carry LN:i: and rd:i: (coverage) tags; A-lines give the read layout
+(utg, offset, strand, read name, coverage-cut start, contributed length),
+matching the reference's format documented in
+docs/source/interpreting-output.rst:16-41.
+"""
+
+from __future__ import annotations
+
+from typing import IO, Optional
+
+import numpy as np
+
+from hifiasm_tpu.graph.sg import CoverageCut
+from hifiasm_tpu.graph.unitig import UnitigGraph, unitig_seq
+from hifiasm_tpu.io.readstore import ReadStore, codes_to_seq
+
+
+def write_gfa(f: IO[str], ug: UnitigGraph, store: ReadStore,
+              cov: CoverageCut, name_prefix: str = "utg",
+              coverage: Optional[np.ndarray] = None) -> None:
+    names = [f"{name_prefix}{i + 1:06d}l" if not u.circ else
+             f"{name_prefix}{i + 1:06d}c" for i, u in enumerate(ug.utgs)]
+    for i, u in enumerate(ug.utgs):
+        seq = unitig_seq(u, store, cov)
+        cov_i = int(coverage[i]) if coverage is not None else 0
+        f.write(f"S\t{names[i]}\t{codes_to_seq(seq).decode()}\t"
+                f"LN:i:{len(seq)}\trd:i:{cov_i}\n")
+        off = 0
+        for k, v in enumerate(u.vs):
+            rid, d = int(v) >> 1, int(v) & 1
+            f.write(f"A\t{names[i]}\t{off}\t{'+-'[d]}\t{store.names[rid]}\t"
+                    f"{int(cov.s[rid])}\t{int(cov.e[rid])}\n")
+            off += int(u.node_len[k])
+    for s, d, ol in zip(ug.a_src, ug.a_dst, ug.a_ol):
+        f.write(f"L\t{names[s >> 1]}\t{'+-'[int(s) & 1]}\t"
+                f"{names[d >> 1]}\t{'+-'[int(d) & 1]}\t{int(ol)}M\n")
+
+
+def write_fasta(f: IO[str], ug: UnitigGraph, store: ReadStore,
+                cov: CoverageCut, name_prefix: str = "ctg") -> None:
+    for i, u in enumerate(ug.utgs):
+        seq = unitig_seq(u, store, cov)
+        f.write(f">{name_prefix}{i + 1:06d}\n{codes_to_seq(seq).decode()}\n")

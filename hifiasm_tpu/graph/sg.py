@@ -1,0 +1,465 @@
+"""String graph construction from overlap records.
+
+Re-expresses the reference's ``asg_t`` (Overlaps.h:223-244) and the
+``gen_init_sg`` chain (Overlaps.cpp:39228): symmetrize overlaps, coverage
+cut (``ma_hit_sub`` :1931), clip (``ma_hit_cut`` :2533), filter
+(``ma_hit_flt`` :1865), containment (``ma_hit_contained_advance`` :1781),
+arc generation (``ma_hit2arc`` Overlaps.h:366), and Myers transitive
+reduction (``asg_arc_del_trans`` :5357).
+
+Vertices are ``rid << 1 | dir``; arcs are columnar numpy arrays sorted by
+``ul = (u << 32) | l`` with a CSR index per vertex — the same packing as the
+reference, chosen here because it makes the graph a set of flat arrays that
+vectorized passes (and later C++ kernels) can chew through.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from hifiasm_tpu.overlap.paf import PafRecords, PafStore
+from hifiasm_tpu.utils.logging import log
+
+MA_HT_INT = -1
+MA_HT_QCONT = -2
+MA_HT_TCONT = -3
+MA_HT_SHORT_OVLP = -4
+
+
+@dataclass
+class CoverageCut:
+    """~ma_sub_t per read: retained high-coverage subregion."""
+
+    s: np.ndarray
+    e: np.ndarray
+    del_: np.ndarray
+
+    @classmethod
+    def full(cls, lens: np.ndarray) -> "CoverageCut":
+        n = len(lens)
+        return cls(np.zeros(n, np.int64), lens.astype(np.int64).copy(),
+                   np.zeros(n, np.uint8))
+
+
+class StringGraph:
+    """Columnar asg_t."""
+
+    def __init__(self, n_seq: int, seq_len: np.ndarray):
+        self.n_seq = n_seq
+        self.seq_len = seq_len.astype(np.int64)
+        self.seq_del = np.zeros(n_seq, np.uint8)
+        self.ul = np.zeros(0, np.uint64)
+        self.v = np.zeros(0, np.uint32)
+        self.ol = np.zeros(0, np.int64)
+        self.strong = np.zeros(0, np.uint8)
+        self.el = np.zeros(0, np.uint8)
+        self.no_l_indel = np.zeros(0, np.uint8)
+        self.del_ = np.zeros(0, np.uint8)
+        self.idx_s = np.zeros(2 * n_seq, np.int64)
+        self.idx_n = np.zeros(2 * n_seq, np.int64)
+
+    # --- basic ops ---
+    @property
+    def n_arcs(self) -> int:
+        return len(self.ul)
+
+    def arc_u(self) -> np.ndarray:
+        return (self.ul >> np.uint64(32)).astype(np.uint32)
+
+    def arc_len(self) -> np.ndarray:
+        return (self.ul & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+    def set_arcs(self, ul, v, ol, strong, el, no_l_indel, del_=None):
+        self.ul = ul.astype(np.uint64)
+        self.v = v.astype(np.uint32)
+        self.ol = ol.astype(np.int64)
+        self.strong = strong.astype(np.uint8)
+        self.el = el.astype(np.uint8)
+        self.no_l_indel = no_l_indel.astype(np.uint8)
+        self.del_ = (del_.astype(np.uint8) if del_ is not None
+                     else np.zeros(len(ul), np.uint8))
+        self._sort_index()
+
+    def _sort_index(self):
+        order = np.argsort(self.ul, kind="stable")
+        for f in ("ul", "v", "ol", "strong", "el", "no_l_indel", "del_"):
+            setattr(self, f, getattr(self, f)[order])
+        u = self.arc_u()
+        self.idx_s = np.zeros(2 * self.n_seq, np.int64)
+        self.idx_n = np.zeros(2 * self.n_seq, np.int64)
+        if len(u):
+            uniq, first, cnt = np.unique(u, return_index=True,
+                                         return_counts=True)
+            self.idx_s[uniq] = first
+            self.idx_n[uniq] = cnt
+
+    def cleanup(self):
+        """Drop deleted arcs and arcs touching deleted reads; reindex."""
+        u = self.arc_u()
+        keep = (self.del_ == 0) & (self.seq_del[u >> 1] == 0) & \
+               (self.seq_del[self.v >> 1] == 0)
+        for f in ("ul", "v", "ol", "strong", "el", "no_l_indel", "del_"):
+            setattr(self, f, getattr(self, f)[keep])
+        self._sort_index()
+
+    def arcs_of(self, vtx: int) -> np.ndarray:
+        """Indices of live arcs out of vertex vtx."""
+        s, n = int(self.idx_s[vtx]), int(self.idx_n[vtx])
+        idx = np.arange(s, s + n)
+        return idx[self.del_[idx] == 0]
+
+    def symm_del(self):
+        """Propagate arc deletions to complement arcs (asg_symm analog)."""
+        if self.n_arcs == 0:
+            return
+        u = self.arc_u()
+        key = (u.astype(np.uint64) << np.uint64(32)) | self.v.astype(np.uint64)
+        ckey = ((self.v.astype(np.uint64) ^ np.uint64(1)) << np.uint64(32)) \
+            | (u.astype(np.uint64) ^ np.uint64(1))
+        order = np.argsort(key)
+        pos = np.minimum(np.searchsorted(key[order], ckey), len(key) - 1)
+        comp = order[pos]
+        valid = key[order][pos] == ckey
+        dead = self.del_ == 1
+        self.del_[comp[valid & dead]] = 1
+
+
+def hit2arc(qs, qe, tn, ts, te, rev, ql, tl, max_hang, int_frac, min_ovlp):
+    """Vectorized ma_hit2arc (Overlaps.h:366).
+
+    Returns (code, u, v, l, ol): code >= 0 -> arc; else MA_HT_* classes.
+    ``u``/``v`` here are only the DIRECTION bits; caller adds read ids.
+    """
+    qs = np.asarray(qs, np.int64)
+    qe = np.asarray(qe, np.int64)
+    ts = np.asarray(ts, np.int64)
+    te = np.asarray(te, np.int64)
+    rev = np.asarray(rev).astype(bool)
+    ql = np.asarray(ql, np.int64)
+    tl = np.asarray(tl, np.int64)
+
+    tl5 = np.where(rev, tl - te, ts)
+    tl3 = np.where(rev, ts, tl - te)
+    ext5 = np.minimum(qs, tl5)
+    ext3 = np.minimum(ql - qe, tl3)
+
+    code = np.zeros(len(qs), np.int64)
+    bad = (ext5 > max_hang) | (ext3 > max_hang) | \
+        (qe - qs < (qe - qs + ext5 + ext3) * int_frac) | \
+        (te - ts < (te - ts + ext5 + ext3) * int_frac)
+    qcont = (qs <= tl5) & (ql - qe <= tl3)
+    tcont = (qs >= tl5) & (ql - qe >= tl3)
+    q2t = qs > tl5
+
+    u = np.where(q2t, 0, 1).astype(np.uint32)
+    vdir = np.where(q2t, rev.astype(np.uint32), (~rev).astype(np.uint32))
+    l = np.where(q2t, qs - tl5, (ql - qe) - tl3)
+    short = ((qe - qs + ext5 + ext3) < min_ovlp) | \
+            ((te - ts + ext5 + ext3) < min_ovlp)
+
+    code[:] = l
+    code = np.where(short, MA_HT_SHORT_OVLP, code)
+    code = np.where(tcont, MA_HT_TCONT, code)
+    code = np.where(qcont, MA_HT_QCONT, code)
+    code = np.where(bad, MA_HT_INT, code)
+    ol = ql - l
+    return code, u, vdir, l, ol
+
+
+def normalize_paf(paf: PafStore, lens: np.ndarray) -> PafStore:
+    """Symmetrize: every (q,t) overlap gets its reciprocal (t,q) record,
+    deduped per (q,t,rev) keeping max ml (~normalize_ma_hit_t_single_side_
+    advance, Overlaps.cpp:39362)."""
+    qn, c = paf.flatten()
+    qlen = lens[qn].astype(np.int64)
+    tlen = lens[c["tn"]].astype(np.int64)
+    # reciprocal records
+    r_qn = c["tn"].astype(np.uint32)
+    r_tn = qn.astype(np.uint32)
+    rev = c["rev"].astype(bool)
+    r_qs = np.where(~rev, c["ts"], c["ts"])
+    r_qe = np.where(~rev, c["te"], c["te"])
+    r_ts = np.where(~rev, c["qs"], qlen - c["qe"])
+    r_te = np.where(~rev, c["qe"], qlen - c["qs"])
+
+    a_qn = np.concatenate([qn, r_qn])
+    a_tn = np.concatenate([c["tn"], r_tn])
+    a_qs = np.concatenate([c["qs"], r_qs])
+    a_qe = np.concatenate([c["qe"], r_qe])
+    a_ts = np.concatenate([c["ts"], r_ts])
+    a_te = np.concatenate([c["te"], r_te])
+    a_rev = np.concatenate([c["rev"], c["rev"]])
+    a_ml = np.concatenate([c["ml"], c["ml"]])
+    a_bl = np.concatenate([c["bl"], c["bl"]])
+    a_el = np.concatenate([c["el"], c["el"]])
+    a_nli = np.concatenate([c["no_l_indel"], c["no_l_indel"]])
+
+    # dedup by (qn, tn, rev): keep max ml (original record wins ties by order)
+    key = (a_qn.astype(np.uint64) << np.uint64(33)) | \
+          (a_tn.astype(np.uint64) << np.uint64(1)) | a_rev.astype(np.uint64)
+    order = np.lexsort((-a_ml, key))
+    key_sorted = key[order]
+    first = np.ones(len(key_sorted), bool)
+    first[1:] = key_sorted[1:] != key_sorted[:-1]
+    sel = order[first]
+    sel = sel[np.argsort(a_qn[sel], kind="stable")]
+
+    out = PafStore(len(paf))
+    # group by query read
+    qsel = a_qn[sel]
+    bounds = np.flatnonzero(np.diff(qsel)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(sel)]])
+    for s, e in zip(starts, ends):
+        rid = int(qsel[s])
+        idx = sel[s:e]
+        out[rid] = PafRecords.from_columns(
+            qs=a_qs[idx], qe=a_qe[idx], tn=a_tn[idx], ts=a_ts[idx],
+            te=a_te[idx], rev=a_rev[idx], ml=a_ml[idx], bl=a_bl[idx],
+            el=a_el[idx], no_l_indel=a_nli[idx])
+    return out
+
+
+def ma_hit_sub(min_dp: int, paf: PafStore, lens: np.ndarray,
+               min_ovlp: int) -> CoverageCut:
+    """Per-read longest subregion with coverage >= min_dp (~Overlaps.cpp:1931)."""
+    n = len(lens)
+    cov = CoverageCut.full(lens)
+    if min_dp <= 1:
+        return cov
+    for i in range(n):
+        rec = paf[i]
+        live = rec.del_ == 0
+        if not live.any():
+            cov.s[i] = cov.e[i] = 0
+            cov.del_[i] = 1
+            continue
+        ev = np.concatenate([rec.qs[live] * 2, rec.qe[live] * 2 + 1])
+        ev.sort()
+        dp = 0
+        start = 0
+        best = (0, 0)
+        for x in ev:
+            old = dp
+            dp += -1 if (x & 1) else 1
+            if old < min_dp <= dp:
+                start = x >> 1
+            elif old >= min_dp > dp:
+                ln = (x >> 1) - start
+                if ln > best[1] - best[0]:
+                    best = (start, x >> 1)
+        if best[1] - best[0] > 0:
+            cov.s[i], cov.e[i] = best
+        else:
+            cov.s[i] = cov.e[i] = 0
+            cov.del_[i] = 1
+    return cov
+
+
+def ma_hit_cut(paf: PafStore, lens: np.ndarray, cov: CoverageCut,
+               min_ovlp: int) -> None:
+    """Clip overlaps into the coverage-cut subregions and renormalize
+    coordinates to the cut frame (~Overlaps.cpp:2533). In-place."""
+    for i in range(len(paf)):
+        rec = paf[i]
+        if len(rec) == 0:
+            continue
+        tn = rec.tn
+        rq_s, rq_e = cov.s[i], cov.e[i]
+        rt_s, rt_e = cov.s[tn], cov.e[tn]
+        dead = (cov.del_[i] == 1) | (cov.del_[tn] == 1) | (rec.del_ == 1)
+        rev = rec.rev.astype(bool)
+        qs = np.where(rev,
+                      np.where(rec.te < rt_e, rec.qs, rec.qs + rec.te - rt_e),
+                      np.where(rec.ts > rt_s, rec.qs, rec.qs + rt_s - rec.ts))
+        qe = np.where(rev,
+                      np.where(rec.ts > rt_s, rec.qe, rec.qe - (rt_s - rec.ts)),
+                      np.where(rec.te < rt_e, rec.qe, rec.qe - (rec.te - rt_e)))
+        ts = np.where(rev,
+                      np.where(rec.qe < rq_e, rec.ts, rec.ts + rec.qe - rq_e),
+                      np.where(rec.qs > rq_s, rec.ts, rec.ts + rq_s - rec.qs))
+        te = np.where(rev,
+                      np.where(rec.qs > rq_s, rec.te, rec.te - (rq_s - rec.qs)),
+                      np.where(rec.qe < rq_e, rec.te, rec.te - (rec.qe - rq_e)))
+        qs = np.maximum(qs, rq_s) - rq_s
+        qe = np.minimum(qe, rq_e) - rq_s
+        ts = np.maximum(ts, rt_s) - rt_s
+        te = np.minimum(te, rt_e) - rt_s
+        ok = (qe - qs >= min_ovlp) & (te - ts >= min_ovlp) & ~dead
+        rec.qs, rec.qe, rec.ts, rec.te = qs, qe, ts, te
+        rec.del_ = np.where(ok, 0, 1).astype(np.uint8)
+
+
+def ma_hit_flt(paf: PafStore, cov: CoverageCut, max_hang: int,
+               int_frac: float, min_ovlp: int) -> None:
+    """Drop overlaps ma_hit2arc rejects (~Overlaps.cpp:1865). In-place."""
+    for i in range(len(paf)):
+        rec = paf[i]
+        if len(rec) == 0:
+            continue
+        live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0) & \
+            (cov.del_[i] == 0)
+        ql = cov.e[i] - cov.s[i]
+        tl = cov.e[rec.tn] - cov.s[rec.tn]
+        code, _, _, _, _ = hit2arc(rec.qs, rec.qe, rec.tn, rec.ts, rec.te,
+                                   rec.rev, np.full(len(rec), ql), tl,
+                                   max_hang, int_frac, min_ovlp)
+        ok = live & ((code >= 0) | (code == MA_HT_QCONT) |
+                     (code == MA_HT_TCONT))
+        rec.del_ = np.where(ok, 0, 1).astype(np.uint8)
+        if not ok.any():
+            cov.del_[i] = 1
+
+
+def ma_hit_contained(paf: PafStore, cov: CoverageCut, max_hang: int,
+                     int_frac: float, min_ovlp: int
+                     ) -> np.ndarray:
+    """Mark contained reads; returns container map r_to_u[rid] = container
+    rid or -1 (~ma_hit_contained_advance, Overlaps.cpp:1781)."""
+    n = len(paf)
+    r_to_u = np.full(n, -1, np.int64)
+    for i in range(n):
+        if cov.del_[i]:
+            continue
+        rec = paf[i]
+        if len(rec) == 0:
+            continue
+        live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0)
+        if not live.any():
+            continue
+        ql = cov.e[i] - cov.s[i]
+        tl = cov.e[rec.tn] - cov.s[rec.tn]
+        code, _, _, _, _ = hit2arc(rec.qs, rec.qe, rec.tn, rec.ts, rec.te,
+                                   rec.rev, np.full(len(rec), ql), tl,
+                                   max_hang, int_frac, min_ovlp)
+        qc = live & (code == MA_HT_QCONT)
+        tc = live & (code == MA_HT_TCONT)
+        for j in np.flatnonzero(qc):
+            if cov.del_[i] == 0:
+                cov.del_[i] = 1
+                r_to_u[i] = int(rec.tn[j])
+            rec.del_[j] = 1
+        for j in np.flatnonzero(tc):
+            t = int(rec.tn[j])
+            if cov.del_[t] == 0:
+                cov.del_[t] = 1
+                r_to_u[t] = i
+            rec.del_[j] = 1
+    # resolve container chains (transfor_R_to_U)
+    for i in range(n):
+        u = r_to_u[i]
+        seen = set()
+        while u >= 0 and cov.del_[u] and r_to_u[u] >= 0 and u not in seen:
+            seen.add(u)
+            u = r_to_u[u]
+        if r_to_u[i] >= 0:
+            r_to_u[i] = u
+    # second pass: drop hits touching deleted reads
+    for i in range(n):
+        rec = paf[i]
+        if len(rec) == 0:
+            continue
+        live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0) & (cov.del_[i] == 0)
+        rec.del_ = np.where(live, 0, 1).astype(np.uint8)
+        if not live.any() and cov.del_[i] == 0:
+            cov.del_[i] = 1
+    return r_to_u
+
+
+def ma_sg_gen(paf: PafStore, cov: CoverageCut, max_hang: int,
+              int_frac: float, min_ovlp: int) -> StringGraph:
+    """Overlap records -> string graph arcs (~ma_sg_gen, Overlaps.cpp)."""
+    n = len(paf)
+    g = StringGraph(n, (cov.e - cov.s))
+    g.seq_del = cov.del_.copy()
+    uls, vs, ols, strongs, els, nlis = [], [], [], [], [], []
+    for i in range(n):
+        rec = paf[i]
+        if len(rec) == 0 or cov.del_[i]:
+            continue
+        live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0)
+        if not live.any():
+            continue
+        idx = np.flatnonzero(live)
+        ql = int(cov.e[i] - cov.s[i])
+        tl = cov.e[rec.tn[idx]] - cov.s[rec.tn[idx]]
+        code, u, vdir, l, ol = hit2arc(
+            rec.qs[idx], rec.qe[idx], rec.tn[idx], rec.ts[idx], rec.te[idx],
+            rec.rev[idx], np.full(len(idx), ql), tl, max_hang, int_frac,
+            min_ovlp)
+        good = code >= 0
+        if not good.any():
+            continue
+        gi = idx[good]
+        uu = (np.uint32(i) << np.uint32(1)) | u[good]
+        vv = (rec.tn[gi].astype(np.uint32) << np.uint32(1)) | vdir[good]
+        uls.append((uu.astype(np.uint64) << np.uint64(32))
+                   | l[good].astype(np.uint64))
+        vs.append(vv)
+        ols.append(ql - l[good])
+        strongs.append((rec.ml[gi] >= rec.bl[gi] * 0.999).astype(np.uint8))
+        els.append(rec.el[gi])
+        nlis.append(rec.no_l_indel[gi])
+    if uls:
+        g.set_arcs(np.concatenate(uls), np.concatenate(vs),
+                   np.concatenate(ols), np.concatenate(strongs),
+                   np.concatenate(els), np.concatenate(nlis))
+    log("ma_sg_gen", f"{g.n_arcs} arcs over {int((cov.del_ == 0).sum())} "
+        f"live reads")
+    return g
+
+
+def asg_arc_del_trans(g: StringGraph, fuzz: int) -> int:
+    """Myers transitive reduction (~Overlaps.cpp:5357)."""
+    mark = np.zeros(2 * g.n_seq, np.uint8)
+    alen = g.arc_len()
+    n_reduced = 0
+    # NOTE: like the reference, already-reduced arcs keep providing
+    # reachability inside this pass (the inner loop has no del check),
+    # so raw arc ranges are used throughout, not arcs_of().
+    for vtx in range(2 * g.n_seq):
+        s, n = int(g.idx_s[vtx]), int(g.idx_n[vtx])
+        ai = np.arange(s, s + n)
+        if n == 0:
+            continue
+        if g.seq_del[vtx >> 1]:
+            g.del_[ai] = 1
+            n_reduced += n
+            continue
+        targets = g.v[ai]
+        mark[targets] = 1
+        L = int(alen[ai[-1]]) + fuzz
+        for k, w in enumerate(targets):
+            if mark[w] != 1:
+                continue
+            ws, wn = int(g.idx_s[w]), int(g.idx_n[w])
+            aw = np.arange(ws, ws + wn)
+            ok = alen[aw] + int(alen[ai[k]]) <= L
+            hit = aw[ok]
+            hv = g.v[hit]
+            mark[hv[mark[hv] != 0]] = 2
+        red = mark[targets] == 2
+        g.del_[ai[red]] = 1
+        n_reduced += int(red.sum())
+        mark[targets] = 0
+    if n_reduced:
+        g.symm_del()
+        g.cleanup()
+    log("asg_arc_del_trans", f"transitively reduced {n_reduced} arcs")
+    return n_reduced
+
+
+def gen_init_sg(paf: PafStore, lens: np.ndarray, min_dp: int,
+                min_ovlp: int, max_hang: int, int_frac: float,
+                gap_fuzz: int) -> Tuple[StringGraph, CoverageCut, np.ndarray]:
+    """The gen_init_sg chain (Overlaps.cpp:39228) for the HiFi-only path."""
+    cov = ma_hit_sub(min_dp, paf, lens, min_ovlp)
+    ma_hit_cut(paf, lens, cov, min_ovlp)
+    ma_hit_flt(paf, cov, max_hang, int_frac, min_ovlp)
+    r_to_u = ma_hit_contained(paf, cov, max_hang, int_frac, min_ovlp)
+    g = ma_sg_gen(paf, cov, max_hang, int_frac, min_ovlp)
+    asg_arc_del_trans(g, gap_fuzz)
+    return g, cov, r_to_u

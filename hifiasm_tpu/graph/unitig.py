@@ -1,0 +1,189 @@
+"""Unitig generation and sequence assembly.
+
+Re-expresses ``ma_ug_gen`` (Overlaps.h:1078) and ``ma_ug_seq``
+(Overlaps.h:1104): maximal non-branching paths of the string graph become
+unitigs; each read on the path contributes its node-length prefix (in path
+orientation), the final read its full (coverage-cut) sequence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from hifiasm_tpu.graph.sg import CoverageCut, StringGraph
+from hifiasm_tpu.io.readstore import ReadStore, revcomp_codes
+from hifiasm_tpu.utils.logging import log
+
+
+@dataclass
+class Unitig:
+    vs: np.ndarray            # path vertices (rid << 1 | dir)
+    node_len: np.ndarray      # per-vertex contributed length
+    len: int
+    circ: bool
+    start: int                # first vertex, or UINT32_MAX-style -1 if circle
+    end: int                  # complement of last vertex
+
+
+@dataclass
+class UnitigGraph:
+    utgs: List[Unitig] = field(default_factory=list)
+    # arcs between unitig ends: (uid << 1 | end) -> (uid << 1 | end)
+    a_src: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    a_dst: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    a_ol: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+
+    def __len__(self):
+        return len(self.utgs)
+
+
+def _out_deg(g: StringGraph, vtx: int) -> int:
+    return len(g.arcs_of(vtx))
+
+
+def ma_ug_gen(g: StringGraph) -> UnitigGraph:
+    ug = UnitigGraph()
+    n_vtx = 2 * g.n_seq
+    visited = np.zeros(n_vtx, bool)
+    alen = g.arc_len()
+
+    def single_next(v):
+        ai = g.arcs_of(v)
+        if len(ai) != 1:
+            return None, 0
+        return int(g.v[ai[0]]), int(alen[ai[0]])
+
+    for v0 in range(n_vtx):
+        if visited[v0] or g.seq_del[v0 >> 1]:
+            continue
+        # v0 starts a unitig iff its predecessor side is not a simple chain
+        ai_back = g.arcs_of(v0 ^ 1)
+        if len(ai_back) == 1:
+            w = int(g.v[ai_back[0]]) ^ 1
+            if _out_deg(g, w) == 1:
+                continue  # interior of a chain
+        # walk forward
+        path = [v0]
+        lens = []
+        v = v0
+        circ = False
+        while True:
+            w, l = single_next(v)
+            if w is None:
+                break
+            if len(g.arcs_of(w ^ 1)) != 1:
+                break
+            if w == v0:
+                circ = True
+                lens.append(l)
+                break
+            path.append(w)
+            lens.append(l)
+            v = w
+        if not circ:
+            lens.append(int(g.seq_len[path[-1] >> 1]))
+        for p in path:
+            visited[p] = True
+            visited[p ^ 1] = True
+        node_len = np.array(lens, np.int64)
+        ug.utgs.append(Unitig(
+            vs=np.array(path, np.uint32), node_len=node_len,
+            len=int(node_len.sum()), circ=circ,
+            start=path[0] if not circ else -1,
+            end=(path[-1] ^ 1) if not circ else -1))
+
+    # circles fully interior to chains (no start vertex) remain unvisited
+    for v0 in range(n_vtx):
+        if visited[v0] or g.seq_del[v0 >> 1]:
+            continue
+        path = [v0]
+        lens = []
+        v = v0
+        while True:
+            w, l = single_next(v)
+            if w is None or w == v0:
+                if w == v0:
+                    lens.append(l)
+                break
+            path.append(w)
+            lens.append(l)
+            v = w
+        for p in path:
+            visited[p] = True
+            visited[p ^ 1] = True
+        node_len = np.array(lens, np.int64)
+        ug.utgs.append(Unitig(np.array(path, np.uint32), node_len,
+                              int(node_len.sum()), True, -1, -1))
+
+    _link_unitig_arcs(g, ug)
+    log("ma_ug_gen", f"{len(ug)} unitigs")
+    return ug
+
+
+def _link_unitig_arcs(g: StringGraph, ug: UnitigGraph) -> None:
+    """Arcs between unitig ends from remaining string-graph arcs."""
+    # vertex -> (uid, is_end)
+    head = {}
+    tail = {}
+    for uid, u in enumerate(ug.utgs):
+        if u.circ:
+            continue
+        head[int(u.vs[0])] = uid
+        tail[int(u.vs[-1])] = uid
+    src, dst, ols = [], [], []
+    for uid, u in enumerate(ug.utgs):
+        if u.circ:
+            continue
+        last = int(u.vs[-1])
+        for ai in g.arcs_of(last):
+            w = int(g.v[ai])
+            if w in head:
+                src.append(uid << 1 | 0)
+                dst.append(head[w] << 1 | 0)
+                ols.append(int(g.ol[ai]))
+            # w may be the complemented tail of another unitig (enter  rev)
+            cw = w ^ 1
+            if cw in tail:
+                src.append(uid << 1 | 0)
+                dst.append(tail[cw] << 1 | 1)
+                ols.append(int(g.ol[ai]))
+        first_c = int(u.vs[0]) ^ 1
+        for ai in g.arcs_of(first_c):
+            w = int(g.v[ai])
+            if w in head:
+                src.append(uid << 1 | 1)
+                dst.append(head[w] << 1 | 0)
+                ols.append(int(g.ol[ai]))
+            cw = w ^ 1
+            if cw in tail:
+                src.append(uid << 1 | 1)
+                dst.append(tail[cw] << 1 | 1)
+                ols.append(int(g.ol[ai]))
+    ug.a_src = np.array(src, np.uint32)
+    ug.a_dst = np.array(dst, np.uint32)
+    ug.a_ol = np.array(ols, np.int64)
+
+
+def unitig_seq(u: Unitig, store: ReadStore, cov: CoverageCut) -> np.ndarray:
+    """Concatenate read contributions along the path (~ma_ug_seq)."""
+    parts = []
+    for i, v in enumerate(u.vs):
+        rid, d = int(v) >> 1, int(v) & 1
+        codes = store.get_codes(rid)[int(cov.s[rid]):int(cov.e[rid])]
+        if d:
+            codes = revcomp_codes(codes)
+        parts.append(codes[: int(u.node_len[i])])
+    if not parts:
+        return np.zeros(0, np.uint8)
+    return np.concatenate(parts)
+
+
+def unitig_coverage(u: Unitig, paf_counts: np.ndarray) -> int:
+    """Mean read coverage proxy: overlaps per read on the path (rd:i tag)."""
+    if len(u.vs) == 0:
+        return 0
+    rids = (u.vs >> 1).astype(np.int64)
+    return int(np.round(paf_counts[rids].mean())) if len(rids) else 0
