@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end assembly wall-clock vs the reference hifiasm binary
+on identical synthetic HiFi data (fixed seed).
+
+Prints ONE JSON line:
+  {"metric": "assembly_bases_per_s", "value": N, "unit": "bases/s",
+   "vs_baseline": ours_per_s / reference_per_s}
+
+The reference baseline is measured live: the hifiasm C++ binary is built
+once from /root/reference (cached in /tmp) and run with all host cores on
+the same reads, matching BASELINE.json's wall-clock-to-p_ctg metric.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+GENOME_LEN = 80_000
+READ_LEN = 7_000
+DEPTH = 14
+ERR_RATE = 0.002
+REF_BUILD = "/tmp/hifiasm_ref_build"
+WORK = "/tmp/hifiasm_tpu_bench"
+
+
+def _build_reference() -> str:
+    exe = os.path.join(REF_BUILD, "hifiasm")
+    if os.path.exists(exe):
+        return exe
+    if not os.path.isdir("/root/reference"):
+        return ""
+    os.makedirs(REF_BUILD, exist_ok=True)
+    subprocess.run(f"cp -r /root/reference/* {REF_BUILD}/", shell=True,
+                   check=True)
+    r = subprocess.run(["make", f"-j{os.cpu_count()}"], cwd=REF_BUILD,
+                       capture_output=True)
+    return exe if r.returncode == 0 and os.path.exists(exe) else ""
+
+
+def _gen_data():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.synth import make_genome, sample_reads
+
+    rng = np.random.default_rng(11)
+    g = make_genome(rng, GENOME_LEN)
+    reads, _, _ = sample_reads(rng, g, DEPTH, READ_LEN, ERR_RATE)
+    return reads
+
+
+def _write_fasta(reads, path):
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+
+
+def _run_ours(reads) -> float:
+    from hifiasm_tpu.assemble import assemble
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.io.readstore import ReadStore
+
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(output_prefix=os.path.join(WORK, "ours"),
+                        n_rounds_ec=1)
+    t0 = time.time()
+    assemble(store, cfg)
+    return time.time() - t0
+
+
+def _run_reference(exe, fasta) -> float:
+    out = os.path.join(WORK, "ref_out")
+    t0 = time.time()
+    r = subprocess.run(
+        [exe, "-o", out, "-t", str(os.cpu_count()), "-f0", "-r1", fasta],
+        capture_output=True, timeout=1800)
+    wall = time.time() - t0
+    return wall if r.returncode == 0 else -1.0
+
+
+def main():
+    os.makedirs(WORK, exist_ok=True)
+    reads = _gen_data()
+    total_bases = int(sum(len(r) for r in reads))
+    fasta = os.path.join(WORK, "reads.fa")
+    _write_fasta(reads, fasta)
+
+    wall_ours = _run_ours(reads)
+    ours_bps = total_bases / wall_ours
+
+    exe = _build_reference()
+    vs = 0.0
+    if exe:
+        wall_ref = _run_reference(exe, fasta)
+        if wall_ref > 0:
+            vs = wall_ref / wall_ours
+    print(json.dumps({
+        "metric": "assembly_bases_per_s",
+        "value": round(ours_bps, 1),
+        "unit": "bases/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,15 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
 
     ec = run_ec(store, cfg, ft if len(ft) else None)
 
+    # trio binning (~ha_triobin call site, Assembly.cpp:2101)
+    if (cfg.fn_bin_yak_pat and cfg.fn_bin_yak_mat) or \
+            (cfg.fn_bin_list_pat and cfg.fn_bin_list_mat):
+        from hifiasm_tpu.trio import ha_triobin
+        ha_triobin(store, cfg.fn_bin_yak_pat, cfg.fn_bin_yak_mat,
+                   cfg.min_cnt, cfg.mid_cnt,
+                   list_pat=cfg.fn_bin_list_pat,
+                   list_mat=cfg.fn_bin_list_mat)
+
     paf = normalize_paf(ec.paf, store.lens)
     read_cov = np.array([len(paf[i]) for i in range(store.n_reads)],
                         np.int64)
@@ -114,8 +123,21 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         alt = _sub_ug(res.ug, alt_ids)
         with open(f"{prefix}.a_ctg.gfa", "w") as f:
             write_gfa(f, alt, res.store, res.cov, "atg", ug_cov[alt_ids])
-    log("assemble", f"wrote {prefix}.p_utg.gfa / .p_ctg.gfa "
-        f"({len(prim_ids)} primary, {len(alt_ids)} alternate contigs)")
+
+    # bp.hap1/bp.hap2 (phased) outputs (~output_bp_graph / trio joint)
+    from hifiasm_tpu.graph.hap_output import phase_unitigs
+    hap1_ids, hap2_ids = phase_unitigs(
+        res.ug, res.ec.reverse_paf, res.store.n_reads,
+        trio_flags=res.store.trio_flags, n_perturb=cfg.n_perturb,
+        f_perturb=cfg.f_perturb, seed=cfg.seed)
+    for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
+        sub = _sub_ug(res.ug, ids)
+        with open(f"{prefix}.bp.{name}.p_ctg.gfa", "w") as f:
+            write_gfa(f, sub, res.store, res.cov, f"h{name[-1]}tg",
+                      ug_cov[ids] if len(ids) else None)
+    log("assemble", f"wrote {prefix}.p_utg.gfa / .p_ctg.gfa / bp.hap[12] "
+        f"({len(prim_ids)} primary, {len(alt_ids)} alternate, "
+        f"{len(hap1_ids)}+{len(hap2_ids)} hap contigs)")
 
 
 def _sub_ug(ug: UnitigGraph, ids) -> UnitigGraph:

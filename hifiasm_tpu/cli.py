@@ -1,0 +1,145 @@
+"""Command-line interface (~CommandLines.cpp:18-86 ketopt table).
+
+Mirrors the reference's option surface; options for subsystems that attach
+in later stages (trio, Hi-C, UL, scaffolding) are parsed and routed to the
+same config fields the pipeline consumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from hifiasm_tpu.config import HifiasmConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hifiasm_tpu",
+        description="TPU-native haplotype-resolved de novo assembler "
+                    "(hifiasm-compatible capabilities)")
+    p.add_argument("reads", nargs="*", help="input HiFi reads (fa/fq[.gz])")
+    p.add_argument("-o", dest="output_prefix", default="hifiasm_tpu.asm",
+                   help="prefix of output files [%(default)s]")
+    p.add_argument("-t", dest="threads", type=int, default=1,
+                   help="number of host worker threads [%(default)s]")
+    p.add_argument("-k", dest="k", type=int, default=51,
+                   help="k-mer length (must be odd) [%(default)s]")
+    p.add_argument("-w", dest="w", type=int, default=51,
+                   help="minimizer window size [%(default)s]")
+    p.add_argument("-f", dest="bf_shift", type=int, default=37,
+                   help="bloom filter bits; 0 to disable [%(default)s]")
+    p.add_argument("-r", dest="n_rounds_ec", type=int, default=3,
+                   help="rounds of haplotype-aware error correction "
+                        "[%(default)s]")
+    p.add_argument("-a", dest="clean_rounds", type=int, default=4,
+                   help="rounds of assembly graph cleaning [%(default)s]")
+    p.add_argument("-l", dest="purge_level", type=int, default=3,
+                   choices=(0, 1, 2, 3),
+                   help="purge level: 0 none, 1 contained, 2/3 aggressive "
+                        "[%(default)s]")
+    p.add_argument("-s", dest="purge_simi_rate", type=float, default=0.55,
+                   help="similarity threshold for duplicate haplotigs "
+                        "[%(default)s]")
+    p.add_argument("-D", dest="high_factor", type=float, default=5.0,
+                   help="drop k-mers occurring > FLOAT*coverage times "
+                        "[%(default)s]")
+    p.add_argument("-N", dest="max_n_chain", type=int, default=100,
+                   help="consider up to max(-D*coverage,-N) overlaps "
+                        "[%(default)s]")
+    p.add_argument("-z", dest="adapter_len", type=int, default=0,
+                   help="length of adapters to be removed [%(default)s]")
+    p.add_argument("--min-hist-cnt", dest="min_hist_kmer_cnt", type=int,
+                   default=5, help="low k-mer histogram cut [%(default)s]")
+    p.add_argument("--primary", action="store_true",
+                   help="output a primary and an alternate assembly")
+    p.add_argument("--n-perturb", dest="n_perturb", type=int, default=10000)
+    p.add_argument("--f-perturb", dest="f_perturb", type=float, default=0.1)
+    p.add_argument("--seed", dest="seed", type=int, default=11)
+    p.add_argument("--write-paf", action="store_true",
+                   help="dump overlaps in PAF")
+    p.add_argument("--write-ec", action="store_true",
+                   help="dump error-corrected reads in FASTA")
+    # trio
+    p.add_argument("-1", dest="fn_bin_yak_pat", metavar="FILE",
+                   help="hap1/paternal k-mer dump (yak)")
+    p.add_argument("-2", dest="fn_bin_yak_mat", metavar="FILE",
+                   help="hap2/maternal k-mer dump (yak)")
+    p.add_argument("-3", dest="fn_bin_list_pat", metavar="FILE",
+                   help="list of hap1/paternal read names")
+    p.add_argument("-4", dest="fn_bin_list_mat", metavar="FILE",
+                   help="list of hap2/maternal read names")
+    p.add_argument("-c", dest="min_cnt", type=int, default=2,
+                   help="lower bound of the binned k-mer's frequency")
+    p.add_argument("-d", dest="mid_cnt", type=int, default=5,
+                   help="upper bound of the binned k-mer's frequency")
+    # hi-c
+    p.add_argument("--h1", dest="hic_reads_1", action="append", default=[],
+                   metavar="FILE", help="Hi-C R1 reads")
+    p.add_argument("--h2", dest="hic_reads_2", action="append", default=[],
+                   metavar="FILE", help="Hi-C R2 reads")
+    # ultralong
+    p.add_argument("--ul", dest="ul_reads", action="append", default=[],
+                   metavar="FILE", help="ultralong ONT reads")
+    p.add_argument("--ul-rate", dest="ul_error_rate", type=float,
+                   default=0.2)
+    p.add_argument("--ul-round", dest="ul_ec_round", type=int, default=3)
+    # misc
+    p.add_argument("--telo-m", dest="telo_motif", metavar="MOTIF",
+                   help="telomere motif, e.g. CCCTAA")
+    p.add_argument("--hom-cov", dest="hom_cov_set", type=int,
+                   help="homozygous read coverage")
+    p.add_argument("--max-od-ec", dest="max_ov_diff_ec", type=float,
+                   default=0.04)
+    p.add_argument("--max-od-final", dest="max_ov_diff_final", type=float,
+                   default=0.03)
+    p.add_argument("-i", dest="ignore_bin", action="store_true",
+                   help="ignore saved overlaps/corrected reads")
+    p.add_argument("--align-engine", dest="align_engine", default="auto",
+                   choices=("auto", "jax", "numpy"))
+    p.add_argument("--version", action="version", version="0.1.0")
+    return p
+
+
+def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
+    ns = build_parser().parse_args(argv)
+    cfg = HifiasmConfig()
+    for f in ("output_prefix", "threads", "k", "w", "bf_shift",
+              "n_rounds_ec", "clean_rounds", "purge_level", "high_factor",
+              "max_n_chain", "min_hist_kmer_cnt", "n_perturb", "f_perturb",
+              "seed", "min_cnt", "mid_cnt", "hic_reads_1", "hic_reads_2",
+              "ul_reads", "ul_error_rate", "ul_ec_round", "telo_motif",
+              "max_ov_diff_ec", "max_ov_diff_final", "align_engine",
+              "fn_bin_yak_pat", "fn_bin_yak_mat"):
+        setattr(cfg, f, getattr(ns, f))
+    cfg.read_files = ns.reads
+    cfg.primary = ns.primary
+    cfg.write_paf = ns.write_paf
+    cfg.write_ec = ns.write_ec
+    cfg.purge_simi_rate_l3 = ns.purge_simi_rate
+    if ns.hom_cov_set:
+        cfg.hom_cov = ns.hom_cov_set
+    cfg.fn_bin_list_pat = getattr(ns, "fn_bin_list_pat", None)
+    cfg.fn_bin_list_mat = getattr(ns, "fn_bin_list_mat", None)
+    cfg.ignore_bin = ns.ignore_bin
+    return cfg
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    cfg = parse_config(argv)
+    if not cfg.read_files:
+        build_parser().print_help()
+        return 1
+    from hifiasm_tpu.assemble import assemble
+    from hifiasm_tpu.io.readstore import ReadStore
+    from hifiasm_tpu.utils.logging import log
+
+    store = ReadStore.from_files(cfg.read_files)
+    log("main", f"loaded {store.n_reads} reads, {store.total_bases} bases")
+    assemble(store, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,6 +64,8 @@ class HifiasmConfig:
     # --- trio ---
     fn_bin_yak_pat: Optional[str] = None  # -1 pat.yak
     fn_bin_yak_mat: Optional[str] = None  # -2 mat.yak
+    fn_bin_list_pat: Optional[str] = None  # -3 read-name list
+    fn_bin_list_mat: Optional[str] = None  # -4 read-name list
     min_cnt: int = 2                      # yak min_cnt
     mid_cnt: int = 5                      # yak mid_cnt
 
@@ -87,11 +89,13 @@ class HifiasmConfig:
     write_ec: bool = False
     primary: bool = False                 # --primary: p_ctg + a_ctg
     telo_motif: Optional[str] = None
+    ignore_bin: bool = False              # -i: ignore saved checkpoints
 
     # --- device execution ---
     read_batch: int = 64                  # reads per device batch
     max_read_len: int = 65536             # padded read length cap
     use_pallas: bool = True               # use Pallas kernels when on TPU
+    align_engine: str = "auto"            # auto | jax | numpy
 
     def update_cov(self, hom_cov: int, het_cov: int = -1024) -> None:
         """Coverage-derived config update (~ha_opt_update_cov)."""

@@ -71,11 +71,14 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
     runs ALL windows of the batch through the alignment engine in large
     fixed-shape launches (the TPU execution shape); pass 2 yields per read.
     """
+    from hifiasm_tpu.ec.window_align import resolve_engine
+
     cp = ChainParams.for_k(cfg.k)
+    engine = resolve_engine(cfg.align_engine)
     bs = max(1, cfg.read_batch)
     for b0 in range(0, store.n_reads, bs):
         rids = range(b0, min(b0 + bs, store.n_reads))
-        wb = WindowBatcher(get_target, e_rate, wl=WINDOW_HC)
+        wb = WindowBatcher(get_target, e_rate, wl=WINDOW_HC, engine=engine)
         planned = []
         for rid in rids:
             q = codes[rid]

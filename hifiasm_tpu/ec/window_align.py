@@ -29,6 +29,23 @@ from hifiasm_tpu.overlap.anchors import OverlapRegions
 Engine = Callable[..., "BatchAlign"]  # (x, xlen, y, ylen, e) -> BatchAlign
 
 
+def resolve_engine(name: str = "auto") -> Engine:
+    """auto -> device engine on TPU backends, numpy host engine on CPU."""
+    if name == "numpy":
+        return banded_batch_np
+    if name == "jax":
+        from hifiasm_tpu.ops.banded_align_jax import banded_batch_jax
+        return banded_batch_jax
+    try:
+        import jax
+        if jax.default_backend() not in ("cpu",):
+            from hifiasm_tpu.ops.banded_align_jax import banded_batch_jax
+            return banded_batch_jax
+    except Exception:
+        pass
+    return banded_batch_np
+
+
 @dataclass
 class OverlapTracebacks:
     """Per-overlap windowed alignment results, positions in CSR layout.
@@ -129,23 +146,21 @@ class WindowBatcher:
         return tbs
 
     def flush(self) -> None:
+        """Run all planned windows in fixed-shape chunks.
+
+        Every window is aligned with the FULL band (e = 31, one compiled
+        kernel shape) and accepted when err <= min(2*thre, 31) — the wide
+        band costs nothing extra on device, and the doubled acceptance
+        reproduces what the reference reaches via its double-threshold
+        retry realignment (Correct.cpp verify_window flow)."""
         n = len(self._jobs_x)
         if n == 0:
             return
-        thre = np.asarray(self._jobs_thre, np.int64)
-        pending = np.ones(n, bool)
-        # per-overlap first/last aligned window y-range, applied at the end
         win_y = np.full((n, 2), -1, np.int64)
-        for attempt in range(2):
-            if attempt == 1:
-                thre = np.minimum(thre * 2, THRESHOLD_MAX_SIZE)
-            sel_all = np.flatnonzero(pending)
-            if len(sel_all) == 0:
-                break
-            for t in np.unique(thre[sel_all]):
-                sel = sel_all[thre[sel_all] == t]
-                for c0 in range(0, len(sel), self.chunk):
-                    self._run(sel[c0:c0 + self.chunk], int(t), pending, win_y)
+        sel_all = np.arange(n)
+        for c0 in range(0, n, self.chunk):
+            self._run(sel_all[c0:c0 + self.chunk], THRESHOLD_MAX_SIZE,
+                      None, win_y)
         # precise per-overlap target range from first/last aligned window
         seen = {}
         for w, (tbs, o, ws) in enumerate(self._jobs_dst):
@@ -163,7 +178,7 @@ class WindowBatcher:
         self._jobs_last.clear()
         self._jobs_dst.clear()
 
-    def _run(self, sel: np.ndarray, thre: int, pending: np.ndarray,
+    def _run(self, sel: np.ndarray, thre: int, _unused,
              win_y: np.ndarray) -> None:
         B = len(sel)
         XL = self.wl
@@ -197,7 +212,11 @@ class WindowBatcher:
             if self._jobs_last[w] and ylen[bi] < xlen[bi]:
                 xlen[bi] = ylen[bi]
         out = self.engine(xb, xlen, yb, ylen, thre)
-        for bi in np.flatnonzero(out.err >= 0):
+        accept_thre = np.minimum(
+            np.asarray([self._jobs_thre[w] for w in sel]) * 2,
+            THRESHOLD_MAX_SIZE)
+        good = (out.err >= 0) & (out.err <= accept_thre)
+        for bi in np.flatnonzero(good):
             w = int(sel[bi])
             tbs, o, ws = self._jobs_dst[w]
             wlen = int(xlen[bi])
@@ -210,7 +229,6 @@ class WindowBatcher:
             tbs.win_ok[o] += 1
             win_y[w, 0] = int(y0[bi]) + int(out.y_start[bi])
             win_y[w, 1] = int(y0[bi]) + int(out.y_end[bi])
-            pending[w] = False
 
 
 def align_overlaps(q: np.ndarray, ov: OverlapRegions,

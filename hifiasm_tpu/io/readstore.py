@@ -116,7 +116,7 @@ class ReadStore:
         rs.offsets = np.asarray(offsets, dtype=np.int64)
         rs.lens = np.diff(rs.offsets)
         rs._packed_list = packed_chunks  # per-read packed (4-base aligned)
-        rs.trio_flags = np.full(len(rs.names), 3, dtype=np.uint8)  # AMBIGU
+        rs.trio_flags = np.zeros(len(rs.names), dtype=np.uint8)  # AMBIGU=0
         return rs
 
     @classmethod
@@ -136,7 +136,7 @@ class ReadStore:
             offsets.append(total)
         rs.offsets = np.asarray(offsets, dtype=np.int64)
         rs.lens = np.diff(rs.offsets)
-        rs.trio_flags = np.full(len(rs.names), 3, dtype=np.uint8)
+        rs.trio_flags = np.zeros(len(rs.names), dtype=np.uint8)
         return rs
 
     # ---- access ----

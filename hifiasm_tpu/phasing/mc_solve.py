@@ -1,0 +1,171 @@
+"""Spin-glass max-cut phasing solver.
+
+Re-expresses rcut.cpp's ``mc_solve`` (:3710) / ``mc_solve_core_adv``
+(:3453): nodes are unitigs, spin s in {-1,+1} is the haplotype, and an
+edge weight w > 0 says the two nodes belong to DIFFERENT haplotypes
+(inter-hap trans evidence), w < 0 to the same (e.g. Hi-C attraction after
+sign convention).  The solver maximizes sum_e -w_e * s_x * s_y per
+connected component: greedy strongest-edge-first init (``mc_init_spin``
+:1537), local sweeps flipping any node whose weighted neighbour field
+disagrees (``mc_optimize_local`` :1700), and ``n_perturb`` random restarts
+flipping each spin with prob ``f_perturb`` keeping the best solution
+(``mc_perturb`` :1759; defaults n_perturb=10000, f_perturb=0.1, seed=11,
+CommandLines.cpp:325-328).
+
+Deterministic for a fixed seed (numpy Generator; the reference uses
+kr_splitmix64 — same contract, different stream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from hifiasm_tpu.utils.logging import log
+
+
+@dataclass
+class McGraph:
+    """Symmetric weighted graph in CSR (both directions stored)."""
+
+    n: int
+    adj_start: np.ndarray
+    adj_node: np.ndarray
+    adj_w: np.ndarray
+
+    @classmethod
+    def from_edges(cls, n: int, x: np.ndarray, y: np.ndarray,
+                   w: np.ndarray) -> "McGraph":
+        x = np.asarray(x, np.int64)
+        y = np.asarray(y, np.int64)
+        w = np.asarray(w, np.float64)
+        src = np.concatenate([x, y])
+        dst = np.concatenate([y, x])
+        ww = np.concatenate([w, w])
+        order = np.argsort(src, kind="stable")
+        src, dst, ww = src[order], dst[order], ww[order]
+        start = np.zeros(n + 1, np.int64)
+        cnt = np.bincount(src, minlength=n)
+        start[1:] = np.cumsum(cnt)
+        return cls(n, start, dst, ww)
+
+    def neighbors(self, k: int):
+        s, e = self.adj_start[k], self.adj_start[k + 1]
+        return self.adj_node[s:e], self.adj_w[s:e]
+
+
+def _components(g: McGraph) -> np.ndarray:
+    comp = np.full(g.n, -1, np.int64)
+    c = 0
+    for seed in range(g.n):
+        if comp[seed] >= 0:
+            continue
+        stack = [seed]
+        comp[seed] = c
+        while stack:
+            k = stack.pop()
+            nb, _ = g.neighbors(k)
+            for t in nb:
+                if comp[t] < 0:
+                    comp[t] = c
+                    stack.append(int(t))
+        c += 1
+    return comp
+
+
+def _score(g: McGraph, s: np.ndarray, nodes: np.ndarray) -> float:
+    tot = 0.0
+    for k in nodes:
+        nb, w = g.neighbors(int(k))
+        tot += float(-(w * s[nb] * s[k]).sum())
+    return tot / 2.0
+
+
+def _field(g: McGraph, s: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+    f = np.zeros(g.n)
+    for k in nodes:
+        nb, w = g.neighbors(int(k))
+        f[k] = float((w * s[nb]).sum())
+    return f
+
+
+def _local_opt(g: McGraph, s: np.ndarray, nodes: np.ndarray,
+               rng: np.random.Generator, max_iter: int = 1000) -> None:
+    """Sequential best-response sweeps until no flip (~mc_optimize_local)."""
+    f = _field(g, s, nodes)
+    for _ in range(max_iter):
+        order = rng.permutation(nodes)
+        n_flip = 0
+        for k in order:
+            k = int(k)
+            # maximizing -w*s_k*s_j: prefer s_k = -sign(field)
+            if f[k] == 0:
+                continue
+            want = -1 if f[k] > 0 else 1
+            if s[k] != want:
+                nb, w = g.neighbors(k)
+                f[nb] += w * (want - s[k])
+                s[k] = want
+                n_flip += 1
+        if n_flip == 0:
+            break
+
+
+def _init_spins(g: McGraph, s: np.ndarray, nodes: np.ndarray,
+                rng: np.random.Generator) -> None:
+    """Strongest-edge-first propagation (~mc_init_spin, rcut.cpp:1537)."""
+    edges = []
+    for k in nodes:
+        nb, w = g.neighbors(int(k))
+        for t, wt in zip(nb, w):
+            if int(k) < int(t):
+                edges.append((abs(wt), int(k), int(t), wt))
+    edges.sort(key=lambda e: -e[0])
+    for _, n1, n2, w in edges:
+        if s[n1] == 0 and s[n2] == 0:
+            s[n1] = 1 if rng.integers(0, 2) else -1
+            s[n2] = -s[n1] if w > 0 else s[n1]
+        elif s[n1] == 0:
+            s[n1] = -s[n2] if w > 0 else s[n2]
+        elif s[n2] == 0:
+            s[n2] = -s[n1] if w > 0 else s[n1]
+    for k in nodes:
+        if s[k] == 0:
+            s[k] = 1
+
+
+def mc_solve(n: int, ex: np.ndarray, ey: np.ndarray, ew: np.ndarray,
+             n_perturb: int = 10000, f_perturb: float = 0.1,
+             seed: int = 11, max_sweeps: int = 1000) -> np.ndarray:
+    """Solve spins for a weighted graph; returns s in {-1,+1} (~mc_solve)."""
+    g = McGraph.from_edges(n, ex, ey, ew)
+    s = np.zeros(n, np.int8)
+    rng = np.random.default_rng(seed)
+    comp = _components(g)
+    for c in range(int(comp.max()) + 1 if n else 0):
+        nodes = np.flatnonzero(comp == c)
+        if len(nodes) == 1:
+            s[nodes] = 1
+            continue
+        _init_spins(g, s, nodes, rng)
+        _local_opt(g, s, nodes, rng, max_sweeps)
+        best = s[nodes].copy()
+        best_sc = _score(g, s, nodes)
+        # perturbation restarts, scaled down for small components
+        n_pert = min(n_perturb, 20 * len(nodes) + 50)
+        for _ in range(n_pert):
+            flip = rng.random(len(nodes)) < f_perturb
+            s[nodes[flip]] = -s[nodes[flip]]
+            _local_opt(g, s, nodes, rng, max_sweeps)
+            sc = _score(g, s, nodes)
+            if sc > best_sc:
+                best_sc = sc
+                best = s[nodes].copy()
+            else:
+                s[nodes] = best
+        s[nodes] = best
+    log("mc_solve", f"phased {n} nodes, "
+        f"{int((s == 1).sum())}/{int((s == -1).sum())} split")
+    return s

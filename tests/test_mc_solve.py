@@ -1,0 +1,48 @@
+"""Spin solver: planted bipartite haplotype structure must be recovered."""
+
+import numpy as np
+
+from hifiasm_tpu.phasing.mc_solve import mc_solve
+
+
+def test_planted_bipartition(rng):
+    # two haplotype groups; positive (inter-hap) edges across, noise within
+    n = 40
+    truth = np.where(np.arange(n) % 2 == 0, 1, -1)
+    ex, ey, ew = [], [], []
+    for _ in range(300):
+        a, b = rng.integers(0, n, 2)
+        if a == b:
+            continue
+        if truth[a] != truth[b]:
+            w = 5.0 + rng.random()        # inter-hap evidence
+        else:
+            w = -3.0 - rng.random()       # same-hap attraction
+        ex.append(a)
+        ey.append(b)
+        ew.append(w)
+    s = mc_solve(n, np.array(ex), np.array(ey), np.array(ew),
+                 n_perturb=100)
+    agree = (s == truth).mean()
+    assert agree > 0.95 or agree < 0.05, f"agree={agree}"  # sign symmetric
+
+
+def test_components_independent(rng):
+    # two disjoint pairs with strong inter-hap edges
+    ex = np.array([0, 2])
+    ey = np.array([1, 3])
+    ew = np.array([10.0, 10.0])
+    s = mc_solve(4, ex, ey, ew, n_perturb=10)
+    assert s[0] == -s[1]
+    assert s[2] == -s[3]
+    assert set(np.unique(s)) <= {-1, 1}
+
+
+def test_deterministic(rng):
+    ex = rng.integers(0, 20, 60)
+    ey = rng.integers(0, 20, 60)
+    ew = rng.random(60) * 4 - 2
+    keep = ex != ey
+    s1 = mc_solve(20, ex[keep], ey[keep], ew[keep], n_perturb=50, seed=11)
+    s2 = mc_solve(20, ex[keep], ey[keep], ew[keep], n_perturb=50, seed=11)
+    np.testing.assert_array_equal(s1, s2)
