@@ -12,4 +12,26 @@ upstream C++ tree (see SURVEY.md).
 
 __version__ = "0.1.0"
 
-from hifiasm_tpu.config import HifiasmConfig  # noqa: F401
+import os as _os
+
+
+def _enable_jax_compile_cache() -> None:
+    """Persist XLA compilations next to the repo (device kernels take
+    minutes to compile on TPU; the cache makes that a one-time cost)."""
+    try:
+        import jax
+
+        cache = _os.environ.get(
+            "HIFIASM_TPU_JAX_CACHE",
+            _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                          ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
+_enable_jax_compile_cache()
+
+from hifiasm_tpu.config import HifiasmConfig  # noqa: F401,E402

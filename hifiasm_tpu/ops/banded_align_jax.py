@@ -168,15 +168,17 @@ def _banded_jax(x, xlen, y, ylen, e: int, traceback: bool):
     ok = best_err <= e
     out_err = jnp.where(ok, best_err, -1).astype(jnp.int32)
     if not traceback:
-        z = jnp.zeros((B, XL), jnp.uint8)
+        z = jnp.zeros(1, jnp.uint8)
         return (out_err, jnp.full(B, -1, jnp.int32),
                 best_n.astype(jnp.int32), z, z, z)
 
     st_d0hi, st_d0lo, st_hphi, st_hplo, st_vphi, st_vplo = stored  # [XL, B]
-    rows = jnp.arange(B)
 
-    def tb_step(k, state):
-        ii, jj, tb, ic, ib = state
+    # light traceback: carry only (ii, jj), emit a per-step MOVE code;
+    # the per-position tb/ins arrays are decoded host-side in one
+    # vectorized pass (no [B, XL] scatters inside the loop)
+    def tb_step(carry, _):
+        ii, jj = carry
         act = ii > 0
         i_s = jnp.maximum(ii, 1)
         gidx = (i_s - 1)[None, :]
@@ -203,32 +205,54 @@ def _banded_jax(x, xlen, y, ylen, e: int, traceback: bool):
         do_diag = diag_ok
         do_horiz = ~do_diag & horiz_ok
         do_vert = ~do_diag & ~do_horiz & vert_ok
-        p = jnp.clip(ii - 1, 0, XL - 1)
-        tb_cur = tb[rows, p]
-        tb = tb.at[rows, p].set(
-            jnp.where(do_diag, yc.astype(jnp.uint8),
-                      jnp.where(do_vert, jnp.uint8(4), tb_cur)))
-        ic_cur = ic[rows, p]
-        ic = ic.at[rows, p].set(
-            jnp.where(do_horiz,
-                      jnp.minimum(ic_cur.astype(jnp.int32) + 1,
-                                  255).astype(jnp.uint8), ic_cur))
-        ib_cur = ib[rows, p]
-        ib = ib.at[rows, p].set(
-            jnp.where(do_horiz, yc.astype(jnp.uint8), ib_cur))
+        move = (do_diag.astype(jnp.uint8) + 2 * do_horiz.astype(jnp.uint8)
+                + 3 * do_vert.astype(jnp.uint8))
         ii = ii - do_diag.astype(jnp.int32) - do_vert.astype(jnp.int32)
         jj = jj - do_diag.astype(jnp.int32) - do_horiz.astype(jnp.int32)
-        return ii, jj, tb, ic, ib
+        return (ii, jj), move
 
-    tb0 = jnp.full((B, XL), 5, jnp.uint8)
-    ic0 = jnp.zeros((B, XL), jnp.uint8)
-    ib0 = jnp.zeros((B, XL), jnp.uint8)
     ii0 = jnp.where(ok, xlen, 0).astype(jnp.int32)
     jj0 = jnp.where(ok, best_n, 0).astype(jnp.int32)
-    ii, jj, tb, ic, ib = lax.fori_loop(
-        0, XL + 2 * e + 1, tb_step, (ii0, jj0, tb0, ic0, ib0))
+    S = XL + 2 * e + 1
+    (ii, jj), moves = lax.scan(tb_step, (ii0, jj0), None, length=S)
     y_start = jnp.where(ok, jj, -1).astype(jnp.int32)
-    return out_err, y_start, best_n.astype(jnp.int32), tb, ic, ib
+
+    # decode the move-log into per-position traceback arrays ON DEVICE with
+    # three one-shot scatters (host transfer of the move-log is fragmented
+    # and slow; flat [B*XL] uint8 outputs stream back contiguously)
+    diag = moves == 1
+    horiz = moves == 2
+    vert = moves == 3
+    adv_i = (diag | vert).astype(jnp.int32)
+    adv_j = (diag | horiz).astype(jnp.int32)
+    ii_b = xlen[None, :].astype(jnp.int32) - (jnp.cumsum(adv_i, axis=0)
+                                              - adv_i)
+    jj_b = best_n[None, :].astype(jnp.int32) - (jnp.cumsum(adv_j, axis=0)
+                                                - adv_j)
+    p = ii_b - 1                                  # x position of each move
+    yj = jj_b - 1
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :],
+                             (S, B))
+    ych = jnp.take_along_axis(
+        y, jnp.clip(yj, 0, YL - 1).T, axis=1).T.astype(jnp.uint8)
+
+    flat_idx = b_idx * XL + jnp.clip(p, 0, XL - 1)
+    oob = jnp.int32(B * XL)                       # dropped via mode="drop"
+    tbv = jnp.where(diag, ych, jnp.uint8(4))
+    tb_idx = jnp.where(diag | vert, flat_idx, oob).reshape(-1)
+    tb = jnp.full(B * XL, 5, jnp.uint8).at[tb_idx].set(
+        tbv.reshape(-1), mode="drop")
+    ic_idx = jnp.where(horiz, flat_idx, oob).reshape(-1)
+    ic = jnp.zeros(B * XL, jnp.int32).at[ic_idx].add(1, mode="drop")
+    ic = jnp.minimum(ic, 255).astype(jnp.uint8)
+    # the sequential traceback overwrites ins_base on every horiz move, so
+    # the LAST-executed (largest k) wins: scatter-max of (k << 8 | base)
+    kk = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, B))
+    ibv = jnp.where(horiz, (kk << 8) | ych.astype(jnp.int32), -1)
+    ib_enc = jnp.full(B * XL, -1, jnp.int32).at[ic_idx].max(
+        ibv.reshape(-1), mode="drop")
+    ib = jnp.where(ib_enc >= 0, ib_enc & 0xFF, 0).astype(jnp.uint8)
+    return (out_err, y_start, best_n.astype(jnp.int32), tb, ic, ib)
 
 
 BLOCK = 4096  # static device batch: every launch pads to this (one compile;
@@ -248,7 +272,7 @@ def banded_batch_jax(x: np.ndarray, xlen: np.ndarray, y: np.ndarray,
                      ylen: np.ndarray, e: int,
                      traceback: bool = True) -> BatchAlign:
     """Engine-API wrapper: pads B to the static block, runs the jitted
-    kernel."""
+    kernel (traceback decoded on device, streamed back flat)."""
     B, XL = x.shape
     Bp = _bucket(B)
     if Bp != B:
@@ -259,6 +283,13 @@ def banded_batch_jax(x: np.ndarray, xlen: np.ndarray, y: np.ndarray,
     err, ys, yn, tb, ic, ib = _banded_jax(
         jnp.asarray(x), jnp.asarray(xlen), jnp.asarray(y),
         jnp.asarray(ylen), e, traceback)
-    return BatchAlign(np.asarray(err)[:B], np.asarray(ys)[:B],
-                      np.asarray(yn)[:B], np.asarray(tb)[:B],
-                      np.asarray(ic)[:B], np.asarray(ib)[:B])
+    err = np.asarray(err)
+    ys = np.asarray(ys)
+    yn = np.asarray(yn)
+    if not traceback:
+        z = np.zeros((B, XL), np.uint8)
+        return BatchAlign(err[:B], ys[:B], yn[:B], z, z.copy(), z.copy())
+    tb = np.asarray(tb).reshape(Bp, XL)
+    ic = np.asarray(ic).reshape(Bp, XL)
+    ib = np.asarray(ib).reshape(Bp, XL)
+    return BatchAlign(err[:B], ys[:B], yn[:B], tb[:B], ic[:B], ib[:B])
