@@ -58,16 +58,28 @@ def clean_rounds(sg: StringGraph, cfg: HifiasmConfig,
 
 def assemble(store: ReadStore, cfg: HifiasmConfig,
              write_outputs: bool = True) -> AssemblyResult:
-    # filter table over ALL HPC k-mers (~ha_ft_gen); -f0 (bf_shift=0) keeps
-    # the exact-count path, matching the quick-start config
-    codes = (store.get_codes(i) for i in range(store.n_reads))
-    ft, peak_hom, peak_het = build_filter_table(
-        codes, cfg.k, high_factor=cfg.high_factor,
-        max_kmer_cnt=cfg.max_kmer_cnt, min_hist_cnt=cfg.min_hist_kmer_cnt)
-    if peak_hom > 0:
-        cfg.update_cov(peak_hom, peak_het)
+    from hifiasm_tpu.io.binfiles import load_ec_state, save_ec_state
 
-    ec = run_ec(store, cfg, ft if len(ft) else None)
+    # resume from checkpoints unless -i (~load_all_data_from_disk,
+    # Overlaps.cpp:23590 / Assembly.cpp:2062)
+    resumed = None if cfg.ignore_bin else load_ec_state(cfg.output_prefix)
+    if resumed is not None:
+        store, paf0, rev0 = resumed
+        ec = ECResult(paf0, rev0, cfg.hom_cov, -1024)
+    else:
+        # filter table over ALL HPC k-mers (~ha_ft_gen); -f0 (bf_shift=0)
+        # keeps the exact-count path, matching the quick-start config
+        codes = (store.get_codes(i) for i in range(store.n_reads))
+        ft, peak_hom, peak_het = build_filter_table(
+            codes, cfg.k, high_factor=cfg.high_factor,
+            max_kmer_cnt=cfg.max_kmer_cnt,
+            min_hist_cnt=cfg.min_hist_kmer_cnt)
+        if peak_hom > 0:
+            cfg.update_cov(peak_hom, peak_het)
+
+        ec = run_ec(store, cfg, ft if len(ft) else None)
+        if write_outputs:
+            save_ec_state(cfg.output_prefix, store, ec.paf, ec.reverse_paf)
 
     # trio binning (~ha_triobin call site, Assembly.cpp:2101)
     if (cfg.fn_bin_yak_pat and cfg.fn_bin_yak_mat) or \

@@ -32,6 +32,52 @@ class ConsensusResult:
     n_corrected: int         # number of edit operations applied
 
 
+def consensus_from_votes(q: np.ndarray, votes: np.ndarray,
+                         ins_tot: np.ndarray, ins_base: np.ndarray,
+                         ins_len: np.ndarray, het_sites: np.ndarray,
+                         occ_tot: int = 3, occ_exact: float = 0.500001
+                         ) -> ConsensusResult:
+    """Apply corrections given aggregated matrices.
+
+    votes [qlen, 5] INCLUDES the query's own vote; ins_base/ins_len are the
+    per-position majority insertion base/length; ins_tot the voter count.
+    This half is shared by the host CSR path and the device-aggregated path.
+    """
+    qlen = len(q)
+    qa = np.clip(q, 0, 3)
+    cov = votes.sum(axis=1)
+    winner = np.argmax(votes, axis=1).astype(np.int64)
+    win_votes = votes[np.arange(qlen), winner]
+    pass_sub = (cov >= occ_tot) & (win_votes > occ_exact * cov) & \
+        (winner != qa)
+    pass_ins = (cov >= occ_tot) & (ins_tot > occ_exact * cov)
+    if len(het_sites):
+        pass_sub[het_sites] = False
+        pass_ins[het_sites] = False
+
+    change = np.flatnonzero(pass_sub | pass_ins)
+    if len(change) == 0:
+        return ConsensusResult(q.copy(), 0)
+    parts = []
+    n_edits = 0
+    prev = 0
+    for p in change:
+        parts.append(q[prev:p])
+        if pass_sub[p]:
+            w = int(winner[p])
+            if w != 4:                       # substitution
+                parts.append(np.array([w], np.uint8))
+            n_edits += 1
+        else:
+            parts.append(q[p:p + 1])
+        if pass_ins[p]:
+            parts.append(np.full(int(ins_len[p]), ins_base[p], np.uint8))
+            n_edits += int(ins_len[p])
+        prev = p + 1
+    parts.append(q[prev:])
+    return ConsensusResult(np.concatenate(parts).astype(np.uint8), n_edits)
+
+
 def windowed_consensus(q: np.ndarray, ov: OverlapRegions,
                        tbs: OverlapTracebacks, ph: PhaseResult,
                        occ_tot: int = 3, occ_exact: float = 0.500001
@@ -51,14 +97,7 @@ def windowed_consensus(q: np.ndarray, ov: OverlapRegions,
     # votes per (position, symbol 0..4 where 4 = delete the query base)
     votes = np.zeros((qlen, 5), np.int32)
     np.add.at(votes, (qpos_i, tb_i), 1)
-    qa = np.clip(q, 0, 3)
-    votes[np.arange(qlen), qa] += np.int32(1)   # query's own vote
-    cov = votes.sum(axis=1)
-
-    winner = np.argmax(votes, axis=1).astype(np.int64)
-    win_votes = votes[np.arange(qlen), winner]
-    pass_sub = (cov >= occ_tot) & (win_votes > occ_exact * cov) & \
-        (winner != qa)
+    votes[np.arange(qlen), np.clip(q, 0, 3)] += np.int32(1)
 
     # insertion votes after each position (voters = cis slots with aligned tb)
     has_ins = informative & (icnt > 0)
@@ -70,34 +109,8 @@ def windowed_consensus(q: np.ndarray, ov: OverlapRegions,
     ins_len_cnt = np.zeros((qlen, MAX_INS_TRACK + 1), np.int32)
     il = np.clip(icnt[has_ins], 0, MAX_INS_TRACK)
     np.add.at(ins_len_cnt, (qpos[has_ins], il), 1)
-    pass_ins = (cov >= occ_tot) & (ins_tot > occ_exact * cov)
     ins_base = np.argmax(ins_base_cnt, axis=1).astype(np.uint8)
-    ins_len = np.argmax(ins_len_cnt[:, 1:], axis=1) + 1
+    ins_len = (np.argmax(ins_len_cnt[:, 1:], axis=1) + 1).astype(np.int64)
 
-    # protect confirmed het sites
-    if len(ph.het_sites):
-        pass_sub[ph.het_sites] = False
-        pass_ins[ph.het_sites] = False
-
-    change = np.flatnonzero(pass_sub | pass_ins)
-    if len(change) == 0:
-        return ConsensusResult(q.copy(), 0)
-
-    parts = []
-    n_edits = 0
-    prev = 0
-    for p in change:
-        parts.append(q[prev:p])
-        if pass_sub[p]:
-            w = int(winner[p])
-            if w != 4:                       # substitution
-                parts.append(np.array([w], np.uint8))
-            n_edits += 1
-        else:
-            parts.append(q[p:p + 1])
-        if pass_ins[p]:
-            parts.append(np.full(int(ins_len[p]), ins_base[p], np.uint8))
-            n_edits += int(ins_len[p])
-        prev = p + 1
-    parts.append(q[prev:])
-    return ConsensusResult(np.concatenate(parts).astype(np.uint8), n_edits)
+    return consensus_from_votes(q, votes, ins_tot, ins_base, ins_len,
+                                ph.het_sites, occ_tot, occ_exact)

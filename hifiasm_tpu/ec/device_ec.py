@@ -1,0 +1,396 @@
+"""Device-resident error correction: the TPU execution path.
+
+The host path (ec/pipeline.py + ops/banded_batch.py) moves every window's
+sequences to the engine and its traceback back — fine on CPU, but on an
+accelerator the per-window transfers dominate.  Here the whole read store
+lives in HBM (fwd + revcomp planes) and the EC inner loop is four jitted
+device programs per chunk of 4096 windows:
+
+  L1 align     — gather windows from the banks, run the banded Myers scan
+                 (ops/banded_align_jax.banded_core), KEEP tb/ins on device
+  L2 rawcnt    — scatter-add allele counts per (read, pos)  -> het sites
+  L3 hetagree  — per-overlap agreement with query vs alternate allele at
+                 het sites -> cis/trans classification (rphase_hc analog)
+  L4 cisvotes  — scatter-add consensus votes + insertion majorities over
+                 cis overlaps only (wcns_gen analog)
+
+Only small per-window stats (L1) and per-read vote planes (L2/L4) cross
+the host boundary; window sequences and tracebacks never do.  Downstream
+decisions (het rule, classification, corrections) reuse the SAME host
+helpers as the CPU path (ec/phase.py, ec/consensus.py), so both paths stay
+semantically identical.
+
+Reference scope covered: gen_hc_r_alin_ea (ecovlp.cpp:2810), rphase_hc
+(:3301), wcns_gen (:2293) — re-architected for HBM residency.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hifiasm_tpu.config import THRESHOLD_MAX_SIZE, WINDOW_HC
+from hifiasm_tpu.ec.window_align import plan_read_windows
+from hifiasm_tpu.io.readstore import ReadStore, revcomp_codes
+from hifiasm_tpu.ops.banded_align_jax import banded_core
+from hifiasm_tpu.overlap.anchors import OverlapRegions
+from hifiasm_tpu.utils.logging import log
+
+CHUNK = 4096
+E_BAND = THRESHOLD_MAX_SIZE          # one static band for all windows
+
+
+@dataclass
+class DeviceBank:
+    fwd: jnp.ndarray       # [R, L] uint8, pad 4
+    rc: jnp.ndarray        # [R, L] uint8 (revcomp, left-aligned)
+    lens: jnp.ndarray      # [R] int32
+    L: int
+    R: int
+
+
+def build_bank(store: ReadStore, l_bucket: int = 2048) -> DeviceBank:
+    R = store.n_reads
+    maxlen = int(store.lens.max()) if R else 1
+    L = ((maxlen + l_bucket - 1) // l_bucket) * l_bucket
+    fwd = np.full((R, L), 4, np.uint8)
+    rc = np.full((R, L), 4, np.uint8)
+    for rid in range(R):
+        c = store.get_codes(rid)
+        fwd[rid, :len(c)] = c
+        rc[rid, :len(c)] = revcomp_codes(c)
+    return DeviceBank(jnp.asarray(fwd), jnp.asarray(rc),
+                      jnp.asarray(store.lens.astype(np.int32)), L, R)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _align_chunk(XL: int, e: int, fwd, rc, lens,
+                 q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
+    """Gather windows from the banks and align; tb/ic/ib stay on device."""
+    B = q_rid.shape[0]
+    YL = XL + 2 * e
+    offs = jnp.arange(XL, dtype=jnp.int32)
+    xi = q_ws[:, None] + offs[None, :]
+    x = fwd[q_rid[:, None], jnp.clip(xi, 0, fwd.shape[1] - 1)]
+    x = jnp.where(xi < lens[q_rid][:, None], x, jnp.uint8(4))
+
+    y0 = t_ws - e
+    yi = y0[:, None] + jnp.arange(YL, dtype=jnp.int32)[None, :]
+    tl = lens[t_rid][:, None]
+    yf = fwd[t_rid[:, None], jnp.clip(yi, 0, fwd.shape[1] - 1)]
+    yr = rc[t_rid[:, None], jnp.clip(yi, 0, rc.shape[1] - 1)]
+    yv = jnp.where(t_rev[:, None] == 1, yr, yf)
+    y = jnp.where((yi >= 0) & (yi < tl), yv, jnp.uint8(4))
+
+    ylen = jnp.clip(lens[t_rid] - y0, 0, XL + 2 * e)
+    xlen_eff = jnp.where(last & (ylen < xlen), ylen, xlen)
+    err, ys, yn, tb, ic, ib = banded_core(x, xlen_eff, y, ylen, e, True)
+    return err, ys, yn, xlen_eff, tb, ic, ib
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(8,))
+def _raw_counts(XL: int, L: int, tb_flat, q_rid, q_ws, xlen, w_ok, qlen,
+                cnt):
+    """Scatter tb alleles into cnt [R*L*5] (includes dels for later use)."""
+    B = q_rid.shape[0]
+    tb = tb_flat.reshape(B, XL)
+    i = jnp.arange(XL, dtype=jnp.int32)[None, :]
+    pos = q_ws[:, None] + i
+    valid = w_ok[:, None] & (i < xlen[:, None]) & (tb <= 4) & \
+        (pos < qlen[q_rid][:, None])
+    idx = (q_rid[:, None] * L + pos) * 5 + jnp.minimum(tb, 4).astype(
+        jnp.int32)
+    oob = jnp.int32(cnt.shape[0])
+    idx = jnp.where(valid, idx, oob)
+    return cnt.at[idx.reshape(-1)].add(1, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(9, 10))
+def _het_agree(XL: int, tb_flat, q_rid, q_ws, xlen, w_ok, ov_id,
+               fwd, alt_plane, het_plane, n_same, n_flip):
+    B = q_rid.shape[0]
+    tb = tb_flat.reshape(B, XL)
+    i = jnp.arange(XL, dtype=jnp.int32)[None, :]
+    pos = q_ws[:, None] + i
+    posc = jnp.clip(pos, 0, fwd.shape[1] - 1)
+    qa = fwd[q_rid[:, None], posc]
+    alt = alt_plane[q_rid[:, None], posc]
+    ish = het_plane[q_rid[:, None], posc] > 0
+    valid = w_ok[:, None] & (i < xlen[:, None]) & (tb <= 3) & ish
+    oob = jnp.int32(n_same.shape[0])
+    ovb = jnp.broadcast_to(ov_id[:, None], (B, XL))
+    same_idx = jnp.where(valid & (tb == qa), ovb, oob)
+    flip_idx = jnp.where(valid & (tb == alt), ovb, oob)
+    n_same = n_same.at[same_idx.reshape(-1)].add(1, mode="drop")
+    n_flip = n_flip.at[flip_idx.reshape(-1)].add(1, mode="drop")
+    return n_same, n_flip
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1),
+                   donate_argnums=(8, 9, 10, 11))
+def _cis_votes(XL: int, L: int, tb_flat, ic_flat, ib_flat, q_rid, q_ws,
+               xlen, votes, ins_tot, ins_base_cnt, ins_len_cnt,
+               w_cis, qlen):
+    B = q_rid.shape[0]
+    tb = tb_flat.reshape(B, XL)
+    ic = ic_flat.reshape(B, XL)
+    ib = ib_flat.reshape(B, XL)
+    i = jnp.arange(XL, dtype=jnp.int32)[None, :]
+    pos = q_ws[:, None] + i
+    valid = w_cis[:, None] & (i < xlen[:, None]) & (tb <= 4) & \
+        (pos < qlen[q_rid][:, None])
+    flat_pos = q_rid[:, None] * L + pos
+    oob5 = jnp.int32(votes.shape[0])
+    vidx = jnp.where(valid, flat_pos * 5 + jnp.minimum(tb, 4).astype(
+        jnp.int32), oob5)
+    votes = votes.at[vidx.reshape(-1)].add(1, mode="drop")
+    has_ins = valid & (ic > 0)
+    oob1 = jnp.int32(ins_tot.shape[0])
+    tidx = jnp.where(has_ins, flat_pos, oob1)
+    ins_tot = ins_tot.at[tidx.reshape(-1)].add(1, mode="drop")
+    oob4 = jnp.int32(ins_base_cnt.shape[0])
+    bidx = jnp.where(has_ins, flat_pos * 4 + jnp.minimum(ib, 3).astype(
+        jnp.int32), oob4)
+    ins_base_cnt = ins_base_cnt.at[bidx.reshape(-1)].add(1, mode="drop")
+    oob9 = jnp.int32(ins_len_cnt.shape[0])
+    lidx = jnp.where(has_ins, flat_pos * 9 + jnp.clip(ic, 0, 8).astype(
+        jnp.int32), oob9)
+    ins_len_cnt = ins_len_cnt.at[lidx.reshape(-1)].add(1, mode="drop")
+    return votes, ins_tot, ins_base_cnt, ins_len_cnt
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _finalize_ins(ins_base_cnt, ins_len_cnt):
+    b = jnp.argmax(ins_base_cnt.reshape(-1, 4), axis=1).astype(jnp.uint8)
+    ln = (jnp.argmax(ins_len_cnt.reshape(-1, 9)[:, 1:], axis=1) + 1
+          ).astype(jnp.uint8)
+    return b, ln
+
+
+@dataclass
+class ReadECOut:
+    ov: OverlapRegions
+    is_match: np.ndarray
+    win_tot: np.ndarray
+    win_ok: np.ndarray
+    err: np.ndarray
+    ts: np.ndarray
+    te: np.ndarray
+    het_sites: np.ndarray
+
+
+class DeviceEC:
+    """Orchestrates the four device programs over all reads of a round."""
+
+    def __init__(self, store: ReadStore, wl: int = WINDOW_HC,
+                 e_rate: float = 0.04, chunk: int = CHUNK):
+        self.store = store
+        self.wl = wl
+        self.e_rate = e_rate
+        self.chunk = chunk
+        self.bank = build_bank(store)
+
+    def process(self, read_ovs: List[Tuple[int, OverlapRegions]]
+                ) -> Tuple[Dict[int, ReadECOut], Dict[int, tuple]]:
+        """read_ovs: [(rid, overlaps)]; returns per-read results plus
+        per-read consensus inputs (votes, ins aggregate views)."""
+        bank = self.bank
+        R, L = bank.R, bank.L
+        e = E_BAND
+        # ---- plan all windows ----
+        jobs = []
+        ov_base = {}
+        n_ov_tot = 0
+        win_tot_all = []
+        for rid, ov in read_ovs:
+            pl = plan_read_windows(ov, self.wl, self.e_rate)
+            ov_base[rid] = n_ov_tot
+            wt = np.zeros(len(ov), np.int32)
+            np.add.at(wt, pl["ov_idx"], 1)
+            win_tot_all.append(wt)
+            jobs.append((rid, ov, pl))
+            n_ov_tot += len(ov)
+        j_qrid = np.concatenate([np.full(len(p["ws"]), rid, np.int32)
+                                 for rid, _, p in jobs]) if jobs else \
+            np.zeros(0, np.int32)
+        j_ws = np.concatenate([p["ws"] for _, _, p in jobs]).astype(np.int32) \
+            if jobs else np.zeros(0, np.int32)
+        j_xlen = np.concatenate([p["wlen"] for _, _, p in jobs]).astype(
+            np.int32) if jobs else np.zeros(0, np.int32)
+        j_tws = np.concatenate([p["t_ws"] for _, _, p in jobs]).astype(
+            np.int32) if jobs else np.zeros(0, np.int32)
+        j_thre = np.concatenate([p["thre"] for _, _, p in jobs]).astype(
+            np.int32) if jobs else np.zeros(0, np.int32)
+        j_last = np.concatenate([p["last"] for _, _, p in jobs]) if jobs \
+            else np.zeros(0, bool)
+        j_ovid = np.concatenate([
+            p["ov_idx"].astype(np.int64) + ov_base[rid]
+            for rid, _, p in jobs]).astype(np.int32) if jobs else \
+            np.zeros(0, np.int32)
+        j_trid = np.concatenate([
+            ov.y_id[p["ov_idx"]].astype(np.int32)
+            for _, ov, p in jobs]) if jobs else np.zeros(0, np.int32)
+        j_trev = np.concatenate([
+            ov.rev[p["ov_idx"]].astype(np.int32)
+            for _, ov, p in jobs]) if jobs else np.zeros(0, np.int32)
+        W = len(j_qrid)
+        if W == 0:
+            z = np.zeros(0, np.int64)
+            return ({rid: ReadECOut(ov, np.zeros(0, np.uint8), z, z, z, z,
+                                    z, z) for rid, ov in read_ovs}, {})
+
+        # ---- L1: align all chunks; keep tracebacks device-resident ----
+        chunks = []
+        err_all = np.zeros(W, np.int32)
+        ys_all = np.zeros(W, np.int32)
+        yn_all = np.zeros(W, np.int32)
+        xle_all = np.zeros(W, np.int32)
+        for c0 in range(0, W, self.chunk):
+            sel = slice(c0, min(c0 + self.chunk, W))
+            n = sel.stop - sel.start
+            pad = self.chunk - n
+            args = [np.concatenate([a[sel], np.zeros(pad, a.dtype)])
+                    if pad else a[sel]
+                    for a in (j_qrid, j_ws, j_xlen, j_trid, j_trev, j_tws)]
+            lastp = np.concatenate([j_last[sel], np.zeros(pad, bool)]) \
+                if pad else j_last[sel]
+            err, ys, yn, xle, tb, ic, ib = _align_chunk(
+                self.wl, e, bank.fwd, bank.rc, bank.lens,
+                *[jnp.asarray(a) for a in args], jnp.asarray(lastp))
+            chunks.append((tb, ic, ib, sel, pad))
+            err_all[sel] = np.asarray(err)[:n]
+            ys_all[sel] = np.asarray(ys)[:n]
+            yn_all[sel] = np.asarray(yn)[:n]
+            xle_all[sel] = np.asarray(xle)[:n]
+
+        # window acceptance: doubled per-window budget, capped at the band
+        accept = np.minimum(j_thre * 2, E_BAND)
+        w_ok = (err_all >= 0) & (err_all <= accept)
+
+        # per-overlap stats
+        win_tot = np.concatenate(win_tot_all).astype(np.int64)
+        win_ok = np.zeros(n_ov_tot, np.int64)
+        np.add.at(win_ok, j_ovid[w_ok], 1)
+        ov_err = np.zeros(n_ov_tot, np.int64)
+        np.add.at(ov_err, j_ovid[w_ok], err_all[w_ok])
+        full = win_ok == win_tot
+        ov_full_w = full[j_ovid]                 # per-window: ov fully ok
+        w_use = w_ok & ov_full_w
+
+        # precise per-overlap target ranges from first/last accepted window
+        y0 = j_tws - e
+        ts_ov = np.full(n_ov_tot, -1, np.int64)
+        te_ov = np.full(n_ov_tot, -1, np.int64)
+        okw = np.flatnonzero(w_ok)
+        for w in okw:                            # windows are in order
+            o = j_ovid[w]
+            if ts_ov[o] < 0:
+                ts_ov[o] = max(int(y0[w]) + int(ys_all[w]), 0)
+            te_ov[o] = int(y0[w]) + int(yn_all[w]) - 1
+
+        qlen_d = bank.lens
+        # ---- L2: raw allele counts ----
+        cnt = jnp.zeros(R * L * 5 , jnp.int32)
+        for tb, ic, ib, sel, pad in chunks:
+            args = self._chunk_args((j_qrid, j_ws, j_xlen), sel, pad)
+            okp = self._pad_bool(w_use[sel], pad)
+            cnt = _raw_counts(self.wl, L, tb, *args, jnp.asarray(okp),
+                              qlen_d, cnt)
+        cnt_host = np.asarray(jnp.minimum(cnt, 255).astype(jnp.uint8)
+                              ).reshape(R, L, 5)
+
+        # het sites per read (query vote added host-side)
+        from hifiasm_tpu.ec.phase import het_from_counts
+        het_plane = np.zeros((R, L), np.uint8)
+        alt_plane = np.zeros((R, L), np.uint8)
+        het_per_read = {}
+        for rid, ov in read_ovs:
+            qlen = int(self.store.lens[rid])
+            q = np.asarray(bank.fwd[rid, :qlen])
+            c4 = cnt_host[rid, :qlen, :4].astype(np.int32)
+            c4[np.arange(qlen), np.clip(q, 0, 3)] += 1
+            hs, alt = het_from_counts(q, c4)
+            het_per_read[rid] = (hs, alt[hs] if len(hs) else
+                                 np.zeros(0, np.uint8))
+            het_plane[rid, hs] = 1
+            alt_plane[rid, hs] = alt[hs]
+
+        # ---- L3: per-overlap het agreement -> cis/trans ----
+        n_same = jnp.zeros(n_ov_tot, jnp.int32)
+        n_flip = jnp.zeros(n_ov_tot, jnp.int32)
+        alt_d = jnp.asarray(alt_plane)
+        het_d = jnp.asarray(het_plane)
+        for tb, ic, ib, sel, pad in chunks:
+            args = self._chunk_args((j_qrid, j_ws, j_xlen), sel, pad)
+            okp = self._pad_bool(w_use[sel], pad)
+            ovp = self._pad_arr(j_ovid[sel], pad)
+            n_same, n_flip = _het_agree(
+                self.wl, tb, *args, jnp.asarray(okp), jnp.asarray(ovp),
+                bank.fwd, alt_d, het_d, n_same, n_flip)
+        n_same_h = np.asarray(n_same)
+        n_flip_h = np.asarray(n_flip)
+        from hifiasm_tpu.ec.phase import classify_overlaps
+        is_match_all = classify_overlaps(full, n_same_h, n_flip_h)
+
+        # ---- L4: cis-only votes + insertion aggregates ----
+        votes = jnp.zeros(R * L * 5, jnp.int32)
+        ins_tot = jnp.zeros(R * L, jnp.int32)
+        ins_bc = jnp.zeros(R * L * 4, jnp.int32)
+        ins_lc = jnp.zeros(R * L * 9, jnp.int32)
+        cis_w = w_use & (is_match_all[j_ovid] == 1)
+        for tb, ic, ib, sel, pad in chunks:
+            args = self._chunk_args((j_qrid, j_ws, j_xlen), sel, pad)
+            cisp = self._pad_bool(cis_w[sel], pad)
+            votes, ins_tot, ins_bc, ins_lc = _cis_votes(
+                self.wl, L, tb, ic, ib, *args, votes, ins_tot, ins_bc,
+                ins_lc, jnp.asarray(cisp), qlen_d)
+        ins_base, ins_len = _finalize_ins(ins_bc, ins_lc)
+        votes_h = np.asarray(jnp.minimum(votes, 255).astype(jnp.uint8)
+                             ).reshape(R, L, 5)
+        ins_tot_h = np.asarray(jnp.minimum(ins_tot, 255).astype(jnp.uint8)
+                               ).reshape(R, L)
+        ins_base_h = np.asarray(ins_base).reshape(R, L)
+        ins_len_h = np.asarray(ins_len).reshape(R, L)
+
+        # ---- package per read ----
+        out: Dict[int, ReadECOut] = {}
+        cns_in: Dict[int, tuple] = {}
+        for rid, ov in read_ovs:
+            b = ov_base[rid]
+            n = len(ov)
+            sl = slice(b, b + n)
+            hs, alt = het_per_read[rid]
+            out[rid] = ReadECOut(
+                ov, is_match_all[sl], win_tot[sl], win_ok[sl], ov_err[sl],
+                ts_ov[sl], te_ov[sl], hs)
+            cns_in[rid] = (votes_h[rid], ins_tot_h[rid], ins_base_h[rid],
+                           ins_len_h[rid])
+        return out, cns_in
+
+    def _chunk_args(self, arrays, sel, pad):
+        return [jnp.asarray(np.concatenate([a[sel], np.zeros(pad, a.dtype)])
+                            if pad else a[sel]) for a in arrays]
+
+    def _pad_bool(self, a, pad):
+        return np.concatenate([a, np.zeros(pad, bool)]) if pad else a
+
+    def _pad_arr(self, a, pad):
+        return np.concatenate([a, np.zeros(pad, a.dtype)]) if pad else a
+
+
+def consensus_inputs_for_read(store: ReadStore, rid: int, cns_in: tuple):
+    """Slice per-read device aggregates into consensus_from_votes args
+    (adds the query's own vote, mirroring the host path)."""
+    votes, ins_tot, ins_base, ins_len = cns_in
+    qlen = int(store.lens[rid])
+    q = store.get_codes(rid)
+    v = votes[:qlen].astype(np.int32).copy()
+    v[np.arange(qlen), np.clip(q, 0, 3)] += 1
+    return q, v, ins_tot[:qlen].astype(np.int32), ins_base[:qlen], \
+        ins_len[:qlen].astype(np.int64)

@@ -41,6 +41,32 @@ def _positions(ov: OverlapRegions, tbs: OverlapTracebacks, usable: np.ndarray):
     return oidx[keep], qpos[keep], keep
 
 
+def het_from_counts(q: np.ndarray, cnt: np.ndarray, min_het_occ: int = 2
+                    ) -> tuple:
+    """(het_sites, site_alt) from an allele-count matrix cnt [qlen, 4]
+    that ALREADY includes the query's own vote (the het rule of
+    generate_haplotypes_naive_HiFi: occ0 >= 2 && occ1 >= 2)."""
+    qlen = len(q)
+    qsel = np.arange(qlen)
+    qa = np.clip(q, 0, 3)
+    occ0 = cnt[qsel, qa]
+    alt_cnt = cnt.astype(np.int64).copy()
+    alt_cnt[qsel, qa] = 0
+    site_alt = np.argmax(alt_cnt, axis=1).astype(np.uint8)
+    occ1 = alt_cnt[qsel, site_alt]
+    het = (occ0 >= min_het_occ) & (occ1 >= min_het_occ) & (q <= 3)
+    return np.flatnonzero(het), site_alt
+
+
+def classify_overlaps(usable: np.ndarray, n_same: np.ndarray,
+                      n_flip: np.ndarray) -> np.ndarray:
+    """is_match per overlap: 1 cis, 2 trans (flip wins), 0 unusable."""
+    is_match = np.zeros(len(usable), np.uint8)
+    is_match[usable] = 1
+    is_match[usable & (n_flip > n_same)] = 2
+    return is_match
+
+
 def phase_overlaps(q: np.ndarray, ov: OverlapRegions, tbs: OverlapTracebacks,
                    min_het_occ: int = 2) -> PhaseResult:
     n_ov = len(ov)
@@ -60,31 +86,20 @@ def phase_overlaps(q: np.ndarray, ov: OverlapRegions, tbs: OverlapTracebacks,
     # allele counts per (position, base); query contributes its own allele
     cnt = np.zeros((qlen, 4), np.int32)
     np.add.at(cnt, (qpos_a, tb_a), 1)
-    qsel = np.arange(qlen)
-    cnt[qsel, np.clip(q, 0, 3)] += np.int32(1)
-
-    qa = np.clip(q, 0, 3)
-    occ0 = cnt[qsel, qa]
-    alt_cnt = cnt.copy()
-    alt_cnt[qsel, qa] = 0
-    site_alt = np.argmax(alt_cnt, axis=1).astype(np.uint8)
-    occ1 = alt_cnt[qsel, site_alt]
-    het = (occ0 >= min_het_occ) & (occ1 >= min_het_occ) & (q <= 3)
-    het_sites = np.flatnonzero(het)
+    cnt[np.arange(qlen), np.clip(q, 0, 3)] += np.int32(1)
+    het_sites, site_alt = het_from_counts(q, cnt, min_het_occ)
     if len(het_sites) == 0:
         return PhaseResult(is_match, het_sites, site_alt[het_sites])
 
     # per-overlap het-site agreement: match query allele vs alternate allele
+    qa = np.clip(q, 0, 3)
     het_mask = np.zeros(qlen, bool)
     het_mask[het_sites] = True
     at_het = het_mask[qpos_a]
     oh, ph, th = oidx_a[at_het], qpos_a[at_het], tb_a[at_het]
-    m_q = th == qa[ph]
-    m_alt = th == site_alt[ph]
     n_same = np.zeros(n_ov, np.int64)
     n_flip = np.zeros(n_ov, np.int64)
-    np.add.at(n_same, oh[m_q], 1)
-    np.add.at(n_flip, oh[m_alt], 1)
-    trans = usable & (n_flip > n_same)
-    is_match[trans] = 2
+    np.add.at(n_same, oh[th == qa[ph]], 1)
+    np.add.at(n_flip, oh[th == site_alt[ph]], 1)
+    is_match = classify_overlaps(usable, n_same, n_flip)
     return PhaseResult(is_match, het_sites, site_alt[het_sites])

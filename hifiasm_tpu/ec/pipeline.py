@@ -72,6 +72,7 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
     fixed-shape launches (the TPU execution shape); pass 2 yields per read.
     """
     from hifiasm_tpu.ec.window_align import resolve_engine
+    from hifiasm_tpu.overlap.anchors import chain_many
 
     cp = ChainParams.for_k(cfg.k)
     engine = resolve_engine(cfg.align_engine)
@@ -79,15 +80,34 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
     for b0 in range(0, store.n_reads, bs):
         rids = range(b0, min(b0 + bs, store.n_reads))
         wb = WindowBatcher(get_target, e_rate, wl=WINDOW_HC, engine=engine)
-        planned = []
-        for rid in rids:
-            q = codes[rid]
-            an = collect_anchors(mzs[rid], pt, rid, store.lens, hom_cov)
-            ov = chain_anchors(an, rid, len(q), store.lens, cp,
-                               max_n_chain=cfg.max_n_chain)
-            planned.append((rid, q, ov, wb.add_read(q, ov)))
+        anchors = [(rid, collect_anchors(mzs[rid], pt, rid, store.lens,
+                                         hom_cov), len(codes[rid]))
+                   for rid in rids]
+        ovs = chain_many(anchors, store.lens, cp,
+                         max_n_chain=cfg.max_n_chain)
+        planned = [(rid, codes[rid], ov, wb.add_read(codes[rid], ov))
+                   for (rid, _, _), ov in zip(anchors, ovs)]
         wb.flush()
         yield from planned
+
+
+def _use_device(cfg: HifiasmConfig) -> bool:
+    from hifiasm_tpu.ec.window_align import resolve_engine
+    from hifiasm_tpu.ops.banded_batch import banded_batch_np
+    return resolve_engine(cfg.align_engine) is not banded_batch_np
+
+
+def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov):
+    """Anchor collection + batched chain DP for every read."""
+    from hifiasm_tpu.overlap.anchors import chain_many
+
+    cp = ChainParams.for_k(cfg.k)
+    reads = []
+    for rid in range(store.n_reads):
+        an = collect_anchors(mzs[rid], pt, rid, store.lens, hom_cov)
+        reads.append((rid, an, len(codes[rid])))
+    ovs = chain_many(reads, store.lens, cp, max_n_chain=cfg.max_n_chain)
+    return [(rid, ov) for (rid, _, _), ov in zip(reads, ovs)]
 
 
 def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
@@ -98,17 +118,35 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
         codes, cfg.k, cfg.w, ft=ft, min_hist_cnt=cfg.min_hist_kmer_cnt,
         keep_max=min(cfg.max_kmer_cnt, 4095))
     hom_cov = peak_hom if peak_hom > 0 else cfg.hom_cov
-    get_target = _TargetCache(store)
     new_seqs = {}
     n_corr = 0
-    for rid, q, ov, tbs in _iter_overlap_batches(
-            store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_ec,
-            get_target):
-        ph = phase_overlaps(q, ov, tbs)
-        cns = windowed_consensus(q, ov, tbs, ph)
-        if cns.n_corrected:
-            new_seqs[rid] = cns.seq
-            n_corr += cns.n_corrected
+    if _use_device(cfg):
+        from hifiasm_tpu.ec.consensus import consensus_from_votes
+        from hifiasm_tpu.ec.device_ec import (
+            DeviceEC, consensus_inputs_for_read,
+        )
+        dev = DeviceEC(store, wl=WINDOW_HC, e_rate=cfg.max_ov_diff_ec)
+        read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov)
+        outs, cns_in = dev.process(read_ovs)
+        for rid, eco in outs.items():
+            if rid not in cns_in:
+                continue
+            q, v, it, ib_, il = consensus_inputs_for_read(
+                store, rid, cns_in[rid])
+            cns = consensus_from_votes(q, v, it, ib_, il, eco.het_sites)
+            if cns.n_corrected:
+                new_seqs[rid] = cns.seq
+                n_corr += cns.n_corrected
+    else:
+        get_target = _TargetCache(store)
+        for rid, q, ov, tbs in _iter_overlap_batches(
+                store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_ec,
+                get_target):
+            ph = phase_overlaps(q, ov, tbs)
+            cns = windowed_consensus(q, ov, tbs, ph)
+            if cns.n_corrected:
+                new_seqs[rid] = cns.seq
+                n_corr += cns.n_corrected
     # barrier: write corrections back only after every read is processed
     for rid, seq in new_seqs.items():
         store.set_codes(rid, seq)
@@ -122,7 +160,15 @@ def _push_records(paf: PafStore, rev_paf: PafStore, rid: int, qlen: int,
                   tbs: OverlapTracebacks, is_match: np.ndarray,
                   e_rate: float) -> None:
     """Store cis/trans ma_hit records (~push_ne_ovlp, ecovlp.cpp:2585)."""
-    full = tbs.fully_aligned()
+    _push_records_stats(paf, rev_paf, rid, tlens, ov, tbs.fully_aligned(),
+                        tbs.err, tbs.ts, tbs.te, is_match, e_rate)
+
+
+def _push_records_stats(paf: PafStore, rev_paf: PafStore, rid: int,
+                        tlens: np.ndarray, ov: OverlapRegions,
+                        full: np.ndarray, err: np.ndarray, ts_q: np.ndarray,
+                        te_q: np.ndarray, is_match: np.ndarray,
+                        e_rate: float) -> None:
     for flag, dst in ((1, paf), (2, rev_paf)):
         sel = np.flatnonzero(full & (is_match == flag))
         if len(sel) == 0:
@@ -132,13 +178,13 @@ def _push_records(paf: PafStore, rev_paf: PafStore, rid: int, qlen: int,
         tn = ov.y_id[sel]
         rev = ov.rev[sel]
         tl = tlens[tn].astype(np.int64)
-        ys = tbs.ts[sel]
-        ye = tbs.te[sel]                     # inclusive, query frame
+        ys = ts_q[sel]
+        ye = te_q[sel]                       # inclusive, query frame
         ts = np.where(rev == 0, ys, tl - 1 - ye)
         te = np.where(rev == 0, ye + 1, tl - ys)
         bl = qe - qs
-        ml = np.maximum(bl - tbs.err[sel], 0)
-        el = (tbs.err[sel] <= bl * (e_rate * 0.5)).astype(np.uint8)
+        ml = np.maximum(bl - err[sel], 0)
+        el = (err[sel] <= bl * (e_rate * 0.5)).astype(np.uint8)
         # long-indel flag: target extent differs a lot from query extent
         dlt = np.abs((ye - ys + 1) - bl)
         no_l_indel = (dlt < LONG_INDEL_WIN_DIFF).astype(np.uint8)
@@ -155,15 +201,27 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
         codes, cfg.k, cfg.w, ft=ft, min_hist_cnt=cfg.min_hist_kmer_cnt,
         keep_max=min(cfg.max_kmer_cnt, 4095))
     hom_cov = peak_hom if peak_hom > 0 else cfg.hom_cov
-    get_target = _TargetCache(store)
     paf = PafStore(store.n_reads)
     rev_paf = PafStore(store.n_reads)
-    for rid, q, ov, tbs in _iter_overlap_batches(
-            store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_final,
-            get_target):
-        ph = phase_overlaps(q, ov, tbs)
-        _push_records(paf, rev_paf, rid, len(q), store.lens, ov, tbs,
-                      ph.is_match, cfg.max_ov_diff_final)
+    if _use_device(cfg):
+        from hifiasm_tpu.ec.device_ec import DeviceEC
+        dev = DeviceEC(store, wl=WINDOW_HC, e_rate=cfg.max_ov_diff_final)
+        read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov)
+        outs, _ = dev.process(read_ovs)
+        for rid, eco in outs.items():
+            _push_records_stats(
+                paf, rev_paf, rid, store.lens, eco.ov,
+                (eco.win_tot > 0) & (eco.win_ok == eco.win_tot),
+                eco.err, eco.ts, eco.te, eco.is_match,
+                cfg.max_ov_diff_final)
+    else:
+        get_target = _TargetCache(store)
+        for rid, q, ov, tbs in _iter_overlap_batches(
+                store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_final,
+                get_target):
+            ph = phase_overlaps(q, ov, tbs)
+            _push_records(paf, rev_paf, rid, len(q), store.lens, ov, tbs,
+                          ph.is_match, cfg.max_ov_diff_final)
     log("final_overlap_pass",
         f"{paf.total} cis + {rev_paf.total} trans overlaps")
     return ECResult(paf, rev_paf, hom_cov, peak_het)

@@ -78,6 +78,41 @@ def _window_threshold(wlen: int, e_rate: float) -> int:
     return max(2, min(t, THRESHOLD_MAX_SIZE))
 
 
+def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float):
+    """Window coordinates for every overlap of one read.
+
+    Returns dict of arrays: ov_idx, ws (query window start), wlen, t_ws
+    (target window nominal start, query frame), thre (per-window error
+    budget), last (final window of its overlap).  Shared by the host
+    WindowBatcher and the device-resident EC planner.
+    """
+    o_l, ws_l, wlen_l, tws_l, thre_l, last_l = [], [], [], [], [], []
+    for o in range(len(ov)):
+        xs, xe = int(ov.x_s[o]), int(ov.x_e[o])
+        hs = ov.hit_self[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
+        ht = ov.hit_t[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
+        ws = xs
+        while ws <= xe:
+            wlen = min(wl, xe - ws + 1)
+            # nearest chain hit at-or-after the window start (anchor
+            # offsets are k-mer ENDS, so a hit >= ws constrains it best)
+            hi = min(int(np.searchsorted(hs, ws)), len(hs) - 1)
+            t_ws = int(ht[hi]) + (ws - int(hs[hi]))
+            o_l.append(o)
+            ws_l.append(ws)
+            wlen_l.append(wlen)
+            tws_l.append(t_ws)
+            thre_l.append(_window_threshold(wlen, e_rate))
+            last_l.append(ws + wlen > xe)
+            ws += wlen
+    return dict(ov_idx=np.array(o_l, np.int64),
+                ws=np.array(ws_l, np.int64),
+                wlen=np.array(wlen_l, np.int64),
+                t_ws=np.array(tws_l, np.int64),
+                thre=np.array(thre_l, np.int64),
+                last=np.array(last_l, bool))
+
+
 def _alloc_tracebacks(ov: OverlapRegions) -> OverlapTracebacks:
     n_ov = len(ov)
     spans = (ov.x_e - ov.x_s + 1) if n_ov else np.zeros(0, np.int64)
@@ -156,15 +191,18 @@ class WindowBatcher:
         n = len(self._jobs_x)
         if n == 0:
             return
-        win_y = np.full((n, 2), -1, np.int64)
+        win_y = np.zeros((n, 2), np.int64)
+        win_acc = np.zeros(n, bool)
         sel_all = np.arange(n)
         for c0 in range(0, n, self.chunk):
             self._run(sel_all[c0:c0 + self.chunk], THRESHOLD_MAX_SIZE,
-                      None, win_y)
+                      win_acc, win_y)
         # precise per-overlap target range from first/last aligned window
+        # (global y-start can be slightly negative when the alignment
+        # consumed a virtual front pad -> clamp, don't skip)
         seen = {}
         for w, (tbs, o, ws) in enumerate(self._jobs_dst):
-            if win_y[w, 0] < 0:
+            if not win_acc[w]:
                 continue
             key = (id(tbs), o)
             if key not in seen:
@@ -178,7 +216,7 @@ class WindowBatcher:
         self._jobs_last.clear()
         self._jobs_dst.clear()
 
-    def _run(self, sel: np.ndarray, thre: int, _unused,
+    def _run(self, sel: np.ndarray, thre: int, win_acc: np.ndarray,
              win_y: np.ndarray) -> None:
         B = len(sel)
         XL = self.wl
@@ -229,6 +267,7 @@ class WindowBatcher:
             tbs.win_ok[o] += 1
             win_y[w, 0] = int(y0[bi]) + int(out.y_start[bi])
             win_y[w, 1] = int(y0[bi]) + int(out.y_end[bi])
+            win_acc[w] = True
 
 
 def align_overlaps(q: np.ndarray, ov: OverlapRegions,

@@ -59,6 +59,13 @@ def _getbit(hi, lo, b):
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _banded_jax(x, xlen, y, ylen, e: int, traceback: bool):
+    return banded_core(x, xlen, y, ylen, e, traceback)
+
+
+def banded_core(x, xlen, y, ylen, e: int, traceback: bool):
+    """Pure-jnp kernel body; composable inside larger jitted programs
+    (the device-resident EC megakernel calls this after building windows
+    on device)."""
     B, XL = x.shape
     YL = y.shape[1]
     W = 2 * e + 1

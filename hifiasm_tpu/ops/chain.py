@@ -75,6 +75,65 @@ def _pair_scores(self_i, off_i, span_i, w_i, self_j, off_j,
     return np.where(ok, sc, NEG_INF)
 
 
+def chain_scores_batch_np(self_off: np.ndarray, t_off: np.ndarray,
+                          span: np.ndarray, weight: np.ndarray,
+                          n: np.ndarray, xl: np.ndarray, yl: np.ndarray,
+                          p: ChainParams) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized chain DP over MANY padded groups at once.
+
+    Inputs are [G, N] anchor columns (n gives true lengths); returns
+    (f, pre) [G, N].  Same scoring as the scalar path (cross-validated);
+    this is the host mirror of ops/chain_jax.chain_scores_batch.
+    """
+    G, N = self_off.shape
+    self_off = self_off.astype(np.int64)
+    t_off = t_off.astype(np.int64)
+    span = span.astype(np.int64)
+    weight = weight.astype(np.int64)
+    xl = xl.astype(np.int64)[:, None]
+    yl = yl.astype(np.int64)[:, None]
+    f = np.full((G, N), NEG_INF, np.int64)
+    pre = np.full((G, N), -1, np.int64)
+    jidx = np.arange(N)
+    rows = np.arange(G)
+    for i in range(N):
+        si = self_off[:, i:i + 1]
+        oi = t_off[:, i:i + 1]
+        spi = span[:, i:i + 1]
+        wi = weight[:, i:i + 1]
+        dq = si - self_off
+        dr = oi - t_off
+        ok = (jidx[None, :] < i) & (jidx[None, :] >= i - p.max_iter) & \
+            (jidx[None, :] < n[:, None]) & (dq > 0) & (dr > 0)
+        dd = np.abs(dr - dq)
+        dg = np.minimum(dr, dq)
+        sf_s = np.maximum(self_off - t_off, 0)
+        sf_r = xl - (si + 1)
+        ot_r = yl - (oi + 1)
+        sf_e = np.where(sf_r <= ot_r, xl, si + 1 + ot_r)
+        bw = ((sf_e - sf_s) * p.bw_rate).astype(np.int64)
+        ok &= (dd <= 16) | (dd <= bw)
+        sc = np.minimum(spi, dg)
+        sc = np.where(sc >= wi, sc // np.maximum(wi, 1), 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lin = p.chn_pen_gap * dd
+            a_pen = sc * (dd / np.maximum(dg, 1)) / p.bw_rate
+            lin = np.where(dd < 4, np.minimum(lin, a_pen),
+                           np.maximum(lin, a_pen))
+            lin = lin + p.chn_pen_skip * dg
+        pen = np.where((dd != 0) | (dg > spi), lin.astype(np.int64), 0)
+        pair = np.where(ok, sc - pen, NEG_INF)
+        tot = np.where(pair == NEG_INF, NEG_INF, pair + f)
+        bj = np.argmax(tot, axis=1)
+        best = tot[rows, bj]
+        base = spi[:, 0]
+        use = best > base
+        in_r = i < n
+        f[:, i] = np.where(in_r, np.where(use, best, base), NEG_INF)
+        pre[:, i] = np.where(in_r & use, bj, -1)
+    return f, pre
+
+
 def chain_dp_group(self_off: np.ndarray, t_off: np.ndarray, span: np.ndarray,
                    weight: np.ndarray, xl: int, yl: int, p: ChainParams
                    ) -> List[Tuple[int, np.ndarray]]:
@@ -86,26 +145,19 @@ def chain_dp_group(self_off: np.ndarray, t_off: np.ndarray, span: np.ndarray,
     n = len(self_off)
     if n == 0:
         return []
-    self_off = self_off.astype(np.int64)
-    t_off = t_off.astype(np.int64)
-    span = span.astype(np.int64)
-    weight = weight.astype(np.int64)
-    f = np.empty(n, dtype=np.int64)
-    pre = np.full(n, -1, dtype=np.int64)
-    for i in range(n):
-        base = int(span[i])
-        st = max(0, i - p.max_iter)
-        f[i] = base
-        if i > st:
-            j = np.arange(st, i)
-            sc = _pair_scores(self_off[i], t_off[i], span[i], weight[i],
-                              self_off[j], t_off[j], xl, yl, p)
-            tot = np.where(sc == NEG_INF, NEG_INF, sc + f[j])
-            bj = int(np.argmax(tot))
-            if tot[bj] > base:
-                f[i] = tot[bj]
-                pre[i] = st + bj
+    f, pre = chain_scores_batch_np(
+        np.asarray(self_off)[None], np.asarray(t_off)[None],
+        np.asarray(span)[None], np.asarray(weight)[None],
+        np.array([n]), np.array([xl]), np.array([yl]), p)
+    return extract_chains(f[0], pre[0], np.asarray(self_off, np.int64),
+                          np.asarray(t_off, np.int64), xl, yl, p)
 
+
+def extract_chains(f: np.ndarray, pre: np.ndarray, self_off: np.ndarray,
+                   t_off: np.ndarray, xl: int, yl: int, p: ChainParams
+                   ) -> List[Tuple[int, np.ndarray]]:
+    """Best chain + multi-copy secondaries from a computed (f, pre)."""
+    n = len(f)
     # best chain: max f, tie -> smaller projected overlap length
     msc = int(f.max())
     cand = np.flatnonzero(f == msc)

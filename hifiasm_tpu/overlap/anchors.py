@@ -153,24 +153,95 @@ def chain_anchors(an: Anchors, rid: int, rlen: int, tlens: np.ndarray,
                   params: ChainParams, max_n_chain: int = 100
                   ) -> OverlapRegions:
     """Chain per (tid, rev) group -> overlap regions with quota filter."""
-    ov = OverlapRegions(rid)
-    n = len(an)
-    if n == 0:
-        return ov
-    key = an.tid.astype(np.int64) << 1 | an.rev
-    bounds = np.flatnonzero(np.diff(key)) + 1
-    bounds = np.concatenate([[0], bounds, [n]])
+    return chain_many([(rid, an, rlen)], tlens, params, max_n_chain)[0]
 
+
+def chain_many(reads, tlens: np.ndarray, params: ChainParams,
+               max_n_chain: int = 100) -> List[OverlapRegions]:
+    """Chain anchors of MANY reads at once.
+
+    ``reads``: [(rid, Anchors, rlen)].  All (target, strand) groups across
+    all reads are bucketed by size, padded, and scored by the vectorized
+    DP (ops/chain.chain_scores_batch_np) in a few large launches; only the
+    cheap per-group traceback/multi-copy extraction stays scalar.
+    """
+    from hifiasm_tpu.ops.chain import chain_scores_batch_np, extract_chains
+
+    # collect groups across reads
+    groups = []            # (read_idx, s, e, tid, yl)
+    for ridx, (rid, an, rlen) in enumerate(reads):
+        n = len(an)
+        if n == 0:
+            continue
+        key = an.tid.astype(np.int64) << 1 | an.rev
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        bounds = np.concatenate([[0], bounds, [n]])
+        for gi in range(len(bounds) - 1):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            groups.append((ridx, s, e, int(an.tid[s]),
+                           int(tlens[an.tid[s]])))
+
+    # score in size buckets
+    chains_of = {}
+    sizes = np.array([e - s for _, s, e, _, _ in groups], np.int64)
+    order = np.argsort(sizes, kind="stable")
+    buckets = [32, 128, 512, 2048, 8192, 1 << 30]
+    pos = 0
+    for cap in buckets:
+        end = pos
+        while end < len(order) and sizes[order[end]] <= cap:
+            end += 1
+        sel = [int(g) for g in order[pos:end]]
+        pos = end
+        if not sel:
+            continue
+        N = int(sizes[sel].max())
+        G = len(sel)
+        cols = [np.zeros((G, N), np.int64) for _ in range(4)]
+        narr = np.zeros(G, np.int64)
+        xlarr = np.zeros(G, np.int64)
+        ylarr = np.zeros(G, np.int64)
+        for bi, g in enumerate(sel):
+            ridx, s, e, tid, yl = groups[g]
+            _, an, rlen = reads[ridx]
+            m = e - s
+            cols[0][bi, :m] = an.self_off[s:e]
+            cols[1][bi, :m] = an.t_off[s:e]
+            cols[2][bi, :m] = an.span[s:e]
+            cols[3][bi, :m] = an.weight[s:e]
+            narr[bi] = m
+            xlarr[bi] = rlen
+            ylarr[bi] = yl
+        f, pre = chain_scores_batch_np(cols[0], cols[1], cols[2], cols[3],
+                                       narr, xlarr, ylarr, params)
+        for bi, g in enumerate(sel):
+            ridx, s, e, tid, yl = groups[g]
+            _, an, rlen = reads[ridx]
+            m = e - s
+            chains_of[g] = extract_chains(
+                f[bi, :m], pre[bi, :m], an.self_off[s:e].astype(np.int64),
+                an.t_off[s:e].astype(np.int64), rlen, yl, params)
+
+    # assemble per-read overlap regions
+    out = []
+    g_by_read = {}
+    for g, (ridx, s, e, tid, yl) in enumerate(groups):
+        g_by_read.setdefault(ridx, []).append(g)
+    for ridx, (rid, an, rlen) in enumerate(reads):
+        out.append(_assemble_regions(
+            rid, an, rlen, tlens,
+            [(groups[g], chains_of[g]) for g in g_by_read.get(ridx, [])],
+            max_n_chain))
+    return out
+
+
+def _assemble_regions(rid: int, an: Anchors, rlen: int, tlens: np.ndarray,
+                      group_chains, max_n_chain: int) -> OverlapRegions:
+    ov = OverlapRegions(rid)
     ys, revs, xss, xes, yss, yes, scores, nhits = [], [], [], [], [], [], [], []
     hit_self, hit_t, hit_span, hit_start = [], [], [], []
     off = 0
-    for gi in range(len(bounds) - 1):
-        s, e = bounds[gi], bounds[gi + 1]
-        tid = int(an.tid[s])
-        yl = int(tlens[tid])
-        chains = chain_dp_group(an.self_off[s:e], an.t_off[s:e],
-                                an.span[s:e], an.weight[s:e],
-                                rlen, yl, params)
+    for (ridx, s, e, tid, yl), chains in group_chains:
         for sc, idx in chains:
             gidx = idx + s
             xs, xe = int(an.self_off[gidx[0]]), int(an.self_off[gidx[-1]])

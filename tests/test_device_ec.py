@@ -1,0 +1,51 @@
+"""Device-resident EC vs the host CSR path: identical semantics."""
+
+import numpy as np
+
+from hifiasm_tpu.config import HifiasmConfig
+from hifiasm_tpu.ec.pipeline import ec_round, final_overlap_pass
+from hifiasm_tpu.io.readstore import ReadStore
+from tests.synth import make_genome, sample_reads
+
+
+def _mk_store(rng):
+    g = make_genome(rng, 8000)
+    reads, _, _ = sample_reads(rng, g, depth=12, read_len=1800,
+                               err_rate=0.004)
+    return ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                 reads)
+
+
+def test_device_matches_host_round(rng):
+    s_host = _mk_store(rng)
+    s_dev = ReadStore.from_arrays(
+        s_host.names, [s_host.get_codes(i) for i in range(s_host.n_reads)])
+    cfg_h = HifiasmConfig(align_engine="numpy")
+    cfg_d = HifiasmConfig(align_engine="jax")
+    rh = ec_round(s_host, cfg_h, None, 0)
+    rd = ec_round(s_dev, cfg_d, None, 0)
+    assert rh[2] > 0, "no corrections at all"
+    # identical corrected sequences
+    n_diff = sum(
+        not np.array_equal(s_host.get_codes(i), s_dev.get_codes(i))
+        for i in range(s_host.n_reads))
+    assert n_diff == 0, f"{n_diff} reads differ between host/device EC"
+    assert rh[2] == rd[2]
+
+
+def test_device_matches_host_final(rng):
+    s = _mk_store(rng)
+    cfg_h = HifiasmConfig(align_engine="numpy")
+    cfg_d = HifiasmConfig(align_engine="jax")
+    res_h = final_overlap_pass(s, cfg_h, None)
+    res_d = final_overlap_pass(s, cfg_d, None)
+    assert res_h.paf.total == res_d.paf.total
+    assert res_h.reverse_paf.total == res_d.reverse_paf.total
+    for rid in range(s.n_reads):
+        a, b = res_h.paf[rid], res_d.paf[rid]
+        np.testing.assert_array_equal(a.tn, b.tn)
+        np.testing.assert_array_equal(a.qs, b.qs)
+        np.testing.assert_array_equal(a.qe, b.qe)
+        np.testing.assert_array_equal(a.ts, b.ts)
+        np.testing.assert_array_equal(a.te, b.te)
+        np.testing.assert_array_equal(a.ml, b.ml)
