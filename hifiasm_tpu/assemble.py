@@ -136,15 +136,37 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         with open(f"{prefix}.a_ctg.gfa", "w") as f:
             write_gfa(f, alt, res.store, res.cov, "atg", ug_cov[alt_ids])
 
-    # bp.hap1/bp.hap2 (phased) outputs (~output_bp_graph / trio joint)
+    # bp.hap1/bp.hap2 (phased) outputs (~output_bp_graph / trio joint /
+    # output_hic_graph when Hi-C reads are given)
     from hifiasm_tpu.graph.hap_output import phase_unitigs
+    hic_links = None
+    mode = "bp"
+    if cfg.hic_reads_1 and cfg.hic_reads_2:
+        from hifiasm_tpu.graph.unitig import unitig_seq
+        from hifiasm_tpu.io.fastx import iter_fastx
+        from hifiasm_tpu.io.readstore import seq_to_codes
+        from hifiasm_tpu.phasing.hic import (
+            UnitigIndex, hic_link_matrix, map_hic_pairs,
+        )
+
+        seqs = [unitig_seq(u, res.store, res.cov) for u in res.ug.utgs]
+        uidx = UnitigIndex.build(seqs)
+
+        def _pairs():
+            for f1, f2 in zip(cfg.hic_reads_1, cfg.hic_reads_2):
+                for (_, s1), (_, s2) in zip(iter_fastx(f1), iter_fastx(f2)):
+                    yield seq_to_codes(s1), seq_to_codes(s2)
+
+        hits = map_hic_pairs(uidx, _pairs())
+        hic_links = hic_link_matrix(len(res.ug), hits)
+        mode = "hic"
     hap1_ids, hap2_ids = phase_unitigs(
         res.ug, res.ec.reverse_paf, res.store.n_reads,
         trio_flags=res.store.trio_flags, n_perturb=cfg.n_perturb,
-        f_perturb=cfg.f_perturb, seed=cfg.seed)
+        f_perturb=cfg.f_perturb, seed=cfg.seed, hic_links=hic_links)
     for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
         sub = _sub_ug(res.ug, ids)
-        with open(f"{prefix}.bp.{name}.p_ctg.gfa", "w") as f:
+        with open(f"{prefix}.{mode}.{name}.p_ctg.gfa", "w") as f:
             write_gfa(f, sub, res.store, res.cov, f"h{name[-1]}tg",
                       ug_cov[ids] if len(ids) else None)
     log("assemble", f"wrote {prefix}.p_utg.gfa / .p_ctg.gfa / bp.hap[12] "

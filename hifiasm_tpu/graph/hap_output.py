@@ -25,7 +25,8 @@ from hifiasm_tpu.utils.logging import log
 def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
                   trio_flags: Optional[np.ndarray] = None,
                   n_perturb: int = 10000, f_perturb: float = 0.1,
-                  seed: int = 11, min_link: int = 2
+                  seed: int = 11, min_link: int = 2,
+                  hic_links: Optional[np.ndarray] = None
                   ) -> Tuple[List[int], List[int]]:
     """Returns (hap1_ids, hap2_ids); hom unitigs appear in both."""
     n = len(ug.utgs)
@@ -52,14 +53,20 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
         return hap1, hap2
 
     links = unitig_trans_links(ug, rev_paf, n_reads)
-    ex, ey, ew = [], [], []
-    for a in range(n):
-        for b in range(a + 1, n):
-            w = links[a, b] + links[b, a]
-            if w >= min_link:
-                ex.append(a)
-                ey.append(b)
-                ew.append(float(w))      # >0: different haplotypes
+    if hic_links is not None:
+        from hifiasm_tpu.phasing.hic import combine_phase_weights
+        ex, ey, ew = combine_phase_weights(links, hic_links,
+                                           min_evidence=min_link)
+        ex, ey, ew = list(ex), list(ey), list(ew)
+    else:
+        ex, ey, ew = [], [], []
+        for a in range(n):
+            for b in range(a + 1, n):
+                w = links[a, b] + links[b, a]
+                if w >= min_link:
+                    ex.append(a)
+                    ey.append(b)
+                    ew.append(float(w))      # >0: different haplotypes
     if not ex:
         ids = list(range(n))
         return ids, list(ids)

@@ -1,0 +1,128 @@
+"""Hi-C integration: paired-read mapping onto contigs + phasing weights.
+
+Re-expresses hic.cpp's ``hic_analysis`` (:17706) flow: a k=31 minimizer
+index over the unitig sequences (``build_unitig_index`` :17711), exact
+short-read mapping of the paired ends (``hic_short_align`` :17016), PE-hit
+dedup, and link weighting between het unitigs feeding ``mc_solve``
+(rcut.cpp) — Hi-C contacts are overwhelmingly intra-haplotype, so a PE
+link between two unitigs is SAME-haplotype evidence (negative weight in
+our max-cut convention), balanced against the inter-hap trans-overlap
+evidence (positive weight).
+
+Mapping here is the TPU-friendly exact k-mer vote: a read maps to a unitig
+when all its indexed k-mers agree on one unitig (unique placement), which
+is what the reference's exact matcher converges to for short reads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from hifiasm_tpu.trio import yak_hash64_masked, sliding_all
+from hifiasm_tpu.utils.logging import log
+
+HIC_K = 31
+
+
+def _seq_kmers(codes: np.ndarray, k: int) -> np.ndarray:
+    """Canonical k-mer hashes at each end position (N-free windows only)."""
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, np.uint64)
+    mask = np.uint64((1 << (2 * k)) - 1)
+    c = codes.astype(np.uint64)
+    valid = codes < 4
+    win = np.lib.stride_tricks.sliding_window_view(np.where(valid, c, 0), k)
+    shifts = np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
+    fwd = (win << shifts[None, :]).sum(axis=1, dtype=np.uint64) & mask
+    rwin = win[:, ::-1]
+    rc = ((np.uint64(3) - rwin) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64) & mask
+    canon = np.minimum(fwd, rc)
+    ok = sliding_all(valid, k)
+    return yak_hash64_masked(canon[ok], mask)
+
+
+@dataclass
+class UnitigIndex:
+    hashes: np.ndarray    # sorted unique k-mer hashes that occur in ONE utg
+    uid: np.ndarray       # unitig id per hash
+
+    @classmethod
+    def build(cls, utg_seqs: List[np.ndarray], k: int = HIC_K
+              ) -> "UnitigIndex":
+        hs, us = [], []
+        for uid, seq in enumerate(utg_seqs):
+            h = _seq_kmers(seq, k)
+            hs.append(np.unique(h))
+            us.append(np.full(len(hs[-1]), uid, np.int32))
+        allh = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+        allu = np.concatenate(us) if us else np.zeros(0, np.int32)
+        order = np.argsort(allh, kind="stable")
+        allh, allu = allh[order], allu[order]
+        uniq, first, cnt = np.unique(allh, return_index=True,
+                                     return_counts=True)
+        keep = cnt == 1                      # unique-to-one-unitig k-mers
+        log("UnitigIndex", f"{int(keep.sum())} unique anchor k-mers over "
+            f"{len(utg_seqs)} unitigs")
+        return cls(uniq[keep], allu[first[keep]])
+
+    def map_read(self, codes: np.ndarray, k: int = HIC_K) -> int:
+        """Unitig id if the read places uniquely, else -1."""
+        h = _seq_kmers(codes, k)
+        if len(h) == 0 or len(self.hashes) == 0:
+            return -1
+        idx = np.minimum(np.searchsorted(self.hashes, h),
+                         len(self.hashes) - 1)
+        hit = self.hashes[idx] == h
+        if not hit.any():
+            return -1
+        uids = np.unique(self.uid[idx[hit]])
+        return int(uids[0]) if len(uids) == 1 else -1
+
+
+def map_hic_pairs(index: UnitigIndex, pairs, k: int = HIC_K) -> np.ndarray:
+    """pairs: iterable of (codes_r1, codes_r2) -> [n, 2] unitig ids of
+    pairs where BOTH ends placed uniquely (~the deduped pe_hits)."""
+    out = []
+    for r1, r2 in pairs:
+        u1 = index.map_read(r1, k)
+        u2 = index.map_read(r2, k)
+        if u1 >= 0 and u2 >= 0:
+            out.append((u1, u2))
+    hits = np.array(out, np.int64).reshape(-1, 2)
+    log("map_hic_pairs", f"{len(hits)} PE hits mapped of "
+        f"{len(out) if out else 0} candidates")
+    return hits
+
+
+def hic_link_matrix(n_utg: int, pe_hits: np.ndarray) -> np.ndarray:
+    """Symmetric inter-unitig Hi-C contact counts."""
+    m = np.zeros((n_utg, n_utg), np.int64)
+    sel = pe_hits[pe_hits[:, 0] != pe_hits[:, 1]]
+    np.add.at(m, (sel[:, 0], sel[:, 1]), 1)
+    np.add.at(m, (sel[:, 1], sel[:, 0]), 1)
+    return m
+
+
+def combine_phase_weights(trans_links: np.ndarray, hic_links: np.ndarray,
+                          hic_scale: float = 1.0, min_evidence: int = 2
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Edges for mc_solve: w > 0 different hap (trans), w < 0 same hap
+    (Hi-C), following the reference's weighting rounds (hic.cpp:17082)."""
+    n = trans_links.shape[0]
+    ex, ey, ew = [], [], []
+    for a in range(n):
+        for b in range(a + 1, n):
+            t = trans_links[a, b] + trans_links[b, a]
+            h = hic_links[a, b]
+            if t + h < min_evidence:
+                continue
+            ex.append(a)
+            ey.append(b)
+            ew.append(float(t) - hic_scale * float(h))
+    return (np.array(ex, np.int64), np.array(ey, np.int64),
+            np.array(ew, np.float64))
