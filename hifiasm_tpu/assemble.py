@@ -100,6 +100,22 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     clean_rounds(sg, cfg, read_cov)
     ug = ma_ug_gen(sg)
 
+    # ultralong "double graph" integration (~create_ul_info/ul_load,
+    # Overlaps.cpp:39180 -> inter.cpp:21693)
+    if cfg.ul_reads:
+        from hifiasm_tpu.graph.unitig import unitig_seq
+        from hifiasm_tpu.io.fastx import iter_fastx
+        from hifiasm_tpu.io.readstore import seq_to_codes
+        from hifiasm_tpu.ul import ul_align, ul_bridge_arcs
+
+        useqs = [unitig_seq(u, store, cov) for u in ug.utgs]
+        ul_codes = []
+        for path in cfg.ul_reads:
+            for _, s in iter_fastx(path):
+                ul_codes.append(seq_to_codes(s))
+        paths = ul_align(useqs, ul_codes)
+        ul_bridge_arcs(ug, paths)
+
     simi = (cfg.purge_simi_rate_l2 if cfg.purge_level == 2
             else cfg.purge_simi_rate_l3)
     purge = purge_dups(ug, ec.reverse_paf, store.n_reads,
