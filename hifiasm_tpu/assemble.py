@@ -43,16 +43,18 @@ class AssemblyResult:
 
 
 def clean_rounds(sg: StringGraph, cfg: HifiasmConfig,
-                 read_cov: Optional[np.ndarray]) -> None:
+                 read_cov: Optional[np.ndarray],
+                 protect: Optional[np.ndarray] = None) -> None:
     """~ul_clean_gfa round schedule (gfa_ut.cpp:3027): drop-ratio ramps
-    min_drop_rate -> max_drop_rate over clean_rounds rounds."""
+    min_drop_rate -> max_drop_rate over clean_rounds rounds; telomeric
+    tips (protect mask) are never trimmed."""
     n_r = max(cfg.clean_rounds, 1)
     ratios = np.linspace(cfg.min_drop_rate, cfg.max_drop_rate, n_r)
     for r, ratio in enumerate(ratios):
-        asg_cut_tips(sg, cfg.max_short_tip)
+        asg_cut_tips(sg, cfg.max_short_tip, protect)
         asg_arc_del_short(sg, float(ratio))
         asg_pop_bubble(sg, cfg.small_pop_bubble_size or 100000, read_cov)
-    asg_cut_tips(sg, cfg.max_short_tip)
+    asg_cut_tips(sg, cfg.max_short_tip, protect)
     asg_pop_bubble(sg, cfg.large_pop_bubble_size, read_cov)
 
 
@@ -80,6 +82,11 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         ec = run_ec(store, cfg, ft if len(ft) else None)
         if write_outputs:
             save_ec_state(cfg.output_prefix, store, ec.paf, ec.reverse_paf)
+    if write_outputs and cfg.write_ec:
+        _dump_ec_fasta(store, f"{cfg.output_prefix}.ec.fa")
+    if write_outputs and cfg.write_paf:
+        _dump_paf(store, ec.paf, f"{cfg.output_prefix}.0.paf")
+        _dump_paf(store, ec.reverse_paf, f"{cfg.output_prefix}.1.paf")
 
     # trio binning (~ha_triobin call site, Assembly.cpp:2101)
     if (cfg.fn_bin_yak_pat and cfg.fn_bin_yak_mat) or \
@@ -97,7 +104,11 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         paf, store.lens, min_dp=max(cfg.min_overlap_coverage, 1),
         min_ovlp=cfg.min_overlap_len, max_hang=cfg.max_hang_len,
         int_frac=cfg.max_hang_rate, gap_fuzz=cfg.gap_fuzz)
-    clean_rounds(sg, cfg, read_cov)
+    telo = None
+    if cfg.telo_motif:
+        from hifiasm_tpu.graph.telo import find_telo_reads
+        telo = find_telo_reads(store, cfg.telo_motif)
+    clean_rounds(sg, cfg, read_cov, protect=telo)
     ug = ma_ug_gen(sg)
 
     # ultralong "double graph" integration (~create_ul_info/ul_load,
@@ -188,6 +199,33 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
     log("assemble", f"wrote {prefix}.p_utg.gfa / .p_ctg.gfa / bp.hap[12] "
         f"({len(prim_ids)} primary, {len(alt_ids)} alternate, "
         f"{len(hap1_ids)}+{len(hap2_ids)} hap contigs)")
+
+
+def _dump_ec_fasta(store: ReadStore, path: str) -> None:
+    """--write-ec: corrected reads (~the prefix.ec.fa dump)."""
+    from hifiasm_tpu.io.readstore import codes_to_seq
+
+    with open(path, "w") as f:
+        for rid in range(store.n_reads):
+            f.write(f">{store.names[rid]}\n"
+                    f"{codes_to_seq(store.get_codes(rid)).decode()}\n")
+    log("write_ec", f"wrote {path}")
+
+
+def _dump_paf(store: ReadStore, paf, path: str) -> None:
+    """--write-paf: overlaps in PAF format."""
+    with open(path, "w") as f:
+        for rid in range(len(paf)):
+            rec = paf[rid]
+            ql = int(store.lens[rid])
+            for j in range(len(rec)):
+                tn = int(rec.tn[j])
+                f.write("\t".join(map(str, (
+                    store.names[rid], ql, int(rec.qs[j]), int(rec.qe[j]),
+                    "+-"[int(rec.rev[j])], store.names[tn],
+                    int(store.lens[tn]), int(rec.ts[j]), int(rec.te[j]),
+                    int(rec.ml[j]), int(rec.bl[j]), 255))) + "\n")
+    log("write_paf", f"wrote {path}")
 
 
 def _sub_ug(ug: UnitigGraph, ids) -> UnitigGraph:

@@ -20,8 +20,12 @@ from hifiasm_tpu.graph.sg import StringGraph
 from hifiasm_tpu.utils.logging import log
 
 
-def asg_cut_tips(g: StringGraph, max_ext: int) -> int:
-    """Delete dead-end chains of <= max_ext reads. Returns #reads removed."""
+def asg_cut_tips(g: StringGraph, max_ext: int,
+                 protect: Optional[np.ndarray] = None) -> int:
+    """Delete dead-end chains of <= max_ext reads. Returns #reads removed.
+
+    ``protect``: boolean per-read mask (telomeric reads) that keeps the
+    whole tip alive (~the uopt->te threading of gfa_ut.cpp:3059)."""
     n_removed = 0
     for v0 in range(2 * g.n_seq):
         if g.seq_del[v0 >> 1]:
@@ -50,6 +54,8 @@ def asg_cut_tips(g: StringGraph, max_ext: int) -> int:
             chain.append(w)
             v = w
         if ok_tip and len(chain) <= max_ext:
+            if protect is not None and any(protect[c >> 1] for c in chain):
+                continue          # telomeric tip: never trim
             for c in chain:
                 if not g.seq_del[c >> 1]:
                     g.seq_del[c >> 1] = 1

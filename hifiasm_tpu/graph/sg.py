@@ -259,6 +259,47 @@ def ma_hit_sub(min_dp: int, paf: PafStore, lens: np.ndarray,
     return cov
 
 
+def detect_chimeric_reads(paf: PafStore, lens: np.ndarray,
+                          cov: CoverageCut) -> int:
+    """Drop reads with an internal zero-coverage gap flanked by covered
+    sequence (~detect_chimeric_reads, Overlaps.cpp:2449): a read spanning
+    a false join has overlaps on both sides but none across the joint."""
+    n_chim = 0
+    for i in range(len(paf)):
+        if cov.del_[i]:
+            continue
+        rec = paf[i]
+        live = rec.del_ == 0
+        if not live.any():
+            continue
+        qs = rec.qs[live]
+        qe = rec.qe[live]
+        ev = np.concatenate([qs * 2, qe * 2 + 1])
+        ev.sort()
+        dp = 0
+        covered_once = False
+        gap_after_cov = False
+        chimeric = False
+        for x in ev:
+            if x & 1:
+                dp -= 1
+                if dp == 0:
+                    gap_after_cov = covered_once
+            else:
+                if gap_after_cov and dp == 0:
+                    chimeric = True
+                    break
+                dp += 1
+                covered_once = True
+        if chimeric:
+            cov.del_[i] = 1
+            cov.s[i] = cov.e[i] = 0
+            n_chim += 1
+    if n_chim:
+        log("detect_chimeric_reads", f"dropped {n_chim} chimeric reads")
+    return n_chim
+
+
 def ma_hit_cut(paf: PafStore, lens: np.ndarray, cov: CoverageCut,
                min_ovlp: int) -> None:
     """Clip overlaps into the coverage-cut subregions and renormalize
@@ -457,6 +498,7 @@ def gen_init_sg(paf: PafStore, lens: np.ndarray, min_dp: int,
                 gap_fuzz: int) -> Tuple[StringGraph, CoverageCut, np.ndarray]:
     """The gen_init_sg chain (Overlaps.cpp:39228) for the HiFi-only path."""
     cov = ma_hit_sub(min_dp, paf, lens, min_ovlp)
+    detect_chimeric_reads(paf, lens, cov)
     ma_hit_cut(paf, lens, cov, min_ovlp)
     ma_hit_flt(paf, cov, max_hang, int_frac, min_ovlp)
     r_to_u = ma_hit_contained(paf, cov, max_hang, int_frac, min_ovlp)

@@ -27,11 +27,13 @@ from hifiasm_tpu.utils.logging import log
 HIC_K = 31
 
 
-def _seq_kmers(codes: np.ndarray, k: int) -> np.ndarray:
+def _seq_kmers(codes: np.ndarray, k: int,
+               with_pos: bool = False):
     """Canonical k-mer hashes at each end position (N-free windows only)."""
     n = len(codes)
     if n < k:
-        return np.zeros(0, np.uint64)
+        z = np.zeros(0, np.uint64)
+        return (np.zeros(0, np.int64), z) if with_pos else z
     mask = np.uint64((1 << (2 * k)) - 1)
     c = codes.astype(np.uint64)
     valid = codes < 4
@@ -43,45 +45,65 @@ def _seq_kmers(codes: np.ndarray, k: int) -> np.ndarray:
         axis=1, dtype=np.uint64) & mask
     canon = np.minimum(fwd, rc)
     ok = sliding_all(valid, k)
-    return yak_hash64_masked(canon[ok], mask)
+    h = yak_hash64_masked(canon[ok], mask)
+    if with_pos:
+        ends = np.arange(k - 1, n, dtype=np.int64)[ok]
+        return ends, h
+    return h
 
 
 @dataclass
 class UnitigIndex:
     hashes: np.ndarray    # sorted unique k-mer hashes that occur in ONE utg
     uid: np.ndarray       # unitig id per hash
+    pos: Optional[np.ndarray] = None   # unitig coordinate per hash
 
     @classmethod
     def build(cls, utg_seqs: List[np.ndarray], k: int = HIC_K
               ) -> "UnitigIndex":
-        hs, us = [], []
+        hs, us, ps = [], [], []
         for uid, seq in enumerate(utg_seqs):
-            h = _seq_kmers(seq, k)
-            hs.append(np.unique(h))
-            us.append(np.full(len(hs[-1]), uid, np.int32))
+            ends, h = _seq_kmers(seq, k, with_pos=True)
+            uh, first = np.unique(h, return_index=True)
+            hs.append(uh)
+            us.append(np.full(len(uh), uid, np.int32))
+            ps.append(ends[first].astype(np.int64))
         allh = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
         allu = np.concatenate(us) if us else np.zeros(0, np.int32)
+        allp = np.concatenate(ps) if ps else np.zeros(0, np.int64)
         order = np.argsort(allh, kind="stable")
-        allh, allu = allh[order], allu[order]
+        allh, allu, allp = allh[order], allu[order], allp[order]
         uniq, first, cnt = np.unique(allh, return_index=True,
                                      return_counts=True)
         keep = cnt == 1                      # unique-to-one-unitig k-mers
         log("UnitigIndex", f"{int(keep.sum())} unique anchor k-mers over "
             f"{len(utg_seqs)} unitigs")
-        return cls(uniq[keep], allu[first[keep]])
+        return cls(uniq[keep], allu[first[keep]], allp[first[keep]])
 
     def map_read(self, codes: np.ndarray, k: int = HIC_K) -> int:
         """Unitig id if the read places uniquely, else -1."""
+        return self.map_read_pos(codes, k)[0]
+
+    def map_read_pos(self, codes: np.ndarray, k: int = HIC_K
+                     ) -> Tuple[int, int]:
+        """(unitig id, position) of a uniquely-placed read, else (-1, -1).
+        Position is the unitig coordinate of the first anchoring k-mer."""
         h = _seq_kmers(codes, k)
         if len(h) == 0 or len(self.hashes) == 0:
-            return -1
+            return -1, -1
         idx = np.minimum(np.searchsorted(self.hashes, h),
                          len(self.hashes) - 1)
         hit = self.hashes[idx] == h
         if not hit.any():
-            return -1
+            return -1, -1
         uids = np.unique(self.uid[idx[hit]])
-        return int(uids[0]) if len(uids) == 1 else -1
+        if len(uids) != 1:
+            return -1, -1
+        uid = int(uids[0])
+        if self.pos is None:
+            return uid, -1
+        first = int(np.flatnonzero(hit)[0])
+        return uid, int(self.pos[idx[first]])
 
 
 def map_hic_pairs(index: UnitigIndex, pairs, k: int = HIC_K) -> np.ndarray:
