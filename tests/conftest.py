@@ -10,6 +10,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# the axon sitecustomize force-sets jax_platforms='axon,cpu' AFTER env
+# processing, so the env var alone is ignored — override via config
+# before any backend initializes
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
