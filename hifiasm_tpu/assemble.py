@@ -148,6 +148,15 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         for u in res.ug.utgs], np.int64)
     with open(f"{prefix}.p_utg.gfa", "w") as f:
         write_gfa(f, res.ug, res.store, res.cov, "utg", ug_cov)
+    from hifiasm_tpu.graph.gfa import write_lowq_bed
+    with open(f"{prefix}.p_utg.lowQ.bed", "w") as f:
+        write_lowq_bed(f, res.ug, res.cov, "utg")
+    if cfg.ex_list:
+        from hifiasm_tpu.debug_trace import trace_reads
+        with open(cfg.ex_list) as f:
+            names = [ln.split()[0] for ln in f if ln.strip()]
+        with open(f"{prefix}.trace.tsv", "w") as f:
+            trace_reads(res.store, cfg, names, f)
 
     prim_ids = (res.purge.primary if res.purge is not None
                 else list(range(len(res.ug))))
@@ -196,6 +205,23 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         with open(f"{prefix}.{mode}.{name}.p_ctg.gfa", "w") as f:
             write_gfa(f, sub, res.store, res.cov, f"h{name[-1]}tg",
                       ug_cov[ids] if len(ids) else None)
+
+    if cfg.dual_scaf:
+        from hifiasm_tpu.graph.unitig import unitig_seq
+        from hifiasm_tpu.io.readstore import codes_to_seq
+        from hifiasm_tpu.phasing.horder import scaffold_seqs
+        from hifiasm_tpu.phasing.selfscaf import self_scaffold
+
+        seqs = [unitig_seq(u, res.store, res.cov) for u in res.ug.utgs]
+        for name, own, other in (("hap1", hap1_ids, hap2_ids),
+                                 ("hap2", hap2_ids, hap1_ids)):
+            scafs = self_scaffold(res.ug, res.ec.reverse_paf,
+                                  res.store.n_reads, own, other)
+            sseqs = scaffold_seqs(scafs, seqs)
+            with open(f"{prefix}.{mode}.{name}.scaf.fa", "w") as f:
+                for i, s in enumerate(sseqs):
+                    f.write(f">scaf{name}_{i + 1:06d}\n"
+                            f"{codes_to_seq(s).decode()}\n")
     log("assemble", f"wrote {prefix}.p_utg.gfa / .p_ctg.gfa / bp.hap[12] "
         f"({len(prim_ids)} primary, {len(alt_ids)} alternate, "
         f"{len(hap1_ids)}+{len(hap2_ids)} hap contigs)")

@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     # misc
     p.add_argument("--telo-m", dest="telo_motif", metavar="MOTIF",
                    help="telomere motif, e.g. CCCTAA")
+    p.add_argument("-e", "--ex-list", dest="ex_list", metavar="FILE",
+                   help="trace the named reads' anchors/overlaps")
+    p.add_argument("--dual-scaf", dest="dual_scaf", action="store_true",
+                   help="scaffold each haplotype with the other's homology")
     p.add_argument("--hom-cov", dest="hom_cov_set", type=int,
                    help="homozygous read coverage")
     p.add_argument("--max-od-ec", dest="max_ov_diff_ec", type=float,
@@ -111,7 +115,7 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "seed", "min_cnt", "mid_cnt", "hic_reads_1", "hic_reads_2",
               "ul_reads", "ul_error_rate", "ul_ec_round", "telo_motif",
               "max_ov_diff_ec", "max_ov_diff_final", "align_engine",
-              "fn_bin_yak_pat", "fn_bin_yak_mat"):
+              "fn_bin_yak_pat", "fn_bin_yak_mat", "ex_list", "dual_scaf"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

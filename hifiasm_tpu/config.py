@@ -90,6 +90,8 @@ class HifiasmConfig:
     primary: bool = False                 # --primary: p_ctg + a_ctg
     telo_motif: Optional[str] = None
     ignore_bin: bool = False              # -i: ignore saved checkpoints
+    ex_list: Optional[str] = None         # -e: read-name trace list
+    dual_scaf: bool = False               # --dual-scaf self-scaffolding
 
     # --- device execution ---
     read_batch: int = 64                  # reads per device batch

@@ -43,3 +43,30 @@ def write_fasta(f: IO[str], ug: UnitigGraph, store: ReadStore,
     for i, u in enumerate(ug.utgs):
         seq = unitig_seq(u, store, cov)
         f.write(f">{name_prefix}{i + 1:06d}\n{codes_to_seq(seq).decode()}\n")
+
+
+def write_lowq_bed(f: IO[str], ug: UnitigGraph, cov: CoverageCut,
+                   name_prefix: str = "utg", min_cov: int = 2) -> None:
+    """Low-quality regions: unitig spans covered by < min_cov reads
+    (~ma_ug_print_bed; the reference flags inconsistent regions next to
+    each GFA, docs/source/interpreting-output.rst)."""
+    for i, u in enumerate(ug.utgs):
+        name = f"{name_prefix}{i + 1:06d}l"
+        depth = np.zeros(u.len + 1, np.int32)
+        off = 0
+        for k, v in enumerate(u.vs):
+            rid = int(v) >> 1
+            rl = int(cov.e[rid] - cov.s[rid])
+            end = min(off + rl, u.len)
+            depth[off] += 1
+            depth[end] -= 1
+            off += int(u.node_len[k])
+        prof = np.cumsum(depth[:-1])
+        low = prof < min_cov
+        if not low.any():
+            continue
+        bounds = np.flatnonzero(np.diff(low.astype(np.int8)))
+        edges = np.concatenate([[0], bounds + 1, [u.len]])
+        for s, e in zip(edges[:-1], edges[1:]):
+            if low[s]:
+                f.write(f"{name}\t{int(s)}\t{int(e)}\n")
