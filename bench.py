@@ -78,12 +78,18 @@ def _run_ours(reads) -> float:
 
 def _run_reference(exe, fasta) -> float:
     out = os.path.join(WORK, "ref_out")
+    for f in os.listdir(WORK):           # no resume from stale bin files
+        if f.startswith("ref_out"):
+            os.unlink(os.path.join(WORK, f))
     t0 = time.time()
     r = subprocess.run(
         [exe, "-o", out, "-t", str(os.cpu_count()), "-f0", "-r1", fasta],
         capture_output=True, timeout=1800)
     wall = time.time() - t0
-    return wall if r.returncode == 0 else -1.0
+    if r.returncode != 0:
+        sys.stderr.write(f"reference failed: {r.stderr[-400:]}\n")
+        return -1.0
+    return wall
 
 
 def main():
