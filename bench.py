@@ -69,8 +69,11 @@ def _run_ours(reads) -> float:
 
     store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
                                   reads)
+    for f in os.listdir(WORK):           # never resume: measure a full run
+        if f.startswith("ours"):
+            os.unlink(os.path.join(WORK, f))
     cfg = HifiasmConfig(output_prefix=os.path.join(WORK, "ours"),
-                        n_rounds_ec=1)
+                        n_rounds_ec=1, ignore_bin=True)
     t0 = time.time()
     assemble(store, cfg)
     return time.time() - t0

@@ -100,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=0.03)
     p.add_argument("-i", dest="ignore_bin", action="store_true",
                    help="ignore saved overlaps/corrected reads")
+    p.add_argument("--ont", dest="is_ont", action="store_true",
+                   help="ONT R10 reads (smaller EC windows, higher e-rate)")
     p.add_argument("--align-engine", dest="align_engine", default="auto",
                    choices=("auto", "jax", "numpy"))
     p.add_argument("--version", action="version", version="0.1.0")
@@ -115,7 +117,8 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "seed", "min_cnt", "mid_cnt", "hic_reads_1", "hic_reads_2",
               "ul_reads", "ul_error_rate", "ul_ec_round", "telo_motif",
               "max_ov_diff_ec", "max_ov_diff_final", "align_engine",
-              "fn_bin_yak_pat", "fn_bin_yak_mat", "ex_list", "dual_scaf"):
+              "fn_bin_yak_pat", "fn_bin_yak_mat", "ex_list", "dual_scaf",
+              "is_ont", "adapter_len"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

@@ -38,6 +38,13 @@ class HifiasmConfig:
     max_ov_diff_final: float = 0.03       # final-pass error budget
     n_rounds_ec: int = 3                  # number_of_round
     max_n_chain: int = 100                # MIN_N_CHAIN (CommandLines.h:29)
+    is_ont: bool = False                  # --ont: ONT R10 mode
+    adapter_len: int = 0                  # -z: clip read ends
+
+    @property
+    def ec_window(self) -> int:
+        """WINDOW_OHC for ONT, WINDOW_HC for HiFi (ecovlp.cpp:3288)."""
+        return 375 if self.is_ont else 775
 
     # --- coverage (auto-detected unless set) ---
     hom_cov: int = 20

@@ -454,7 +454,23 @@ def ma_sg_gen(paf: PafStore, cov: CoverageCut, max_hang: int,
 
 
 def asg_arc_del_trans(g: StringGraph, fuzz: int) -> int:
-    """Myers transitive reduction (~Overlaps.cpp:5357)."""
+    """Myers transitive reduction (~Overlaps.cpp:5357).
+
+    Uses the native C++ kernel when available (hifiasm_tpu.native);
+    the python loop below is the reference implementation/fallback."""
+    from hifiasm_tpu.native import trans_reduce
+
+    alen_native = g.arc_len()
+    n_native = trans_reduce(g.idx_s, g.idx_n, g.v, alen_native,
+                            g.seq_del, g.del_, fuzz)
+    if n_native is not None:
+        if n_native:
+            g.symm_del()
+            g.cleanup()
+        log("asg_arc_del_trans",
+            f"transitively reduced {n_native} arcs (native)")
+        return n_native
+
     mark = np.zeros(2 * g.n_seq, np.uint8)
     alen = g.arc_len()
     n_reduced = 0

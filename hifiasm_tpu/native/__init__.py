@@ -1,0 +1,68 @@
+"""Native C++ host kernels (ctypes), built on demand with graceful
+fallback to the numpy/python implementations."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "hifiasm_native.cpp")
+_SO = os.path.join(_DIR, "_hifiasm_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        src_m = os.path.getmtime(_SRC)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
+            return True
+        r = subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _SO, _SRC],
+            capture_output=True, timeout=120)
+        return r.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_SO)
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.ht_trans_reduce.restype = ctypes.c_int64
+    lib.ht_trans_reduce.argtypes = [
+        ctypes.c_int64, i64p, i64p, u32p, i64p, u8p, u8p, ctypes.c_int64]
+    lib.ht_coverage_sub.restype = None
+    lib.ht_coverage_sub.argtypes = [
+        ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p, i64p]
+    _lib = lib
+    return _lib
+
+
+def trans_reduce(idx_s, idx_n, av, alen, seq_del, del_, fuzz: int
+                 ) -> Optional[int]:
+    """Native transitive reduction; returns n_reduced or None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_vtx = len(idx_s)
+    return int(lib.ht_trans_reduce(
+        n_vtx, np.ascontiguousarray(idx_s, np.int64),
+        np.ascontiguousarray(idx_n, np.int64),
+        np.ascontiguousarray(av, np.uint32),
+        np.ascontiguousarray(alen, np.int64),
+        np.ascontiguousarray(seq_del, np.uint8), del_, fuzz))
