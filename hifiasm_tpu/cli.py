@@ -142,7 +142,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     from hifiasm_tpu.io.readstore import ReadStore
     from hifiasm_tpu.utils.logging import log
 
-    store = ReadStore.from_files(cfg.read_files)
+    store = ReadStore.from_files(cfg.read_files,
+                                 adapter_len=cfg.adapter_len)
     log("main", f"loaded {store.n_reads} reads, {store.total_bases} bases")
     assemble(store, cfg)
     return 0

@@ -97,7 +97,9 @@ class ReadStore:
 
     # ---- construction ----
     @classmethod
-    def from_files(cls, paths: Iterable[str]) -> "ReadStore":
+    def from_files(cls, paths: Iterable[str],
+                   adapter_len: int = 0) -> "ReadStore":
+        """adapter_len: clip that many bases off both read ends (-z)."""
         rs = cls()
         packed_chunks = []
         offsets = [0]
@@ -105,6 +107,8 @@ class ReadStore:
         for path in paths:
             for name, seq in _iter_all(path):
                 codes = seq_to_codes(seq)
+                if adapter_len > 0 and len(codes) > 2 * adapter_len:
+                    codes = codes[adapter_len:-adapter_len]
                 nsites = np.flatnonzero(codes == 4)
                 c = codes.copy()
                 c[nsites] = 0

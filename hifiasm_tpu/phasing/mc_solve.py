@@ -136,6 +136,51 @@ def _init_spins(g: McGraph, s: np.ndarray, nodes: np.ndarray,
             s[k] = 1
 
 
+def mc_solve_k(n: int, ex: np.ndarray, ey: np.ndarray, ew: np.ndarray,
+               k_hap: int, n_perturb: int = 1000, f_perturb: float = 0.1,
+               seed: int = 11, max_sweeps: int = 200) -> np.ndarray:
+    """Polyploid generalization (~mc_solve_general/mcg_node_t,
+    rcut.cpp:4586): labels 0..k-1 minimizing same-label positive weight
+    (w > 0: different haplotype evidence; w < 0: same)."""
+    g = McGraph.from_edges(n, ex, ey, ew)
+    rng = np.random.default_rng(seed)
+    lab = rng.integers(0, k_hap, n)
+
+    def cost_of(k, l):
+        nb, w = g.neighbors(int(k))
+        return float(w[lab[nb] == l].sum())
+
+    def sweep():
+        changed = 0
+        for k in rng.permutation(n):
+            costs = [cost_of(k, l) for l in range(k_hap)]
+            best = int(np.argmin(costs))
+            if best != lab[k] and costs[best] < costs[lab[k]]:
+                lab[k] = best
+                changed += 1
+        return changed
+
+    for _ in range(max_sweeps):
+        if sweep() == 0:
+            break
+    best_lab = lab.copy()
+    best_sc = sum(cost_of(k, lab[k]) for k in range(n))
+    for _ in range(n_perturb):
+        flip = rng.random(n) < f_perturb
+        lab[flip] = rng.integers(0, k_hap, int(flip.sum()))
+        for _ in range(max_sweeps):
+            if sweep() == 0:
+                break
+        sc = sum(cost_of(k, lab[k]) for k in range(n))
+        if sc < best_sc:
+            best_sc = sc
+            best_lab = lab.copy()
+        else:
+            lab[:] = best_lab
+    log("mc_solve_k", f"{n} nodes into {k_hap} haplotype groups")
+    return best_lab
+
+
 def mc_solve(n: int, ex: np.ndarray, ey: np.ndarray, ew: np.ndarray,
              n_perturb: int = 10000, f_perturb: float = 0.1,
              seed: int = 11, max_sweeps: int = 1000) -> np.ndarray:

@@ -46,3 +46,26 @@ def test_deterministic(rng):
     s1 = mc_solve(20, ex[keep], ey[keep], ew[keep], n_perturb=50, seed=11)
     s2 = mc_solve(20, ex[keep], ey[keep], ew[keep], n_perturb=50, seed=11)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_polyploid_k3(rng):
+    from hifiasm_tpu.phasing.mc_solve import mc_solve_k
+    # 9 nodes in 3 planted groups; positive edges across groups
+    n = 9
+    truth = np.arange(n) % 3
+    ex, ey, ew = [], [], []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if truth[a] != truth[b]:
+                ex.append(a); ey.append(b); ew.append(4.0)
+            else:
+                ex.append(a); ey.append(b); ew.append(-4.0)
+    lab = mc_solve_k(n, np.array(ex), np.array(ey), np.array(ew), 3,
+                     n_perturb=50)
+    # same planted group -> same label; different -> different
+    for a in range(n):
+        for b in range(a + 1, n):
+            if truth[a] == truth[b]:
+                assert lab[a] == lab[b]
+            else:
+                assert lab[a] != lab[b]
