@@ -42,7 +42,7 @@ from hifiasm_tpu.ops.banded_align_jax import banded_core
 from hifiasm_tpu.overlap.anchors import OverlapRegions
 from hifiasm_tpu.utils.logging import log
 
-CHUNK = 4096
+CHUNK = 8192
 E_BAND = THRESHOLD_MAX_SIZE          # one static band for all windows
 
 
@@ -245,12 +245,11 @@ class DeviceEC:
             return ({rid: ReadECOut(ov, np.zeros(0, np.uint8), z, z, z, z,
                                     z, z) for rid, ov in read_ovs}, {})
 
-        # ---- L1: align all chunks; keep tracebacks device-resident ----
+        # ---- L1: align all chunks; keep tracebacks device-resident.
+        # Dispatch every chunk asynchronously FIRST (the tunnel round-trip
+        # dominates), then pull the small stats in one sync pass.
         chunks = []
-        err_all = np.zeros(W, np.int32)
-        ys_all = np.zeros(W, np.int32)
-        yn_all = np.zeros(W, np.int32)
-        xle_all = np.zeros(W, np.int32)
+        pend = []
         for c0 in range(0, W, self.chunk):
             sel = slice(c0, min(c0 + self.chunk, W))
             n = sel.stop - sel.start
@@ -264,6 +263,12 @@ class DeviceEC:
                 self.wl, e, bank.fwd, bank.rc, bank.lens,
                 *[jnp.asarray(a) for a in args], jnp.asarray(lastp))
             chunks.append((tb, ic, ib, sel, pad))
+            pend.append((sel, n, err, ys, yn, xle))
+        err_all = np.zeros(W, np.int32)
+        ys_all = np.zeros(W, np.int32)
+        yn_all = np.zeros(W, np.int32)
+        xle_all = np.zeros(W, np.int32)
+        for sel, n, err, ys, yn, xle in pend:
             err_all[sel] = np.asarray(err)[:n]
             ys_all[sel] = np.asarray(ys)[:n]
             yn_all[sel] = np.asarray(yn)[:n]
@@ -284,15 +289,20 @@ class DeviceEC:
         w_use = w_ok & ov_full_w
 
         # precise per-overlap target ranges from first/last accepted window
-        y0 = j_tws - e
+        y0 = (j_tws - e).astype(np.int64)
         ts_ov = np.full(n_ov_tot, -1, np.int64)
         te_ov = np.full(n_ov_tot, -1, np.int64)
         okw = np.flatnonzero(w_ok)
-        for w in okw:                            # windows are in order
-            o = j_ovid[w]
-            if ts_ov[o] < 0:
-                ts_ov[o] = max(int(y0[w]) + int(ys_all[w]), 0)
-            te_ov[o] = int(y0[w]) + int(yn_all[w]) - 1
+        if len(okw):
+            first_w = np.full(n_ov_tot, W, np.int64)
+            last_w = np.full(n_ov_tot, -1, np.int64)
+            np.minimum.at(first_w, j_ovid[okw], okw)
+            np.maximum.at(last_w, j_ovid[okw], okw)
+            has = last_w >= 0
+            fw = first_w[has]
+            lw = last_w[has]
+            ts_ov[has] = np.maximum(y0[fw] + ys_all[fw], 0)
+            te_ov[has] = y0[lw] + yn_all[lw] - 1
 
         qlen_d = bank.lens
         # ---- L2: raw allele counts ----

@@ -78,6 +78,35 @@ def load_paf(path: str) -> Optional[PafStore]:
     return paf
 
 
+def write_graph(path: str, sg, cov, r_to_u: np.ndarray) -> None:
+    """String-graph checkpoint (~write_debug_graph, Overlaps.cpp:39436;
+    --dbg-gfa lets the graph phase re-run standalone)."""
+    np.savez_compressed(
+        path, magic=MAGIC, n_seq=sg.n_seq, seq_len=sg.seq_len,
+        seq_del=sg.seq_del, ul=sg.ul, v=sg.v, ol=sg.ol, strong=sg.strong,
+        el=sg.el, no_l_indel=sg.no_l_indel, del_=sg.del_,
+        cov_s=cov.s, cov_e=cov.e, cov_del=cov.del_, r_to_u=r_to_u)
+    log("write_graph", f"wrote {path}")
+
+
+def load_graph(path: str):
+    """Returns (StringGraph, CoverageCut, r_to_u) or None."""
+    from hifiasm_tpu.graph.sg import CoverageCut, StringGraph
+
+    if not os.path.exists(path):
+        return None
+    z = np.load(path, allow_pickle=False)
+    if str(z["magic"]) != MAGIC:
+        return None
+    sg = StringGraph(int(z["n_seq"]), z["seq_len"])
+    sg.seq_del = z["seq_del"].copy()
+    sg.set_arcs(z["ul"], z["v"], z["ol"], z["strong"], z["el"],
+                z["no_l_indel"], z["del_"])
+    cov = CoverageCut(z["cov_s"].copy(), z["cov_e"].copy(),
+                      z["cov_del"].copy())
+    return sg, cov, z["r_to_u"].copy()
+
+
 def checkpoint_paths(prefix: str) -> Tuple[str, str, str]:
     return (f"{prefix}.ec.bin.npz", f"{prefix}.ovlp.source.bin.npz",
             f"{prefix}.ovlp.reverse.bin.npz")
