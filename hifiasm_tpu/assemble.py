@@ -104,6 +104,9 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         paf, store.lens, min_dp=max(cfg.min_overlap_coverage, 1),
         min_ovlp=cfg.min_overlap_len, max_hang=cfg.max_hang_len,
         int_frac=cfg.max_hang_rate, gap_fuzz=cfg.gap_fuzz)
+    if cfg.dbg_gfa and write_outputs:
+        from hifiasm_tpu.io.binfiles import write_graph
+        write_graph(f"{cfg.output_prefix}.dbg_gfa.npz", sg, cov, r_to_u)
     telo = None
     if cfg.telo_motif:
         from hifiasm_tpu.graph.telo import find_telo_reads
@@ -131,6 +134,19 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
             else cfg.purge_simi_rate_l3)
     purge = purge_dups(ug, ec.reverse_paf, store.n_reads,
                        purge_level=cfg.purge_level, simi_rate=simi)
+    if purge.hap_pairs:
+        # sequence-level confirmation of purge candidates (~tovlp)
+        from hifiasm_tpu.graph.tovlp import confirm_purge_pairs
+        from hifiasm_tpu.graph.unitig import unitig_seq
+
+        useqs = [unitig_seq(u, store, cov) for u in ug.utgs]
+        confirmed = confirm_purge_pairs(useqs, purge.hap_pairs, simi)
+        keep_a = {a for a, _, _, _ in confirmed}
+        restored = [a for a, _, _ in purge.hap_pairs if a not in keep_a]
+        if restored:
+            purge.primary = sorted(purge.primary + restored)
+            purge.alternate = [a for a in purge.alternate
+                               if a not in set(restored)]
 
     res = AssemblyResult(store, ec, sg, cov, r_to_u, ug, read_cov, purge)
     if write_outputs:

@@ -92,6 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trace the named reads' anchors/overlaps")
     p.add_argument("--dual-scaf", dest="dual_scaf", action="store_true",
                    help="scaffold each haplotype with the other's homology")
+    p.add_argument("--dbg-gfa", dest="dbg_gfa", action="store_true",
+                   help="checkpoint the string graph for standalone reruns")
     p.add_argument("--hom-cov", dest="hom_cov_set", type=int,
                    help="homozygous read coverage")
     p.add_argument("--max-od-ec", dest="max_ov_diff_ec", type=float,
@@ -118,7 +120,7 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "ul_reads", "ul_error_rate", "ul_ec_round", "telo_motif",
               "max_ov_diff_ec", "max_ov_diff_final", "align_engine",
               "fn_bin_yak_pat", "fn_bin_yak_mat", "ex_list", "dual_scaf",
-              "is_ont", "adapter_len"):
+              "is_ont", "adapter_len", "dbg_gfa"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

@@ -99,6 +99,7 @@ class HifiasmConfig:
     ignore_bin: bool = False              # -i: ignore saved checkpoints
     ex_list: Optional[str] = None         # -e: read-name trace list
     dual_scaf: bool = False               # --dual-scaf self-scaffolding
+    dbg_gfa: bool = False                 # --dbg-gfa graph checkpoint
 
     # --- device execution ---
     read_batch: int = 64                  # reads per device batch

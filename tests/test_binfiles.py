@@ -63,3 +63,26 @@ def test_ec_state_roundtrip(rng, tmp_path):
     assert s2.n_reads == s.n_reads
     assert paf2.total == 1
     assert rev2.total == 0
+
+
+def test_graph_roundtrip(rng, tmp_path):
+    import hifiasm_tpu.graph.sg as sgmod
+    from hifiasm_tpu.io.binfiles import load_graph, write_graph
+
+    n = 6
+    g = sgmod.StringGraph(n, np.full(n, 500))
+    uls = np.array([(np.uint64(i << 1) << np.uint64(32)) | np.uint64(50)
+                    for i in range(n - 1)], np.uint64)
+    vs = np.array([(i + 1) << 1 for i in range(n - 1)], np.uint32)
+    z = np.zeros(n - 1, np.uint8)
+    g.set_arcs(uls, vs, np.full(n - 1, 450), z.copy(), z.copy(), z.copy())
+    cov = sgmod.CoverageCut.full(np.full(n, 500))
+    r2u = np.full(n, -1, np.int64)
+    p = str(tmp_path / "g.npz")
+    write_graph(p, g, cov, r2u)
+    got = load_graph(p)
+    assert got is not None
+    g2, cov2, r2 = got
+    assert g2.n_seq == n
+    np.testing.assert_array_equal(g2.ul, g.ul)
+    np.testing.assert_array_equal(cov2.e, cov.e)
