@@ -79,7 +79,7 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
     bs = max(1, cfg.read_batch)
     for b0 in range(0, store.n_reads, bs):
         rids = range(b0, min(b0 + bs, store.n_reads))
-        wb = WindowBatcher(get_target, e_rate, wl=WINDOW_HC, engine=engine)
+        wb = WindowBatcher(get_target, e_rate, wl=cfg.ec_window, engine=engine)
         anchors = [(rid, collect_anchors(mzs[rid], pt, rid, store.lens,
                                          hom_cov), len(codes[rid]))
                    for rid in rids]
@@ -125,7 +125,7 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
         from hifiasm_tpu.ec.device_ec import (
             DeviceEC, consensus_inputs_for_read,
         )
-        dev = DeviceEC(store, wl=WINDOW_HC, e_rate=cfg.max_ov_diff_ec)
+        dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_ec)
         read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov)
         outs, cns_in = dev.process(read_ovs)
         for rid, eco in outs.items():
@@ -205,7 +205,7 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
     rev_paf = PafStore(store.n_reads)
     if _use_device(cfg):
         from hifiasm_tpu.ec.device_ec import DeviceEC
-        dev = DeviceEC(store, wl=WINDOW_HC, e_rate=cfg.max_ov_diff_final)
+        dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_final)
         read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov)
         outs, _ = dev.process(read_ovs)
         for rid, eco in outs.items():

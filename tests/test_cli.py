@@ -1,0 +1,46 @@
+"""CLI end-to-end: reads file -> contig outputs via main()."""
+
+import numpy as np
+
+from hifiasm_tpu.cli import main, parse_config
+from tests.synth import make_genome, sample_reads
+
+
+def test_parse_defaults():
+    cfg = parse_config(["-o", "out", "-t4", "-f0", "-r2", "reads.fa"])
+    assert cfg.output_prefix == "out"
+    assert cfg.threads == 4
+    assert cfg.bf_shift == 0
+    assert cfg.n_rounds_ec == 2
+    assert cfg.read_files == ["reads.fa"]
+    assert cfg.k == 51 and cfg.purge_level == 3
+
+
+def test_parse_subsystems():
+    cfg = parse_config(["--h1", "h1.fq", "--h2", "h2.fq", "--ul", "ul.fq",
+                        "-1", "p.yak", "-2", "m.yak", "--telo-m", "CCCTAA",
+                        "--dual-scaf", "--ont", "reads.fa"])
+    assert cfg.hic_reads_1 == ["h1.fq"]
+    assert cfg.ul_reads == ["ul.fq"]
+    assert cfg.fn_bin_yak_pat == "p.yak"
+    assert cfg.telo_motif == "CCCTAA"
+    assert cfg.dual_scaf and cfg.is_ont
+    assert cfg.ec_window == 375
+
+
+def test_cli_end_to_end(rng, tmp_path):
+    g = make_genome(rng, 9000)
+    reads, _, _ = sample_reads(rng, g, depth=12, read_len=2000,
+                               err_rate=0.002)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+    prefix = str(tmp_path / "asm")
+    rc = main(["-o", prefix, "-r1", "-f0", str(fa)])
+    assert rc == 0
+    assert (tmp_path / "asm.p_ctg.gfa").exists()
+    assert (tmp_path / "asm.bp.hap1.p_ctg.gfa").exists()
+    gfa = (tmp_path / "asm.p_ctg.gfa").read_text()
+    assert gfa.startswith("S\t")
