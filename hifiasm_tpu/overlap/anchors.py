@@ -157,15 +157,32 @@ def chain_anchors(an: Anchors, rid: int, rlen: int, tlens: np.ndarray,
 
 
 def chain_many(reads, tlens: np.ndarray, params: ChainParams,
-               max_n_chain: int = 100) -> List[OverlapRegions]:
+               max_n_chain: int = 100,
+               device_threshold: int = 2_000_000) -> List[OverlapRegions]:
     """Chain anchors of MANY reads at once.
 
     ``reads``: [(rid, Anchors, rlen)].  All (target, strand) groups across
     all reads are bucketed by size, padded, and scored by the vectorized
-    DP (ops/chain.chain_scores_batch_np) in a few large launches; only the
-    cheap per-group traceback/multi-copy extraction stays scalar.
+    DP in a few large launches; only the cheap per-group traceback /
+    multi-copy extraction stays scalar.  On an accelerator backend,
+    buckets with >= device_threshold cells score on device
+    (ops/chain_jax.chain_scores_batch); smaller buckets and the CPU
+    backend use the numpy mirror.
     """
     from hifiasm_tpu.ops.chain import chain_scores_batch_np, extract_chains
+
+    use_device = False
+    try:
+        import jax
+        from hifiasm_tpu.ops import chain_jax as _cj
+        # the device scorer bakes the HiFi k=51 penalty constants; other
+        # parameterizations (UL k=19) stay on the numpy mirror
+        use_device = (jax.default_backend() != "cpu"
+                      and abs(params.bw_rate - _cj._BW_RATE) < 1e-12
+                      and abs(params.chn_pen_gap - _cj._CHN_PEN_GAP)
+                      < 1e-12)
+    except Exception:
+        pass
 
     # collect groups across reads
     groups = []            # (read_idx, s, e, tid, yl)
@@ -212,8 +229,29 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
             narr[bi] = m
             xlarr[bi] = rlen
             ylarr[bi] = yl
-        f, pre = chain_scores_batch_np(cols[0], cols[1], cols[2], cols[3],
-                                       narr, xlarr, ylarr, params)
+        if use_device and G * N >= device_threshold:
+            from hifiasm_tpu.ops.chain_jax import chain_scores_batch
+
+            Gp = ((G + 255) // 256) * 256
+            if Gp != G:
+                cols = [np.concatenate(
+                    [c, np.zeros((Gp - G, N), np.int64)]) for c in cols]
+                narr_p = np.concatenate([narr, np.zeros(Gp - G, np.int64)])
+                xl_p = np.concatenate([xlarr, np.ones(Gp - G, np.int64)])
+                yl_p = np.concatenate([ylarr, np.ones(Gp - G, np.int64)])
+            else:
+                narr_p, xl_p, yl_p = narr, xlarr, ylarr
+            fd, pd = chain_scores_batch(
+                cols[0].astype(np.int32), cols[1].astype(np.int32),
+                cols[2].astype(np.int32), cols[3].astype(np.int32),
+                narr_p.astype(np.int32), xl_p.astype(np.int32),
+                yl_p.astype(np.int32))
+            f = np.asarray(fd)[:G].astype(np.int64)
+            pre = np.asarray(pd)[:G].astype(np.int64)
+        else:
+            f, pre = chain_scores_batch_np(cols[0], cols[1], cols[2],
+                                           cols[3], narr, xlarr, ylarr,
+                                           params)
         for bi, g in enumerate(sel):
             ridx, s, e, tid, yl = groups[g]
             _, an, rlen = reads[ridx]
