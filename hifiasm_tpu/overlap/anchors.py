@@ -158,7 +158,7 @@ def chain_anchors(an: Anchors, rid: int, rlen: int, tlens: np.ndarray,
 
 def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                max_n_chain: int = 100,
-               device_threshold: int = 2_000_000) -> List[OverlapRegions]:
+               device_threshold: int = 16_000_000) -> List[OverlapRegions]:
     """Chain anchors of MANY reads at once.
 
     ``reads``: [(rid, Anchors, rlen)].  All (target, strand) groups across
@@ -229,10 +229,13 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
             narr[bi] = m
             xlarr[bi] = rlen
             ylarr[bi] = yl
-        if use_device and G * N >= device_threshold:
+        if use_device and G * N >= device_threshold and N <= 2048:
             from hifiasm_tpu.ops.chain_jax import chain_scores_batch
 
-            Gp = ((G + 255) // 256) * 256
+            # pad G to a power of two to bound the compiled shape set
+            Gp = 256
+            while Gp < G:
+                Gp *= 2
             if Gp != G:
                 cols = [np.concatenate(
                     [c, np.zeros((Gp - G, N), np.int64)]) for c in cols]
