@@ -28,6 +28,51 @@ from hifiasm_tpu.utils.logging import log
 
 UL_K = 19
 UL_W = 19
+WINDOW_UL = 75          # Hash_Table.h:26
+UL_ERR_RATE = 0.2
+
+
+def _verify_block(ul: np.ndarray, tgt: np.ndarray, hit_self, hit_t,
+                  max_windows: int = 8, min_pass: float = 0.6) -> bool:
+    """Base-level spot check of a UL block (~the WINDOW_UL=75 verification
+    of scall_ul_pipeline, inter.cpp:19992): align short windows anchored
+    at chain hits with a 0.2 error budget."""
+    from hifiasm_tpu.ops.banded_batch import banded_batch_np
+
+    n = len(hit_self)
+    if n == 0:
+        return False
+    sel = np.linspace(0, n - 1, min(max_windows, n)).astype(np.int64)
+    e = max(2, int(WINDOW_UL * UL_ERR_RATE))
+    xs, ys, xlens, ylens = [], [], [], []
+    for h in sel:
+        q0 = int(hit_self[h])
+        t0 = int(hit_t[h])
+        xw = ul[q0:q0 + WINDOW_UL]
+        if len(xw) < 20:
+            continue
+        y0 = t0 - e
+        seg = np.full(len(xw) + 2 * e, 4, np.uint8)
+        s_lo, s_hi = max(0, y0), min(len(tgt), y0 + len(xw) + 2 * e)
+        if s_hi <= s_lo:
+            continue
+        seg[s_lo - y0:s_hi - y0] = tgt[s_lo:s_hi]
+        xs.append(xw)
+        ys.append(seg)
+        xlens.append(len(xw))
+        ylens.append(s_hi - y0)
+    if not xs:
+        return False
+    XL = max(map(len, xs))
+    YL = XL + 2 * e
+    xb = np.full((len(xs), XL), 4, np.uint8)
+    yb = np.full((len(xs), YL), 4, np.uint8)
+    for i, (xw, yw) in enumerate(zip(xs, ys)):
+        xb[i, :len(xw)] = xw
+        yb[i, :len(yw)] = yw
+    out = banded_batch_np(xb, np.array(xlens), yb, np.array(ylens), e,
+                          traceback=False)
+    return float((out.err >= 0).mean()) >= min_pass
 
 
 @dataclass
@@ -58,7 +103,10 @@ def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
         an = collect_anchors(mz, pt, n_utg + i, utg_lens, hom_cov)
         reads.append((n_utg + i, an, len(ul)))
     ovs = chain_many(reads, utg_lens, cp, max_n_chain=50)
+    from hifiasm_tpu.io.readstore import revcomp_codes
+
     for (rid, an, rlen), ov in zip(reads, ovs):
+        ul = ul_reads[rid - n_utg]
         blocks = []
         order = np.argsort(ov.x_s, kind="stable")
         last_end = -1
@@ -66,6 +114,13 @@ def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
             if ov.score[o] < min_chain_score:
                 continue
             if int(ov.x_s[o]) < last_end - 200:   # heavy overlap: ambiguous
+                continue
+            tgt = utg_seqs[int(ov.y_id[o])]
+            if ov.rev[o]:
+                tgt = revcomp_codes(tgt)
+            hs = ov.hit_self[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
+            ht = ov.hit_t[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
+            if not _verify_block(ul, tgt, hs, ht):
                 continue
             blocks.append((int(ov.y_id[o]), int(ov.rev[o]),
                            int(ov.x_s[o]), int(ov.x_e[o])))
