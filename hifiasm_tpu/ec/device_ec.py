@@ -239,6 +239,12 @@ class DeviceEC:
         j_trev = np.concatenate([
             ov.rev[p["ov_idx"]].astype(np.int32)
             for _, ov, p in jobs]) if jobs else np.zeros(0, np.int32)
+        import time as _time
+        _t0 = _time.time()
+
+        def _mark(stage):
+            log("device_ec", f"{stage} +{_time.time() - _t0:.2f}s")
+
         W = len(j_qrid)
         if W == 0:
             z = np.zeros(0, np.int64)
@@ -264,6 +270,7 @@ class DeviceEC:
                 *[jnp.asarray(a) for a in args], jnp.asarray(lastp))
             chunks.append((tb, ic, ib, sel, pad))
             pend.append((sel, n, err, ys, yn, xle))
+        _mark(f"L1 dispatched ({len(chunks)} chunks, {W} windows)")
         err_all = np.zeros(W, np.int32)
         ys_all = np.zeros(W, np.int32)
         yn_all = np.zeros(W, np.int32)
@@ -304,6 +311,7 @@ class DeviceEC:
             ts_ov[has] = np.maximum(y0[fw] + ys_all[fw], 0)
             te_ov[has] = y0[lw] + yn_all[lw] - 1
 
+        _mark("L1 synced")
         qlen_d = bank.lens
         # ---- L2: raw allele counts ----
         cnt = jnp.zeros(R * L * 5 , jnp.int32)
@@ -315,6 +323,7 @@ class DeviceEC:
         cnt_host = np.asarray(jnp.minimum(cnt, 255).astype(jnp.uint8)
                               ).reshape(R, L, 5)
 
+        _mark("L2 raw counts")
         # het sites per read (query vote added host-side)
         from hifiasm_tpu.ec.phase import het_from_counts
         het_plane = np.zeros((R, L), np.uint8)
@@ -345,6 +354,7 @@ class DeviceEC:
                 bank.fwd, alt_d, het_d, n_same, n_flip)
         n_same_h = np.asarray(n_same)
         n_flip_h = np.asarray(n_flip)
+        _mark("L3 het agree")
         from hifiasm_tpu.ec.phase import classify_overlaps
         is_match_all = classify_overlaps(full, n_same_h, n_flip_h)
 
@@ -367,6 +377,7 @@ class DeviceEC:
                                ).reshape(R, L)
         ins_base_h = np.asarray(ins_base).reshape(R, L)
         ins_len_h = np.asarray(ins_len).reshape(R, L)
+        _mark("L4 cis votes")
 
         # ---- package per read ----
         out: Dict[int, ReadECOut] = {}

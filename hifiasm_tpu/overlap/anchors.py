@@ -329,9 +329,39 @@ def _assemble_regions(rid: int, an: Anchors, rlen: int, tlens: np.ndarray,
     ov.hit_span = np.concatenate(hit_span) if hit_span else np.zeros(0, np.int64)
 
     ov = filter_overlaps_quota(ov, rlen, max_n_chain)
+    ov = dedup_overlaps(ov)
     # final order: by x_pos_s (or_xs sort)
     order = np.lexsort((ov.y_id, ov.x_s))
     return ov.take(order)
+
+
+def dedup_overlaps(ov: OverlapRegions) -> OverlapRegions:
+    """Drop same-(target,strand) chains whose query ranges mostly overlap
+    a higher-scoring chain (~dedup_chains, ecovlp.cpp:2984) — keeps
+    secondary repeat copies, kills duplicate votes on the same span."""
+    n = len(ov)
+    if n <= 1:
+        return ov
+    keep = np.ones(n, bool)
+    key = ov.y_id.astype(np.int64) << 1 | ov.rev
+    order = np.lexsort((-ov.score, key))
+    for i in range(n):
+        a = order[i]
+        if not keep[a]:
+            continue
+        for j in range(i + 1, n):
+            b = order[j]
+            if key[b] != key[a]:
+                break
+            if not keep[b]:
+                continue
+            inter = min(ov.x_e[a], ov.x_e[b]) - max(ov.x_s[a], ov.x_s[b])
+            min_len = min(ov.x_e[a] - ov.x_s[a], ov.x_e[b] - ov.x_s[b]) + 1
+            if inter > 0.5 * min_len:
+                keep[b] = False
+    if keep.all():
+        return ov
+    return ov.take(np.flatnonzero(keep))
 
 
 def ha_ov_type(x_s, x_e, rlen):
