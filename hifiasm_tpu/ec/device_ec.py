@@ -331,7 +331,7 @@ class DeviceEC:
         het_per_read = {}
         for rid, ov in read_ovs:
             qlen = int(self.store.lens[rid])
-            q = np.asarray(bank.fwd[rid, :qlen])
+            q = self.store.get_codes(rid)
             c4 = cnt_host[rid, :qlen, :4].astype(np.int32)
             c4[np.arange(qlen), np.clip(q, 0, 3)] += 1
             hs, alt = het_from_counts(q, c4)
