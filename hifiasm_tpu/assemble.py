@@ -96,6 +96,7 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
                    cfg.min_cnt, cfg.mid_cnt,
                    list_pat=cfg.fn_bin_list_pat,
                    list_mat=cfg.fn_bin_list_mat)
+        _drop_edges_by_trio(ec.paf, store.trio_flags)
 
     paf = normalize_paf(ec.paf, store.lens)
     read_cov = np.array([len(paf[i]) for i in range(store.n_reads)],
@@ -241,6 +242,26 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
     log("assemble", f"wrote {prefix}.p_utg.gfa / .p_ctg.gfa / bp.hap[12] "
         f"({len(prim_ids)} primary, {len(alt_ids)} alternate, "
         f"{len(hap1_ids)}+{len(hap2_ids)} hap contigs)")
+
+
+def _drop_edges_by_trio(paf, trio_flags) -> None:
+    """Remove overlaps connecting opposite-haplotype reads
+    (~drop_edges_by_trio, Overlaps.cpp:39369)."""
+    from hifiasm_tpu.trio import FATHER, MOTHER
+
+    n_drop = 0
+    for rid in range(len(paf)):
+        rec = paf[rid]
+        if len(rec) == 0:
+            continue
+        fq = trio_flags[rid]
+        ft = trio_flags[rec.tn.astype(np.int64)]
+        bad = ((fq == FATHER) & (ft == MOTHER)) | \
+              ((fq == MOTHER) & (ft == FATHER))
+        if bad.any():
+            paf[rid] = rec.take(np.flatnonzero(~bad))
+            n_drop += int(bad.sum())
+    log("drop_edges_by_trio", f"dropped {n_drop} cross-hap overlaps")
 
 
 def _dump_ec_fasta(store: ReadStore, path: str) -> None:
