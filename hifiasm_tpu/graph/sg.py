@@ -208,6 +208,8 @@ def normalize_paf(paf: PafStore, lens: np.ndarray) -> PafStore:
     sel = sel[np.argsort(a_qn[sel], kind="stable")]
 
     out = PafStore(len(paf))
+    if len(sel) == 0:
+        return out
     # group by query read
     qsel = a_qn[sel]
     bounds = np.flatnonzero(np.diff(qsel)) + 1

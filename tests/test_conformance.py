@@ -70,3 +70,48 @@ def test_matches_reference_contigs(rng, tmp_path):
         (ours_tot, ref_tot)
     for c in ours:
         assert _identity(c, gk) > 0.98
+
+
+def test_overlap_set_matches_reference_paf(rng, tmp_path):
+    """Compare final overlap PAIRS against the reference's --write-paf dump
+    (the golden-file strategy of SURVEY §4)."""
+    L = 24000
+    g = make_genome(rng, L)
+    reads, _, _ = sample_reads(rng, g, depth=12, read_len=3000,
+                               err_rate=0.002)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+    subprocess.run([REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r1",
+                    "--write-paf", str(fa)], capture_output=True,
+                   check=True, timeout=600)
+    import glob
+    paf_files = glob.glob(str(tmp_path / "ref*.paf"))
+    assert paf_files, "reference produced no PAF dump"
+    ref_pairs = set()
+    for pf in paf_files:
+        if "1.paf" in pf:          # trans overlaps: skip
+            continue
+        for ln in open(pf):
+            c = ln.split("\t")
+            if len(c) > 6:
+                ref_pairs.add((c[0], c[5]))
+
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.ec.pipeline import run_ec
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(n_rounds_ec=1)
+    ec = run_ec(store, cfg, None)
+    our_pairs = set()
+    for rid in range(store.n_reads):
+        for t in ec.paf[rid].tn:
+            our_pairs.add((f"r{rid}", f"r{int(t)}"))
+    inter = len(our_pairs & ref_pairs)
+    union = len(our_pairs | ref_pairs)
+    jac = inter / max(union, 1)
+    rec = inter / max(len(ref_pairs), 1)
+    assert rec > 0.9, f"missing reference overlaps: recall={rec:.3f}"
+    assert jac > 0.75, f"overlap sets diverge: jaccard={jac:.3f}"
