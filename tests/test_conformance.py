@@ -115,3 +115,41 @@ def test_overlap_set_matches_reference_paf(rng, tmp_path):
     rec = inter / max(len(ref_pairs), 1)
     assert rec > 0.9, f"missing reference overlaps: recall={rec:.3f}"
     assert jac > 0.75, f"overlap sets diverge: jaccard={jac:.3f}"
+
+
+def test_diploid_hap_sizes_match_reference(rng, tmp_path):
+    """Diploid sample: primary+alternate partitioning should recover about
+    one haplotype each, like the reference's bp outputs."""
+    L = 20000
+    h1, h2 = make_genome(rng, L, het_rate=0.004)
+    r1, _, _ = sample_reads(rng, h1, depth=12, read_len=2600,
+                            err_rate=0.002)
+    r2, _, _ = sample_reads(rng, h2, depth=12, read_len=2600,
+                            err_rate=0.002)
+    reads = r1 + r2
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+    subprocess.run([REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r1",
+                    str(fa)], capture_output=True, check=True, timeout=900)
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(output_prefix=str(tmp_path / "ours"),
+                        n_rounds_ec=1)
+    from hifiasm_tpu.assemble import assemble
+    assemble(store, cfg)
+
+    def total_s(path):
+        return sum(len(ln.split("\t")[2]) for ln in open(path)
+                   if ln.startswith("S\t"))
+
+    ref_h1 = total_s(str(tmp_path / "ref.bp.hap1.p_ctg.gfa"))
+    ref_h2 = total_s(str(tmp_path / "ref.bp.hap2.p_ctg.gfa"))
+    our_h1 = total_s(str(tmp_path / "ours.bp.hap1.p_ctg.gfa"))
+    our_h2 = total_s(str(tmp_path / "ours.bp.hap2.p_ctg.gfa"))
+    # each haplotype output should be ~one genome copy for both tools
+    for v in (ref_h1, ref_h2, our_h1, our_h2):
+        assert 0.6 * L < v < 1.6 * L, \
+            (ref_h1, ref_h2, our_h1, our_h2)

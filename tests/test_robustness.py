@@ -69,3 +69,18 @@ def test_adapter_trim(rng):
         np.testing.assert_array_equal(store.get_codes(0), seqs[0][25:-25])
     finally:
         os.unlink(path)
+
+
+def test_ont_mode_smoke(rng, tmp_path):
+    """--ont: smaller EC windows; pipeline must still assemble."""
+    g = make_genome(rng, 8000)
+    reads, _, _ = sample_reads(rng, g, depth=12, read_len=1800,
+                               err_rate=0.01)
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(output_prefix=str(tmp_path / "a"), n_rounds_ec=1,
+                        is_ont=True, max_ov_diff_ec=0.08,
+                        max_ov_diff_final=0.06)
+    res = assemble(store, cfg, write_outputs=False)
+    assert res.ec.paf.total > 0
+    assert len(res.ug) >= 1
