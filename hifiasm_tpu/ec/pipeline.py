@@ -18,18 +18,14 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from hifiasm_tpu.config import HifiasmConfig, WINDOW_HC
+from hifiasm_tpu.config import HifiasmConfig
 from hifiasm_tpu.ec.consensus import windowed_consensus
 from hifiasm_tpu.ec.phase import phase_overlaps
-from hifiasm_tpu.ec.window_align import (
-    OverlapTracebacks, WindowBatcher, align_overlaps,
-)
+from hifiasm_tpu.ec.window_align import OverlapTracebacks, WindowBatcher
 from hifiasm_tpu.index.pos_table import FilterTable, build_position_table
 from hifiasm_tpu.io.readstore import ReadStore, revcomp_codes
 from hifiasm_tpu.ops.chain import ChainParams
-from hifiasm_tpu.overlap.anchors import (
-    OverlapRegions, chain_anchors, collect_anchors,
-)
+from hifiasm_tpu.overlap.anchors import OverlapRegions, collect_anchors
 from hifiasm_tpu.overlap.paf import PafRecords, PafStore
 from hifiasm_tpu.utils.logging import log
 
