@@ -67,6 +67,7 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
                 continue  # interior of a chain
         # walk forward
         path = [v0]
+        seen_local = {v0}
         lens = []
         v = v0
         circ = False
@@ -80,7 +81,10 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
                 circ = True
                 lens.append(l)
                 break
+            if w in seen_local or (w ^ 1) in seen_local:
+                break                       # rho-shaped walk: stop cleanly
             path.append(w)
+            seen_local.add(w)
             lens.append(l)
             v = w
         if not circ:
@@ -100,23 +104,34 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
         if visited[v0] or g.seq_del[v0 >> 1]:
             continue
         path = [v0]
+        seen_local = {v0}
         lens = []
         v = v0
+        circ = False
         while True:
             w, l = single_next(v)
-            if w is None or w == v0:
-                if w == v0:
-                    lens.append(l)
+            if w is None:
                 break
+            if w == v0:
+                circ = True
+                lens.append(l)
+                break
+            if w in seen_local or (w ^ 1) in seen_local:
+                break                       # rho walk, not a clean circle
             path.append(w)
+            seen_local.add(w)
             lens.append(l)
             v = w
+        if not circ:
+            lens.append(int(g.seq_len[path[-1] >> 1]))
         for p in path:
             visited[p] = True
             visited[p ^ 1] = True
         node_len = np.array(lens, np.int64)
-        ug.utgs.append(Unitig(np.array(path, np.uint32), node_len,
-                              int(node_len.sum()), True, -1, -1))
+        ug.utgs.append(Unitig(
+            np.array(path, np.uint32), node_len, int(node_len.sum()),
+            circ, path[0] if not circ else -1,
+            (path[-1] ^ 1) if not circ else -1))
 
     _link_unitig_arcs(g, ug)
     log("ma_ug_gen", f"{len(ug)} unitigs")

@@ -49,8 +49,45 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ht_coverage_sub.restype = None
     lib.ht_coverage_sub.argtypes = [
         ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p, i64p]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.ht_banded_batch.restype = ctypes.c_int64
+    lib.ht_banded_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u8p, i64p, u8p, i64p, ctypes.c_int64,
+        i32p, i32p, i32p, u8p, u8p, u8p, ctypes.c_int32]
     _lib = lib
     return _lib
+
+
+def banded_batch_native(x, xlen, y, ylen, e: int, traceback: bool = True):
+    """Native banded Myers engine (engine-API compatible); None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from hifiasm_tpu.ops.banded_batch import BatchAlign
+
+    B, XL = x.shape
+    YL = y.shape[1]
+    err = np.zeros(B, np.int32)
+    ys = np.zeros(B, np.int32)
+    yn = np.zeros(B, np.int32)
+    tb = np.empty(B * XL, np.uint8)
+    ic = np.empty(B * XL, np.uint8)
+    ib = np.empty(B * XL, np.uint8)
+    rc = lib.ht_banded_batch(
+        B, XL, YL, np.ascontiguousarray(x, np.uint8),
+        np.ascontiguousarray(xlen, np.int64),
+        np.ascontiguousarray(y, np.uint8),
+        np.ascontiguousarray(ylen, np.int64), e, err, ys, yn, tb, ic, ib,
+        1 if traceback else 0)
+    if rc != 0:
+        raise AssertionError(f"native traceback stuck at problem {-rc - 1}")
+    if not traceback:
+        tb[:] = 5
+        ic[:] = 0
+        ib[:] = 0
+    return BatchAlign(err, ys, yn, tb.reshape(B, XL), ic.reshape(B, XL),
+                      ib.reshape(B, XL))
 
 
 def trans_reduce(idx_s, idx_n, av, alen, seq_del, del_, fuzz: int
