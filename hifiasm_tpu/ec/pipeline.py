@@ -89,8 +89,8 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
 
 def _use_device(cfg: HifiasmConfig) -> bool:
     from hifiasm_tpu.ec.window_align import resolve_engine
-    from hifiasm_tpu.ops.banded_batch import banded_batch_np
-    return resolve_engine(cfg.align_engine) is not banded_batch_np
+    eng = resolve_engine(cfg.align_engine)
+    return getattr(eng, "__module__", "").endswith("banded_align_jax")
 
 
 def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov):

@@ -30,17 +30,29 @@ Engine = Callable[..., "BatchAlign"]  # (x, xlen, y, ylen, e) -> BatchAlign
 
 
 def resolve_engine(name: str = "auto") -> Engine:
-    """auto -> device engine on TPU backends, numpy host engine on CPU."""
+    """auto -> device engine on TPU backends; native C++ then numpy on
+    CPU."""
     if name == "numpy":
         return banded_batch_np
     if name == "jax":
         from hifiasm_tpu.ops.banded_align_jax import banded_batch_jax
         return banded_batch_jax
+    if name == "native":
+        from hifiasm_tpu.native import banded_batch_native, get_lib
+        if get_lib() is None:
+            raise RuntimeError("native engine unavailable (build failed)")
+        return banded_batch_native
     try:
         import jax
         if jax.default_backend() not in ("cpu",):
             from hifiasm_tpu.ops.banded_align_jax import banded_batch_jax
             return banded_batch_jax
+    except Exception:
+        pass
+    try:
+        from hifiasm_tpu.native import get_lib, banded_batch_native
+        if get_lib() is not None:
+            return banded_batch_native
     except Exception:
         pass
     return banded_batch_np

@@ -46,3 +46,53 @@ def test_trans_reduce_matches_python(rng):
         nat.trans_reduce = orig
     assert n1 == (np.array(g1.del_) == 1).sum()
     assert n1 == n2
+
+
+def test_native_banded_matches_numpy(rng):
+    from hifiasm_tpu.native import banded_batch_native
+    from hifiasm_tpu.ops.banded_batch import banded_batch_np
+    from tests.test_banded_batch import _mk_problems
+
+    for e in (7, 31):
+        xs, ys = _mk_problems(rng, 30, e)
+        B = len(xs)
+        XL = max(len(x) for x in xs)
+        YL = XL + 2 * e
+        xb = np.full((B, XL), 4, np.uint8)
+        yb = np.full((B, YL), 4, np.uint8)
+        xlen = np.array([len(x) for x in xs])
+        ylen = np.array([min(len(y), YL) for y in ys])
+        for i in range(B):
+            xb[i, :xlen[i]] = xs[i]
+            yb[i, :ylen[i]] = ys[i][:ylen[i]]
+        ref = banded_batch_np(xb, xlen, yb, ylen, e)
+        out = banded_batch_native(xb, xlen, yb, ylen, e)
+        assert out is not None
+        np.testing.assert_array_equal(out.err, ref.err)
+        okm = ref.err >= 0
+        np.testing.assert_array_equal(out.y_end[okm], ref.y_end[okm])
+        np.testing.assert_array_equal(out.y_start[okm], ref.y_start[okm])
+        np.testing.assert_array_equal(out.tb_base[okm], ref.tb_base[okm])
+        np.testing.assert_array_equal(out.ins_cnt[okm], ref.ins_cnt[okm])
+        np.testing.assert_array_equal(out.ins_base[okm], ref.ins_base[okm])
+
+
+def test_native_banded_speed(rng):
+    """Sanity: native engine should be much faster than numpy."""
+    import time
+    from hifiasm_tpu.native import banded_batch_native
+    from hifiasm_tpu.ops.banded_batch import banded_batch_np
+
+    e, XL, B = 31, 775, 512
+    YL = XL + 2 * e
+    y = rng.integers(0, 4, (B, YL)).astype(np.uint8)
+    x = y[:, e:e + XL].copy()
+    xlen = np.full(B, XL, np.int64)
+    ylen = np.full(B, YL, np.int64)
+    t0 = time.time()
+    banded_batch_native(x, xlen, y, ylen, e)
+    t_nat = time.time() - t0
+    t0 = time.time()
+    banded_batch_np(x, xlen, y, ylen, e)
+    t_np = time.time() - t0
+    assert t_nat < t_np, (t_nat, t_np)
