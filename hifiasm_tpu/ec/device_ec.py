@@ -356,7 +356,13 @@ class DeviceEC:
         n_flip_h = np.asarray(n_flip)
         _mark("L3 het agree")
         from hifiasm_tpu.ec.phase import classify_overlaps
-        is_match_all = classify_overlaps(full, n_same_h, n_flip_h)
+        is_match_all = np.zeros(n_ov_tot, np.uint8)
+        for rid, ov in read_ovs:
+            b = ov_base[rid]
+            sl = slice(b, b + len(ov))
+            is_match_all[sl] = classify_overlaps(
+                full[sl], n_same_h[sl], n_flip_h[sl],
+                len(het_per_read[rid][0]))
 
         # ---- L4: cis-only votes + insertion aggregates ----
         votes = jnp.zeros(R * L * 5, jnp.int32)

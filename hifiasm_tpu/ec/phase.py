@@ -59,11 +59,18 @@ def het_from_counts(q: np.ndarray, cnt: np.ndarray, min_het_occ: int = 2
 
 
 def classify_overlaps(usable: np.ndarray, n_same: np.ndarray,
-                      n_flip: np.ndarray) -> np.ndarray:
-    """is_match per overlap: 1 cis, 2 trans (flip wins), 0 unusable."""
+                      n_flip: np.ndarray, n_het_read: int = 0) -> np.ndarray:
+    """is_match per overlap: 1 cis, 2 trans (flip wins), 0 unusable.
+
+    An isolated het site can be a consensus-boundary artifact of the EC
+    round — on haploid data such a site otherwise flips half the local
+    overlaps and shatters the graph.  So on reads with < 3 het sites a
+    trans flip needs >= 2 supporting sites; genuinely heterozygous reads
+    (>= 3 sites) flip on standard majority evidence."""
     is_match = np.zeros(len(usable), np.uint8)
     is_match[usable] = 1
-    is_match[usable & (n_flip > n_same)] = 2
+    min_flip = 1 if n_het_read >= 3 else 2
+    is_match[usable & (n_flip > n_same) & (n_flip >= min_flip)] = 2
     return is_match
 
 
@@ -101,5 +108,5 @@ def phase_overlaps(q: np.ndarray, ov: OverlapRegions, tbs: OverlapTracebacks,
     n_flip = np.zeros(n_ov, np.int64)
     np.add.at(n_same, oh[th == qa[ph]], 1)
     np.add.at(n_flip, oh[th == site_alt[ph]], 1)
-    is_match = classify_overlaps(usable, n_same, n_flip)
+    is_match = classify_overlaps(usable, n_same, n_flip, len(het_sites))
     return PhaseResult(is_match, het_sites, site_alt[het_sites])
