@@ -55,6 +55,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         u8p, i64p, u8p, i64p, ctypes.c_int64,
         i32p, i32p, i32p, u8p, u8p, u8p, ctypes.c_int32]
+    lib.ht_chain_dp.restype = None
+    lib.ht_chain_dp.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, i64p, i64p]
     _lib = lib
     return _lib
 
@@ -88,6 +93,24 @@ def banded_batch_native(x, xlen, y, ylen, e: int, traceback: bool = True):
         ib[:] = 0
     return BatchAlign(err, ys, yn, tb.reshape(B, XL), ic.reshape(B, XL),
                       ib.reshape(B, XL))
+
+
+def chain_dp_native(self_off, t_off, span, weight, xl: int, yl: int, p):
+    """Native chain DP for one anchor group -> (f, pre) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(self_off)
+    f = np.zeros(n, np.int64)
+    pre = np.zeros(n, np.int64)
+    lib.ht_chain_dp(
+        n, np.ascontiguousarray(self_off, np.int64),
+        np.ascontiguousarray(t_off, np.int64),
+        np.ascontiguousarray(span, np.int64),
+        np.ascontiguousarray(weight, np.int64),
+        xl, yl, p.max_iter, p.bw_rate, p.chn_pen_gap, p.chn_pen_skip,
+        f, pre)
+    return f, pre
 
 
 def trans_reduce(idx_s, idx_n, av, alen, seq_del, del_, fuzz: int

@@ -187,3 +187,57 @@ extern "C" int64_t ht_banded_batch(
     }
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Anchor-chain DP, one group at a time (scalar port of
+// ops/chain.chain_scores_batch_np — identical scoring, incl. the float64
+// penalty math, so results are bit-compatible with the numpy mirror).
+
+#include <cmath>
+
+extern "C" void ht_chain_dp(
+    int64_t n, const int64_t* self_off, const int64_t* t_off,
+    const int64_t* span, const int64_t* weight,
+    int64_t xl, int64_t yl, int64_t max_iter,
+    double bw_rate, double chn_pen_gap, double chn_pen_skip,
+    int64_t* f, int64_t* pre) {
+    const int64_t NEG = -(1LL << 62);
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t si = self_off[i], oi = t_off[i];
+        const int64_t spi = span[i], wi = weight[i];
+        const int64_t st = i - max_iter > 0 ? i - max_iter : 0;
+        int64_t best = NEG, bj = -1;
+        const int64_t sf_r = xl - (si + 1);
+        const int64_t ot_r = yl - (oi + 1);
+        const int64_t sf_e = (sf_r <= ot_r) ? xl : si + 1 + ot_r;
+        for (int64_t j = st; j < i; ++j) {
+            const int64_t dq = si - self_off[j];
+            const int64_t dr = oi - t_off[j];
+            if (dq <= 0 || dr <= 0) continue;
+            const int64_t dd = dr > dq ? dr - dq : dq - dr;
+            const int64_t dg = dr < dq ? dr : dq;
+            const int64_t sf_s = self_off[j] <= t_off[j]
+                                     ? 0 : self_off[j] - t_off[j];
+            const int64_t bw = (int64_t)((double)(sf_e - sf_s) * bw_rate);
+            if (!(dd <= 16 || dd <= bw)) continue;
+            int64_t sc = spi < dg ? spi : dg;
+            sc = (sc >= wi) ? sc / (wi > 1 ? wi : 1) : 1;
+            int64_t pen = 0;
+            if (dd != 0 || dg > spi) {
+                double lin = chn_pen_gap * (double)dd;
+                const double dgm = dg > 1 ? (double)dg : 1.0;
+                const double a_pen =
+                    (double)sc * ((double)dd / dgm) / bw_rate;
+                lin = (dd < 4) ? (lin < a_pen ? lin : a_pen)
+                               : (lin > a_pen ? lin : a_pen);
+                lin += chn_pen_skip * (double)dg;
+                pen = (int64_t)lin;
+            }
+            const int64_t pair = sc - pen;
+            const int64_t tot = (f[j] == NEG) ? NEG : pair + f[j];
+            if (tot > best) { best = tot; bj = j; }
+        }
+        if (best > spi) { f[i] = best; pre[i] = bj; }
+        else { f[i] = spi; pre[i] = -1; }
+    }
+}

@@ -198,6 +198,34 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
             groups.append((ridx, s, e, int(an.tid[s]),
                            int(tlens[an.tid[s]])))
 
+    # native scalar DP on host when available (no padding waste, ~C speed)
+    if not use_device:
+        try:
+            from hifiasm_tpu.native import chain_dp_native, get_lib
+            if get_lib() is not None:
+                out = []
+                chains_of = {}
+                for g, (ridx, s, e, tid, yl) in enumerate(groups):
+                    _, an, rlen = reads[ridx]
+                    fp = chain_dp_native(
+                        an.self_off[s:e], an.t_off[s:e], an.span[s:e],
+                        an.weight[s:e], rlen, yl, params)
+                    f, pre = fp
+                    chains_of[g] = extract_chains(
+                        f, pre, an.self_off[s:e].astype(np.int64),
+                        an.t_off[s:e].astype(np.int64), rlen, yl, params)
+                g_by_read = {}
+                for g, (ridx, s, e, tid, yl) in enumerate(groups):
+                    g_by_read.setdefault(ridx, []).append(g)
+                for ridx, (rid, an, rlen) in enumerate(reads):
+                    out.append(_assemble_regions(
+                        rid, an, rlen, tlens,
+                        [(groups[g], chains_of[g])
+                         for g in g_by_read.get(ridx, [])], max_n_chain))
+                return out
+        except Exception:
+            pass
+
     # score in size buckets
     chains_of = {}
     sizes = np.array([e - s for _, s, e, _, _ in groups], np.int64)

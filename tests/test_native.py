@@ -96,3 +96,25 @@ def test_native_banded_speed(rng):
     banded_batch_np(x, xlen, y, ylen, e)
     t_np = time.time() - t0
     assert t_nat < t_np, (t_nat, t_np)
+
+
+def test_native_chain_matches_numpy(rng):
+    from hifiasm_tpu.native import chain_dp_native
+    from hifiasm_tpu.ops.chain import ChainParams, chain_scores_batch_np
+
+    p = ChainParams.for_k(51)
+    for _ in range(10):
+        n = int(rng.integers(5, 200))
+        so = np.sort(rng.choice(np.arange(50, 5000), n, replace=False))
+        to = so + 40 + np.cumsum(rng.integers(-1, 2, n))
+        sp = np.full(n, 51)
+        w = rng.integers(1, 3, n).astype(np.int64)
+        xl = yl = 5100
+        f_np, pre_np = chain_scores_batch_np(
+            so[None], to[None], sp[None], w[None], np.array([n]),
+            np.array([xl]), np.array([yl]), p)
+        out = chain_dp_native(so, to, sp, w, xl, yl, p)
+        assert out is not None
+        f_nat, pre_nat = out
+        np.testing.assert_array_equal(f_nat, f_np[0])
+        np.testing.assert_array_equal(pre_nat, pre_np[0])
