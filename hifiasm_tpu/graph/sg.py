@@ -174,16 +174,15 @@ def normalize_paf(paf: PafStore, lens: np.ndarray) -> PafStore:
     deduped per (q,t,rev) keeping max ml (~normalize_ma_hit_t_single_side_
     advance, Overlaps.cpp:39362)."""
     qn, c = paf.flatten()
-    qlen = lens[qn].astype(np.int64)
-    tlen = lens[c["tn"]].astype(np.int64)
-    # reciprocal records
+    # reciprocal records: ma_hit_t keeps qs/qe and ts/te each in their own
+    # read's FORWARD frame (rev only records the relative orientation), so
+    # the reciprocal is a plain swap of the two coordinate pairs
     r_qn = c["tn"].astype(np.uint32)
     r_tn = qn.astype(np.uint32)
-    rev = c["rev"].astype(bool)
-    r_qs = np.where(~rev, c["ts"], c["ts"])
-    r_qe = np.where(~rev, c["te"], c["te"])
-    r_ts = np.where(~rev, c["qs"], qlen - c["qe"])
-    r_te = np.where(~rev, c["qe"], qlen - c["qs"])
+    r_qs = c["ts"]
+    r_qe = c["te"]
+    r_ts = c["qs"]
+    r_te = c["qe"]
 
     a_qn = np.concatenate([qn, r_qn])
     a_tn = np.concatenate([c["tn"], r_tn])
