@@ -105,7 +105,10 @@ class HifiasmConfig:
     read_batch: int = 64                  # reads per device batch
     max_read_len: int = 65536             # padded read length cap
     use_pallas: bool = True               # use Pallas kernels when on TPU
-    align_engine: str = "auto"            # auto | jax | numpy
+    align_engine: str = "auto"            # auto | jax | native | numpy
+    # below this input size the device path cannot amortize its launch
+    # costs; route EC to the native host engine instead (auto mode only)
+    device_min_bases: int = 50_000_000
 
     def update_cov(self, hom_cov: int, het_cov: int = -1024) -> None:
         """Coverage-derived config update (~ha_opt_update_cov)."""

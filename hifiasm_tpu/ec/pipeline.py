@@ -59,6 +59,22 @@ class _TargetCache:
         self._rc.clear()
 
 
+def _host_engine(cfg: HifiasmConfig):
+    """Host-side engine for the batched window flow: native > numpy."""
+    from hifiasm_tpu.ec.window_align import resolve_engine
+
+    if cfg.align_engine in ("numpy", "native"):
+        return resolve_engine(cfg.align_engine)
+    try:
+        from hifiasm_tpu.native import banded_batch_native, get_lib
+        if get_lib() is not None:
+            return banded_batch_native
+    except Exception:
+        pass
+    from hifiasm_tpu.ops.banded_batch import banded_batch_np
+    return banded_batch_np
+
+
 def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
                           e_rate: float, get_target):
     """Yield (rid, q, ov, tbs) with windows aligned in cross-read batches.
@@ -67,11 +83,10 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
     runs ALL windows of the batch through the alignment engine in large
     fixed-shape launches (the TPU execution shape); pass 2 yields per read.
     """
-    from hifiasm_tpu.ec.window_align import resolve_engine
     from hifiasm_tpu.overlap.anchors import chain_many
 
     cp = ChainParams.for_k(cfg.k)
-    engine = resolve_engine(cfg.align_engine)
+    engine = _host_engine(cfg)
     bs = max(1, cfg.read_batch)
     for b0 in range(0, store.n_reads, bs):
         rids = range(b0, min(b0 + bs, store.n_reads))
@@ -87,10 +102,15 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
         yield from planned
 
 
-def _use_device(cfg: HifiasmConfig) -> bool:
+def _use_device(cfg: HifiasmConfig, total_bases: int = 0) -> bool:
     from hifiasm_tpu.ec.window_align import resolve_engine
     eng = resolve_engine(cfg.align_engine)
-    return getattr(eng, "__module__", "").endswith("banded_align_jax")
+    if not getattr(eng, "__module__", "").endswith("banded_align_jax"):
+        return False
+    if cfg.align_engine == "jax":
+        return True               # explicit request
+    # auto: small inputs can't amortize device launches; use host native
+    return total_bases >= cfg.device_min_bases
 
 
 def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov):
@@ -116,7 +136,7 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
     hom_cov = peak_hom if peak_hom > 0 else cfg.hom_cov
     new_seqs = {}
     n_corr = 0
-    if _use_device(cfg):
+    if _use_device(cfg, store.total_bases):
         from hifiasm_tpu.ec.consensus import consensus_from_votes
         from hifiasm_tpu.ec.device_ec import (
             DeviceEC, consensus_inputs_for_read,
@@ -199,7 +219,7 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
     hom_cov = peak_hom if peak_hom > 0 else cfg.hom_cov
     paf = PafStore(store.n_reads)
     rev_paf = PafStore(store.n_reads)
-    if _use_device(cfg):
+    if _use_device(cfg, store.total_bases):
         from hifiasm_tpu.ec.device_ec import DeviceEC
         dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_final)
         read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov)
