@@ -94,21 +94,24 @@ def windowed_consensus(q: np.ndarray, ov: OverlapRegions,
     informative = tb <= 4
     qpos_i, tb_i = qpos[informative], tb[informative]
 
-    # votes per (position, symbol 0..4 where 4 = delete the query base)
-    votes = np.zeros((qlen, 5), np.int32)
-    np.add.at(votes, (qpos_i, tb_i), 1)
+    # votes per (position, symbol 0..4 where 4 = delete the query base);
+    # bincount beats np.add.at by ~20x on these scatter-adds
+    votes = np.bincount(qpos_i * 5 + tb_i.astype(np.int64),
+                        minlength=qlen * 5).reshape(qlen, 5).astype(np.int32)
     votes[np.arange(qlen), np.clip(q, 0, 3)] += np.int32(1)
 
     # insertion votes after each position (voters = cis slots with aligned tb)
     has_ins = informative & (icnt > 0)
-    ins_tot = np.zeros(qlen, np.int32)
-    np.add.at(ins_tot, qpos[has_ins], 1)
-    ins_base_cnt = np.zeros((qlen, 4), np.int32)
-    ib = np.clip(ibase[has_ins], 0, 3)
-    np.add.at(ins_base_cnt, (qpos[has_ins], ib), 1)
-    ins_len_cnt = np.zeros((qlen, MAX_INS_TRACK + 1), np.int32)
-    il = np.clip(icnt[has_ins], 0, MAX_INS_TRACK)
-    np.add.at(ins_len_cnt, (qpos[has_ins], il), 1)
+    qpos_h = qpos[has_ins]
+    ins_tot = np.bincount(qpos_h, minlength=qlen).astype(np.int32)
+    ib = np.clip(ibase[has_ins], 0, 3).astype(np.int64)
+    ins_base_cnt = np.bincount(qpos_h * 4 + ib, minlength=qlen * 4
+                               ).reshape(qlen, 4).astype(np.int32)
+    il = np.clip(icnt[has_ins], 0, MAX_INS_TRACK).astype(np.int64)
+    ins_len_cnt = np.bincount(
+        qpos_h * (MAX_INS_TRACK + 1) + il,
+        minlength=qlen * (MAX_INS_TRACK + 1)
+    ).reshape(qlen, MAX_INS_TRACK + 1).astype(np.int32)
     ins_base = np.argmax(ins_base_cnt, axis=1).astype(np.uint8)
     ins_len = (np.argmax(ins_len_cnt[:, 1:], axis=1) + 1).astype(np.int64)
 

@@ -34,9 +34,14 @@ def _positions(ov: OverlapRegions, tbs: OverlapTracebacks, usable: np.ndarray):
     """Flat (ov_idx, qpos) for every CSR slot of usable overlaps."""
     spans = (ov.x_e - ov.x_s + 1).astype(np.int64)
     oidx = np.repeat(np.arange(len(ov)), spans)
-    qpos = np.concatenate([
-        np.arange(int(ov.x_s[o]), int(ov.x_e[o]) + 1) for o in range(len(ov))
-    ]) if len(ov) else np.zeros(0, np.int64)
+    if len(ov):
+        off = np.concatenate([[0], np.cumsum(spans)])
+        tot = int(off[-1])
+        # segmented arange: x_s[o] + local offset within each overlap
+        qpos = np.repeat(ov.x_s.astype(np.int64), spans) + \
+            (np.arange(tot) - np.repeat(off[:-1], spans))
+    else:
+        qpos = np.zeros(0, np.int64)
     keep = usable[oidx]
     return oidx[keep], qpos[keep], keep
 
@@ -91,8 +96,9 @@ def phase_overlaps(q: np.ndarray, ov: OverlapRegions, tbs: OverlapTracebacks,
 
     qlen = len(q)
     # allele counts per (position, base); query contributes its own allele
-    cnt = np.zeros((qlen, 4), np.int32)
-    np.add.at(cnt, (qpos_a, tb_a), 1)
+    # (bincount is ~20x faster than np.add.at for these scatter-adds)
+    cnt = np.bincount(qpos_a * 4 + tb_a, minlength=qlen * 4
+                      ).reshape(qlen, 4).astype(np.int32)
     cnt[np.arange(qlen), np.clip(q, 0, 3)] += np.int32(1)
     het_sites, site_alt = het_from_counts(q, cnt, min_het_occ)
     if len(het_sites) == 0:
@@ -104,9 +110,8 @@ def phase_overlaps(q: np.ndarray, ov: OverlapRegions, tbs: OverlapTracebacks,
     het_mask[het_sites] = True
     at_het = het_mask[qpos_a]
     oh, ph, th = oidx_a[at_het], qpos_a[at_het], tb_a[at_het]
-    n_same = np.zeros(n_ov, np.int64)
-    n_flip = np.zeros(n_ov, np.int64)
-    np.add.at(n_same, oh[th == qa[ph]], 1)
-    np.add.at(n_flip, oh[th == site_alt[ph]], 1)
+    n_same = np.bincount(oh[th == qa[ph]], minlength=n_ov).astype(np.int64)
+    n_flip = np.bincount(oh[th == site_alt[ph]],
+                         minlength=n_ov).astype(np.int64)
     is_match = classify_overlaps(usable, n_same, n_flip, len(het_sites))
     return PhaseResult(is_match, het_sites, site_alt[het_sites])

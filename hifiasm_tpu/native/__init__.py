@@ -60,6 +60,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, i64p, i64p, i64p, i64p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, i64p, i64p]
+    lib.ht_chain_groups.restype = ctypes.c_int64
+    lib.ht_chain_groups.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+        i64p, i64p, i64p, i64p, i64p]
     _lib = lib
     return _lib
 
@@ -111,6 +117,38 @@ def chain_dp_native(self_off, t_off, span, weight, xl: int, yl: int, p):
         xl, yl, p.max_iter, p.bw_rate, p.chn_pen_gap, p.chn_pen_skip,
         f, pre)
     return f, pre
+
+
+def chain_groups_native(off, self_off, t_off, span, weight, xl_g, yl_g, p):
+    """All-groups chain DP + traceback + mcopy in one native call.
+
+    Returns (chain_cnt [G], score [G, m], start [G, m], hits [G, m],
+    hit_idx flat) or None. hit_idx holds group-local anchor indices.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    G = len(off) - 1
+    m = p.mcopy_num
+    total = int(off[-1])
+    cnt = np.zeros(G, np.int64)
+    score = np.zeros(G * m, np.int64)
+    start = np.zeros(G * m, np.int64)
+    hits = np.zeros(G * m, np.int64)
+    hit_idx = np.zeros(max(total, 1), np.int64)
+    lib.ht_chain_groups(
+        G, np.ascontiguousarray(off, np.int64),
+        np.ascontiguousarray(self_off, np.int64),
+        np.ascontiguousarray(t_off, np.int64),
+        np.ascontiguousarray(span, np.int64),
+        np.ascontiguousarray(weight, np.int64),
+        np.ascontiguousarray(xl_g, np.int64),
+        np.ascontiguousarray(yl_g, np.int64),
+        p.max_iter, p.bw_rate, p.chn_pen_gap, p.chn_pen_skip,
+        m, p.mcopy_rate, p.mcopy_khit_cut,
+        cnt, score, start, hits, hit_idx)
+    return (cnt, score.reshape(G, m), start.reshape(G, m),
+            hits.reshape(G, m), hit_idx)
 
 
 def trans_reduce(idx_s, idx_n, av, alen, seq_del, del_, fuzz: int

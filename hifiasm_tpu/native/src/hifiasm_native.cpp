@@ -241,3 +241,115 @@ extern "C" void ht_chain_dp(
         else { f[i] = spi; pre[i] = -1; }
     }
 }
+
+// ---------------------------------------------------------------------------
+// Whole-batch chain scoring + traceback + multi-copy extraction
+// (scalar port of ops/chain.chain_dp_group = chain_scores_batch_np +
+// extract_chains; identical tie-breaking and mcopy semantics).
+
+static inline int64_t chain_len1(int64_t xs, int64_t xl, int64_t ys,
+                                 int64_t yl) {
+    // projected overlap length with xs==xe, ys==ye (get_chainLen)
+    const int64_t xb = xs <= ys ? 0 : xs - ys;
+    const int64_t xr = xl - xs - 1;
+    const int64_t yr = yl - ys - 1;
+    const int64_t xe2 = (xr <= yr) ? xl - 1 : xs + yr;
+    return xe2 - xb + 1;
+}
+
+extern "C" int64_t ht_chain_groups(
+    int64_t G, const int64_t* off,
+    const int64_t* self_off, const int64_t* t_off,
+    const int64_t* span, const int64_t* weight,
+    const int64_t* xl_g, const int64_t* yl_g,
+    int64_t max_iter, double bw_rate, double chn_pen_gap,
+    double chn_pen_skip, int64_t mcopy_num, double mcopy_rate,
+    int64_t mcopy_khit_cut,
+    int64_t* chain_cnt,      // [G]
+    int64_t* chain_score,    // [G * mcopy_num]
+    int64_t* chain_start,    // [G * mcopy_num] into hit_idx
+    int64_t* chain_hits,     // [G * mcopy_num]
+    int64_t* hit_idx) {      // [off[G]] local anchor indices
+    const int64_t NEG = -(1LL << 62);
+    std::vector<int64_t> f, pre, seg;
+    std::vector<uint8_t> used;
+    std::vector<int64_t> cand;
+    int64_t hit_ptr = 0;
+    for (int64_t g = 0; g < G; ++g) {
+        const int64_t s = off[g], n = off[g + 1] - off[g];
+        chain_cnt[g] = 0;
+        if (n == 0) continue;
+        const int64_t xl = xl_g[g], yl = yl_g[g];
+        f.assign(n, 0); pre.assign(n, -1); used.assign(n, 0);
+        ht_chain_dp(n, self_off + s, t_off + s, span + s, weight + s,
+                    xl, yl, max_iter, bw_rate, chn_pen_gap, chn_pen_skip,
+                    f.data(), pre.data());
+        // best chain, tie -> smaller projected overlap length
+        int64_t msc = NEG, fmin = f[0];
+        for (int64_t i = 0; i < n; ++i) {
+            if (f[i] > msc) msc = f[i];
+            if (f[i] < fmin) fmin = f[i];
+        }
+        int64_t msc_i = -1, best_ovl = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            if (f[i] != msc) continue;
+            const int64_t ovl = chain_len1(self_off[s + i], xl,
+                                           t_off[s + i], yl);
+            if (msc_i < 0 || ovl < best_ovl) { msc_i = i; best_ovl = ovl; }
+        }
+        // trace best (ascending order in hit_idx)
+        auto trace = [&](int64_t end, bool stop_at_used) {
+            seg.clear();
+            int64_t i = end;
+            while (i >= 0) {
+                if (used[i]) break;
+                seg.push_back(i);
+                used[i] = 1;
+                i = pre[i];
+            }
+            (void)stop_at_used;
+        };
+        trace(msc_i, false);
+        const int64_t base = g * mcopy_num;
+        chain_score[base] = msc;
+        chain_start[base] = hit_ptr;
+        chain_hits[base] = (int64_t)seg.size();
+        for (int64_t k = (int64_t)seg.size() - 1; k >= 0; --k)
+            hit_idx[hit_ptr++] = seg[k];
+        chain_cnt[g] = 1;
+        const int64_t n_hits0 = (int64_t)seg.size();
+        if (mcopy_num > 1 && n_hits0 >= mcopy_khit_cut) {
+            const int64_t plus = fmin < 0 ? fmin : 0;
+            const int64_t min_sc = (int64_t)((double)(msc - plus)
+                                             * mcopy_rate);
+            cand.clear();
+            for (int64_t i = 0; i < n; ++i)
+                if (!used[i] && f[i] - plus >= min_sc) cand.push_back(i);
+            std::stable_sort(cand.begin(), cand.end(),
+                             [&](int64_t a, int64_t b) {
+                                 return f[a] > f[b];
+                             });
+            for (int64_t e : cand) {
+                if (chain_cnt[g] >= mcopy_num) break;
+                if (used[e]) continue;
+                trace(e, true);
+                if (seg.empty()) continue;
+                const int64_t stop = pre[seg.back()];  // pred of chain head
+                const int64_t fpos_e = f[e] - plus;
+                const int64_t sc = stop < 0 ? fpos_e : f[e] - f[stop];
+                if (sc >= min_sc && (int64_t)seg.size() > 1) {
+                    const int64_t slot = base + chain_cnt[g];
+                    chain_score[slot] = sc + plus;
+                    chain_start[slot] = hit_ptr;
+                    chain_hits[slot] = (int64_t)seg.size();
+                    for (int64_t k = (int64_t)seg.size() - 1; k >= 0; --k)
+                        hit_idx[hit_ptr++] = seg[k];
+                    chain_cnt[g]++;
+                } else {
+                    for (int64_t k : seg) used[k] = 0;
+                }
+            }
+        }
+    }
+    return hit_ptr;
+}

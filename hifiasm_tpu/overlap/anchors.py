@@ -198,22 +198,39 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
             groups.append((ridx, s, e, int(an.tid[s]),
                            int(tlens[an.tid[s]])))
 
-    # native scalar DP on host when available (no padding waste, ~C speed)
+    # native whole-batch DP + traceback on host when available
     if not use_device:
         try:
-            from hifiasm_tpu.native import chain_dp_native, get_lib
+            from hifiasm_tpu.native import chain_groups_native, get_lib
             if get_lib() is not None:
-                out = []
-                chains_of = {}
+                G = len(groups)
+                sizes_l = [e - s for _, s, e, _, _ in groups]
+                off = np.concatenate([[0], np.cumsum(sizes_l)]).astype(
+                    np.int64)
+                so = np.empty(off[-1], np.int64)
+                to = np.empty(off[-1], np.int64)
+                sp = np.empty(off[-1], np.int64)
+                w = np.empty(off[-1], np.int64)
+                xlg = np.empty(G, np.int64)
+                ylg = np.empty(G, np.int64)
                 for g, (ridx, s, e, tid, yl) in enumerate(groups):
                     _, an, rlen = reads[ridx]
-                    fp = chain_dp_native(
-                        an.self_off[s:e], an.t_off[s:e], an.span[s:e],
-                        an.weight[s:e], rlen, yl, params)
-                    f, pre = fp
-                    chains_of[g] = extract_chains(
-                        f, pre, an.self_off[s:e].astype(np.int64),
-                        an.t_off[s:e].astype(np.int64), rlen, yl, params)
+                    sl = slice(off[g], off[g + 1])
+                    so[sl] = an.self_off[s:e]
+                    to[sl] = an.t_off[s:e]
+                    sp[sl] = an.span[s:e]
+                    w[sl] = an.weight[s:e]
+                    xlg[g] = rlen
+                    ylg[g] = yl
+                cnt, score, start, hits, hit_idx = chain_groups_native(
+                    off, so, to, sp, w, xlg, ylg, params)
+                chains_of = {}
+                for g in range(G):
+                    chains_of[g] = [
+                        (int(score[g, c]),
+                         hit_idx[start[g, c]:start[g, c] + hits[g, c]])
+                        for c in range(int(cnt[g]))]
+                out = []
                 g_by_read = {}
                 for g, (ridx, s, e, tid, yl) in enumerate(groups):
                     g_by_read.setdefault(ridx, []).append(g)

@@ -118,3 +118,34 @@ def test_native_chain_matches_numpy(rng):
         f_nat, pre_nat = out
         np.testing.assert_array_equal(f_nat, f_np[0])
         np.testing.assert_array_equal(pre_nat, pre_np[0])
+
+
+def test_native_chain_groups_matches_python(rng):
+    from hifiasm_tpu.native import chain_groups_native
+    from hifiasm_tpu.ops.chain import ChainParams, chain_dp_group
+
+    p = ChainParams.for_k(51)
+    groups = []
+    for _ in range(12):
+        n = int(rng.integers(5, 120))
+        so = np.sort(rng.choice(np.arange(50, 5000), n, replace=False))
+        to = so + 40 + np.cumsum(rng.integers(-1, 2, n))
+        sp = np.full(n, 51)
+        w = rng.integers(1, 3, n).astype(np.int64)
+        groups.append((so.astype(np.int64), to.astype(np.int64), sp, w))
+    off = np.concatenate([[0], np.cumsum([len(g[0]) for g in groups])])
+    so = np.concatenate([g[0] for g in groups])
+    to = np.concatenate([g[1] for g in groups])
+    sp = np.concatenate([g[2] for g in groups])
+    w = np.concatenate([g[3] for g in groups])
+    xl = np.full(len(groups), 5100, np.int64)
+    yl = np.full(len(groups), 5100, np.int64)
+    cnt, score, start, hits, hit_idx = chain_groups_native(
+        off, so, to, sp, w, xl, yl, p)
+    for g, (gso, gto, gsp, gw) in enumerate(groups):
+        want = chain_dp_group(gso, gto, gsp, gw, 5100, 5100, p)
+        assert int(cnt[g]) == len(want)
+        for c, (wsc, widx) in enumerate(want):
+            assert int(score[g, c]) == wsc
+            got = hit_idx[start[g, c]:start[g, c] + hits[g, c]]
+            np.testing.assert_array_equal(got, widx)
