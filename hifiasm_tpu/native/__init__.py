@@ -24,7 +24,7 @@ def _build() -> bool:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
             return True
         r = subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
              "-o", _SO, _SRC],
             capture_output=True, timeout=120)
         return r.returncode == 0 and os.path.exists(_SO)

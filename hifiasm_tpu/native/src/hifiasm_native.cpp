@@ -97,12 +97,20 @@ extern "C" int64_t ht_banded_batch(
     uint8_t* tb_out, uint8_t* ic_out, uint8_t* ib_out, int32_t traceback) {
     const int W = int(2 * e + 1);
     const uint64_t mask = (W >= 64) ? ~0ULL : ((1ULL << W) - 1);
+    int64_t stuck = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
     std::vector<uint64_t> st_vp, st_d0, st_hp;
     if (traceback) {
         st_vp.resize(XL + 1);
         st_d0.resize(XL + 1);
         st_hp.resize(XL + 1);
     }
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
     for (int64_t b = 0; b < B; ++b) {
         const uint8_t* xb = x + b * XL;
         const uint8_t* yb = y + b * YL;
@@ -180,12 +188,17 @@ extern "C" int64_t ht_banded_batch(
                 tbp[i - 1] = 4;
                 --i;
             } else {
-                return -(b + 1);  // traceback stuck: impossible by invariant
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+                stuck = b + 1;  // traceback stuck: impossible by invariant
+                break;
             }
         }
         ys_out[b] = (int32_t)j;
     }
-    return 0;
+    }  // omp parallel
+    return stuck ? -stuck : 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -271,11 +284,18 @@ extern "C" int64_t ht_chain_groups(
     int64_t* chain_hits,     // [G * mcopy_num]
     int64_t* hit_idx) {      // [off[G]] local anchor indices
     const int64_t NEG = -(1LL << 62);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
     std::vector<int64_t> f, pre, seg;
     std::vector<uint8_t> used;
     std::vector<int64_t> cand;
-    int64_t hit_ptr = 0;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
     for (int64_t g = 0; g < G; ++g) {
+        int64_t hit_ptr = off[g];  // each group's chains fit its CSR slice
         const int64_t s = off[g], n = off[g + 1] - off[g];
         chain_cnt[g] = 0;
         if (n == 0) continue;
@@ -351,5 +371,6 @@ extern "C" int64_t ht_chain_groups(
             }
         }
     }
-    return hit_ptr;
+    }  // omp parallel
+    return off[G];
 }
