@@ -60,15 +60,19 @@ class _TargetCache:
 
 
 def _host_engine(cfg: HifiasmConfig):
-    """Host-side engine for the batched window flow: native > numpy."""
+    """Host-side engine for the batched window flow.
+
+    Returns None to select the zero-copy native job path inside
+    WindowBatcher (auto/native when the library is available); otherwise
+    an explicit engine callable."""
     from hifiasm_tpu.ec.window_align import resolve_engine
 
-    if cfg.align_engine in ("numpy", "native"):
+    if cfg.align_engine in ("numpy", "jax"):
         return resolve_engine(cfg.align_engine)
     try:
-        from hifiasm_tpu.native import banded_batch_native, get_lib
+        from hifiasm_tpu.native import get_lib
         if get_lib() is not None:
-            return banded_batch_native
+            return None                   # zero-copy native job path
     except Exception:
         pass
     from hifiasm_tpu.ops.banded_batch import banded_batch_np

@@ -98,31 +98,34 @@ def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float):
     budget), last (final window of its overlap).  Shared by the host
     WindowBatcher and the device-resident EC planner.
     """
-    o_l, ws_l, wlen_l, tws_l, thre_l, last_l = [], [], [], [], [], []
-    for o in range(len(ov)):
-        xs, xe = int(ov.x_s[o]), int(ov.x_e[o])
+    n_ov = len(ov)
+    if n_ov == 0:
+        z = np.zeros(0, np.int64)
+        return dict(ov_idx=z, ws=z, wlen=z, t_ws=z, thre=z,
+                    last=np.zeros(0, bool))
+    spans = (ov.x_e - ov.x_s + 1).astype(np.int64)
+    n_win = -(-spans // wl)                      # ceil per overlap
+    tot = int(n_win.sum())
+    ov_idx = np.repeat(np.arange(n_ov), n_win)
+    woff = np.concatenate([[0], np.cumsum(n_win)])
+    local = np.arange(tot) - np.repeat(woff[:-1], n_win)
+    ws = np.repeat(ov.x_s.astype(np.int64), n_win) + local * wl
+    xe_r = np.repeat(ov.x_e.astype(np.int64), n_win)
+    wlen = np.minimum(wl, xe_r - ws + 1)
+    last = ws + wlen > xe_r
+    # nearest chain hit at-or-after each window start (anchor offsets are
+    # k-mer ENDS, so a hit >= ws constrains the window best)
+    t_ws = np.empty(tot, np.int64)
+    for o in range(n_ov):
         hs = ov.hit_self[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
         ht = ov.hit_t[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
-        ws = xs
-        while ws <= xe:
-            wlen = min(wl, xe - ws + 1)
-            # nearest chain hit at-or-after the window start (anchor
-            # offsets are k-mer ENDS, so a hit >= ws constrains it best)
-            hi = min(int(np.searchsorted(hs, ws)), len(hs) - 1)
-            t_ws = int(ht[hi]) + (ws - int(hs[hi]))
-            o_l.append(o)
-            ws_l.append(ws)
-            wlen_l.append(wlen)
-            tws_l.append(t_ws)
-            thre_l.append(_window_threshold(wlen, e_rate))
-            last_l.append(ws + wlen > xe)
-            ws += wlen
-    return dict(ov_idx=np.array(o_l, np.int64),
-                ws=np.array(ws_l, np.int64),
-                wlen=np.array(wlen_l, np.int64),
-                t_ws=np.array(tws_l, np.int64),
-                thre=np.array(thre_l, np.int64),
-                last=np.array(last_l, bool))
+        sl = slice(int(woff[o]), int(woff[o + 1]))
+        hi = np.minimum(np.searchsorted(hs, ws[sl]), len(hs) - 1)
+        t_ws[sl] = ht[hi] + (ws[sl] - hs[hi])
+    thre = np.clip(np.ceil(wlen * e_rate).astype(np.int64), 2,
+                   THRESHOLD_MAX_SIZE)
+    return dict(ov_idx=ov_idx, ws=ws, wlen=wlen, t_ws=t_ws, thre=thre,
+                last=last)
 
 
 def _alloc_tracebacks(ov: OverlapRegions) -> OverlapTracebacks:
@@ -146,140 +149,210 @@ def _alloc_tracebacks(ov: OverlapRegions) -> OverlapTracebacks:
 
 class WindowBatcher:
     """Accumulates window jobs across many reads, runs them in large
-    fixed-shape batches, scatters results back into per-read tracebacks."""
+    batches, scatters results back into per-read tracebacks.
+
+    Two execution paths: the zero-copy native job kernel (default when
+    available — window sequences are addressed, never copied) and the
+    legacy engine path (numpy / jax engines, used by tests and when the
+    native library is absent)."""
 
     def __init__(self, get_target: Callable[[int, int], np.ndarray],
                  e_rate: float, wl: int = WINDOW_HC,
-                 engine: Optional[Engine] = None, chunk: int = 4096):
+                 engine: Optional[Engine] = None, chunk: int = 32768):
         self.get_target = get_target
         self.e_rate = e_rate
         self.wl = wl
-        self.engine = engine or banded_batch_np
+        self.engine = engine
         self.chunk = chunk
-        self._jobs_x: List[np.ndarray] = []     # query window codes
-        self._jobs_tkey: List[int] = []         # (tid << 1) | rev
-        self._jobs_tws: List[int] = []          # target window anchor start
-        self._jobs_thre: List[int] = []
-        self._jobs_last: List[bool] = []        # final window of its overlap
-        self._jobs_dst: List[tuple] = []        # (tbs, ov_idx, ws)
+        self._reads: List[tuple] = []     # (q, ov, tbs, plan)
 
     def add_read(self, q: np.ndarray, ov: OverlapRegions
                  ) -> OverlapTracebacks:
-        """Plan all windows of one read's overlaps; returns the (empty)
-        traceback container that flush() will fill."""
         tbs = _alloc_tracebacks(ov)
-        for o in range(len(ov)):
-            xs, xe = int(ov.x_s[o]), int(ov.x_e[o])
-            hs = ov.hit_self[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
-            ht = ov.hit_t[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
-            tkey = (int(ov.y_id[o]) << 1) | int(ov.rev[o])
-            ws = xs
-            n_win = 0
-            while ws <= xe:
-                wlen = min(self.wl, xe - ws + 1)
-                # nearest chain hit at-or-after the window start (anchor
-                # offsets are k-mer ENDS, so a hit >= ws constrains it best)
-                hi = min(int(np.searchsorted(hs, ws)), len(hs) - 1)
-                t_ws = int(ht[hi]) + (ws - int(hs[hi]))
-                self._jobs_x.append(q[ws:ws + wlen])
-                self._jobs_tkey.append(tkey)
-                self._jobs_tws.append(t_ws)
-                self._jobs_thre.append(_window_threshold(wlen, self.e_rate))
-                self._jobs_last.append(ws + wlen > xe)
-                self._jobs_dst.append((tbs, o, ws))
-                n_win += 1
-                ws += wlen
-            tbs.win_tot[o] = n_win
+        pl = plan_read_windows(ov, self.wl, self.e_rate)
+        if len(ov):
+            tbs.win_tot[:] = np.bincount(pl["ov_idx"],
+                                         minlength=len(ov)).astype(np.int32)
+        self._reads.append((q, ov, tbs, pl))
         return tbs
 
+    # ---- shared helpers ----
+    def _concat_jobs(self):
+        """Flatten all reads' plans into global job arrays."""
+        parts = {k: [] for k in ("ws", "wlen", "t_ws", "thre", "last")}
+        ridx, ovl = [], []
+        for i, (q, ov, tbs, pl) in enumerate(self._reads):
+            n = len(pl["ws"])
+            for k in parts:
+                parts[k].append(pl[k])
+            ridx.append(np.full(n, i, np.int64))
+            ovl.append(pl["ov_idx"])
+        out = {k: (np.concatenate(v) if v else np.zeros(0, np.int64))
+               for k, v in parts.items()}
+        out["read"] = np.concatenate(ridx) if ridx else np.zeros(0, np.int64)
+        out["ov"] = np.concatenate(ovl) if ovl else np.zeros(0, np.int64)
+        return out
+
+    def _scatter(self, jobs, sel, wlen_eff, out_tb, out_ic, out_ib,
+                 accepted, err, win_y):
+        """Vectorized per-read scatter of accepted windows into the CSR
+        traceback arrays."""
+        XL = out_tb.shape[1]
+        for i, (q, ov, tbs, pl) in enumerate(self._reads):
+            m = accepted & (jobs["read"][sel] == i)
+            if not m.any():
+                continue
+            widx = np.flatnonzero(m)
+            o = jobs["ov"][sel][widx]
+            ws = jobs["ws"][sel][widx]
+            wl_e = wlen_eff[widx]
+            d0 = tbs.off[o] + ws - tbs.x_s[o]
+            tot = int(wl_e.sum())
+            segarange = np.arange(tot) - np.repeat(
+                np.concatenate([[0], np.cumsum(wl_e[:-1])]), wl_e)
+            dst = np.repeat(d0, wl_e) + segarange
+            srcrow = np.repeat(widx * XL, wl_e) + segarange
+            tbs.tb[dst] = out_tb.reshape(-1)[srcrow]
+            tbs.ins_cnt[dst] = out_ic.reshape(-1)[srcrow]
+            tbs.ins_base[dst] = out_ib.reshape(-1)[srcrow]
+            np.add.at(tbs.win_ok, o, 1)
+            np.add.at(tbs.err, o, err[widx])
+
+    def _finalize_ranges(self, jobs, acc_all, win_y):
+        """Per-overlap precise target range from first/last accepted
+        window (global y can be slightly negative from virtual pads)."""
+        for i, (q, ov, tbs, pl) in enumerate(self._reads):
+            m = (jobs["read"] == i) & acc_all
+            if not m.any():
+                continue
+            widx = np.flatnonzero(m)
+            o = jobs["ov"][widx]
+            n_ov = len(ov)
+            first_w = np.full(n_ov, len(jobs["read"]), np.int64)
+            last_w = np.full(n_ov, -1, np.int64)
+            np.minimum.at(first_w, o, widx)
+            np.maximum.at(last_w, o, widx)
+            has = last_w >= 0
+            fw = first_w[has]
+            lw = last_w[has]
+            tbs.ts[has] = np.maximum(win_y[fw, 0], 0)
+            tbs.te[has] = win_y[lw, 1] - 1
+
     def flush(self) -> None:
-        """Run all planned windows in fixed-shape chunks.
-
-        Every window is aligned with the FULL band (e = 31, one compiled
-        kernel shape) and accepted when err <= min(2*thre, 31) — the wide
-        band costs nothing extra on device, and the doubled acceptance
-        reproduces what the reference reaches via its double-threshold
-        retry realignment (Correct.cpp verify_window flow)."""
-        n = len(self._jobs_x)
+        jobs = self._concat_jobs()
+        n = len(jobs["ws"])
         if n == 0:
+            self._reads.clear()
             return
-        win_y = np.zeros((n, 2), np.int64)
-        win_acc = np.zeros(n, bool)
-        sel_all = np.arange(n)
-        for c0 in range(0, n, self.chunk):
-            self._run(sel_all[c0:c0 + self.chunk], THRESHOLD_MAX_SIZE,
-                      win_acc, win_y)
-        # precise per-overlap target range from first/last aligned window
-        # (global y-start can be slightly negative when the alignment
-        # consumed a virtual front pad -> clamp, don't skip)
-        seen = {}
-        for w, (tbs, o, ws) in enumerate(self._jobs_dst):
-            if not win_acc[w]:
-                continue
-            key = (id(tbs), o)
-            if key not in seen:
-                tbs.ts[o] = max(win_y[w, 0], 0)
-                seen[key] = True
-            tbs.te[o] = win_y[w, 1] - 1
-        self._jobs_x.clear()
-        self._jobs_tkey.clear()
-        self._jobs_tws.clear()
-        self._jobs_thre.clear()
-        self._jobs_last.clear()
-        self._jobs_dst.clear()
+        native = None
+        if self.engine is None:
+            try:
+                from hifiasm_tpu.native import banded_jobs_native, get_lib
+                if get_lib() is not None:
+                    native = banded_jobs_native
+            except Exception:
+                native = None
+        if native is not None:
+            self._flush_native(jobs, n, native)
+        else:
+            self._flush_engine(jobs, n)
+        self._reads.clear()
 
-    def _run(self, sel: np.ndarray, thre: int, win_acc: np.ndarray,
-             win_y: np.ndarray) -> None:
-        B = len(sel)
-        XL = self.wl
-        YL = XL + 2 * thre
-        xb = np.full((B, XL), 4, np.uint8)
-        yb = np.full((B, YL), 4, np.uint8)
-        xlen = np.zeros(B, np.int64)
-        ylen = np.zeros(B, np.int64)
-        y0 = np.zeros(B, np.int64)
-        for bi, w in enumerate(sel):
-            xw = self._jobs_x[w]
-            xb[bi, :len(xw)] = xw
-            xlen[bi] = len(xw)
-            t = self.get_target(self._jobs_tkey[w] >> 1,
-                                self._jobs_tkey[w] & 1)
-            # the band at x position i covers y in [i, i+2e] of the window,
-            # so the window MUST begin thre before the nominal start or the
-            # deletion half of the band is lost; out-of-target positions
-            # stay sentinel 4 (never match) -- virtual padding
-            y0v = self._jobs_tws[w] - thre
-            src_lo = max(0, y0v)
-            src_hi = min(len(t), y0v + len(xw) + 2 * thre)
-            if src_hi <= src_lo:
-                continue
-            yb[bi, src_lo - y0v:src_hi - y0v] = t[src_lo:src_hi]
-            ylen[bi] = src_hi - y0v
-            y0[bi] = y0v
-            # suffix overlap: the target can run out before the final x
-            # window does (indel drift past the last anchor) — the banded
-            # engine needs ylen >= xlen, so clamp the tail window's x
-            if self._jobs_last[w] and ylen[bi] < xlen[bi]:
-                xlen[bi] = ylen[bi]
-        out = self.engine(xb, xlen, yb, ylen, thre)
-        accept_thre = np.minimum(
-            np.asarray([self._jobs_thre[w] for w in sel]) * 2,
-            THRESHOLD_MAX_SIZE)
-        good = (out.err >= 0) & (out.err <= accept_thre)
-        for bi in np.flatnonzero(good):
-            w = int(sel[bi])
-            tbs, o, ws = self._jobs_dst[w]
-            wlen = int(xlen[bi])
-            d0 = int(tbs.off[o]) + ws - int(tbs.x_s[o])
-            dst = slice(d0, d0 + wlen)
-            tbs.tb[dst] = out.tb_base[bi, :wlen]
-            tbs.ins_cnt[dst] = out.ins_cnt[bi, :wlen]
-            tbs.ins_base[dst] = out.ins_base[bi, :wlen]
-            tbs.err[o] += int(out.err[bi])
-            tbs.win_ok[o] += 1
-            win_y[w, 0] = int(y0[bi]) + int(out.y_start[bi])
-            win_y[w, 1] = int(y0[bi]) + int(out.y_end[bi])
-            win_acc[w] = True
+    # ---- native zero-copy path ----
+    def _flush_native(self, jobs, n, native) -> None:
+        # flat sequence arena: queries first, then each referenced target
+        qbase = np.zeros(len(self._reads), np.int64)
+        bufs = []
+        off = 0
+        for i, (q, ov, tbs, pl) in enumerate(self._reads):
+            qbase[i] = off
+            bufs.append(q)
+            off += len(q)
+        tkeys = {}
+        t_base_w = np.zeros(n, np.int64)
+        t_len_w = np.zeros(n, np.int64)
+        for i, (q, ov, tbs, pl) in enumerate(self._reads):
+            m = jobs["read"] == i
+            o = jobs["ov"][m]
+            keys = (ov.y_id[o].astype(np.int64) << 1) | ov.rev[o]
+            for w, k in zip(np.flatnonzero(m), keys):
+                k = int(k)
+                if k not in tkeys:
+                    t = self.get_target(k >> 1, k & 1)
+                    tkeys[k] = (off, len(t))
+                    bufs.append(t)
+                    off += len(t)
+                t_base_w[w], t_len_w[w] = tkeys[k]
+        flat = np.concatenate(bufs) if bufs else np.zeros(0, np.uint8)
+        x_off = qbase[jobs["read"]] + jobs["ws"]
+        accept_thre = np.minimum(jobs["thre"] * 2, THRESHOLD_MAX_SIZE)
+        win_y = np.zeros((n, 2), np.int64)
+        acc_all = np.zeros(n, bool)
+        e = THRESHOLD_MAX_SIZE
+        for c0 in range(0, n, self.chunk):
+            sel = np.arange(c0, min(c0 + self.chunk, n))
+            out = native(
+                flat, x_off[sel], jobs["wlen"][sel], t_base_w[sel],
+                jobs["t_ws"][sel], t_len_w[sel],
+                jobs["last"][sel].astype(np.uint8), self.wl, e)
+            err, ys, yn, tb, ic, ib = out
+            # effective xlen after the suffix-overlap tail clamp
+            y0 = jobs["t_ws"][sel] - e
+            ylen = np.clip(t_len_w[sel] - y0, 0, jobs["wlen"][sel] + 2 * e)
+            wlen_eff = np.where(jobs["last"][sel] & (ylen < jobs["wlen"][sel]),
+                                ylen, jobs["wlen"][sel])
+            accepted = (err >= 0) & (err <= accept_thre[sel])
+            acc_all[sel] = accepted
+            win_y[sel, 0] = y0 + ys
+            win_y[sel, 1] = y0 + yn
+            self._scatter(jobs, sel, wlen_eff, tb, ic, ib, accepted, err,
+                          win_y)
+        self._finalize_ranges(jobs, acc_all, win_y)
+
+    # ---- legacy engine path (numpy / jax / explicit engines) ----
+    def _flush_engine(self, jobs, n) -> None:
+        engine = self.engine or banded_batch_np
+        e = THRESHOLD_MAX_SIZE
+        accept_thre = np.minimum(jobs["thre"] * 2, THRESHOLD_MAX_SIZE)
+        win_y = np.zeros((n, 2), np.int64)
+        acc_all = np.zeros(n, bool)
+        for c0 in range(0, n, min(self.chunk, 4096)):
+            sel = np.arange(c0, min(c0 + min(self.chunk, 4096), n))
+            B = len(sel)
+            XL = self.wl
+            YL = XL + 2 * e
+            xb = np.full((B, XL), 4, np.uint8)
+            yb = np.full((B, YL), 4, np.uint8)
+            xlen = np.zeros(B, np.int64)
+            ylen = np.zeros(B, np.int64)
+            y0 = np.zeros(B, np.int64)
+            for bi, w in enumerate(sel):
+                q, ov, tbs, pl = self._reads[int(jobs["read"][w])]
+                ws = int(jobs["ws"][w])
+                wlen = int(jobs["wlen"][w])
+                xb[bi, :wlen] = q[ws:ws + wlen]
+                xlen[bi] = wlen
+                o = int(jobs["ov"][w])
+                t = self.get_target(int(ov.y_id[o]), int(ov.rev[o]))
+                y0v = int(jobs["t_ws"][w]) - e
+                src_lo = max(0, y0v)
+                src_hi = min(len(t), y0v + wlen + 2 * e)
+                if src_hi <= src_lo:
+                    continue
+                yb[bi, src_lo - y0v:src_hi - y0v] = t[src_lo:src_hi]
+                ylen[bi] = src_hi - y0v
+                y0[bi] = y0v
+                if jobs["last"][w] and ylen[bi] < xlen[bi]:
+                    xlen[bi] = ylen[bi]
+            out = engine(xb, xlen, yb, ylen, e)
+            accepted = (out.err >= 0) & (out.err <= accept_thre[sel])
+            acc_all[sel] = accepted
+            win_y[sel, 0] = y0 + out.y_start
+            win_y[sel, 1] = y0 + out.y_end
+            self._scatter(jobs, sel, xlen, out.tb_base, out.ins_cnt,
+                          out.ins_base, accepted, out.err.astype(np.int64),
+                          win_y)
+        self._finalize_ranges(jobs, acc_all, win_y)
 
 
 def align_overlaps(q: np.ndarray, ov: OverlapRegions,

@@ -60,6 +60,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, i64p, i64p, i64p, i64p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, i64p, i64p]
+    lib.ht_banded_jobs.restype = ctypes.c_int64
+    lib.ht_banded_jobs.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u8p, i64p, i64p, i64p, i64p, i64p, u8p,
+        i32p, i32p, i32p, u8p, u8p, u8p, ctypes.c_int32]
     lib.ht_chain_groups.restype = ctypes.c_int64
     lib.ht_chain_groups.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
@@ -99,6 +104,34 @@ def banded_batch_native(x, xlen, y, ylen, e: int, traceback: bool = True):
         ib[:] = 0
     return BatchAlign(err, ys, yn, tb.reshape(B, XL), ic.reshape(B, XL),
                       ib.reshape(B, XL))
+
+
+def banded_jobs_native(flat, x_off, xlen, t_base, t_ws, t_len, last,
+                       XL: int, e: int, traceback: bool = True):
+    """Zero-copy window-job alignment over a flat sequence arena."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(x_off)
+    err = np.zeros(n, np.int32)
+    ys = np.zeros(n, np.int32)
+    yn = np.zeros(n, np.int32)
+    tb = np.empty(n * XL, np.uint8)
+    ic = np.empty(n * XL, np.uint8)
+    ib = np.empty(n * XL, np.uint8)
+    rc = lib.ht_banded_jobs(
+        n, XL, e, np.ascontiguousarray(flat, np.uint8),
+        np.ascontiguousarray(x_off, np.int64),
+        np.ascontiguousarray(xlen, np.int64),
+        np.ascontiguousarray(t_base, np.int64),
+        np.ascontiguousarray(t_ws, np.int64),
+        np.ascontiguousarray(t_len, np.int64),
+        np.ascontiguousarray(last, np.uint8),
+        err, ys, yn, tb, ic, ib, 1 if traceback else 0)
+    if rc != 0:
+        raise AssertionError(f"native traceback stuck at job {-rc - 1}")
+    return (err, ys, yn, tb.reshape(n, XL), ic.reshape(n, XL),
+            ib.reshape(n, XL))
 
 
 def chain_dp_native(self_off, t_off, span, weight, xl: int, yl: int, p):

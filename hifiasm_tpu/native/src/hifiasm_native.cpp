@@ -374,3 +374,134 @@ extern "C" int64_t ht_chain_groups(
     }  // omp parallel
     return off[G];
 }
+
+// ---------------------------------------------------------------------------
+// Zero-copy window-job alignment: windows are addressed into a flat
+// sequence buffer (query slice = pointer; target window = bounds-checked
+// virtual slice with sentinel padding), replicating WindowBatcher._run's
+// semantics including the suffix-overlap tail clamp.
+
+extern "C" int64_t ht_banded_jobs(
+    int64_t n_jobs, int64_t XL, int64_t e,
+    const uint8_t* flat,
+    const int64_t* x_off, const int64_t* xlen_in,
+    const int64_t* t_base, const int64_t* t_ws, const int64_t* t_len,
+    const uint8_t* is_last,
+    int32_t* err_out, int32_t* ys_out, int32_t* yn_out,
+    uint8_t* tb_out, uint8_t* ic_out, uint8_t* ib_out,
+    int32_t traceback) {
+    const int W = int(2 * e + 1);
+    const uint64_t mask = (W >= 64) ? ~0ULL : ((1ULL << W) - 1);
+    int64_t stuck = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+    std::vector<uint64_t> st_vp, st_d0, st_hp;
+    std::vector<uint8_t> ybuf;
+    if (traceback) {
+        st_vp.resize(XL + 1);
+        st_d0.resize(XL + 1);
+        st_hp.resize(XL + 1);
+    }
+    ybuf.resize(XL + 2 * e);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+    for (int64_t b = 0; b < n_jobs; ++b) {
+        const uint8_t* xb = flat + x_off[b];
+        const int64_t tl_full = t_len[b];
+        const int64_t y0 = t_ws[b] - e;
+        int64_t tl = xlen_in[b];
+        // materialise the virtually-padded target window once (small)
+        int64_t pl = tl + 2 * e;
+        if (tl_full - y0 < pl) pl = tl_full - y0;
+        if (pl < 0) pl = 0;
+        for (int64_t j = 0; j < pl; ++j) {
+            const int64_t t = y0 + j;
+            ybuf[j] = (t >= 0 && t < tl_full) ? flat[t_base[b] + t] : 4;
+        }
+        if (is_last[b] && pl < tl) tl = pl;   // suffix-overlap tail clamp
+        uint8_t* tbp = tb_out + b * XL;
+        uint8_t* icp = ic_out + b * XL;
+        uint8_t* ibp = ib_out + b * XL;
+        if (traceback) {
+            memset(tbp, 5, XL);
+            memset(icp, 0, XL);
+            memset(ibp, 0, XL);
+        }
+        if (tl <= 0) { err_out[b] = -1; ys_out[b] = -1; yn_out[b] = 0; continue; }
+        const uint8_t* yb = ybuf.data();
+        uint64_t peq[5] = {0, 0, 0, 0, 0};
+        const int64_t w0 = W < pl ? W : pl;
+        for (int64_t i = 0; i < w0; ++i) peq[yb[i]] |= 1ULL << i;
+        uint64_t VP = 0, VN = 0;
+        int64_t err = 0;
+        for (int64_t i = 0; i < tl; ++i) {
+            const uint64_t Eq = xb[i] < 4 ? peq[xb[i]] : 0;
+            const uint64_t X = Eq | VN;
+            const uint64_t D0 = (((VP + (X & VP)) & mask) ^ VP) | X;
+            const uint64_t HN = VP & D0;
+            const uint64_t HP = VN | (~(VP | D0) & mask);
+            const uint64_t X2 = D0 >> 1;
+            VN = X2 & HP;
+            VP = (HN | (~(X2 | HP) & mask)) & mask;
+            err += 1 - (int64_t)(D0 & 1);
+            if (traceback) {
+                st_vp[i + 1] = VP;
+                st_d0[i + 1] = D0;
+                st_hp[i + 1] = HP;
+            }
+            for (int c = 0; c < 4; ++c) peq[c] >>= 1;
+            const int64_t nb = i + W;
+            if (nb < pl) peq[yb[nb]] |= 1ULL << (W - 1);
+        }
+        int64_t best_err = err, best_n = tl, e2 = err, e3 = err;
+        const int64_t nb_max = (2 * e < pl - tl) ? 2 * e : (pl - tl);
+        for (int64_t b0 = 0; b0 < 2 * e; ++b0) {
+            e2 += (int64_t)((VP >> b0) & 1) - (int64_t)((VN >> b0) & 1);
+            if (b0 < nb_max && e2 < best_err) { best_err = e2; best_n = tl + b0 + 1; }
+            if (b0 < e) e3 += (int64_t)((VP >> b0) & 1) - (int64_t)((VN >> b0) & 1);
+        }
+        if (pl - tl >= e && e3 == best_err) best_n = tl + e;
+        if (best_err > e) { err_out[b] = -1; ys_out[b] = -1; yn_out[b] = (int32_t)best_n; continue; }
+        err_out[b] = (int32_t)best_err;
+        yn_out[b] = (int32_t)best_n;
+        if (!traceback) { ys_out[b] = -1; continue; }
+        int64_t i = tl, j = best_n;
+        while (i > 0) {
+            const int64_t bb = j - i;
+            const uint64_t d0 = st_d0[i], hp = st_hp[i];
+            bool diag_ok = false, horiz_ok = false, vert_ok = false;
+            if (j >= 1 && bb >= 0 && bb <= 2 * e && j - 1 >= i - 1) {
+                const bool match = (xb[i - 1] < 4) && (j - 1 < pl) &&
+                                   (xb[i - 1] == yb[j - 1]);
+                const bool d0bit = (d0 >> bb) & 1;
+                diag_ok = (match && d0bit) || (!match && !d0bit);
+            }
+            if (j - 1 >= i && bb - 1 >= 0)
+                horiz_ok = (st_vp[i] >> (bb - 1)) & 1;
+            if (bb >= 0 && bb <= 2 * e && j <= (i - 1) + 2 * e)
+                vert_ok = (hp >> bb) & 1;
+            if (diag_ok) { tbp[i - 1] = yb[j - 1]; --i; --j; }
+            else if (horiz_ok) {
+                if (icp[i - 1] < 255) ++icp[i - 1];
+                ibp[i - 1] = yb[j - 1];
+                --j;
+            } else if (vert_ok) { tbp[i - 1] = 4; --i; }
+            else {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+                stuck = b + 1;
+                break;
+            }
+        }
+        ys_out[b] = (int32_t)j;
+        // report the effective (possibly clamped) xlen via yn? no: callers
+        // recompute from is_last; tb beyond tl stays 5
+        (void)tl;
+    }
+    }  // omp parallel
+    return stuck ? -stuck : 0;
+}

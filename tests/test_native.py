@@ -149,3 +149,30 @@ def test_native_chain_groups_matches_python(rng):
             assert int(score[g, c]) == wsc
             got = hit_idx[start[g, c]:start[g, c] + hits[g, c]]
             np.testing.assert_array_equal(got, widx)
+
+
+def test_native_jobs_path_matches_engine_path(rng):
+    """WindowBatcher zero-copy native path == legacy numpy engine path."""
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.ec.pipeline import run_ec
+    from hifiasm_tpu.io.readstore import ReadStore
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 7000)
+    reads, _, _ = sample_reads(rng, g, depth=12, read_len=1700,
+                               err_rate=0.004)
+    s1 = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))], reads)
+    s2 = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))], reads)
+    ec1 = run_ec(s1, HifiasmConfig(align_engine="numpy", n_rounds_ec=1),
+                 None)
+    ec2 = run_ec(s2, HifiasmConfig(align_engine="native", n_rounds_ec=1),
+                 None)
+    assert ec1.paf.total == ec2.paf.total
+    assert ec1.reverse_paf.total == ec2.reverse_paf.total
+    for rid in range(s1.n_reads):
+        np.testing.assert_array_equal(s1.get_codes(rid), s2.get_codes(rid))
+        a, b = ec1.paf[rid], ec2.paf[rid]
+        np.testing.assert_array_equal(a.tn, b.tn)
+        np.testing.assert_array_equal(a.ts, b.ts)
+        np.testing.assert_array_equal(a.te, b.te)
+        np.testing.assert_array_equal(a.ml, b.ml)
