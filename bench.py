@@ -23,10 +23,10 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
-GENOME_LEN = 80_000
-READ_LEN = 7_000
-DEPTH = 14
-ERR_RATE = 0.002
+GENOME_LEN = 2_000_000       # the chr11-2M-class quick-start scale
+READ_LEN = 15_000
+DEPTH = 12
+ERR_RATE = 0.003
 REF_BUILD = "/tmp/hifiasm_ref_build"
 WORK = "/tmp/hifiasm_tpu_bench"
 
