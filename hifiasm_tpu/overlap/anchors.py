@@ -158,7 +158,8 @@ def chain_anchors(an: Anchors, rid: int, rlen: int, tlens: np.ndarray,
 
 def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                max_n_chain: int = 100,
-               device_threshold: int = 16_000_000) -> List[OverlapRegions]:
+               device_threshold: Optional[int] = None
+               ) -> List[OverlapRegions]:
     """Chain anchors of MANY reads at once.
 
     ``reads``: [(rid, Anchors, rlen)].  All (target, strand) groups across
@@ -171,18 +172,20 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
     """
     from hifiasm_tpu.ops.chain import chain_scores_batch_np, extract_chains
 
+    # the device chain scorer is opt-in (pass device_threshold): the host
+    # native kernel wins below enormous batch sizes, and the scorer bakes
+    # the HiFi k=51 penalty constants
     use_device = False
-    try:
-        import jax
-        from hifiasm_tpu.ops import chain_jax as _cj
-        # the device scorer bakes the HiFi k=51 penalty constants; other
-        # parameterizations (UL k=19) stay on the numpy mirror
-        use_device = (jax.default_backend() != "cpu"
-                      and abs(params.bw_rate - _cj._BW_RATE) < 1e-12
-                      and abs(params.chn_pen_gap - _cj._CHN_PEN_GAP)
-                      < 1e-12)
-    except Exception:
-        pass
+    if device_threshold is not None:
+        try:
+            import jax
+            from hifiasm_tpu.ops import chain_jax as _cj
+            use_device = (jax.default_backend() != "cpu"
+                          and abs(params.bw_rate - _cj._BW_RATE) < 1e-12
+                          and abs(params.chn_pen_gap - _cj._CHN_PEN_GAP)
+                          < 1e-12)
+        except Exception:
+            pass
 
     # collect groups across reads
     groups = []            # (read_idx, s, e, tid, yl)
@@ -274,7 +277,7 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
             narr[bi] = m
             xlarr[bi] = rlen
             ylarr[bi] = yl
-        if use_device and G * N >= device_threshold and N <= 2048:
+        if use_device and device_threshold is not None and G * N >= device_threshold and N <= 2048:
             from hifiasm_tpu.ops.chain_jax import chain_scores_batch
 
             # pad G to a power of two to bound the compiled shape set
