@@ -57,8 +57,19 @@ def build_filter_table(read_codes: Iterable[np.ndarray], k: int,
 
     Returns (table, peak_hom, peak_het). ~ha_ft_gen (htab.cpp:1136-1169).
     """
-    chunks = [all_kmers_read(c, k) for c in read_codes]
-    allh = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.uint64)
+    codes_list = list(read_codes)
+    if codes_list:
+        # one vectorized pass over the whole concatenation (read
+        # boundaries become N-stretch resets, so no k-mer spans reads)
+        sep = np.array([4], np.uint8)
+        parts = []
+        for i, c in enumerate(codes_list):
+            parts.append(c)
+            if i + 1 < len(codes_list):
+                parts.append(sep)
+        allh = all_kmers_read(np.concatenate(parts), k)
+    else:
+        allh = np.zeros(0, dtype=np.uint64)
     uniq, counts = np.unique(allh, return_counts=True)
     hist = histogram_counts(counts)
     peak_hom, peak_het = analyze_count(hist, start_cnt=min_hist_cnt)
@@ -142,12 +153,13 @@ def build_position_table(
     [keep_min, keep_max] (drops singletons and overflowing repeats).
     """
     ft_lookup = ft.lookup if ft is not None else None
-    sketcher = sketcher or (lambda codes: sketch_read(codes, k, w, ft_lookup))
-    mz_per_read = []
+    if sketcher is None:
+        from hifiasm_tpu.ops.sketch import sketch_many
+        mz_per_read = sketch_many(list(read_codes), k, w, ft_lookup)
+    else:
+        mz_per_read = [sketcher(codes) for codes in read_codes]
     h_chunks, rid_chunks, pos_chunks, rev_chunks, span_chunks = [], [], [], [], []
-    for rid_i, codes in enumerate(read_codes):
-        mz = sketcher(codes)
-        mz_per_read.append(mz)
+    for rid_i, mz in enumerate(mz_per_read):
         n = len(mz)
         h_chunks.append(mz.hash)
         rid_chunks.append(np.full(n, rid_i, dtype=np.uint32))

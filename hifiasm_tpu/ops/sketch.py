@@ -199,8 +199,13 @@ def sketch_read(
     ft_lookup=None,
     sample_dist: int = 500,
     is_unique: bool = False,
+    _multi_bounds: Optional[np.ndarray] = None,
 ) -> Minimizers:
-    """Sketch one read. ``ft_lookup(hashes)->counts`` is the filter table."""
+    """Sketch one read. ``ft_lookup(hashes)->counts`` is the filter table.
+
+    ``_multi_bounds`` (sketch_many internal): raw read-start offsets of a
+    concatenation; the tail-window push and high-occ rescue then run per
+    embedded read instead of once."""
     kd = _compute_kmers(codes, k)
     if kd is None:
         z = np.zeros(0)
@@ -268,24 +273,41 @@ def sketch_read(
         emit_e = (key_c != _INF_CNT) & (sel_c == key_c) & (sel_h == key_h)
         _ = start
 
-    # --- final push: min of the last (possibly partial) window ---
-    last_st = estretch[-1] if ne else -1
-    in_last = np.flatnonzero(estretch == last_st)
-    tail = in_last[-min(w, len(in_last)):] if ne else np.zeros(0, dtype=np.int64)
-    if len(tail):
+    # --- final push: min of the last (possibly partial) window, once per
+    # embedded read (sketch_many) or once for the whole read ---
+    def _tail_push(entries):
+        if not len(entries):
+            return
+        last_st = estretch[entries[-1]]
+        in_last = entries[estretch[entries] == last_st]
+        tail = in_last[-min(w, len(in_last)):]
         tc, th = key_c[tail], key_h[tail]
         good = tc != _INF_CNT
-        if good.any():
-            # last among ties wins (reference updates min on <=)
-            bc, bh = np.uint32(0xFFFFFFFF), _U64(0xFFFFFFFFFFFFFFFF)
-            bi = -1
-            for t in range(len(tail)):
-                if not good[t]:
-                    continue
-                if (tc[t] < bc) or (tc[t] == bc and th[t] <= bh):
-                    bc, bh, bi = tc[t], th[t], tail[t]
-            if bi >= 0:
-                emit_e[bi] = True
+        if not good.any():
+            return
+        # last among ties wins (reference updates min on <=)
+        bc, bh = np.uint32(0xFFFFFFFF), _U64(0xFFFFFFFFFFFFFFFF)
+        bi = -1
+        for t in range(len(tail)):
+            if not good[t]:
+                continue
+            if (tc[t] < bc) or (tc[t] == bc and th[t] <= bh):
+                bc, bh, bi = tc[t], th[t], tail[t]
+        if bi >= 0:
+            emit_e[bi] = True
+
+    if ne:
+        if _multi_bounds is None:
+            _tail_push(np.arange(ne))
+        else:
+            epos = ends2[elig_pos]
+            erid = np.searchsorted(_multi_bounds, epos,
+                                   side="right") - 1
+            seg = np.flatnonzero(np.diff(erid)) + 1
+            starts = np.concatenate([[0], seg])
+            ends = np.concatenate([seg, [ne]])
+            for s, e in zip(starts, ends):
+                _tail_push(np.arange(s, e))
 
     sel = elig_pos[emit_e]
     ksel = sel - (k - 1)
@@ -297,14 +319,69 @@ def sketch_read(
 
     # --- high-occ drop + streak rescue (select_mz_h, sketch.cpp:247-330) ---
     if ft_lookup is not None and sample_dist > w and len(out_h):
-        keep_m = _highocc_filter(out_cnt, out_h, out_pos, out_span,
-                                 len(codes), sample_dist)
+        if _multi_bounds is None:
+            keep_m = _highocc_filter(out_cnt, out_h, out_pos, out_span,
+                                     len(codes), sample_dist)
+        else:
+            keep_m = np.zeros(len(out_h), bool)
+            orid = np.searchsorted(_multi_bounds, out_pos,
+                                   side="right") - 1
+            nb = len(_multi_bounds) - 1
+            for i in range(nb):
+                m = np.flatnonzero(orid == i)
+                if not len(m):
+                    continue
+                rl = int(_multi_bounds[i + 1] - _multi_bounds[i]) - \
+                    (1 if i + 1 < nb else 0)
+                keep_m[m] = _highocc_filter(
+                    out_cnt[m], out_h[m],
+                    out_pos[m] - _multi_bounds[i], out_span[m], rl,
+                    sample_dist)
         out_h, out_pos, out_rev, out_span, out_cnt = (
             out_h[keep_m], out_pos[keep_m], out_rev[keep_m],
             out_span[keep_m], out_cnt[keep_m])
 
     return Minimizers(out_h, out_pos.astype(np.int64), out_rev,
                       out_span.astype(np.int64), out_cnt)
+
+
+def sketch_many(codes_list, k: int, w: int, ft_lookup=None,
+                sample_dist: int = 500, is_unique: bool = False):
+    """Sketch MANY reads in one vectorized pass.
+
+    Reads are concatenated with an N sentinel between them, so read
+    boundaries become stretch resets and the whole per-stretch pipeline of
+    ``sketch_read`` runs once over the concatenation; only the tail-window
+    push and the high-occ rescue stay per read (tiny). Cross-validated
+    equal to per-read ``sketch_read`` in tests.
+    """
+    n_reads = len(codes_list)
+    if n_reads == 0:
+        return []
+    sep = np.array([4], np.uint8)
+    parts = []
+    bounds = np.zeros(n_reads + 1, np.int64)   # raw offsets incl. separators
+    off = 0
+    for i, c in enumerate(codes_list):
+        bounds[i] = off
+        parts.append(c)
+        off += len(c)
+        if i + 1 < n_reads:
+            parts.append(sep)
+            off += 1
+    bounds[n_reads] = off
+    allc = np.concatenate(parts)
+
+    mz = sketch_read(allc, k, w, ft_lookup, sample_dist=sample_dist,
+                     is_unique=is_unique, _multi_bounds=bounds)
+    # split per read by raw position
+    rid = np.searchsorted(bounds, mz.pos, side="right") - 1
+    out = []
+    for i in range(n_reads):
+        m = rid == i
+        out.append(Minimizers(mz.hash[m], mz.pos[m] - bounds[i],
+                              mz.rev[m], mz.span[m], mz.cnt[m]))
+    return out
 
 
 def _highocc_filter(cnt, hsh, pos, span, read_len, sample_dist):

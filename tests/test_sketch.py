@@ -93,3 +93,25 @@ def test_sketch_strand_symmetry(rng):
     f = sketch_read(codes, 51, 51)
     r = sketch_read(revcomp_codes(codes), 51, 51)
     assert sorted(f.hash.tolist()) == sorted(r.hash.tolist())
+
+
+def test_sketch_many_matches_per_read(rng):
+    from hifiasm_tpu.ops.sketch import sketch_many, sketch_read
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 20000)
+    reads, _, _ = sample_reads(rng, g, depth=4, read_len=2500,
+                               err_rate=0.003)
+    # include a read with Ns and a short read
+    r_n = reads[0].copy()
+    r_n[100:130] = 4
+    reads = reads + [r_n, reads[1][:60]]
+    many = sketch_many(reads, 51, 51, None)
+    for i, r in enumerate(reads):
+        one = sketch_read(r, 51, 51, None)
+        np.testing.assert_array_equal(many[i].hash, one.hash,
+                                      err_msg=f"read {i} hash")
+        np.testing.assert_array_equal(many[i].pos, one.pos,
+                                      err_msg=f"read {i} pos")
+        np.testing.assert_array_equal(many[i].rev, one.rev)
+        np.testing.assert_array_equal(many[i].span, one.span)
