@@ -59,15 +59,20 @@ def build_filter_table(read_codes: Iterable[np.ndarray], k: int,
     """
     codes_list = list(read_codes)
     if codes_list:
-        # one vectorized pass over the whole concatenation (read
-        # boundaries become N-stretch resets, so no k-mer spans reads)
+        # chunked concatenation passes (read boundaries = N-stretch resets,
+        # so no k-mer spans reads; chunks keep temporaries cache-resident)
         sep = np.array([4], np.uint8)
-        parts = []
-        for i, c in enumerate(codes_list):
-            parts.append(c)
-            if i + 1 < len(codes_list):
+        chunks = []
+        c0 = 0
+        while c0 < len(codes_list):
+            parts, bases = [], 0
+            while c0 < len(codes_list) and bases < 120_000:
+                parts.append(codes_list[c0])
                 parts.append(sep)
-        allh = all_kmers_read(np.concatenate(parts), k)
+                bases += len(codes_list[c0])
+                c0 += 1
+            chunks.append(all_kmers_read(np.concatenate(parts[:-1]), k))
+        allh = np.concatenate(chunks)
     else:
         allh = np.zeros(0, dtype=np.uint64)
     uniq, counts = np.unique(allh, return_counts=True)
@@ -154,8 +159,21 @@ def build_position_table(
     """
     ft_lookup = ft.lookup if ft is not None else None
     if sketcher is None:
+        # chunked whole-batch sketching: big enough to amortize numpy call
+        # overhead, small enough that the ~dozen live temporaries stay
+        # cache-resident (24M-element globals go memory-bandwidth bound)
         from hifiasm_tpu.ops.sketch import sketch_many
-        mz_per_read = sketch_many(list(read_codes), k, w, ft_lookup)
+        codes_list = list(read_codes)
+        mz_per_read = []
+        c0 = 0
+        while c0 < len(codes_list):
+            c1, bases = c0, 0
+            while c1 < len(codes_list) and bases < 120_000:
+                bases += len(codes_list[c1])
+                c1 += 1
+            mz_per_read.extend(sketch_many(codes_list[c0:c1], k, w,
+                                           ft_lookup))
+            c0 = c1
     else:
         mz_per_read = [sketcher(codes) for codes in read_codes]
     h_chunks, rid_chunks, pos_chunks, rev_chunks, span_chunks = [], [], [], [], []
