@@ -158,15 +158,25 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
                 new_seqs[rid] = cns.seq
                 n_corr += cns.n_corrected
     else:
+        from hifiasm_tpu.native import ec_read_native
+
         get_target = _TargetCache(store)
         for rid, q, ov, tbs in _iter_overlap_batches(
                 store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_ec,
                 get_target):
-            ph = phase_overlaps(q, ov, tbs)
-            cns = windowed_consensus(q, ov, tbs, ph)
-            if cns.n_corrected:
-                new_seqs[rid] = cns.seq
-                n_corr += cns.n_corrected
+            nat = ec_read_native(tbs, q) if cfg.align_engine != "numpy" \
+                else None
+            if nat is not None:
+                _, _, seq, n_edits = nat
+                if n_edits:
+                    new_seqs[rid] = seq
+                    n_corr += n_edits
+            else:
+                ph = phase_overlaps(q, ov, tbs)
+                cns = windowed_consensus(q, ov, tbs, ph)
+                if cns.n_corrected:
+                    new_seqs[rid] = cns.seq
+                    n_corr += cns.n_corrected
     # barrier: write corrections back only after every read is processed
     for rid, seq in new_seqs.items():
         store.set_codes(rid, seq)
@@ -235,13 +245,20 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
                 eco.err, eco.ts, eco.te, eco.is_match,
                 cfg.max_ov_diff_final)
     else:
+        from hifiasm_tpu.native import ec_read_native
+
         get_target = _TargetCache(store)
         for rid, q, ov, tbs in _iter_overlap_batches(
                 store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_final,
                 get_target):
-            ph = phase_overlaps(q, ov, tbs)
+            nat = ec_read_native(tbs, q, do_consensus=False) \
+                if cfg.align_engine != "numpy" else None
+            if nat is not None:
+                is_match = nat[0]
+            else:
+                is_match = phase_overlaps(q, ov, tbs).is_match
             _push_records(paf, rev_paf, rid, len(q), store.lens, ov, tbs,
-                          ph.is_match, cfg.max_ov_diff_final)
+                          is_match, cfg.max_ov_diff_final)
     log("final_overlap_pass",
         f"{paf.total} cis + {rev_paf.total} trans overlaps")
     return ECResult(paf, rev_paf, hom_cov, peak_het)

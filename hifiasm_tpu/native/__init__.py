@@ -65,6 +65,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         u8p, i64p, i64p, i64p, i64p, i64p, u8p,
         i32p, i32p, i32p, u8p, u8p, u8p, ctypes.c_int32]
+    lib.ht_ec_read.restype = ctypes.c_int64
+    lib.ht_ec_read.argtypes = [
+        ctypes.c_int64, i64p, i64p, u8p, u8p, u8p, u8p,
+        ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int32,
+        u8p, i64p, u8p, ctypes.c_int64, i64p, i64p]
     lib.ht_chain_groups.restype = ctypes.c_int64
     lib.ht_chain_groups.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
@@ -182,6 +188,37 @@ def chain_groups_native(off, self_off, t_off, span, weight, xl_g, yl_g, p):
         cnt, score, start, hits, hit_idx)
     return (cnt, score.reshape(G, m), start.reshape(G, m),
             hits.reshape(G, m), hit_idx)
+
+
+def ec_read_native(tbs, q, do_consensus: bool = True,
+                   min_het_occ: int = 2, occ_tot: int = 3,
+                   occ_exact: float = 0.500001):
+    """Per-read phase + consensus in C; returns (is_match, n_het,
+    corrected_seq or None, n_edits) or None when unavailable / overflow."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_ov = len(tbs.win_tot)
+    usable = ((tbs.win_tot > 0) & (tbs.win_ok == tbs.win_tot)
+              ).astype(np.uint8)
+    is_match = np.zeros(n_ov, np.uint8)
+    n_het = np.zeros(1, np.int64)
+    qlen = len(q)
+    cap = qlen * 2 + 64
+    out_seq = np.empty(cap, np.uint8)
+    out_len = np.zeros(1, np.int64)
+    n_edits = np.zeros(1, np.int64)
+    rc = lib.ht_ec_read(
+        n_ov, np.ascontiguousarray(tbs.off, np.int64),
+        np.ascontiguousarray(tbs.x_s, np.int64),
+        tbs.tb, tbs.ins_cnt, tbs.ins_base, usable,
+        qlen, np.ascontiguousarray(q, np.uint8),
+        min_het_occ, occ_tot, occ_exact, 1 if do_consensus else 0,
+        is_match, n_het, out_seq, cap, out_len, n_edits)
+    if rc != 0:
+        return None                    # overflow: caller uses python path
+    seq = out_seq[:int(out_len[0])].copy() if do_consensus else None
+    return is_match, int(n_het[0]), seq, int(n_edits[0])
 
 
 def trans_reduce(idx_s, idx_n, av, alen, seq_del, del_, fuzz: int

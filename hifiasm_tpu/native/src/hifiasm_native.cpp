@@ -505,3 +505,139 @@ extern "C" int64_t ht_banded_jobs(
     }  // omp parallel
     return stuck ? -stuck : 0;
 }
+
+// ---------------------------------------------------------------------------
+// Per-read EC phasing + consensus (scalar port of ec/phase.py +
+// ec/consensus.py; bit-compatible, cross-validated in tests):
+// allele counts -> het sites -> cis/trans classification -> windowed
+// majority consensus with het protection -> corrected sequence.
+
+extern "C" int64_t ht_ec_read(
+    int64_t n_ov, const int64_t* off, const int64_t* x_s,
+    const uint8_t* tb, const uint8_t* icnt, const uint8_t* ibase,
+    const uint8_t* usable,
+    int64_t qlen, const uint8_t* q,
+    int64_t min_het_occ, int64_t occ_tot, double occ_exact,
+    int32_t do_consensus,
+    uint8_t* is_match,        // [n_ov] out
+    int64_t* n_het_out,       // [1] out
+    uint8_t* out_seq,         // [out_cap] out (consensus)
+    int64_t out_cap,
+    int64_t* out_len,         // [1] out
+    int64_t* n_edits_out) {   // [1] out
+    std::vector<int32_t> cnt4(qlen * 4, 0);
+    std::vector<uint8_t> het(qlen, 0), alt(qlen, 0);
+    // pass 1: allele counts over usable overlaps (substitution slots)
+    for (int64_t o = 0; o < n_ov; ++o) {
+        if (!usable[o]) { is_match[o] = 0; continue; }
+        is_match[o] = 1;
+        const int64_t s = off[o], e = off[o + 1];
+        const int64_t p0 = x_s[o];
+        for (int64_t t = s; t < e; ++t) {
+            const uint8_t v = tb[t];
+            if (v <= 3) cnt4[(p0 + (t - s)) * 4 + v]++;
+        }
+    }
+    int64_t n_het = 0;
+    for (int64_t p = 0; p < qlen; ++p) {
+        const int qa = q[p] <= 3 ? q[p] : 3;      // np.clip(q, 0, 3)
+        cnt4[p * 4 + qa]++;                        // query's own vote
+        const int32_t occ0 = cnt4[p * 4 + qa];
+        int best_a = 0;
+        int32_t best_c = -1;
+        for (int a = 0; a < 4; ++a) {
+            const int32_t c = (a == qa) ? 0 : cnt4[p * 4 + a];
+            if (c > best_c) { best_c = c; best_a = a; }
+        }
+        alt[p] = (uint8_t)best_a;
+        if (occ0 >= min_het_occ && best_c >= min_het_occ && q[p] <= 3) {
+            het[p] = 1;
+            ++n_het;
+        }
+    }
+    *n_het_out = n_het;
+    // pass 2: per-overlap het agreement -> trans flips
+    const int64_t min_flip = n_het >= 3 ? 1 : 2;
+    if (n_het > 0) {
+        for (int64_t o = 0; o < n_ov; ++o) {
+            if (!usable[o]) continue;
+            const int64_t s = off[o], e = off[o + 1];
+            const int64_t p0 = x_s[o];
+            int64_t n_same = 0, n_flip = 0;
+            for (int64_t t = s; t < e; ++t) {
+                const int64_t p = p0 + (t - s);
+                if (!het[p]) continue;
+                const uint8_t v = tb[t];
+                if (v > 3) continue;
+                const int qa = q[p] <= 3 ? q[p] : 3;
+                if (v == qa) ++n_same;
+                else if (v == alt[p]) ++n_flip;
+            }
+            if (n_flip > n_same && n_flip >= min_flip) is_match[o] = 2;
+        }
+    }
+    *out_len = 0;
+    *n_edits_out = 0;
+    if (!do_consensus) return 0;
+    // pass 3: cis-only votes (+ query) and insertion aggregates
+    std::vector<int32_t> votes(qlen * 5, 0), ins_tot(qlen, 0),
+        ins_bc(qlen * 4, 0), ins_lc(qlen * 9, 0);
+    for (int64_t o = 0; o < n_ov; ++o) {
+        if (is_match[o] != 1) continue;
+        const int64_t s = off[o], e = off[o + 1];
+        const int64_t p0 = x_s[o];
+        for (int64_t t = s; t < e; ++t) {
+            const uint8_t v = tb[t];
+            if (v > 4) continue;
+            const int64_t p = p0 + (t - s);
+            votes[p * 5 + v]++;
+            if (icnt[t] > 0) {
+                ins_tot[p]++;
+                const int ib = ibase[t] <= 3 ? ibase[t] : 3;
+                ins_bc[p * 4 + ib]++;
+                const int il = icnt[t] <= 8 ? icnt[t] : 8;
+                ins_lc[p * 9 + il]++;
+            }
+        }
+    }
+    int64_t w_out = 0, n_edits = 0;
+    for (int64_t p = 0; p < qlen; ++p) {
+        const int qa = q[p] <= 3 ? q[p] : 3;
+        votes[p * 5 + qa]++;                       // query's own vote
+        int32_t cov = 0;
+        int winner = 0;
+        int32_t wv = -1;
+        for (int a = 0; a < 5; ++a) {
+            cov += votes[p * 5 + a];
+            if (votes[p * 5 + a] > wv) { wv = votes[p * 5 + a]; winner = a; }
+        }
+        bool pass_sub = cov >= occ_tot && (double)wv > occ_exact * cov &&
+                        winner != qa && !het[p];
+        bool pass_ins = cov >= occ_tot &&
+                        (double)ins_tot[p] > occ_exact * cov && !het[p];
+        if (w_out + 10 >= out_cap) return -1;      // caller falls back
+        if (pass_sub) {
+            if (winner != 4) out_seq[w_out++] = (uint8_t)winner;
+            ++n_edits;
+        } else {
+            out_seq[w_out++] = q[p];
+        }
+        if (pass_ins) {
+            int best_b = 0;
+            int32_t bc = -1;
+            for (int a = 0; a < 4; ++a)
+                if (ins_bc[p * 4 + a] > bc) { bc = ins_bc[p * 4 + a]; best_b = a; }
+            int best_l = 1;
+            int32_t lc = -1;
+            for (int l = 1; l <= 8; ++l)
+                if (ins_lc[p * 9 + l] > lc) { lc = ins_lc[p * 9 + l]; best_l = l; }
+            if (w_out + best_l + 4 >= out_cap) return -1;
+            for (int t = 0; t < best_l; ++t)
+                out_seq[w_out++] = (uint8_t)best_b;
+            n_edits += best_l;
+        }
+    }
+    *out_len = w_out;
+    *n_edits_out = n_edits;
+    return 0;
+}

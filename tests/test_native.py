@@ -176,3 +176,44 @@ def test_native_jobs_path_matches_engine_path(rng):
         np.testing.assert_array_equal(a.ts, b.ts)
         np.testing.assert_array_equal(a.te, b.te)
         np.testing.assert_array_equal(a.ml, b.ml)
+
+
+def test_native_ec_read_matches_python(rng):
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.ec.pipeline import _TargetCache, _chain_all_reads
+    from hifiasm_tpu.ec.window_align import align_overlaps
+    from hifiasm_tpu.ec.phase import phase_overlaps
+    from hifiasm_tpu.ec.consensus import windowed_consensus
+    from hifiasm_tpu.index.pos_table import build_position_table
+    from hifiasm_tpu.io.readstore import ReadStore
+    from hifiasm_tpu.native import ec_read_native
+    from tests.synth import make_genome, sample_reads
+
+    h1, h2 = make_genome(rng, 9000, het_rate=0.006)
+    r1, _, _ = sample_reads(rng, h1, depth=9, read_len=1800, err_rate=0.004)
+    r2, _, _ = sample_reads(rng, h2, depth=9, read_len=1800, err_rate=0.004)
+    reads = r1 + r2
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig()
+    codes = [store.get_codes(i) for i in range(store.n_reads)]
+    pt, ph_, _, mzs = build_position_table(codes, cfg.k, cfg.w)
+    hom = ph_ if ph_ > 0 else cfg.hom_cov
+    gt = _TargetCache(store)
+    read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom)
+    checked = 0
+    for rid, ov in read_ovs[:20]:
+        q = codes[rid]
+        tbs = align_overlaps(q, ov, gt, cfg.max_ov_diff_ec)
+        phr = phase_overlaps(q, ov, tbs)
+        cns = windowed_consensus(q, ov, tbs, phr)
+        nat = ec_read_native(tbs, q)
+        assert nat is not None
+        is_match, n_het, seq, n_edits = nat
+        np.testing.assert_array_equal(is_match, phr.is_match,
+                                      err_msg=f"rid {rid} is_match")
+        assert n_het == len(phr.het_sites), rid
+        assert n_edits == cns.n_corrected, rid
+        np.testing.assert_array_equal(seq, cns.seq, err_msg=f"rid {rid}")
+        checked += 1
+    assert checked == 20
