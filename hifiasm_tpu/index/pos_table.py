@@ -58,7 +58,32 @@ def build_filter_table(read_codes: Iterable[np.ndarray], k: int,
     Returns (table, peak_hom, peak_het). ~ha_ft_gen (htab.cpp:1136-1169).
     """
     codes_list = list(read_codes)
+    allh = None
     if codes_list:
+        try:
+            # w=1 native sketch emits exactly the complete canonical
+            # k-mers; chunk reads to bound the output buffers
+            from hifiasm_tpu.native import sketch_many_native
+            chunks = []
+            c0 = 0
+            ok = True
+            while c0 < len(codes_list) and ok:
+                c1, bases = c0, 0
+                while c1 < len(codes_list) and bases < 2_000_000:
+                    bases += len(codes_list[c1])
+                    c1 += 1
+                mz = sketch_many_native(codes_list[c0:c1], k, 1, None)
+                if mz is None:
+                    ok = False
+                    break
+                chunks.extend(m.hash for m in mz)
+                c0 = c1
+            if ok:
+                allh = np.concatenate(chunks) if chunks else \
+                    np.zeros(0, np.uint64)
+        except Exception:
+            allh = None
+    if allh is None and codes_list:
         # chunked concatenation passes (read boundaries = N-stretch resets,
         # so no k-mer spans reads; chunks keep temporaries cache-resident)
         sep = np.array([4], np.uint8)
@@ -73,7 +98,7 @@ def build_filter_table(read_codes: Iterable[np.ndarray], k: int,
                 c0 += 1
             chunks.append(all_kmers_read(np.concatenate(parts[:-1]), k))
         allh = np.concatenate(chunks)
-    else:
+    elif allh is None:
         allh = np.zeros(0, dtype=np.uint64)
     uniq, counts = np.unique(allh, return_counts=True)
     hist = histogram_counts(counts)
@@ -159,21 +184,28 @@ def build_position_table(
     """
     ft_lookup = ft.lookup if ft is not None else None
     if sketcher is None:
-        # chunked whole-batch sketching: big enough to amortize numpy call
-        # overhead, small enough that the ~dozen live temporaries stay
-        # cache-resident (24M-element globals go memory-bandwidth bound)
-        from hifiasm_tpu.ops.sketch import sketch_many
         codes_list = list(read_codes)
-        mz_per_read = []
-        c0 = 0
-        while c0 < len(codes_list):
-            c1, bases = c0, 0
-            while c1 < len(codes_list) and bases < 120_000:
-                bases += len(codes_list[c1])
-                c1 += 1
-            mz_per_read.extend(sketch_many(codes_list[c0:c1], k, w,
-                                           ft_lookup))
-            c0 = c1
+        mz_per_read = None
+        try:
+            from hifiasm_tpu.native import sketch_many_native
+            mz_per_read = sketch_many_native(codes_list, k, w, ft)
+        except Exception:
+            mz_per_read = None
+        if mz_per_read is None:
+            # chunked whole-batch sketching: big enough to amortize numpy
+            # call overhead, small enough that the ~dozen live temporaries
+            # stay cache-resident
+            from hifiasm_tpu.ops.sketch import sketch_many
+            mz_per_read = []
+            c0 = 0
+            while c0 < len(codes_list):
+                c1, bases = c0, 0
+                while c1 < len(codes_list) and bases < 120_000:
+                    bases += len(codes_list[c1])
+                    c1 += 1
+                mz_per_read.extend(sketch_many(codes_list[c0:c1], k, w,
+                                               ft_lookup))
+                c0 = c1
     else:
         mz_per_read = [sketcher(codes) for codes in read_codes]
     h_chunks, rid_chunks, pos_chunks, rev_chunks, span_chunks = [], [], [], [], []

@@ -65,6 +65,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         u8p, i64p, i64p, i64p, i64p, i64p, u8p,
         i32p, i32p, i32p, u8p, u8p, u8p, ctypes.c_int32]
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    u32cp = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.ht_sketch_many.restype = ctypes.c_int64
+    lib.ht_sketch_many.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u64p, u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        i64p, u64p, i64p, u8p, i64p, u32cp, i64p]
     lib.ht_ec_read.restype = ctypes.c_int64
     lib.ht_ec_read.argtypes = [
         ctypes.c_int64, i64p, i64p, u8p, u8p, u8p, u8p,
@@ -188,6 +196,55 @@ def chain_groups_native(off, self_off, t_off, span, weight, xl_g, yl_g, p):
         cnt, score, start, hits, hit_idx)
     return (cnt, score.reshape(G, m), start.reshape(G, m),
             hits.reshape(G, m), hit_idx)
+
+
+def sketch_many_native(codes_list, k: int, w: int, ft=None,
+                       sample_dist: int = 500, is_unique: bool = False):
+    """Native whole-batch HPC minimizer sketch; returns list[Minimizers]
+    or None (unavailable / overflow)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from hifiasm_tpu.ops.sketch import Minimizers
+
+    n = len(codes_list)
+    bounds = np.zeros(n + 1, np.int64)
+    for i, c in enumerate(codes_list):
+        bounds[i + 1] = bounds[i] + len(c)
+    flat = np.concatenate(codes_list) if n else np.zeros(0, np.uint8)
+    caps = np.array([max(64, min(len(c) + 2, 6 * len(c) // max(w, 1) + 64))
+                     for c in codes_list], np.int64)
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(caps, out=out_off[1:])
+    tot = int(out_off[-1])
+    oh = np.empty(tot, np.uint64)
+    op = np.empty(tot, np.int64)
+    orv = np.empty(tot, np.uint8)
+    osp = np.empty(tot, np.int64)
+    oc = np.empty(tot, np.uint32)
+    on = np.zeros(n, np.int64)
+    if ft is not None and len(ft):
+        fh = np.ascontiguousarray(ft.hashes, np.uint64)
+        fc = np.ascontiguousarray(ft.counts, np.uint16)
+        nft = len(fh)
+    else:
+        fh = np.zeros(1, np.uint64)
+        fc = np.zeros(1, np.uint16)
+        nft = 0
+    rc = lib.ht_sketch_many(
+        np.ascontiguousarray(flat, np.uint8), bounds, n, k, w,
+        fh, fc, nft, sample_dist, 1 if is_unique else 0,
+        out_off, oh, op, orv, osp, oc, on)
+    if rc != 0:
+        return None
+    out = []
+    for i in range(n):
+        s = int(out_off[i])
+        e = s + int(on[i])
+        out.append(Minimizers(oh[s:e].copy(), op[s:e].copy(),
+                              orv[s:e].copy(), osp[s:e].copy(),
+                              oc[s:e].copy()))
+    return out
 
 
 def ec_read_native(tbs, q, do_consensus: bool = True,

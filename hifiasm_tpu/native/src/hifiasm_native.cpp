@@ -641,3 +641,283 @@ extern "C" int64_t ht_ec_read(
     *n_edits_out = n_edits;
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// HPC minimizer sketching (scalar port of ops/sketch.py's sketch_read —
+// same selection semantics incl. the tail push and high-occ rescue;
+// cross-validated bit-identical in tests/test_native.py).
+
+static inline uint64_t yak_h64(uint64_t key) {
+    key = ~key + (key << 21);
+    key = key ^ (key >> 24);
+    key = key + (key << 3) + (key << 8);
+    key = key ^ (key >> 14);
+    key = key + (key << 2) + (key << 4);
+    key = key ^ (key >> 28);
+    key = key + (key << 31);
+    return key;
+}
+
+static inline uint32_t ft_count(const uint64_t* fh, const uint16_t* fc,
+                                int64_t nft, uint64_t h) {
+    if (nft == 0) return 0;
+    int64_t lo = 0, hi = nft;
+    while (lo < hi) {
+        const int64_t mid = (lo + hi) / 2;
+        if (fh[mid] < h) lo = mid + 1; else hi = mid;
+    }
+    return (lo < nft && fh[lo] == h) ? (uint32_t)fc[lo] : 0;
+}
+
+struct MzEntry {           // one eligible position
+    uint32_t c;            // key count (0xFFFFFFFF = dummy)
+    uint64_t h;            // key hash
+    int64_t cpos;          // compressed position
+    int64_t stretch;
+};
+
+static inline bool mz_less(uint32_t c1, uint64_t h1, uint32_t c2,
+                           uint64_t h2) {       // (c1,h1) < (c2,h2)
+    return c1 < c2 || (c1 == c2 && h1 < h2);
+}
+
+extern "C" int64_t ht_sketch_many(
+    const uint8_t* codes, const int64_t* bounds, int64_t n_reads,
+    int64_t k, int64_t w,
+    const uint64_t* ft_h, const uint16_t* ft_c, int64_t nft,
+    int64_t sample_dist, int32_t is_unique,
+    const int64_t* out_off,    // [n_reads+1] per-read output capacity CSR
+    uint64_t* out_hash, int64_t* out_pos, uint8_t* out_rev,
+    int64_t* out_span, uint32_t* out_cnt,
+    int64_t* out_n) {          // [n_reads] emitted per read
+    const uint64_t kmask = k >= 64 ? ~0ULL : ((1ULL << k) - 1);
+    const uint32_t INFC = 0xFFFFFFFFu;
+    int64_t overflow = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 4)
+#endif
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const uint8_t* seq = codes + bounds[r];
+        const int64_t n = bounds[r + 1] - bounds[r];
+        out_n[r] = 0;
+        const int64_t cap = out_off[r + 1] - out_off[r];
+        // --- HPC compress (keep run end + run len), N runs split stretch
+        std::vector<uint8_t> comp;
+        std::vector<int64_t> ends, rl, stretch;
+        comp.reserve(n);
+        int64_t cur_stretch = 0;
+        {
+            int64_t i = 0;
+            while (i < n) {
+                int64_t j = i;
+                while (j + 1 < n && seq[j + 1] == seq[i]) ++j;
+                if (seq[i] == 4) {
+                    ++cur_stretch;
+                } else {
+                    comp.push_back(seq[i]);
+                    ends.push_back(j);
+                    rl.push_back(j - i + 1);
+                    stretch.push_back(cur_stretch);
+                }
+                i = j + 1;
+            }
+        }
+        const int64_t L = (int64_t)comp.size();
+        if (L < k) continue;
+        // --- per-position k-mer data (ending at compressed pos i>=k-1)
+        const int64_t nj = L - (k - 1);
+        std::vector<uint64_t> hsh(nj);
+        std::vector<uint8_t> rev(nj), sym(nj), complete(nj);
+        std::vector<int64_t> span(nj);
+        std::vector<uint32_t> cnt(nj, 0);
+        uint64_t x0 = 0, x1 = 0, x2 = 0, x3 = 0;
+        const int shift = (int)(k - 1);
+        std::vector<uint8_t> elig(L, 0);
+        for (int64_t i = 0; i < (k - 1 < L ? k - 1 : L); ++i) elig[i] = 1;
+        for (int64_t i = 0; i < L; ++i) {
+            const int c = comp[i];
+            x0 = ((x0 << 1) | (uint64_t)(c & 1)) & kmask;
+            x1 = ((x1 << 1) | (uint64_t)(c >> 1)) & kmask;
+            x2 = (x2 >> 1) | ((uint64_t)(1 - (c & 1)) << shift);
+            x3 = (x3 >> 1) | ((uint64_t)(1 - (c >> 1)) << shift);
+            if (i < k - 1) continue;
+            const int64_t j = i - (k - 1);
+            const bool s = (x1 == x3);
+            sym[j] = s;
+            elig[i] = !s;
+            rev[j] = !(x1 < x3);
+            hsh[j] = rev[j] ? (yak_h64(x2 & kmask) + yak_h64(x3 & kmask))
+                            : (yak_h64(x0) + yak_h64(x1));
+            span[j] = ends[i] - (ends[i - (k - 1)] - rl[i - (k - 1)] + 1)
+                      + 1;
+        }
+        // lcount: per-stretch running count of eligible positions
+        std::vector<int64_t> lcount(L);
+        {
+            int64_t run = 0;
+            for (int64_t i = 0; i < L; ++i) {
+                if (i > 0 && stretch[i] != stretch[i - 1]) run = 0;
+                run += elig[i] ? 1 : 0;
+                lcount[i] = run;
+            }
+        }
+        for (int64_t j = 0; j < nj; ++j) {
+            const int64_t i = j + (k - 1);
+            complete[j] = !sym[j] && lcount[i] >= k && span[j] < 256 &&
+                          stretch[i] == stretch[i - (k - 1)];
+            if (complete[j] && nft)
+                cnt[j] = ft_count(ft_h, ft_c, nft, hsh[j]);
+        }
+        // --- eligible entry sequence with composite keys
+        std::vector<MzEntry> ent;
+        ent.reserve(L);
+        for (int64_t i = 0; i < L; ++i) {
+            if (!elig[i]) continue;
+            MzEntry m;
+            m.c = INFC;
+            m.h = ~0ULL;
+            m.cpos = i;
+            m.stretch = stretch[i];
+            const int64_t j = i - (k - 1);
+            if (j >= 0 && complete[j]) {
+                uint32_t cc = cnt[j];
+                bool filtered = cc >= (1u << 28);
+                if (is_unique) {
+                    if (cc == 0) filtered = true;
+                    if (cc == 1) cc = 0;
+                }
+                if (!filtered) { m.c = cc; m.h = hsh[j]; }
+            }
+            ent.push_back(m);
+        }
+        const int64_t ne = (int64_t)ent.size();
+        std::vector<uint8_t> emit(ne, 0);
+        if (ne >= 1) {
+            // window-min per start (trailing window of w entries; windows
+            // past the end use the truncated suffix, callers mask them)
+            std::vector<uint32_t> wm_c(ne);
+            std::vector<uint64_t> wm_h(ne);
+            {
+                std::vector<int64_t> dq(ne);
+                int64_t qh = 0, qt = 0;
+                for (int64_t i = ne - 1; i >= 0; --i) {
+                    while (qt > qh && dq[qh] > i + w - 1) ++qh;
+                    while (qt > qh &&
+                           !mz_less(ent[dq[qt - 1]].c, ent[dq[qt - 1]].h,
+                                    ent[i].c, ent[i].h)) --qt;
+                    dq[qt++] = i;
+                    wm_c[i] = ent[dq[qh]].c;
+                    wm_h[i] = ent[dq[qh]].h;
+                }
+            }
+            // valid-window sentinel + per-entry max over covering starts
+            std::vector<uint32_t> vm_c(ne);
+            std::vector<uint64_t> vm_h(ne);
+            for (int64_t s = 0; s < ne; ++s) {
+                const int64_t e = s + w - 1;
+                bool valid = e < ne && ent[s].stretch == ent[e].stretch &&
+                             lcount[ent[e].cpos] >= w + k - 1;
+                vm_c[s] = valid ? wm_c[s] : 0;
+                vm_h[s] = valid ? wm_h[s] : 0;
+            }
+            {
+                std::vector<int64_t> dq(ne);
+                int64_t qh = 0, qt = 0;
+                for (int64_t i = 0; i < ne; ++i) {
+                    while (qt > qh && dq[qh] < i - w + 1) ++qh;
+                    while (qt > qh) {
+                        const int64_t b = dq[qt - 1];
+                        const bool b_less =
+                            mz_less(vm_c[b], vm_h[b], vm_c[i], vm_h[i]) ||
+                            (vm_c[b] == vm_c[i] && vm_h[b] == vm_h[i]);
+                        if (b_less) --qt; else break;
+                    }
+                    dq[qt++] = i;
+                    const int64_t m = dq[qh];
+                    if (ent[i].c != INFC && vm_c[m] == ent[i].c &&
+                        vm_h[m] == ent[i].h)
+                        emit[i] = 1;
+                }
+            }
+        }
+        // --- tail push for the read's last stretch ---
+        if (ne) {
+            const int64_t last_st = ent[ne - 1].stretch;
+            int64_t s0 = ne - 1;
+            while (s0 > 0 && ent[s0 - 1].stretch == last_st) --s0;
+            int64_t t0 = ne - w > s0 ? ne - w : s0;
+            uint32_t bc = 0xFFFFFFFFu;
+            uint64_t bh = ~0ULL;
+            int64_t bi = -1;
+            for (int64_t t = t0; t < ne; ++t) {
+                if (ent[t].c == INFC) continue;
+                if (ent[t].c < bc ||
+                    (ent[t].c == bc && ent[t].h <= bh)) {
+                    bc = ent[t].c;
+                    bh = ent[t].h;
+                    bi = t;
+                }
+            }
+            if (bi >= 0) emit[bi] = 1;
+        }
+        // --- collect, then high-occ rescue ---
+        std::vector<int64_t> selv;
+        for (int64_t i = 0; i < ne; ++i)
+            if (emit[i]) selv.push_back(i);
+        const int64_t nm = (int64_t)selv.size();
+        std::vector<uint8_t> keep(nm, 1);
+        if (nft && sample_dist > w && nm) {
+            for (int64_t i = 0; i < nm; ++i)
+                keep[i] = ent[selv[i]].c == 0;
+            int64_t i = 0;
+            while (i < nm) {
+                if (keep[i]) { ++i; continue; }
+                int64_t jx = i;
+                while (jx < nm && !keep[jx]) ++jx;
+                const int64_t ps = i > 0 ? ends[ent[selv[i - 1]].cpos] : 0;
+                const int64_t pe = jx < nm ? ends[ent[selv[jx]].cpos] : n;
+                int64_t m = (int64_t)((double)(pe - ps) / sample_dist
+                                      + 0.499);
+                if (m > 0) {
+                    if (m > 16) m = 16;
+                    // lexsort by (cnt, hash), stable; rescue first m
+                    std::vector<int64_t> idx;
+                    for (int64_t t = i; t < jx; ++t) idx.push_back(t);
+                    std::stable_sort(idx.begin(), idx.end(),
+                        [&](int64_t a, int64_t b) {
+                            const MzEntry& ea = ent[selv[a]];
+                            const MzEntry& eb = ent[selv[b]];
+                            return ea.c < eb.c ||
+                                   (ea.c == eb.c && ea.h < eb.h);
+                        });
+                    for (int64_t t = 0; t < m && t < (int64_t)idx.size();
+                         ++t)
+                        if (ent[selv[idx[t]]].c < (uint32_t)(pe - ps))
+                            keep[idx[t]] = 1;
+                }
+                i = jx;
+            }
+        }
+        int64_t wr = 0;
+        for (int64_t i = 0; i < nm; ++i) {
+            if (!keep[i]) continue;
+            if (wr >= cap) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+                overflow = r + 1;
+                break;
+            }
+            const MzEntry& m = ent[selv[i]];
+            const int64_t j = m.cpos - (k - 1);
+            out_hash[out_off[r] + wr] = hsh[j];
+            out_pos[out_off[r] + wr] = ends[m.cpos];
+            out_rev[out_off[r] + wr] = rev[j];
+            out_span[out_off[r] + wr] = span[j];
+            out_cnt[out_off[r] + wr] = cnt[j];
+            ++wr;
+        }
+        out_n[r] = wr;
+    }
+    return overflow ? -overflow : 0;
+}

@@ -217,3 +217,30 @@ def test_native_ec_read_matches_python(rng):
         np.testing.assert_array_equal(seq, cns.seq, err_msg=f"rid {rid}")
         checked += 1
     assert checked == 20
+
+
+def test_native_sketch_matches_python(rng):
+    from hifiasm_tpu.native import sketch_many_native
+    from hifiasm_tpu.ops.sketch import sketch_read
+    from hifiasm_tpu.index.pos_table import build_filter_table
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 30000, repeat_frac=0.2)
+    reads, _, _ = sample_reads(rng, g, depth=6, read_len=3000,
+                               err_rate=0.003)
+    r_n = reads[0].copy()
+    r_n[100:130] = 4
+    reads = reads + [r_n, reads[1][:70]]
+    ft, _, _ = build_filter_table((r for r in reads), 51, high_factor=1.0)
+    for ft_used in (None, ft if len(ft) else None):
+        fl = ft_used.lookup if ft_used is not None else None
+        many = sketch_many_native(reads, 51, 51, ft_used)
+        assert many is not None
+        for i, r in enumerate(reads):
+            one = sketch_read(r, 51, 51, fl)
+            np.testing.assert_array_equal(many[i].hash, one.hash,
+                                          err_msg=f"ft={ft_used is not None} read {i}")
+            np.testing.assert_array_equal(many[i].pos, one.pos)
+            np.testing.assert_array_equal(many[i].rev, one.rev)
+            np.testing.assert_array_equal(many[i].span, one.span)
+            np.testing.assert_array_equal(many[i].cnt, one.cnt)
