@@ -87,17 +87,17 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
     runs ALL windows of the batch through the alignment engine in large
     fixed-shape launches (the TPU execution shape); pass 2 yields per read.
     """
-    from hifiasm_tpu.overlap.anchors import chain_many
+    from hifiasm_tpu.overlap.anchors import chain_many, collect_anchors_many
 
     cp = ChainParams.for_k(cfg.k)
     engine = _host_engine(cfg)
     bs = max(1, cfg.read_batch)
     for b0 in range(0, store.n_reads, bs):
-        rids = range(b0, min(b0 + bs, store.n_reads))
+        rids = list(range(b0, min(b0 + bs, store.n_reads)))
         wb = WindowBatcher(get_target, e_rate, wl=cfg.ec_window, engine=engine)
-        anchors = [(rid, collect_anchors(mzs[rid], pt, rid, store.lens,
-                                         hom_cov), len(codes[rid]))
-                   for rid in rids]
+        ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
+        anchors = [(rid, an, len(codes[rid]))
+                   for rid, an in zip(rids, ans)]
         ovs = chain_many(anchors, store.lens, cp,
                          max_n_chain=cfg.max_n_chain)
         planned = [(rid, codes[rid], ov, wb.add_read(codes[rid], ov))
@@ -119,13 +119,12 @@ def _use_device(cfg: HifiasmConfig, total_bases: int = 0) -> bool:
 
 def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov):
     """Anchor collection + batched chain DP for every read."""
-    from hifiasm_tpu.overlap.anchors import chain_many
+    from hifiasm_tpu.overlap.anchors import chain_many, collect_anchors_many
 
     cp = ChainParams.for_k(cfg.k)
-    reads = []
-    for rid in range(store.n_reads):
-        an = collect_anchors(mzs[rid], pt, rid, store.lens, hom_cov)
-        reads.append((rid, an, len(codes[rid])))
+    rids = list(range(store.n_reads))
+    ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
+    reads = [(rid, an, len(codes[rid])) for rid, an in zip(rids, ans)]
     ovs = chain_many(reads, store.lens, cp, max_n_chain=cfg.max_n_chain)
     return [(rid, ov) for (rid, _, _), ov in zip(reads, ovs)]
 

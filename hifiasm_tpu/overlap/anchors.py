@@ -85,6 +85,95 @@ class OverlapRegions:
         return out
 
 
+def collect_anchors_many(mzs, pt: PositionTable, rids, tlens: np.ndarray,
+                         hom_cov: int, chunk_mz: int = 200_000):
+    """Anchor collection for MANY reads: one postings expansion and one
+    global lexsort per chunk instead of per-read numpy passes."""
+    max_cnt = max(int(hom_cov * (2.0 - HA_KMER_GOOD_RATIO)), 2)
+    min_cnt = max(int(hom_cov * HA_KMER_GOOD_RATIO), 2)
+    out = [None] * len(rids)
+    empty = lambda: Anchors(*(np.zeros(0, t) for t in (
+        np.uint32, np.uint8, np.int64, np.int64, np.int64, np.int64)))
+    c0 = 0
+    while c0 < len(rids):
+        c1, nm = c0, 0
+        while c1 < len(rids) and nm < chunk_mz:
+            nm += len(mzs[rids[c1]])
+            c1 += 1
+        # concat this chunk's minimizers with their query read ids
+        h_l, q_l, qp_l, qr_l, qs_l = [], [], [], [], []
+        for x in range(c0, c1):
+            rid = rids[x]
+            mz = mzs[rid]
+            n = len(mz)
+            h_l.append(mz.hash)
+            q_l.append(np.full(n, rid, np.int64))
+            qp_l.append(mz.pos.astype(np.int64))
+            qr_l.append(mz.rev)
+            qs_l.append(mz.span.astype(np.int64))
+        allh = np.concatenate(h_l) if h_l else np.zeros(0, np.uint64)
+        if len(allh) == 0 or pt.n_distinct == 0:
+            for x in range(c0, c1):
+                out[x] = empty()
+            c0 = c1
+            continue
+        qread = np.concatenate(q_l)
+        qpos_all = np.concatenate(qp_l)
+        qrev_all = np.concatenate(qr_l)
+        qspan_all = np.concatenate(qs_l)
+        slot, found = pt.lookup_many(allh)
+        qsel = np.flatnonzero(found)
+        starts = pt.start[slot[qsel]]
+        counts = pt.count[slot[qsel]]
+        if int(counts.sum()) == 0:
+            for x in range(c0, c1):
+                out[x] = empty()
+            c0 = c1
+            continue
+        qidx = np.repeat(qsel, counts)
+        post = _expand_ranges(starts, counts)
+        tid = pt.rid[post].astype(np.uint32)
+        tpos = pt.pos[post].astype(np.int64)
+        trev = pt.rev[post]
+        tspan = pt.span[post].astype(np.int64)
+        qread_a = qread[qidx]
+        keep = tid.astype(np.int64) != qread_a
+        qidx, tid, tpos, trev, tspan, qread_a = (
+            qidx[keep], tid[keep], tpos[keep], trev[keep], tspan[keep],
+            qread_a[keep])
+        qrev = qrev_all[qidx]
+        qpos = qpos_all[qidx]
+        qspan = qspan_all[qidx]
+        occ = np.repeat(counts, counts)[keep].astype(np.int64)
+        rev = (qrev != trev).astype(np.uint8)
+        tl = tlens[tid].astype(np.int64)
+        t_off = np.where(rev == 0, tpos, tl - 1 - (tpos + 1 - tspan))
+        w = np.ones(len(occ), np.int64)
+        w[occ <= min_cnt] = 2
+        hi = occ >= max_cnt
+        wh = 1 + ((occ[hi] + (max_cnt << 1) - 1) // (max_cnt << 1))
+        w[hi] = np.floor(np.power(wh.astype(np.float64), 1.1)
+                         ).astype(np.int64)
+        w = np.minimum(w, 0xFFFFFF)
+        order = np.lexsort((t_off, qpos, rev, tid, qread_a))
+        qread_s = qread_a[order]
+        bnd = np.flatnonzero(np.diff(qread_s)) + 1
+        seg_s = np.concatenate([[0], bnd])
+        seg_e = np.concatenate([bnd, [len(qread_s)]])
+        seg_rid = {int(qread_s[s]): (s, e) for s, e in zip(seg_s, seg_e)}
+        for x in range(c0, c1):
+            rid = rids[x]
+            if rid in seg_rid:
+                s, e = seg_rid[rid]
+                sl = order[s:e]
+                out[x] = Anchors(tid[sl], rev[sl], qpos[sl], t_off[sl],
+                                 qspan[sl], w[sl])
+            else:
+                out[x] = empty()
+        c0 = c1
+    return out
+
+
 def collect_anchors(mz: Minimizers, pt: PositionTable, rid: int,
                     tlens: np.ndarray, hom_cov: int) -> Anchors:
     """Query each minimizer, expand postings into anchors, sort."""

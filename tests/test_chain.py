@@ -126,3 +126,27 @@ def test_overlap_coords_accurate(rng):
                 assert abs(got_shift - shift) <= 60, (t, got_shift, shift)
                 checked += 1
     assert checked > 0
+
+
+def test_collect_anchors_many_matches_single(rng):
+    from hifiasm_tpu.index.pos_table import build_position_table
+    from hifiasm_tpu.overlap.anchors import (
+        collect_anchors, collect_anchors_many,
+    )
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 20000)
+    reads, _, _ = sample_reads(rng, g, depth=8, read_len=2500,
+                               err_rate=0.003)
+    pt, ph, _, mzs = build_position_table(reads, 51, 51)
+    lens = np.array([len(r) for r in reads])
+    hom = ph if ph > 0 else 20
+    rids = list(range(len(reads)))
+    many = collect_anchors_many(mzs, pt, rids, lens, hom, chunk_mz=700)
+    for rid in rids:
+        one = collect_anchors(mzs[rid], pt, rid, lens, hom)
+        np.testing.assert_array_equal(many[rid].tid, one.tid,
+                                      err_msg=f"rid {rid}")
+        np.testing.assert_array_equal(many[rid].self_off, one.self_off)
+        np.testing.assert_array_equal(many[rid].t_off, one.t_off)
+        np.testing.assert_array_equal(many[rid].weight, one.weight)
