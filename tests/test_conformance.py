@@ -153,3 +153,61 @@ def test_diploid_hap_sizes_match_reference(rng, tmp_path):
     for v in (ref_h1, ref_h2, our_h1, our_h2):
         assert 0.6 * L < v < 1.6 * L, \
             (ref_h1, ref_h2, our_h1, our_h2)
+
+
+@pytest.mark.parametrize("seed,het,rep", [
+    (3, 0.0, 0.0),
+    (5, 0.004, 0.0),
+    (7, 0.0, 0.15),
+    (13, 0.002, 0.1),
+])
+def test_conformance_matrix(seed, het, rep, tmp_path):
+    """Ours vs reference across ploidy/repeat regimes: comparable contig
+    structure and genome-true sequence."""
+    rng = np.random.default_rng(seed)
+    L = 60000
+    if het > 0:
+        h1, h2 = make_genome(rng, L, repeat_frac=rep, het_rate=het)
+        r1, _, _ = sample_reads(rng, h1, depth=11, read_len=6000,
+                                err_rate=0.003)
+        r2, _, _ = sample_reads(rng, h2, depth=11, read_len=6000,
+                                err_rate=0.003)
+        reads = r1 + r2
+        gk_src = np.concatenate([h1, np.full(70, 4, np.uint8), h2])
+    else:
+        g = make_genome(rng, L, repeat_frac=rep)
+        reads, _, _ = sample_reads(rng, g, depth=12, read_len=6000,
+                                   err_rate=0.003)
+        gk_src = g
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(output_prefix=str(tmp_path / "ours"),
+                        n_rounds_ec=1)
+    from hifiasm_tpu.assemble import assemble
+    assemble(store, cfg)
+    subprocess.run([REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r1",
+                    str(fa)], capture_output=True, check=True, timeout=900)
+
+    def stats(path):
+        cs = _gfa_contigs(path)
+        return len(cs), sum(map(len, cs)), cs
+
+    n_o, tot_o, cs_o = stats(str(tmp_path / "ours.p_ctg.gfa"))
+    n_r, tot_r, cs_r = stats(str(tmp_path / "ref.bp.p_ctg.gfa"))
+    # sequence truthfulness of our contigs
+    gk = {gk_src[i:i + 63].tobytes() for i in range(len(gk_src) - 62)}
+    for c in cs_o:
+        if len(c) > 1000:
+            assert _identity(c, gk) > 0.97, \
+                f"seed={seed} het={het} rep={rep}"
+    # comparable structure: totals within 25%, counts within a factor ~3
+    assert tot_o > 0 and tot_r > 0
+    assert abs(tot_o - tot_r) < 0.25 * max(tot_o, tot_r), \
+        (seed, het, rep, n_o, tot_o, n_r, tot_r)
+    assert n_o <= 3 * max(n_r, 1) + 2, (seed, het, rep, n_o, n_r)
