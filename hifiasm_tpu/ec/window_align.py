@@ -285,28 +285,53 @@ class WindowBatcher:
                 t_base_w[w], t_len_w[w] = tkeys[k]
         flat = np.concatenate(bufs) if bufs else np.zeros(0, np.uint8)
         x_off = qbase[jobs["read"]] + jobs["ws"]
+
+        # shared CSR arena; per-read traceback arrays become views into it
+        sizes = np.array([int(tbs.off[-1])
+                          for _, _, tbs, _ in self._reads], np.int64)
+        abase = np.concatenate([[0], np.cumsum(sizes)])
+        tb_arena = np.full(int(abase[-1]), 5, np.uint8)
+        ic_arena = np.zeros(int(abase[-1]), np.uint8)
+        ib_arena = np.zeros(int(abase[-1]), np.uint8)
+        dst_base = np.empty(n, np.int64)
+        for i, (q, ov, tbs, pl) in enumerate(self._reads):
+            m = jobs["read"] == i
+            o = jobs["ov"][m]
+            dst_base[m] = abase[i] + tbs.off[o] + jobs["ws"][m] - \
+                tbs.x_s[o]
+            tbs.tb = tb_arena[abase[i]:abase[i + 1]]
+            tbs.ins_cnt = ic_arena[abase[i]:abase[i + 1]]
+            tbs.ins_base = ib_arena[abase[i]:abase[i + 1]]
+
         accept_thre = np.minimum(jobs["thre"] * 2, THRESHOLD_MAX_SIZE)
         win_y = np.zeros((n, 2), np.int64)
         acc_all = np.zeros(n, bool)
+        err_all = np.zeros(n, np.int64)
         e = THRESHOLD_MAX_SIZE
         for c0 in range(0, n, self.chunk):
             sel = np.arange(c0, min(c0 + self.chunk, n))
-            out = native(
+            err, ys, yn = native(
                 flat, x_off[sel], jobs["wlen"][sel], t_base_w[sel],
                 jobs["t_ws"][sel], t_len_w[sel],
-                jobs["last"][sel].astype(np.uint8), self.wl, e)
-            err, ys, yn, tb, ic, ib = out
-            # effective xlen after the suffix-overlap tail clamp
+                jobs["last"][sel].astype(np.uint8), dst_base[sel],
+                accept_thre[sel], tb_arena, ic_arena, ib_arena,
+                self.wl, e)
             y0 = jobs["t_ws"][sel] - e
-            ylen = np.clip(t_len_w[sel] - y0, 0, jobs["wlen"][sel] + 2 * e)
-            wlen_eff = np.where(jobs["last"][sel] & (ylen < jobs["wlen"][sel]),
-                                ylen, jobs["wlen"][sel])
-            accepted = (err >= 0) & (err <= accept_thre[sel])
-            acc_all[sel] = accepted
+            acc_all[sel] = err >= 0
+            err_all[sel] = err
             win_y[sel, 0] = y0 + ys
             win_y[sel, 1] = y0 + yn
-            self._scatter(jobs, sel, wlen_eff, tb, ic, ib, accepted, err,
-                          win_y)
+        # per-overlap stats (vectorized per read)
+        for i, (q, ov, tbs, pl) in enumerate(self._reads):
+            m = (jobs["read"] == i) & acc_all
+            if not m.any():
+                continue
+            o = jobs["ov"][m]
+            n_ov = len(ov)
+            tbs.win_ok[:] += np.bincount(o, minlength=n_ov
+                                         ).astype(np.int32)
+            tbs.err[:] += np.bincount(o, weights=err_all[m],
+                                      minlength=n_ov).astype(np.int64)
         self._finalize_ranges(jobs, acc_all, win_y)
 
     # ---- legacy engine path (numpy / jax / explicit engines) ----

@@ -63,7 +63,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ht_banded_jobs.restype = ctypes.c_int64
     lib.ht_banded_jobs.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        u8p, i64p, i64p, i64p, i64p, i64p, u8p,
+        u8p, i64p, i64p, i64p, i64p, i64p, u8p, i64p, i64p,
         i32p, i32p, i32p, u8p, u8p, u8p, ctypes.c_int32]
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
     u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
@@ -121,8 +121,11 @@ def banded_batch_native(x, xlen, y, ylen, e: int, traceback: bool = True):
 
 
 def banded_jobs_native(flat, x_off, xlen, t_base, t_ws, t_len, last,
+                       dst_base, acc_thre, tb_arena, ic_arena, ib_arena,
                        XL: int, e: int, traceback: bool = True):
-    """Zero-copy window-job alignment over a flat sequence arena."""
+    """Zero-copy window-job alignment; ACCEPTED windows scatter their
+    traceback straight into the pre-initialised CSR arenas. Returns
+    (err, y_start, y_end); err == -1 covers both failure and rejection."""
     lib = get_lib()
     if lib is None:
         return None
@@ -130,9 +133,6 @@ def banded_jobs_native(flat, x_off, xlen, t_base, t_ws, t_len, last,
     err = np.zeros(n, np.int32)
     ys = np.zeros(n, np.int32)
     yn = np.zeros(n, np.int32)
-    tb = np.empty(n * XL, np.uint8)
-    ic = np.empty(n * XL, np.uint8)
-    ib = np.empty(n * XL, np.uint8)
     rc = lib.ht_banded_jobs(
         n, XL, e, np.ascontiguousarray(flat, np.uint8),
         np.ascontiguousarray(x_off, np.int64),
@@ -141,11 +141,13 @@ def banded_jobs_native(flat, x_off, xlen, t_base, t_ws, t_len, last,
         np.ascontiguousarray(t_ws, np.int64),
         np.ascontiguousarray(t_len, np.int64),
         np.ascontiguousarray(last, np.uint8),
-        err, ys, yn, tb, ic, ib, 1 if traceback else 0)
+        np.ascontiguousarray(dst_base, np.int64),
+        np.ascontiguousarray(acc_thre, np.int64),
+        err, ys, yn, tb_arena, ic_arena, ib_arena,
+        1 if traceback else 0)
     if rc != 0:
         raise AssertionError(f"native traceback stuck at job {-rc - 1}")
-    return (err, ys, yn, tb.reshape(n, XL), ic.reshape(n, XL),
-            ib.reshape(n, XL))
+    return err, ys, yn
 
 
 def chain_dp_native(self_off, t_off, span, weight, xl: int, yl: int, p):

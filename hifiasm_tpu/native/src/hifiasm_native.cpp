@@ -387,8 +387,10 @@ extern "C" int64_t ht_banded_jobs(
     const int64_t* x_off, const int64_t* xlen_in,
     const int64_t* t_base, const int64_t* t_ws, const int64_t* t_len,
     const uint8_t* is_last,
+    const int64_t* dst_base,   // arena offset per job (CSR destination)
+    const int64_t* acc_thre,   // acceptance threshold per job
     int32_t* err_out, int32_t* ys_out, int32_t* yn_out,
-    uint8_t* tb_out, uint8_t* ic_out, uint8_t* ib_out,
+    uint8_t* tb_arena, uint8_t* ic_arena, uint8_t* ib_arena,
     int32_t traceback) {
     const int W = int(2 * e + 1);
     const uint64_t mask = (W >= 64) ? ~0ULL : ((1ULL << W) - 1);
@@ -422,14 +424,11 @@ extern "C" int64_t ht_banded_jobs(
             ybuf[j] = (t >= 0 && t < tl_full) ? flat[t_base[b] + t] : 4;
         }
         if (is_last[b] && pl < tl) tl = pl;   // suffix-overlap tail clamp
-        uint8_t* tbp = tb_out + b * XL;
-        uint8_t* icp = ic_out + b * XL;
-        uint8_t* ibp = ib_out + b * XL;
-        if (traceback) {
-            memset(tbp, 5, XL);
-            memset(icp, 0, XL);
-            memset(ibp, 0, XL);
-        }
+        // accepted windows write straight into the pre-initialised CSR
+        // arena (defaults 5/0/0 already present); rejected ones write nothing
+        uint8_t* tbp = tb_arena + dst_base[b];
+        uint8_t* icp = ic_arena + dst_base[b];
+        uint8_t* ibp = ib_arena + dst_base[b];
         if (tl <= 0) { err_out[b] = -1; ys_out[b] = -1; yn_out[b] = 0; continue; }
         const uint8_t* yb = ybuf.data();
         uint64_t peq[5] = {0, 0, 0, 0, 0};
@@ -464,7 +463,10 @@ extern "C" int64_t ht_banded_jobs(
             if (b0 < e) e3 += (int64_t)((VP >> b0) & 1) - (int64_t)((VN >> b0) & 1);
         }
         if (pl - tl >= e && e3 == best_err) best_n = tl + e;
-        if (best_err > e) { err_out[b] = -1; ys_out[b] = -1; yn_out[b] = (int32_t)best_n; continue; }
+        if (best_err > e || best_err > acc_thre[b]) {
+            err_out[b] = -1; ys_out[b] = -1; yn_out[b] = (int32_t)best_n;
+            continue;
+        }
         err_out[b] = (int32_t)best_err;
         yn_out[b] = (int32_t)best_n;
         if (!traceback) { ys_out[b] = -1; continue; }
