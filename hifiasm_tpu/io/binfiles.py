@@ -28,7 +28,7 @@ def write_reads(path: str, store: ReadStore) -> None:
     flat = np.concatenate([store.get_codes(i)
                            for i in range(store.n_reads)]) \
         if store.n_reads else np.zeros(0, np.uint8)
-    np.savez_compressed(
+    np.savez(
         path, magic=MAGIC, names="\n".join(store.names),
         lens=store.lens, codes=flat, trio_flags=store.trio_flags)
 
@@ -51,7 +51,7 @@ def load_reads(path: str) -> Optional[ReadStore]:
 
 def write_paf(path: str, paf: PafStore) -> None:
     qn, cols = paf.flatten()
-    np.savez_compressed(path, magic=MAGIC, n_reads=len(paf), qn=qn,
+    np.savez(path, magic=MAGIC, n_reads=len(paf), qn=qn,
                         **{f: cols[f] for f in _FIELDS})
 
 
@@ -81,7 +81,7 @@ def load_paf(path: str) -> Optional[PafStore]:
 def write_graph(path: str, sg, cov, r_to_u: np.ndarray) -> None:
     """String-graph checkpoint (~write_debug_graph, Overlaps.cpp:39436;
     --dbg-gfa lets the graph phase re-run standalone)."""
-    np.savez_compressed(
+    np.savez(
         path, magic=MAGIC, n_seq=sg.n_seq, seq_len=sg.seq_len,
         seq_del=sg.seq_del, ul=sg.ul, v=sg.v, ol=sg.ol, strong=sg.strong,
         el=sg.el, no_l_indel=sg.no_l_indel, del_=sg.del_,
