@@ -6,7 +6,7 @@ Overlaps.cpp:23567; loaded at Assembly.cpp:2062; `-i` ignores):
   prefix.ovlp.source.bin  cis overlaps (paf)
   prefix.ovlp.reverse.bin trans overlaps (reverse_paf)
 
-Same resume points, TPU-native container: one compressed .npz per file
+Same resume points, TPU-native container: one .npz per file
 with columnar arrays (mmap-friendly, no struct-endianness issues).
 """
 
