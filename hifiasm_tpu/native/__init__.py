@@ -73,6 +73,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         u8p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         u64p, u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         i64p, u64p, i64p, u8p, i64p, u32cp, i64p]
+    lib.ht_collect_anchors.restype = ctypes.c_int64
+    lib.ht_collect_anchors.argtypes = [
+        ctypes.c_int64, i64p, u64p, i64p, u8p, i64p, i64p,
+        u64p, i64p, i32p, ctypes.c_int64,
+        u32p, u32p, u8p, u16p, i64p,
+        ctypes.c_int64, ctypes.c_int64,
+        i64p, u32p, u8p, i64p, i64p, i64p, i64p, i64p]
     lib.ht_ec_read.restype = ctypes.c_int64
     lib.ht_ec_read.argtypes = [
         ctypes.c_int64, i64p, i64p, u8p, u8p, u8p, u8p,
@@ -246,6 +253,68 @@ def sketch_many_native(codes_list, k: int, w: int, ft=None,
         out.append(Minimizers(oh[s:e].copy(), op[s:e].copy(),
                               orv[s:e].copy(), osp[s:e].copy(),
                               oc[s:e].copy()))
+    return out
+
+
+def collect_anchors_native(mzs, pt, rids, tlens, hom_cov: int):
+    """Native anchor collection for many reads -> list[Anchors] or None."""
+    lib = get_lib()
+    if lib is None or pt.n_distinct == 0:
+        return None
+    from hifiasm_tpu.overlap.anchors import HA_KMER_GOOD_RATIO, Anchors
+
+    max_cnt = max(int(hom_cov * (2.0 - HA_KMER_GOOD_RATIO)), 2)
+    min_cnt = max(int(hom_cov * HA_KMER_GOOD_RATIO), 2)
+    n = len(rids)
+    mz_off = np.zeros(n + 1, np.int64)
+    for i, rid in enumerate(rids):
+        mz_off[i + 1] = mz_off[i] + len(mzs[rid])
+    mh = np.concatenate([mzs[r].hash for r in rids]) if n else \
+        np.zeros(0, np.uint64)
+    mp = np.concatenate([mzs[r].pos.astype(np.int64) for r in rids]) \
+        if n else np.zeros(0, np.int64)
+    mr = np.concatenate([mzs[r].rev for r in rids]) if n else \
+        np.zeros(0, np.uint8)
+    ms = np.concatenate([mzs[r].span.astype(np.int64) for r in rids]) \
+        if n else np.zeros(0, np.int64)
+    # per-read capacity = sum of posting counts of its minimizers
+    cnts = pt.cnt(mh).astype(np.int64)
+    caps = np.zeros(n, np.int64)
+    np.add.at(caps, np.repeat(np.arange(n), np.diff(mz_off)), cnts)
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(caps, out=out_off[1:])
+    tot = int(out_off[-1])
+    o_tid = np.empty(max(tot, 1), np.uint32)
+    o_rev = np.empty(max(tot, 1), np.uint8)
+    o_qp = np.empty(max(tot, 1), np.int64)
+    o_to = np.empty(max(tot, 1), np.int64)
+    o_sp = np.empty(max(tot, 1), np.int64)
+    o_w = np.empty(max(tot, 1), np.int64)
+    o_n = np.zeros(n, np.int64)
+    rc = lib.ht_collect_anchors(
+        n, mz_off, np.ascontiguousarray(mh, np.uint64),
+        np.ascontiguousarray(mp), np.ascontiguousarray(mr),
+        np.ascontiguousarray(ms),
+        np.ascontiguousarray(np.asarray(rids, np.int64)),
+        np.ascontiguousarray(pt.hashes, np.uint64),
+        np.ascontiguousarray(pt.start, np.int64),
+        np.ascontiguousarray(pt.count, np.int32), pt.n_distinct,
+        np.ascontiguousarray(pt.rid, np.uint32),
+        np.ascontiguousarray(pt.pos, np.uint32),
+        np.ascontiguousarray(pt.rev, np.uint8),
+        np.ascontiguousarray(pt.span, np.uint16),
+        np.ascontiguousarray(tlens, np.int64),
+        min_cnt, max_cnt, out_off,
+        o_tid, o_rev, o_qp, o_to, o_sp, o_w, o_n)
+    if rc != 0:
+        return None
+    out = []
+    for i in range(n):
+        s = int(out_off[i])
+        e = s + int(o_n[i])
+        out.append(Anchors(o_tid[s:e].copy(), o_rev[s:e].copy(),
+                           o_qp[s:e].copy(), o_to[s:e].copy(),
+                           o_sp[s:e].copy(), o_w[s:e].copy()))
     return out
 
 

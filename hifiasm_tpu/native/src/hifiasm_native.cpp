@@ -923,3 +923,107 @@ extern "C" int64_t ht_sketch_many(
     }
     return overflow ? -overflow : 0;
 }
+
+// ---------------------------------------------------------------------------
+// Anchor collection (scalar port of overlap/anchors.collect_anchors):
+// binary-search each minimizer in the position table, expand postings into
+// (tid, rev, qpos, t_off) anchors with occurrence-class weights, sort per
+// read by (tid, rev, qpos, t_off).
+
+struct Anchor {
+    uint32_t tid;
+    uint8_t rev;
+    int64_t qpos, t_off, span, w;
+};
+
+extern "C" int64_t ht_collect_anchors(
+    int64_t n_reads, const int64_t* mz_off,
+    const uint64_t* mz_hash, const int64_t* mz_pos,
+    const uint8_t* mz_rev, const int64_t* mz_span,
+    const int64_t* read_ids,                  // query rid per read slot
+    const uint64_t* pt_hash, const int64_t* pt_start,
+    const int32_t* pt_count, int64_t n_pt,
+    const uint32_t* po_rid, const uint32_t* po_pos,
+    const uint8_t* po_rev, const uint16_t* po_span,
+    const int64_t* tlens,
+    int64_t min_cnt, int64_t max_cnt,
+    const int64_t* out_off,                   // per-read capacity CSR
+    uint32_t* out_tid, uint8_t* out_rev, int64_t* out_qpos,
+    int64_t* out_toff, int64_t* out_span, int64_t* out_w,
+    int64_t* out_n) {
+    int64_t overflow = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+    std::vector<Anchor> buf;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+    for (int64_t r = 0; r < n_reads; ++r) {
+        out_n[r] = 0;
+        const int64_t rid = read_ids[r];
+        const int64_t cap = out_off[r + 1] - out_off[r];
+        buf.clear();
+        for (int64_t m = mz_off[r]; m < mz_off[r + 1]; ++m) {
+            const uint64_t h = mz_hash[m];
+            int64_t lo = 0, hi = n_pt;
+            while (lo < hi) {
+                const int64_t mid = (lo + hi) / 2;
+                if (pt_hash[mid] < h) lo = mid + 1; else hi = mid;
+            }
+            if (lo >= n_pt || pt_hash[lo] != h) continue;
+            const int64_t s = pt_start[lo];
+            const int64_t c = pt_count[lo];
+            // occurrence-class weight
+            int64_t w = 1;
+            if (c <= min_cnt) w = 2;
+            if (c >= max_cnt) {
+                const int64_t wh = 1 + (c + (max_cnt << 1) - 1)
+                                       / (max_cnt << 1);
+                w = (int64_t)std::floor(std::pow((double)wh, 1.1));
+            }
+            if (w > 0xFFFFFF) w = 0xFFFFFF;
+            for (int64_t t = s; t < s + c; ++t) {
+                if ((int64_t)po_rid[t] == rid) continue;
+                Anchor a;
+                a.tid = po_rid[t];
+                a.rev = mz_rev[m] != po_rev[t];
+                a.qpos = mz_pos[m];
+                a.span = mz_span[m];
+                a.w = w;
+                const int64_t tl = tlens[a.tid];
+                a.t_off = a.rev ? tl - 1 - ((int64_t)po_pos[t] + 1
+                                            - (int64_t)po_span[t])
+                                : (int64_t)po_pos[t];
+                buf.push_back(a);
+            }
+        }
+        if ((int64_t)buf.size() > cap) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+            overflow = r + 1;
+            continue;
+        }
+        std::stable_sort(buf.begin(), buf.end(), [](const Anchor& a,
+                                                    const Anchor& b) {
+            if (a.tid != b.tid) return a.tid < b.tid;
+            if (a.rev != b.rev) return a.rev < b.rev;
+            if (a.qpos != b.qpos) return a.qpos < b.qpos;
+            return a.t_off < b.t_off;
+        });
+        const int64_t base = out_off[r];
+        for (int64_t i = 0; i < (int64_t)buf.size(); ++i) {
+            out_tid[base + i] = buf[i].tid;
+            out_rev[base + i] = buf[i].rev;
+            out_qpos[base + i] = buf[i].qpos;
+            out_toff[base + i] = buf[i].t_off;
+            out_span[base + i] = buf[i].span;
+            out_w[base + i] = buf[i].w;
+        }
+        out_n[r] = (int64_t)buf.size();
+    }
+    }  // omp parallel
+    return overflow ? -overflow : 0;
+}

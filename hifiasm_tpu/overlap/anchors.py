@@ -94,12 +94,25 @@ def collect_anchors_many(mzs, pt: PositionTable, rids, tlens: np.ndarray,
     out = [None] * len(rids)
     empty = lambda: Anchors(*(np.zeros(0, t) for t in (
         np.uint32, np.uint8, np.int64, np.int64, np.int64, np.int64)))
+    try:
+        from hifiasm_tpu.native import collect_anchors_native, get_lib
+        native_ok = get_lib() is not None
+    except Exception:
+        native_ok = False
     c0 = 0
     while c0 < len(rids):
         c1, nm = c0, 0
         while c1 < len(rids) and nm < chunk_mz:
             nm += len(mzs[rids[c1]])
             c1 += 1
+        if native_ok:
+            nat = collect_anchors_native(mzs, pt, rids[c0:c1], tlens,
+                                         hom_cov)
+            if nat is not None:
+                for x, an in zip(range(c0, c1), nat):
+                    out[x] = an
+                c0 = c1
+                continue
         # concat this chunk's minimizers with their query read ids
         h_l, q_l, qp_l, qr_l, qs_l = [], [], [], [], []
         for x in range(c0, c1):
