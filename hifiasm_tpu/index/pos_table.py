@@ -58,6 +58,18 @@ def build_filter_table(read_codes: Iterable[np.ndarray], k: int,
     Returns (table, peak_hom, peak_het). ~ha_ft_gen (htab.cpp:1136-1169).
     """
     codes_list = list(read_codes)
+    uc = None
+    if codes_list:
+        try:
+            # fused native path: hash + parallel sort + unique in one call
+            from hifiasm_tpu.native import count_kmers_native
+            uc = count_kmers_native(codes_list, k)
+        except Exception:
+            uc = None
+    if uc is not None:
+        uniq, counts = uc
+        return _finish_filter_table(uniq, counts, high_factor,
+                                    max_kmer_cnt, min_hist_cnt)
     allh = None
     if codes_list:
         try:
@@ -101,6 +113,12 @@ def build_filter_table(read_codes: Iterable[np.ndarray], k: int,
     elif allh is None:
         allh = np.zeros(0, dtype=np.uint64)
     uniq, counts = np.unique(allh, return_counts=True)
+    return _finish_filter_table(uniq, counts, high_factor, max_kmer_cnt,
+                                min_hist_cnt)
+
+
+def _finish_filter_table(uniq, counts, high_factor, max_kmer_cnt,
+                         min_hist_cnt):
     hist = histogram_counts(counts)
     peak_hom, peak_het = analyze_count(hist, start_cnt=min_hist_cnt)
     if peak_hom > 0:

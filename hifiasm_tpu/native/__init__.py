@@ -86,6 +86,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_double, ctypes.c_int32,
         u8p, i64p, u8p, ctypes.c_int64, i64p, i64p]
+    lib.ht_count_kmers.restype = ctypes.c_int64
+    lib.ht_count_kmers.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int64, u64p, u32cp]
     lib.ht_chain_groups.restype = ctypes.c_int64
     lib.ht_chain_groups.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
@@ -254,6 +257,29 @@ def sketch_many_native(codes_list, k: int, w: int, ft=None,
                               orv[s:e].copy(), osp[s:e].copy(),
                               oc[s:e].copy()))
     return out
+
+
+def count_kmers_native(codes_list, k: int):
+    """Fused HPC k-mer count: hash + parallel sort + unique in native code.
+
+    Returns (sorted unique uint64 hashes, uint32 counts) over all complete
+    canonical HPC k-mers, or None if the library is unavailable. Same
+    k-mer set as ops/sketch.all_kmers_read (~ha_ft_gen, htab.cpp:1136).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(codes_list)
+    bounds = np.zeros(n + 1, np.int64)
+    for i, c in enumerate(codes_list):
+        bounds[i + 1] = bounds[i] + len(c)
+    flat = np.concatenate(codes_list) if n else np.zeros(0, np.uint8)
+    tot = int(bounds[-1])
+    hbuf = np.empty(max(tot, 1), np.uint64)
+    cbuf = np.empty(max(tot, 1), np.uint32)
+    nu = lib.ht_count_kmers(
+        np.ascontiguousarray(flat, np.uint8), bounds, n, k, hbuf, cbuf)
+    return hbuf[:nu].copy(), cbuf[:nu].copy()
 
 
 def collect_anchors_native(mzs, pt, rids, tlens, hom_cov: int):

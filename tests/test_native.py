@@ -244,3 +244,27 @@ def test_native_sketch_matches_python(rng):
             np.testing.assert_array_equal(many[i].rev, one.rev)
             np.testing.assert_array_equal(many[i].span, one.span)
             np.testing.assert_array_equal(many[i].cnt, one.cnt)
+
+
+def test_native_count_kmers_matches_python(rng):
+    from hifiasm_tpu.native import count_kmers_native
+    from hifiasm_tpu.ops.sketch import all_kmers_read
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 30000, repeat_frac=0.2)
+    reads, _, _ = sample_reads(rng, g, depth=8, read_len=3000,
+                               err_rate=0.003)
+    r_n = reads[0].copy()
+    r_n[100:130] = 4                       # N stretch splits k-mer runs
+    reads = reads + [r_n, reads[1][:70], np.zeros(10, np.uint8)]
+    uc = count_kmers_native(reads, 51)
+    assert uc is not None
+    uniq_n, cnt_n = uc
+    allh = np.concatenate([all_kmers_read(r, 51) for r in reads])
+    uniq_p, cnt_p = np.unique(allh, return_counts=True)
+    np.testing.assert_array_equal(uniq_n, uniq_p)
+    np.testing.assert_array_equal(cnt_n.astype(np.int64), cnt_p)
+    assert cnt_p.max() > 1                 # exercised multi-count path
+    # empty input
+    u0, c0 = count_kmers_native([], 51)
+    assert u0.size == 0 and c0.size == 0
