@@ -81,11 +81,12 @@ def _host_engine(cfg: HifiasmConfig):
 
 def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
                           e_rate: float, get_target):
-    """Yield (rid, q, ov, tbs) with windows aligned in cross-read batches.
+    """Yield batches of (rid, q, ov, tbs) with windows aligned per batch.
 
     Pass 1 of each batch chains anchors and plans window jobs; one flush
     runs ALL windows of the batch through the alignment engine in large
-    fixed-shape launches (the TPU execution shape); pass 2 yields per read.
+    fixed-shape launches (the TPU execution shape); pass 2 yields the
+    whole batch so phase/consensus can also run cross-read batched.
     """
     from hifiasm_tpu.overlap.anchors import chain_many, collect_anchors_many
 
@@ -103,7 +104,7 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
         planned = [(rid, codes[rid], ov, wb.add_read(codes[rid], ov))
                    for (rid, _, _), ov in zip(anchors, ovs)]
         wb.flush()
-        yield from planned
+        yield planned
 
 
 def _use_device(cfg: HifiasmConfig, total_bases: int = 0) -> bool:
@@ -157,25 +158,27 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
                 new_seqs[rid] = cns.seq
                 n_corr += cns.n_corrected
     else:
-        from hifiasm_tpu.native import ec_read_native
+        from hifiasm_tpu.native import ec_reads_native
 
         get_target = _TargetCache(store)
-        for rid, q, ov, tbs in _iter_overlap_batches(
+        for batch in _iter_overlap_batches(
                 store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_ec,
                 get_target):
-            nat = ec_read_native(tbs, q) if cfg.align_engine != "numpy" \
-                else None
-            if nat is not None:
-                _, _, seq, n_edits = nat
-                if n_edits:
-                    new_seqs[rid] = seq
-                    n_corr += n_edits
-            else:
-                ph = phase_overlaps(q, ov, tbs)
-                cns = windowed_consensus(q, ov, tbs, ph)
-                if cns.n_corrected:
-                    new_seqs[rid] = cns.seq
-                    n_corr += cns.n_corrected
+            res = ec_reads_native([(q, tbs) for _, q, _, tbs in batch]) \
+                if cfg.align_engine != "numpy" else None
+            for j, (rid, q, ov, tbs) in enumerate(batch):
+                nat = res[j] if res is not None else None
+                if nat is not None:
+                    _, _, seq, n_edits = nat
+                    if n_edits:
+                        new_seqs[rid] = seq
+                        n_corr += n_edits
+                else:
+                    ph = phase_overlaps(q, ov, tbs)
+                    cns = windowed_consensus(q, ov, tbs, ph)
+                    if cns.n_corrected:
+                        new_seqs[rid] = cns.seq
+                        n_corr += cns.n_corrected
     # barrier: write corrections back only after every read is processed
     for rid, seq in new_seqs.items():
         store.set_codes(rid, seq)
@@ -244,20 +247,23 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
                 eco.err, eco.ts, eco.te, eco.is_match,
                 cfg.max_ov_diff_final)
     else:
-        from hifiasm_tpu.native import ec_read_native
+        from hifiasm_tpu.native import ec_reads_native
 
         get_target = _TargetCache(store)
-        for rid, q, ov, tbs in _iter_overlap_batches(
+        for batch in _iter_overlap_batches(
                 store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_final,
                 get_target):
-            nat = ec_read_native(tbs, q, do_consensus=False) \
+            res = ec_reads_native([(q, tbs) for _, q, _, tbs in batch],
+                                  do_consensus=False) \
                 if cfg.align_engine != "numpy" else None
-            if nat is not None:
-                is_match = nat[0]
-            else:
-                is_match = phase_overlaps(q, ov, tbs).is_match
-            _push_records(paf, rev_paf, rid, len(q), store.lens, ov, tbs,
-                          is_match, cfg.max_ov_diff_final)
+            for j, (rid, q, ov, tbs) in enumerate(batch):
+                nat = res[j] if res is not None else None
+                if nat is not None:
+                    is_match = nat[0]
+                else:
+                    is_match = phase_overlaps(q, ov, tbs).is_match
+                _push_records(paf, rev_paf, rid, len(q), store.lens, ov,
+                              tbs, is_match, cfg.max_ov_diff_final)
     log("final_overlap_pass",
         f"{paf.total} cis + {rev_paf.total} trans overlaps")
     return ECResult(paf, rev_paf, hom_cov, peak_het)

@@ -76,6 +76,8 @@ class OverlapTracebacks:
     ts: np.ndarray         # [n_ov] int64 precise target start (query frame)
     te: np.ndarray         # [n_ov] int64 precise target end (incl., query frame)
     x_s: np.ndarray = None  # [n_ov] int64 query start of each overlap
+    arena: tuple = None     # shared flush arena (tb, ins_cnt, ins_base)
+    arena_base: int = 0     # this read's absolute offset into the arena
 
     def fully_aligned(self) -> np.ndarray:
         return (self.win_tot > 0) & (self.win_ok == self.win_tot)
@@ -302,6 +304,8 @@ class WindowBatcher:
             tbs.tb = tb_arena[abase[i]:abase[i + 1]]
             tbs.ins_cnt = ic_arena[abase[i]:abase[i + 1]]
             tbs.ins_base = ib_arena[abase[i]:abase[i + 1]]
+            tbs.arena = (tb_arena, ic_arena, ib_arena)
+            tbs.arena_base = int(abase[i])
 
         accept_thre = np.minimum(jobs["thre"] * 2, THRESHOLD_MAX_SIZE)
         win_y = np.zeros((n, 2), np.int64)

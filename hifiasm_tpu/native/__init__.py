@@ -86,6 +86,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_double, ctypes.c_int32,
         u8p, i64p, u8p, ctypes.c_int64, i64p, i64p]
+    lib.ht_ec_reads.restype = None
+    lib.ht_ec_reads.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, u8p, u8p, u8p, u8p,
+        i64p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int32, u8p, i64p, u8p, i64p, i64p, i64p]
     lib.ht_count_kmers.restype = ctypes.c_int64
     lib.ht_count_kmers.argtypes = [
         u8p, i64p, ctypes.c_int64, ctypes.c_int64, u64p, u32cp]
@@ -373,6 +378,75 @@ def ec_read_native(tbs, q, do_consensus: bool = True,
         return None                    # overflow: caller uses python path
     seq = out_seq[:int(out_len[0])].copy() if do_consensus else None
     return is_match, int(n_het[0]), seq, int(n_edits[0])
+
+
+def ec_reads_native(items, do_consensus: bool = True,
+                    min_het_occ: int = 2, occ_tot: int = 3,
+                    occ_exact: float = 0.500001):
+    """Batched phase + consensus over a flush's reads in ONE native call
+    (OMP-parallel across reads; ~cal_ec_r's kt_for, ecovlp.cpp:6268).
+
+    items: list of (q, tbs); every tbs must carry the SAME shared flush
+    arena (set by WindowBatcher._flush_native). Returns a per-read list of
+    (is_match, n_het, seq|None, n_edits), with None entries on per-read
+    overflow, or None when unavailable (caller uses the per-read path).
+    """
+    lib = get_lib()
+    if lib is None or not items:
+        return None
+    arena = getattr(items[0][1], "arena", None)
+    if arena is None:
+        return None
+    tb_a, ic_a, ib_a = arena
+    for _, t in items:
+        a = getattr(t, "arena", None)
+        if a is None or a[0] is not tb_a:
+            return None
+    R = len(items)
+    n_ovs = np.array([len(t.win_tot) for _, t in items], np.int64)
+    r_ov_off = np.zeros(R + 1, np.int64)
+    np.cumsum(n_ovs, out=r_ov_off[1:])
+    off_idx = np.zeros(R, np.int64)
+    off_parts = []
+    pos = 0
+    for i, (_, t) in enumerate(items):
+        off_idx[i] = pos
+        off_parts.append(np.asarray(t.off, np.int64) + t.arena_base)
+        pos += len(t.off)
+    off_cat = np.ascontiguousarray(np.concatenate(off_parts))
+    x_s = np.ascontiguousarray(np.concatenate(
+        [np.asarray(t.x_s, np.int64) for _, t in items]))
+    usable = np.ascontiguousarray(np.concatenate(
+        [t.fully_aligned().astype(np.uint8) for _, t in items]))
+    q_off = np.zeros(R + 1, np.int64)
+    for i, (q, _) in enumerate(items):
+        q_off[i + 1] = q_off[i] + len(q)
+    qcat = np.concatenate(
+        [np.ascontiguousarray(q, np.uint8) for q, _ in items]) \
+        if R else np.zeros(0, np.uint8)
+    caps = np.diff(q_off) * 2 + 64
+    out_off = np.zeros(R + 1, np.int64)
+    np.cumsum(caps, out=out_off[1:])
+    is_match = np.zeros(max(int(r_ov_off[-1]), 1), np.uint8)
+    n_het = np.zeros(R, np.int64)
+    out_seq = np.empty(int(out_off[-1]), np.uint8)
+    out_len = np.zeros(R, np.int64)
+    n_edits = np.zeros(R, np.int64)
+    lib.ht_ec_reads(
+        R, r_ov_off, off_idx, off_cat, x_s, tb_a, ic_a, ib_a, usable,
+        q_off, qcat, min_het_occ, occ_tot, occ_exact,
+        1 if do_consensus else 0,
+        is_match, n_het, out_seq, out_off, out_len, n_edits)
+    res = []
+    for r in range(R):
+        if out_len[r] < 0:
+            res.append(None)
+            continue
+        im = is_match[r_ov_off[r]:r_ov_off[r + 1]].copy()
+        seq = out_seq[out_off[r]:out_off[r] + out_len[r]].copy() \
+            if do_consensus else None
+        res.append((im, int(n_het[r]), seq, int(n_edits[r])))
+    return res
 
 
 def trans_reduce(idx_s, idx_n, av, alen, seq_del, del_, fuzz: int

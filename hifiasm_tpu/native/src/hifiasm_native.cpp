@@ -514,7 +514,7 @@ extern "C" int64_t ht_banded_jobs(
 // allele counts -> het sites -> cis/trans classification -> windowed
 // majority consensus with het protection -> corrected sequence.
 
-extern "C" int64_t ht_ec_read(
+static int64_t ec_read_one(
     int64_t n_ov, const int64_t* off, const int64_t* x_s,
     const uint8_t* tb, const uint8_t* icnt, const uint8_t* ibase,
     const uint8_t* usable,
@@ -642,6 +642,60 @@ extern "C" int64_t ht_ec_read(
     *out_len = w_out;
     *n_edits_out = n_edits;
     return 0;
+}
+
+extern "C" int64_t ht_ec_read(
+    int64_t n_ov, const int64_t* off, const int64_t* x_s,
+    const uint8_t* tb, const uint8_t* icnt, const uint8_t* ibase,
+    const uint8_t* usable,
+    int64_t qlen, const uint8_t* q,
+    int64_t min_het_occ, int64_t occ_tot, double occ_exact,
+    int32_t do_consensus,
+    uint8_t* is_match, int64_t* n_het_out,
+    uint8_t* out_seq, int64_t out_cap,
+    int64_t* out_len, int64_t* n_edits_out) {
+    return ec_read_one(n_ov, off, x_s, tb, icnt, ibase, usable, qlen, q,
+                       min_het_occ, occ_tot, occ_exact, do_consensus,
+                       is_match, n_het_out, out_seq, out_cap, out_len,
+                       n_edits_out);
+}
+
+// Batched phase+consensus over a flush's worth of reads in one call,
+// OMP-parallel across reads. Per-read CSR slices address the SHARED
+// traceback arena (absolute offsets); out_len[r] = -1 flags a per-read
+// consensus-buffer overflow (caller falls back to the python path).
+extern "C" void ht_ec_reads(
+    int64_t R,
+    const int64_t* r_ov_off,   // [R+1] per-read overlap ranges
+    const int64_t* off_idx,    // [R] start of read r's slice in off_cat
+    const int64_t* off_cat,    // per-read absolute CSR (incl. sentinels)
+    const int64_t* x_s,        // [sum n_ov]
+    const uint8_t* tb, const uint8_t* icnt, const uint8_t* ibase,
+    const uint8_t* usable,     // [sum n_ov]
+    const int64_t* q_off,      // [R+1] into flat q
+    const uint8_t* q,
+    int64_t min_het_occ, int64_t occ_tot, double occ_exact,
+    int32_t do_consensus,
+    uint8_t* is_match,         // [sum n_ov]
+    int64_t* n_het_out,        // [R]
+    uint8_t* out_seq,          // [out_off[R]]
+    const int64_t* out_off,    // [R+1] per-read consensus capacity CSR
+    int64_t* out_len,          // [R]
+    int64_t* n_edits_out) {    // [R]
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 4)
+#endif
+    for (int64_t r = 0; r < R; ++r) {
+        const int64_t ro = r_ov_off[r];
+        const int64_t rc = ec_read_one(
+            r_ov_off[r + 1] - ro, off_cat + off_idx[r], x_s + ro,
+            tb, icnt, ibase, usable + ro,
+            q_off[r + 1] - q_off[r], q + q_off[r],
+            min_het_occ, occ_tot, occ_exact, do_consensus,
+            is_match + ro, n_het_out + r, out_seq + out_off[r],
+            out_off[r + 1] - out_off[r], out_len + r, n_edits_out + r);
+        if (rc != 0) out_len[r] = -1;
+    }
 }
 
 // ---------------------------------------------------------------------------

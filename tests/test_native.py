@@ -268,3 +268,49 @@ def test_native_count_kmers_matches_python(rng):
     # empty input
     u0, c0 = count_kmers_native([], 51)
     assert u0.size == 0 and c0.size == 0
+
+
+def test_native_ec_reads_batch_matches_per_read(rng):
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.ec.pipeline import _TargetCache, _iter_overlap_batches
+    from hifiasm_tpu.index.pos_table import (
+        build_filter_table, build_position_table,
+    )
+    from hifiasm_tpu.io.readstore import ReadStore
+    from hifiasm_tpu.native import ec_read_native, ec_reads_native
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 60000, repeat_frac=0.1)
+    reads, _, _ = sample_reads(rng, g, depth=8, read_len=6000,
+                               err_rate=0.003)
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(output_prefix="/tmp/becv_t", n_rounds_ec=1,
+                        ignore_bin=True)
+    codes = [store.get_codes(i) for i in range(store.n_reads)]
+    ft, _, _ = build_filter_table(codes, cfg.k)
+    pt, ph, _, mzs = build_position_table(
+        codes, cfg.k, cfg.w, ft=ft, keep_max=min(cfg.max_kmer_cnt, 4095))
+    hom = ph if ph > 0 else cfg.hom_cov
+    gt = _TargetCache(store)
+    checked = 0
+    for dc in (True, False):
+        for batch in _iter_overlap_batches(store, codes, mzs, pt, cfg,
+                                           hom, cfg.max_ov_diff_ec, gt):
+            res = ec_reads_native([(q, tbs) for _, q, _, tbs in batch],
+                                  do_consensus=dc)
+            assert res is not None
+            for j, (rid, q, ov, tbs) in enumerate(batch):
+                ref = ec_read_native(tbs, q, do_consensus=dc)
+                got = res[j]
+                assert (got is None) == (ref is None), rid
+                if ref is None:
+                    continue
+                np.testing.assert_array_equal(got[0], ref[0],
+                                              err_msg=f"{rid} is_match")
+                assert got[1] == ref[1] and got[3] == ref[3], rid
+                if dc:
+                    np.testing.assert_array_equal(got[2], ref[2],
+                                                  err_msg=f"{rid} seq")
+                checked += 1
+    assert checked > 50
