@@ -220,14 +220,24 @@ class WindowBatcher:
             np.add.at(tbs.win_ok, o, 1)
             np.add.at(tbs.err, o, err[widx])
 
+    def _read_bounds(self, jobs):
+        """Per-read job ranges; jobs are appended in read order, so
+        jobs["read"] is nondecreasing and ranges come from searchsorted."""
+        return np.searchsorted(jobs["read"],
+                               np.arange(len(self._reads) + 1))
+
     def _finalize_ranges(self, jobs, acc_all, win_y):
         """Per-overlap precise target range from first/last accepted
         window (global y can be slightly negative from virtual pads)."""
+        rb = self._read_bounds(jobs)
         for i, (q, ov, tbs, pl) in enumerate(self._reads):
-            m = (jobs["read"] == i) & acc_all
-            if not m.any():
+            s, e = int(rb[i]), int(rb[i + 1])
+            if s == e:
                 continue
-            widx = np.flatnonzero(m)
+            acc = acc_all[s:e]
+            if not acc.any():
+                continue
+            widx = s + np.flatnonzero(acc)
             o = jobs["ov"][widx]
             n_ov = len(ov)
             first_w = np.full(n_ov, len(jobs["read"]), np.int64)
@@ -270,14 +280,15 @@ class WindowBatcher:
             qbase[i] = off
             bufs.append(q)
             off += len(q)
+        rb = self._read_bounds(jobs)
         tkeys = {}
         t_base_w = np.zeros(n, np.int64)
         t_len_w = np.zeros(n, np.int64)
         for i, (q, ov, tbs, pl) in enumerate(self._reads):
-            m = jobs["read"] == i
-            o = jobs["ov"][m]
+            s, e = int(rb[i]), int(rb[i + 1])
+            o = jobs["ov"][s:e]
             keys = (ov.y_id[o].astype(np.int64) << 1) | ov.rev[o]
-            for w, k in zip(np.flatnonzero(m), keys):
+            for w, k in zip(range(s, e), keys):
                 k = int(k)
                 if k not in tkeys:
                     t = self.get_target(k >> 1, k & 1)
@@ -297,9 +308,9 @@ class WindowBatcher:
         ib_arena = np.zeros(int(abase[-1]), np.uint8)
         dst_base = np.empty(n, np.int64)
         for i, (q, ov, tbs, pl) in enumerate(self._reads):
-            m = jobs["read"] == i
-            o = jobs["ov"][m]
-            dst_base[m] = abase[i] + tbs.off[o] + jobs["ws"][m] - \
+            s, e = int(rb[i]), int(rb[i + 1])
+            o = jobs["ov"][s:e]
+            dst_base[s:e] = abase[i] + tbs.off[o] + jobs["ws"][s:e] - \
                 tbs.x_s[o]
             tbs.tb = tb_arena[abase[i]:abase[i + 1]]
             tbs.ins_cnt = ic_arena[abase[i]:abase[i + 1]]
@@ -327,14 +338,15 @@ class WindowBatcher:
             win_y[sel, 1] = y0 + yn
         # per-overlap stats (vectorized per read)
         for i, (q, ov, tbs, pl) in enumerate(self._reads):
-            m = (jobs["read"] == i) & acc_all
-            if not m.any():
+            s, e = int(rb[i]), int(rb[i + 1])
+            acc = acc_all[s:e]
+            if not acc.any():
                 continue
-            o = jobs["ov"][m]
+            o = jobs["ov"][s:e][acc]
             n_ov = len(ov)
             tbs.win_ok[:] += np.bincount(o, minlength=n_ov
                                          ).astype(np.int32)
-            tbs.err[:] += np.bincount(o, weights=err_all[m],
+            tbs.err[:] += np.bincount(o, weights=err_all[s:e][acc],
                                       minlength=n_ov).astype(np.int64)
         self._finalize_ranges(jobs, acc_all, win_y)
 
