@@ -318,6 +318,9 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                 w = np.empty(off[-1], np.int64)
                 xlg = np.empty(G, np.int64)
                 ylg = np.empty(G, np.int64)
+                tid_g = np.empty(G, np.int64)
+                rev_g = np.empty(G, np.uint8)
+                read_g = np.empty(G, np.int64)
                 for g, (ridx, s, e, tid, yl) in enumerate(groups):
                     _, an, rlen = reads[ridx]
                     sl = slice(off[g], off[g + 1])
@@ -327,24 +330,14 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                     w[sl] = an.weight[s:e]
                     xlg[g] = rlen
                     ylg[g] = yl
+                    tid_g[g] = tid
+                    rev_g[g] = an.rev[s]
+                    read_g[g] = ridx
                 cnt, score, start, hits, hit_idx = chain_groups_native(
                     off, so, to, sp, w, xlg, ylg, params)
-                chains_of = {}
-                for g in range(G):
-                    chains_of[g] = [
-                        (int(score[g, c]),
-                         hit_idx[start[g, c]:start[g, c] + hits[g, c]])
-                        for c in range(int(cnt[g]))]
-                out = []
-                g_by_read = {}
-                for g, (ridx, s, e, tid, yl) in enumerate(groups):
-                    g_by_read.setdefault(ridx, []).append(g)
-                for ridx, (rid, an, rlen) in enumerate(reads):
-                    out.append(_assemble_regions(
-                        rid, an, rlen, tlens,
-                        [(groups[g], chains_of[g])
-                         for g in g_by_read.get(ridx, [])], max_n_chain))
-                return out
+                return _assemble_regions_all(
+                    reads, off, so, to, sp, xlg, ylg, tid_g, rev_g,
+                    read_g, cnt, score, start, hits, hit_idx, max_n_chain)
         except Exception:
             pass
 
@@ -478,11 +471,81 @@ def _assemble_regions(rid: int, an: Anchors, rlen: int, tlens: np.ndarray,
     ov.hit_t = np.concatenate(hit_t) if hit_t else np.zeros(0, np.int64)
     ov.hit_span = np.concatenate(hit_span) if hit_span else np.zeros(0, np.int64)
 
+    return _finish_regions(ov, rlen, max_n_chain)
+
+
+def _finish_regions(ov: OverlapRegions, rlen: int, max_n_chain: int
+                    ) -> OverlapRegions:
     ov = filter_overlaps_quota(ov, rlen, max_n_chain)
     ov = dedup_overlaps(ov)
     # final order: by x_pos_s (or_xs sort)
     order = np.lexsort((ov.y_id, ov.x_s))
     return ov.take(order)
+
+
+def _assemble_regions_all(reads, off, so, to, sp, xlg, ylg, tid_g, rev_g,
+                          read_g, cnt, score, start, hits, hit_idx,
+                          max_n_chain):
+    """Vectorized region assembly over ALL chains of a chain_many batch
+    (same per-chain math as _assemble_regions; chains stay in (group,
+    copy) order so results are identical)."""
+    G = len(cnt)
+    mc = score.shape[1] if G else 0
+    mask = np.arange(mc)[None, :] < cnt[:, None] if G \
+        else np.zeros((0, 0), bool)
+    g_of = np.repeat(np.arange(G), cnt)
+    sc_f = score[mask]
+    st_f = start[mask]
+    nh_f = hits[mask]
+    goff = off[g_of] if len(g_of) else np.zeros(0, np.int64)
+    if len(g_of):
+        first = hit_idx[st_f] + goff
+        last = hit_idx[st_f + nh_f - 1] + goff
+        xs = so[first]
+        xe = so[last]
+        ts = to[first]
+        te = to[last]
+        # extend to boundaries (push_ovlp_chain_qgen, Hash_Table.cpp:1752)
+        shift = np.minimum(xs, ts)
+        xs2, ts2 = xs - shift, ts - shift
+        rlen_f = xlg[g_of]
+        ext = np.minimum(rlen_f - xe - 1, ylg[g_of] - te - 1)
+        xe2, te2 = xe + ext, te + ext
+    else:
+        xs2 = ts2 = xe2 = te2 = np.zeros(0, np.int64)
+    # flat chain-hit gather (hit_idx slices are contiguous per chain)
+    hs_glob = np.zeros(len(nh_f) + 1, np.int64)
+    np.cumsum(nh_f, out=hs_glob[1:])
+    tot_h = int(hs_glob[-1])
+    seg = np.arange(tot_h) - np.repeat(hs_glob[:-1], nh_f)
+    rep = np.repeat(st_f, nh_f) + seg
+    hidx = hit_idx[rep] + np.repeat(goff, nh_f)
+    hit_self_f = so[hidx]
+    hit_t_f = to[hidx]
+    hit_span_f = sp[hidx]
+    # chains are grouped by read (groups are built in read order)
+    read_of_chain = read_g[g_of] if len(g_of) else np.zeros(0, np.int64)
+    cb = np.searchsorted(read_of_chain, np.arange(len(reads) + 1))
+    out = []
+    for ridx, (rid, an, rlen) in enumerate(reads):
+        c0, c1 = int(cb[ridx]), int(cb[ridx + 1])
+        ov = OverlapRegions(rid)
+        gsl = g_of[c0:c1]
+        ov.y_id = tid_g[gsl].astype(np.uint32)
+        ov.rev = rev_g[gsl]
+        ov.x_s = xs2[c0:c1]
+        ov.x_e = xe2[c0:c1]
+        ov.y_s = ts2[c0:c1]
+        ov.y_e = te2[c0:c1]
+        ov.score = sc_f[c0:c1]
+        ov.n_hits = nh_f[c0:c1]
+        h0, h1 = int(hs_glob[c0]), int(hs_glob[c1])
+        ov.hit_start = hs_glob[c0:c1] - h0
+        ov.hit_self = hit_self_f[h0:h1]
+        ov.hit_t = hit_t_f[h0:h1]
+        ov.hit_span = hit_span_f[h0:h1]
+        out.append(_finish_regions(ov, rlen, max_n_chain))
+    return out
 
 
 def dedup_overlaps(ov: OverlapRegions) -> OverlapRegions:

@@ -314,3 +314,43 @@ def test_native_ec_reads_batch_matches_per_read(rng):
                                                   err_msg=f"{rid} seq")
                 checked += 1
     assert checked > 50
+
+
+def test_chain_many_native_assembly_matches_python(rng, monkeypatch):
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.index.pos_table import (
+        build_filter_table, build_position_table,
+    )
+    from hifiasm_tpu.io.readstore import ReadStore
+    from hifiasm_tpu.ops.chain import ChainParams
+    from hifiasm_tpu.overlap.anchors import chain_many, collect_anchors_many
+    from tests.synth import make_genome, sample_reads
+    import hifiasm_tpu.native as nat
+
+    g = make_genome(rng, 80000, repeat_frac=0.25)
+    reads, _, _ = sample_reads(rng, g, depth=8, read_len=6000,
+                               err_rate=0.003)
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(output_prefix="/tmp/cmn_t", ignore_bin=True)
+    codes = [store.get_codes(i) for i in range(store.n_reads)]
+    ft, _, _ = build_filter_table(codes, cfg.k)
+    pt, ph, _, mzs = build_position_table(
+        codes, cfg.k, cfg.w, ft=ft, keep_max=min(cfg.max_kmer_cnt, 4095))
+    hom = ph if ph > 0 else cfg.hom_cov
+    rids = list(range(store.n_reads))
+    ans = collect_anchors_many(mzs, pt, rids, store.lens, hom)
+    rd = [(rid, an, len(codes[rid])) for rid, an in zip(rids, ans)]
+    cp = ChainParams.for_k(cfg.k)
+    new = chain_many(rd, store.lens, cp, max_n_chain=cfg.max_n_chain)
+    monkeypatch.setattr(nat, "get_lib", lambda: None)
+    old = chain_many(rd, store.lens, cp, max_n_chain=cfg.max_n_chain)
+    n_ov = 0
+    for a, b in zip(new, old):
+        assert len(a) == len(b), a.x_id
+        for f in ("y_id", "rev", "x_s", "x_e", "y_s", "y_e", "score",
+                  "n_hits", "hit_start", "hit_self", "hit_t", "hit_span"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                          err_msg=f"{a.x_id} {f}")
+        n_ov += len(a)
+    assert n_ov > 100
