@@ -229,14 +229,21 @@ extern "C" void ht_chain_dp(
             if (dq <= 0 || dr <= 0) continue;
             const int64_t dd = dr > dq ? dr - dq : dq - dr;
             const int64_t dg = dr < dq ? dr : dq;
-            const int64_t sf_s = self_off[j] <= t_off[j]
-                                     ? 0 : self_off[j] - t_off[j];
-            const int64_t bw = (int64_t)((double)(sf_e - sf_s) * bw_rate);
-            if (!(dd <= 16 || dd <= bw)) continue;
+            if (dd > 16) {   // bandwidth test is a no-op for dd <= 16
+                const int64_t sf_s = self_off[j] <= t_off[j]
+                                         ? 0 : self_off[j] - t_off[j];
+                const int64_t bw =
+                    (int64_t)((double)(sf_e - sf_s) * bw_rate);
+                if (dd > bw) continue;
+            }
             int64_t sc = spi < dg ? spi : dg;
             sc = (sc >= wi) ? sc / (wi > 1 ? wi : 1) : 1;
             int64_t pen = 0;
-            if (dd != 0 || dg > spi) {
+            if (dd == 0) {
+                // exact reduction of the general formula at dd == 0:
+                // lin = min(0, 0) + chn_pen_skip * dg
+                if (dg > spi) pen = (int64_t)(chn_pen_skip * (double)dg);
+            } else {
                 double lin = chn_pen_gap * (double)dd;
                 const double dgm = dg > 1 ? (double)dg : 1.0;
                 const double a_pen =
