@@ -171,29 +171,64 @@ class WindowBatcher:
     def add_read(self, q: np.ndarray, ov: OverlapRegions
                  ) -> OverlapTracebacks:
         tbs = _alloc_tracebacks(ov)
-        pl = plan_read_windows(ov, self.wl, self.e_rate)
-        if len(ov):
-            tbs.win_tot[:] = np.bincount(pl["ov_idx"],
-                                         minlength=len(ov)).astype(np.int32)
-        self._reads.append((q, ov, tbs, pl))
+        self._reads.append((q, ov, tbs, None))
         return tbs
 
     # ---- shared helpers ----
-    def _concat_jobs(self):
-        """Flatten all reads' plans into global job arrays."""
-        parts = {k: [] for k in ("ws", "wlen", "t_ws", "thre", "last")}
-        ridx, ovl = [], []
-        for i, (q, ov, tbs, pl) in enumerate(self._reads):
-            n = len(pl["ws"])
-            for k in parts:
-                parts[k].append(pl[k])
-            ridx.append(np.full(n, i, np.int64))
-            ovl.append(pl["ov_idx"])
-        out = {k: (np.concatenate(v) if v else np.zeros(0, np.int64))
-               for k, v in parts.items()}
-        out["read"] = np.concatenate(ridx) if ridx else np.zeros(0, np.int64)
-        out["ov"] = np.concatenate(ovl) if ovl else np.zeros(0, np.int64)
-        return out
+    def _plan_all(self):
+        """Window planning for EVERY queued read in one vectorized pass
+        (same per-window math as plan_read_windows; the per-overlap hit
+        searchsorted runs globally on (overlap << 32) + pos keys).
+        Also fills each read's win_tot."""
+        R = len(self._reads)
+        n_ovs = np.array([len(ov) for _, ov, _, _ in self._reads],
+                         np.int64)
+        obase = np.zeros(R + 1, np.int64)
+        np.cumsum(n_ovs, out=obase[1:])
+        NO = int(obase[-1])
+        if NO == 0:
+            z = np.zeros(0, np.int64)
+            return dict(ws=z, wlen=z, t_ws=z, thre=z,
+                        last=np.zeros(0, bool), read=z, ov=z)
+        ovs = [ov for _, ov, _, _ in self._reads]
+        x_s = np.concatenate([ov.x_s for ov in ovs])
+        x_e = np.concatenate([ov.x_e for ov in ovs])
+        n_hits = np.concatenate([ov.n_hits for ov in ovs])
+        hsz = np.array([len(ov.hit_self) for ov in ovs], np.int64)
+        hbase = np.zeros(R + 1, np.int64)
+        np.cumsum(hsz, out=hbase[1:])
+        hit_self = np.concatenate([ov.hit_self for ov in ovs])
+        hit_t = np.concatenate([ov.hit_t for ov in ovs])
+        hit_start = np.concatenate(
+            [ov.hit_start + hbase[r] for r, ov in enumerate(ovs)])
+        read_of_ov = np.repeat(np.arange(R), n_ovs)
+
+        wl = self.wl
+        spans = (x_e - x_s + 1).astype(np.int64)
+        n_win = -(-spans // wl)                  # ceil per overlap
+        tot = int(n_win.sum())
+        ov_g = np.repeat(np.arange(NO), n_win)
+        woff = np.zeros(NO + 1, np.int64)
+        np.cumsum(n_win, out=woff[1:])
+        local = np.arange(tot) - np.repeat(woff[:-1], n_win)
+        ws = x_s[ov_g] + local * wl
+        wlen = np.minimum(wl, x_e[ov_g] - ws + 1)
+        last = ws + wlen > x_e[ov_g]
+        # nearest chain hit at-or-after each window start
+        ov_of_hit = np.repeat(np.arange(NO), n_hits)
+        comb = (ov_of_hit << 32) + hit_self
+        p = np.searchsorted(comb, (ov_g << 32) + ws)
+        hs0 = hit_start[ov_g]
+        loc = np.minimum(p - hs0, n_hits[ov_g] - 1)
+        g = hs0 + loc
+        t_ws = hit_t[g] + (ws - hit_self[g])
+        thre = np.clip(np.ceil(wlen * self.e_rate).astype(np.int64), 2,
+                       THRESHOLD_MAX_SIZE)
+        wt = np.bincount(ov_g, minlength=NO).astype(np.int32)
+        for r, (_, ov, tbs, _) in enumerate(self._reads):
+            tbs.win_tot[:] = wt[obase[r]:obase[r + 1]]
+        return dict(read=read_of_ov[ov_g], ov=ov_g - obase[read_of_ov[ov_g]],
+                    ws=ws, wlen=wlen, t_ws=t_ws, thre=thre, last=last)
 
     def _scatter(self, jobs, sel, wlen_eff, out_tb, out_ic, out_ib,
                  accepted, err, win_y):
@@ -251,7 +286,7 @@ class WindowBatcher:
             tbs.te[has] = win_y[lw, 1] - 1
 
     def flush(self) -> None:
-        jobs = self._concat_jobs()
+        jobs = self._plan_all()
         n = len(jobs["ws"])
         if n == 0:
             self._reads.clear()
