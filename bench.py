@@ -23,6 +23,17 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
+# This workload (24 Mb) sits below the device-EC threshold by design
+# (config.device_min_bases): the whole compute path is host-native, so
+# initializing an accelerator backend would only add tunnel/device init
+# time it never uses. Pin jax to CPU for a stable, honest measurement.
+os.environ["JAX_PLATFORMS"] = "cpu"
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 GENOME_LEN = 2_000_000       # the chr11-2M-class quick-start scale
 READ_LEN = 15_000
 DEPTH = 12
