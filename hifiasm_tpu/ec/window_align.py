@@ -316,21 +316,25 @@ class WindowBatcher:
             bufs.append(q)
             off += len(q)
         rb = self._read_bounds(jobs)
-        tkeys = {}
-        t_base_w = np.zeros(n, np.int64)
-        t_len_w = np.zeros(n, np.int64)
-        for i, (q, ov, tbs, pl) in enumerate(self._reads):
-            s, e = int(rb[i]), int(rb[i + 1])
-            o = jobs["ov"][s:e]
-            keys = (ov.y_id[o].astype(np.int64) << 1) | ov.rev[o]
-            for w, k in zip(range(s, e), keys):
-                k = int(k)
-                if k not in tkeys:
-                    t = self.get_target(k >> 1, k & 1)
-                    tkeys[k] = (off, len(t))
-                    bufs.append(t)
-                    off += len(t)
-                t_base_w[w], t_len_w[w] = tkeys[k]
+        # job -> (target, strand) key, then one fetch per distinct target
+        n_ovs = np.array([len(ov) for _, ov, _, _ in self._reads],
+                         np.int64)
+        obase = np.zeros(len(self._reads) + 1, np.int64)
+        np.cumsum(n_ovs, out=obase[1:])
+        key_all = np.concatenate(
+            [(ov.y_id.astype(np.int64) << 1) | ov.rev
+             for _, ov, _, _ in self._reads]) if self._reads else \
+            np.zeros(0, np.int64)
+        key_w = key_all[obase[jobs["read"]] + jobs["ov"]]
+        uk, inv = np.unique(key_w, return_inverse=True)
+        t_arr = [self.get_target(int(k) >> 1, int(k) & 1) for k in uk]
+        t_lens = np.array([len(t) for t in t_arr], np.int64)
+        t_bases = off + np.concatenate([[0], np.cumsum(t_lens[:-1])]) \
+            if len(t_arr) else np.zeros(0, np.int64)
+        bufs.extend(t_arr)
+        off += int(t_lens.sum())
+        t_base_w = t_bases[inv]
+        t_len_w = t_lens[inv]
         flat = np.concatenate(bufs) if bufs else np.zeros(0, np.uint8)
         x_off = qbase[jobs["read"]] + jobs["ws"]
 
