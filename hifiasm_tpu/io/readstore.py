@@ -153,16 +153,32 @@ class ReadStore:
         return int(self.offsets[-1])
 
     def get_codes(self, rid: int) -> np.ndarray:
-        """Recover a read's codes (with N=4 restored) ~ recover_UC_Read."""
+        """Recover a read's codes (with N=4 restored) ~ recover_UC_Read.
+
+        Decoded reads are memoized (invalidated by set_codes): rounds of
+        EC / indexing re-read every sequence, and re-unpacking dominates
+        the python-side cost of those passes. Callers must not mutate
+        the returned array.
+        """
+        cache = getattr(self, "_decoded", None)
+        if cache is None:
+            cache = self._decoded = {}
+        hit = cache.get(rid)
+        if hit is not None:
+            return hit
         codes = unpack_2bit(self._packed_list[rid], int(self.lens[rid]))
         ns = self._n_sites[rid]
         if len(ns):
-            codes = codes.copy()
             codes[ns] = 4
+        codes.flags.writeable = False
+        cache[rid] = codes
         return codes
 
     def set_codes(self, rid: int, codes: np.ndarray) -> None:
         """Replace a read's sequence (used by EC write-back, ~sl_ec_r)."""
+        cache = getattr(self, "_decoded", None)
+        if cache is not None:
+            cache.pop(rid, None)
         nsites = np.flatnonzero(codes == 4)
         c = codes.copy()
         c[nsites] = 0
