@@ -93,7 +93,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, u8p, i64p, u8p, i64p, i64p, i64p]
     lib.ht_count_kmers.restype = ctypes.c_int64
     lib.ht_count_kmers.argtypes = [
-        u8p, i64p, ctypes.c_int64, ctypes.c_int64, u64p, u32cp]
+        u8p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        u64p, u32cp]
+    lib.ht_unique_u64.restype = ctypes.c_int64
+    lib.ht_unique_u64.argtypes = [u64p, ctypes.c_int64, u32cp]
     lib.ht_chain_groups.restype = ctypes.c_int64
     lib.ht_chain_groups.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
@@ -282,8 +285,10 @@ def count_kmers_native(codes_list, k: int):
     tot = int(bounds[-1])
     hbuf = np.empty(max(tot, 1), np.uint64)
     cbuf = np.empty(max(tot, 1), np.uint32)
-    nu = lib.ht_count_kmers(
-        np.ascontiguousarray(flat, np.uint8), bounds, n, k, hbuf, cbuf)
+    ne = lib.ht_count_kmers(
+        np.ascontiguousarray(flat, np.uint8), bounds, n, k, 0, hbuf, cbuf)
+    hbuf[:ne].sort()                       # numpy SIMD (avx) sort
+    nu = lib.ht_unique_u64(hbuf, ne, cbuf)
     return hbuf[:nu].copy(), cbuf[:nu].copy()
 
 

@@ -1103,9 +1103,13 @@ extern "C" int64_t ht_collect_anchors(
 
 extern "C" int64_t ht_count_kmers(
     const uint8_t* codes, const int64_t* bounds, int64_t n_reads,
-    int64_t k,
+    int64_t k, int32_t do_sort,
     uint64_t* hbuf,       // [bounds[n_reads]] scratch; uniques end up at
-                          // the front, sorted
+                          // the front, sorted. With do_sort == 0 the
+                          // compacted UNSORTED hashes stay at the front
+                          // and their total is returned; the caller
+                          // sorts (numpy's SIMD sort beats
+                          // __gnu_parallel's here) then ht_unique_u64.
     uint32_t* out_cnt) {  // [bounds[n_reads]] counts per unique
     const uint64_t kmask = k >= 64 ? ~0ULL : ((1ULL << k) - 1);
     const int shift = (int)(k - 1);
@@ -1173,6 +1177,7 @@ extern "C" int64_t ht_count_kmers(
                          (size_t)nk[r] * sizeof(uint64_t));
         tot += nk[r];
     }
+    if (!do_sort) return tot;
 #if defined(_OPENMP)
     __gnu_parallel::sort(hbuf, hbuf + tot);
 #else
@@ -1183,6 +1188,22 @@ extern "C" int64_t ht_count_kmers(
         int64_t j = i;
         while (j < tot && hbuf[j] == hbuf[i]) ++j;
         hbuf[nu] = hbuf[i];
+        const int64_t c = j - i;
+        out_cnt[nu] = c > 0xFFFFFFFFLL ? 0xFFFFFFFFu : (uint32_t)c;
+        ++nu;
+        i = j;
+    }
+    return nu;
+}
+
+// In-place unique+count scan over an already-sorted uint64 array.
+extern "C" int64_t ht_unique_u64(uint64_t* h, int64_t n,
+                                 uint32_t* out_cnt) {
+    int64_t nu = 0;
+    for (int64_t i = 0; i < n;) {
+        int64_t j = i;
+        while (j < n && h[j] == h[i]) ++j;
+        h[nu] = h[i];
         const int64_t c = j - i;
         out_cnt[nu] = c > 0xFFFFFFFFLL ? 0xFFFFFFFFu : (uint32_t)c;
         ++nu;
