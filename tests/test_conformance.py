@@ -211,3 +211,59 @@ def test_conformance_matrix(seed, het, rep, tmp_path):
     assert abs(tot_o - tot_r) < 0.25 * max(tot_o, tot_r), \
         (seed, het, rep, n_o, tot_o, n_r, tot_r)
     assert n_o <= 3 * max(n_r, 1) + 2, (seed, het, rep, n_o, n_r)
+
+
+def test_overlap_coords_match_reference_paf(rng, tmp_path):
+    """Coordinate-level PAF comparison (beyond pair-set recall): for
+    overlap pairs both tools find, the query interval must agree to
+    within one EC window of slack (~ma_hit_t qs/qe; Overlaps.cpp
+    coordinate conventions, PAF columns 3-4/8-9)."""
+    L = 24000
+    g = make_genome(rng, L)
+    reads, _, _ = sample_reads(rng, g, depth=12, read_len=3000,
+                               err_rate=0.002)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+    subprocess.run([REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r1",
+                    "--write-paf", str(fa)], capture_output=True,
+                   check=True, timeout=600)
+    import glob
+    ref_rec = {}
+    for pf in glob.glob(str(tmp_path / "ref*.paf")):
+        if "1.paf" in pf:          # trans overlaps: skip
+            continue
+        for ln in open(pf):
+            c = ln.split("\t")
+            if len(c) > 9:
+                ref_rec[(c[0], c[5], c[4])] = (
+                    int(c[2]), int(c[3]), int(c[7]), int(c[8]))
+    assert ref_rec
+
+    from hifiasm_tpu.ec.pipeline import run_ec
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    ec = run_ec(store, HifiasmConfig(n_rounds_ec=1), None)
+    matched = close_q = close_t = 0
+    for rid in range(store.n_reads):
+        rec = ec.paf[rid]
+        for j in range(len(rec.qs)):
+            key = (f"r{rid}", f"r{int(rec.tn[j])}",
+                   "-" if rec.rev[j] else "+")
+            if key not in ref_rec:
+                continue
+            rqs, rqe, rts, rte = ref_rec[key]
+            matched += 1
+            if abs(int(rec.qs[j]) - rqs) <= 100 and \
+               abs(int(rec.qe[j]) - rqe) <= 100:
+                close_q += 1
+            if abs(int(rec.ts[j]) - rts) <= 100 and \
+               abs(int(rec.te[j]) - rte) <= 100:
+                close_t += 1
+    assert matched > 50, matched
+    assert close_q / matched > 0.9, \
+        f"query coords diverge: {close_q}/{matched}"
+    assert close_t / matched > 0.9, \
+        f"target coords diverge: {close_t}/{matched}"
