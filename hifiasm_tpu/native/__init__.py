@@ -261,9 +261,10 @@ def sketch_many_native(codes_list, k: int, w: int, ft=None,
     for i in range(n):
         s = int(out_off[i])
         e = s + int(on[i])
-        out.append(Minimizers(oh[s:e].copy(), op[s:e].copy(),
-                              orv[s:e].copy(), osp[s:e].copy(),
-                              oc[s:e].copy()))
+        # views into the batch buffers (alive for the round; avoids
+        # 5 small copies per read)
+        out.append(Minimizers(oh[s:e], op[s:e], orv[s:e], osp[s:e],
+                              oc[s:e]))
     return out
 
 
@@ -348,9 +349,8 @@ def collect_anchors_native(mzs, pt, rids, tlens, hom_cov: int):
     for i in range(n):
         s = int(out_off[i])
         e = s + int(o_n[i])
-        out.append(Anchors(o_tid[s:e].copy(), o_rev[s:e].copy(),
-                           o_qp[s:e].copy(), o_to[s:e].copy(),
-                           o_sp[s:e].copy(), o_w[s:e].copy()))
+        out.append(Anchors(o_tid[s:e], o_rev[s:e], o_qp[s:e],
+                           o_to[s:e], o_sp[s:e], o_w[s:e]))
     return out
 
 
