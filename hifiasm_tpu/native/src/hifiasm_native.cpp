@@ -1101,6 +1101,62 @@ extern "C" int64_t ht_collect_anchors(
 #include <parallel/algorithm>
 #endif
 
+// Enumerate one read's complete canonical HPC k-mer hashes (same emit
+// rule as ht_sketch_many at w=1: !sym, lcount>=k, span<256, one
+// N-stretch), calling emit(hash) for each.
+template <class F>
+static void for_read_kmers(const uint8_t* seq, int64_t n, int64_t k,
+                           F&& emit) {
+    const uint64_t kmask = k >= 64 ? ~0ULL : ((1ULL << k) - 1);
+    const int shift = (int)(k - 1);
+    // HPC compress (run-end + run-length; N runs split stretch)
+    std::vector<uint8_t> comp;
+    std::vector<int64_t> ends, rl, stretch;
+    comp.reserve(n);
+    int64_t cur_stretch = 0;
+    {
+        int64_t i = 0;
+        while (i < n) {
+            int64_t j = i;
+            while (j + 1 < n && seq[j + 1] == seq[i]) ++j;
+            if (seq[i] == 4) {
+                ++cur_stretch;
+            } else {
+                comp.push_back(seq[i]);
+                ends.push_back(j);
+                rl.push_back(j - i + 1);
+                stretch.push_back(cur_stretch);
+            }
+            i = j + 1;
+        }
+    }
+    const int64_t L = (int64_t)comp.size();
+    if (L < k) return;
+    uint64_t x0 = 0, x1 = 0, x2 = 0, x3 = 0;
+    int64_t run = 0;
+    for (int64_t i = 0; i < L; ++i) {
+        const int c = comp[i];
+        x0 = ((x0 << 1) | (uint64_t)(c & 1)) & kmask;
+        x1 = ((x1 << 1) | (uint64_t)(c >> 1)) & kmask;
+        x2 = (x2 >> 1) | ((uint64_t)(1 - (c & 1)) << shift);
+        x3 = (x3 >> 1) | ((uint64_t)(1 - (c >> 1)) << shift);
+        // lcount: eligible (= !sym, with the first k-1 positions
+        // eligible by definition) run length within the stretch
+        bool sym = false;
+        if (i >= k - 1) sym = (x1 == x3);
+        if (i > 0 && stretch[i] != stretch[i - 1]) run = 0;
+        run += sym ? 0 : 1;
+        if (i < k - 1 || sym) continue;
+        const int64_t i0 = i - (k - 1);
+        const int64_t span = ends[i] - (ends[i0] - rl[i0] + 1) + 1;
+        if (run < k || span >= 256 || stretch[i] != stretch[i0])
+            continue;
+        const bool rv = !(x1 < x3);
+        emit(rv ? (yak_h64(x2 & kmask) + yak_h64(x3 & kmask))
+                : (yak_h64(x0) + yak_h64(x1)));
+    }
+}
+
 extern "C" int64_t ht_count_kmers(
     const uint8_t* codes, const int64_t* bounds, int64_t n_reads,
     int64_t k, int32_t do_sort,
@@ -1111,62 +1167,15 @@ extern "C" int64_t ht_count_kmers(
                           // sorts (numpy's SIMD sort beats
                           // __gnu_parallel's here) then ht_unique_u64.
     uint32_t* out_cnt) {  // [bounds[n_reads]] counts per unique
-    const uint64_t kmask = k >= 64 ? ~0ULL : ((1ULL << k) - 1);
-    const int shift = (int)(k - 1);
     std::vector<int64_t> nk(n_reads, 0);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 8)
 #endif
     for (int64_t r = 0; r < n_reads; ++r) {
-        const uint8_t* seq = codes + bounds[r];
-        const int64_t n = bounds[r + 1] - bounds[r];
         uint64_t* out = hbuf + bounds[r];   // cap n >= emitted
-        // HPC compress (run-end + run-length; N runs split stretch)
-        std::vector<uint8_t> comp;
-        std::vector<int64_t> ends, rl, stretch;
-        comp.reserve(n);
-        int64_t cur_stretch = 0;
-        {
-            int64_t i = 0;
-            while (i < n) {
-                int64_t j = i;
-                while (j + 1 < n && seq[j + 1] == seq[i]) ++j;
-                if (seq[i] == 4) {
-                    ++cur_stretch;
-                } else {
-                    comp.push_back(seq[i]);
-                    ends.push_back(j);
-                    rl.push_back(j - i + 1);
-                    stretch.push_back(cur_stretch);
-                }
-                i = j + 1;
-            }
-        }
-        const int64_t L = (int64_t)comp.size();
-        if (L < k) continue;
-        uint64_t x0 = 0, x1 = 0, x2 = 0, x3 = 0;
-        int64_t wr = 0, run = 0;
-        for (int64_t i = 0; i < L; ++i) {
-            const int c = comp[i];
-            x0 = ((x0 << 1) | (uint64_t)(c & 1)) & kmask;
-            x1 = ((x1 << 1) | (uint64_t)(c >> 1)) & kmask;
-            x2 = (x2 >> 1) | ((uint64_t)(1 - (c & 1)) << shift);
-            x3 = (x3 >> 1) | ((uint64_t)(1 - (c >> 1)) << shift);
-            // lcount: eligible (= !sym, with the first k-1 positions
-            // eligible by definition) run length within the stretch
-            bool sym = false;
-            if (i >= k - 1) sym = (x1 == x3);
-            if (i > 0 && stretch[i] != stretch[i - 1]) run = 0;
-            run += sym ? 0 : 1;
-            if (i < k - 1 || sym) continue;
-            const int64_t i0 = i - (k - 1);
-            const int64_t span = ends[i] - (ends[i0] - rl[i0] + 1) + 1;
-            if (run < k || span >= 256 || stretch[i] != stretch[i0])
-                continue;
-            const bool rv = !(x1 < x3);
-            out[wr++] = rv ? (yak_h64(x2 & kmask) + yak_h64(x3 & kmask))
-                           : (yak_h64(x0) + yak_h64(x1));
-        }
+        int64_t wr = 0;
+        for_read_kmers(codes + bounds[r], bounds[r + 1] - bounds[r], k,
+                       [&](uint64_t h) { out[wr++] = h; });
         nk[r] = wr;
     }
     // compact (serial; one forward memmove pass over <= total_bases u64)
