@@ -40,6 +40,7 @@ class AssemblyResult:
     ug: UnitigGraph
     read_cov: np.ndarray
     purge: Optional[PurgeResult] = None
+    raw_ug: Optional[UnitigGraph] = None
 
 
 def clean_rounds(sg: StringGraph, cfg: HifiasmConfig,
@@ -112,6 +113,9 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     if cfg.telo_motif:
         from hifiasm_tpu.graph.telo import find_telo_reads
         telo = find_telo_reads(store, cfg.telo_motif)
+    # raw unitigs before any cleaning (~output r_utg, Overlaps.cpp
+    # output_unitig_graph)
+    raw_ug = ma_ug_gen(sg)
     clean_rounds(sg, cfg, read_cov, protect=telo)
     ug = ma_ug_gen(sg)
 
@@ -149,24 +153,42 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
             purge.alternate = [a for a in purge.alternate
                                if a not in set(restored)]
 
-    res = AssemblyResult(store, ec, sg, cov, r_to_u, ug, read_cov, purge)
+    res = AssemblyResult(store, ec, sg, cov, r_to_u, ug, read_cov, purge,
+                         raw_ug)
     if write_outputs:
         write_assembly_outputs(res, cfg)
     return res
 
 
 def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
+    """File-name matrix follows the reference
+    (docs/source/interpreting-output.rst:16-41): default mode prefixes
+    everything with ``bp.``, Hi-C with ``hic.``, trio with ``dip.``."""
     prefix = cfg.output_prefix
     d = os.path.dirname(prefix)
     if d:
         os.makedirs(d, exist_ok=True)
+    mode = "bp"
+    if cfg.hic_reads_1 and cfg.hic_reads_2:
+        mode = "hic"
+    elif (cfg.fn_bin_yak_pat and cfg.fn_bin_yak_mat) or \
+            (cfg.fn_bin_list_pat and cfg.fn_bin_list_mat):
+        mode = "dip"
+    primary_mode = cfg.purge_level == 0   # -l0/--primary: unprefixed
+    ctg_pfx = f"{prefix}." if primary_mode else f"{prefix}.{mode}."
     ug_cov = np.array([
         int(np.round(res.read_cov[(u.vs >> 1)].mean())) if len(u.vs) else 0
         for u in res.ug.utgs], np.int64)
-    with open(f"{prefix}.p_utg.gfa", "w") as f:
+    if res.raw_ug is not None:
+        raw_cov = np.array([
+            int(np.round(res.read_cov[(u.vs >> 1)].mean()))
+            if len(u.vs) else 0 for u in res.raw_ug.utgs], np.int64)
+        with open(f"{ctg_pfx}r_utg.gfa", "w") as f:
+            write_gfa(f, res.raw_ug, res.store, res.cov, "utg", raw_cov)
+    with open(f"{ctg_pfx}p_utg.gfa", "w") as f:
         write_gfa(f, res.ug, res.store, res.cov, "utg", ug_cov)
     from hifiasm_tpu.graph.gfa import write_lowq_bed
-    with open(f"{prefix}.p_utg.lowQ.bed", "w") as f:
+    with open(f"{ctg_pfx}p_utg.lowQ.bed", "w") as f:
         write_lowq_bed(f, res.ug, res.cov, "utg")
     if cfg.ex_list:
         from hifiasm_tpu.debug_trace import trace_reads
@@ -179,7 +201,7 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
                 else list(range(len(res.ug))))
     alt_ids = res.purge.alternate if res.purge is not None else []
     prim = _sub_ug(res.ug, prim_ids)
-    with open(f"{prefix}.p_ctg.gfa", "w") as f:
+    with open(f"{ctg_pfx}p_ctg.gfa", "w") as f:
         write_gfa(f, prim, res.store, res.cov, "ptg",
                   ug_cov[prim_ids] if len(prim_ids) else None)
     with open(f"{prefix}.p_ctg.fa", "w") as f:
@@ -189,12 +211,11 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         with open(f"{prefix}.a_ctg.gfa", "w") as f:
             write_gfa(f, alt, res.store, res.cov, "atg", ug_cov[alt_ids])
 
-    # bp.hap1/bp.hap2 (phased) outputs (~output_bp_graph / trio joint /
+    # {mode}.hap1/hap2 (phased) outputs (~output_bp_graph / trio joint /
     # output_hic_graph when Hi-C reads are given)
     from hifiasm_tpu.graph.hap_output import phase_unitigs
     hic_links = None
-    mode = "bp"
-    if cfg.hic_reads_1 and cfg.hic_reads_2:
+    if mode == "hic":
         from hifiasm_tpu.graph.unitig import unitig_seq
         from hifiasm_tpu.io.fastx import iter_fastx
         from hifiasm_tpu.io.readstore import seq_to_codes
@@ -212,16 +233,17 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
 
         hits = map_hic_pairs(uidx, _pairs())
         hic_links = hic_link_matrix(len(res.ug), hits)
-        mode = "hic"
-    hap1_ids, hap2_ids = phase_unitigs(
-        res.ug, res.ec.reverse_paf, res.store.n_reads,
-        trio_flags=res.store.trio_flags, n_perturb=cfg.n_perturb,
-        f_perturb=cfg.f_perturb, seed=cfg.seed, hic_links=hic_links)
-    for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
-        sub = _sub_ug(res.ug, ids)
-        with open(f"{prefix}.{mode}.{name}.p_ctg.gfa", "w") as f:
-            write_gfa(f, sub, res.store, res.cov, f"h{name[-1]}tg",
-                      ug_cov[ids] if len(ids) else None)
+    hap1_ids, hap2_ids = [], []
+    if not primary_mode:
+        hap1_ids, hap2_ids = phase_unitigs(
+            res.ug, res.ec.reverse_paf, res.store.n_reads,
+            trio_flags=res.store.trio_flags, n_perturb=cfg.n_perturb,
+            f_perturb=cfg.f_perturb, seed=cfg.seed, hic_links=hic_links)
+        for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
+            sub = _sub_ug(res.ug, ids)
+            with open(f"{prefix}.{mode}.{name}.p_ctg.gfa", "w") as f:
+                write_gfa(f, sub, res.store, res.cov, f"h{name[-1]}tg",
+                          ug_cov[ids] if len(ids) else None)
 
     if cfg.dual_scaf:
         from hifiasm_tpu.graph.unitig import unitig_seq
@@ -239,7 +261,8 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
                 for i, s in enumerate(sseqs):
                     f.write(f">scaf{name}_{i + 1:06d}\n"
                             f"{codes_to_seq(s).decode()}\n")
-    log("assemble", f"wrote {prefix}.p_utg.gfa / .p_ctg.gfa / bp.hap[12] "
+    log("assemble",
+        f"wrote {prefix}.{mode}.[rp]_utg / .{mode}.p_ctg / {mode}.hap[12] "
         f"({len(prim_ids)} primary, {len(alt_ids)} alternate, "
         f"{len(hap1_ids)}+{len(hap2_ids)} hap contigs)")
 

@@ -49,7 +49,7 @@ def test_assemble_linear_genome(rng, tmp_path):
     assert total > 0.85 * L, f"assembled only {total} of {L}"
     assert total < 1.3 * L, f"assembled {total}, too much duplication"
     assert max(lens) > 0.6 * L, "genome fragmented into small contigs"
-    assert (tmp_path / "asm.p_ctg.gfa").exists()
+    assert (tmp_path / "asm.bp.p_ctg.gfa").exists()
 
 
 def test_assemble_diploid_pops_bubbles(rng, tmp_path):

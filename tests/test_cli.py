@@ -40,7 +40,9 @@ def test_cli_end_to_end(rng, tmp_path):
     prefix = str(tmp_path / "asm")
     rc = main(["-o", prefix, "-r1", "-f0", str(fa)])
     assert rc == 0
-    assert (tmp_path / "asm.p_ctg.gfa").exists()
+    assert (tmp_path / "asm.bp.p_ctg.gfa").exists()
     assert (tmp_path / "asm.bp.hap1.p_ctg.gfa").exists()
-    gfa = (tmp_path / "asm.p_ctg.gfa").read_text()
+    assert (tmp_path / "asm.bp.r_utg.gfa").exists()
+    assert (tmp_path / "asm.bp.p_utg.gfa").exists()
+    gfa = (tmp_path / "asm.bp.p_ctg.gfa").read_text()
     assert gfa.startswith("S\t")

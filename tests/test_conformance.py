@@ -59,7 +59,7 @@ def test_matches_reference_contigs(rng, tmp_path):
     subprocess.run([REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r2",
                     str(fa)], capture_output=True, check=True, timeout=600)
 
-    ours = _gfa_contigs(str(tmp_path / "ours.p_ctg.gfa"))
+    ours = _gfa_contigs(str(tmp_path / "ours.bp.p_ctg.gfa"))
     ref = _gfa_contigs(str(tmp_path / "ref.bp.p_ctg.gfa"))
     gk = {g[i:i + 63].tobytes() for i in range(L - 62)}
     ours_tot = sum(map(len, ours))
@@ -198,7 +198,7 @@ def test_conformance_matrix(seed, het, rep, tmp_path):
         cs = _gfa_contigs(path)
         return len(cs), sum(map(len, cs)), cs
 
-    n_o, tot_o, cs_o = stats(str(tmp_path / "ours.p_ctg.gfa"))
+    n_o, tot_o, cs_o = stats(str(tmp_path / "ours.bp.p_ctg.gfa"))
     n_r, tot_r, cs_r = stats(str(tmp_path / "ref.bp.p_ctg.gfa"))
     # sequence truthfulness of our contigs
     gk = {gk_src[i:i + 63].tobytes() for i in range(len(gk_src) - 62)}

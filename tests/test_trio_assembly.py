@@ -34,9 +34,9 @@ def test_trio_assembly_partitions_haps(rng, tmp_path):
     f2 = res.store.trio_flags[len(r1):]
     assert (f1 == FATHER).mean() > 0.6
     assert (f2 == MOTHER).mean() > 0.6
-    assert (tmp_path / "asm.bp.hap1.p_ctg.gfa").exists()
+    assert (tmp_path / "asm.dip.hap1.p_ctg.gfa").exists()
     # hap1 output should be dominated by FATHER-flagged reads
-    hap1 = (tmp_path / "asm.bp.hap1.p_ctg.gfa").read_text()
+    hap1 = (tmp_path / "asm.dip.hap1.p_ctg.gfa").read_text()
     a_reads = [ln.split("\t")[4] for ln in hap1.splitlines()
                if ln.startswith("A\t")]
     rid_of = {n: i for i, n in enumerate(store.names)}
