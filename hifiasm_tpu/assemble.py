@@ -179,14 +179,19 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
     ug_cov = np.array([
         int(np.round(res.read_cov[(u.vs >> 1)].mean())) if len(u.vs) else 0
         for u in res.ug.utgs], np.int64)
+    def _gfa(path: str, ug: UnitigGraph, pfx: str, ucov) -> None:
+        # every graph gets a *.noseq.gfa sibling like the reference
+        with open(path, "w") as f:
+            write_gfa(f, ug, res.store, res.cov, pfx, ucov)
+        with open(path[:-4] + ".noseq.gfa", "w") as f:
+            write_gfa(f, ug, res.store, res.cov, pfx, ucov, noseq=True)
+
     if res.raw_ug is not None:
         raw_cov = np.array([
             int(np.round(res.read_cov[(u.vs >> 1)].mean()))
             if len(u.vs) else 0 for u in res.raw_ug.utgs], np.int64)
-        with open(f"{ctg_pfx}r_utg.gfa", "w") as f:
-            write_gfa(f, res.raw_ug, res.store, res.cov, "utg", raw_cov)
-    with open(f"{ctg_pfx}p_utg.gfa", "w") as f:
-        write_gfa(f, res.ug, res.store, res.cov, "utg", ug_cov)
+        _gfa(f"{ctg_pfx}r_utg.gfa", res.raw_ug, "utg", raw_cov)
+    _gfa(f"{ctg_pfx}p_utg.gfa", res.ug, "utg", ug_cov)
     from hifiasm_tpu.graph.gfa import write_lowq_bed
     with open(f"{ctg_pfx}p_utg.lowQ.bed", "w") as f:
         write_lowq_bed(f, res.ug, res.cov, "utg")
@@ -201,15 +206,13 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
                 else list(range(len(res.ug))))
     alt_ids = res.purge.alternate if res.purge is not None else []
     prim = _sub_ug(res.ug, prim_ids)
-    with open(f"{ctg_pfx}p_ctg.gfa", "w") as f:
-        write_gfa(f, prim, res.store, res.cov, "ptg",
-                  ug_cov[prim_ids] if len(prim_ids) else None)
+    _gfa(f"{ctg_pfx}p_ctg.gfa", prim, "ptg",
+         ug_cov[prim_ids] if len(prim_ids) else None)
     with open(f"{prefix}.p_ctg.fa", "w") as f:
         write_fasta(f, prim, res.store, res.cov)
     if alt_ids:
-        alt = _sub_ug(res.ug, alt_ids)
-        with open(f"{prefix}.a_ctg.gfa", "w") as f:
-            write_gfa(f, alt, res.store, res.cov, "atg", ug_cov[alt_ids])
+        _gfa(f"{prefix}.a_ctg.gfa", _sub_ug(res.ug, alt_ids), "atg",
+             ug_cov[alt_ids])
 
     # {mode}.hap1/hap2 (phased) outputs (~output_bp_graph / trio joint /
     # output_hic_graph when Hi-C reads are given)
@@ -240,10 +243,8 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             trio_flags=res.store.trio_flags, n_perturb=cfg.n_perturb,
             f_perturb=cfg.f_perturb, seed=cfg.seed, hic_links=hic_links)
         for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
-            sub = _sub_ug(res.ug, ids)
-            with open(f"{prefix}.{mode}.{name}.p_ctg.gfa", "w") as f:
-                write_gfa(f, sub, res.store, res.cov, f"h{name[-1]}tg",
-                          ug_cov[ids] if len(ids) else None)
+            _gfa(f"{prefix}.{mode}.{name}.p_ctg.gfa", _sub_ug(res.ug, ids),
+                 f"h{name[-1]}tg", ug_cov[ids] if len(ids) else None)
 
     if cfg.dual_scaf:
         from hifiasm_tpu.graph.unitig import unitig_seq

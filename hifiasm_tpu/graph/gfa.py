@@ -19,13 +19,17 @@ from hifiasm_tpu.io.readstore import ReadStore, codes_to_seq
 
 def write_gfa(f: IO[str], ug: UnitigGraph, store: ReadStore,
               cov: CoverageCut, name_prefix: str = "utg",
-              coverage: Optional[np.ndarray] = None) -> None:
+              coverage: Optional[np.ndarray] = None,
+              noseq: bool = False) -> None:
+    """``noseq=True`` writes ``*`` S-line sequences
+    (~ma_ug_print_simple, the reference's ``*.noseq.gfa`` siblings)."""
     names = [f"{name_prefix}{i + 1:06d}l" if not u.circ else
              f"{name_prefix}{i + 1:06d}c" for i, u in enumerate(ug.utgs)]
     for i, u in enumerate(ug.utgs):
         seq = unitig_seq(u, store, cov)
         cov_i = int(coverage[i]) if coverage is not None else 0
-        f.write(f"S\t{names[i]}\t{codes_to_seq(seq).decode()}\t"
+        s_txt = "*" if noseq else codes_to_seq(seq).decode()
+        f.write(f"S\t{names[i]}\t{s_txt}\t"
                 f"LN:i:{len(seq)}\trd:i:{cov_i}\n")
         off = 0
         for k, v in enumerate(u.vs):
