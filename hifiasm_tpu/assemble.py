@@ -76,7 +76,7 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         ft, peak_hom, peak_het = build_filter_table(
             codes, cfg.k, high_factor=cfg.high_factor,
             max_kmer_cnt=cfg.max_kmer_cnt,
-            min_hist_cnt=cfg.min_hist_kmer_cnt)
+            min_hist_cnt=cfg.min_hist_kmer_cnt, bf_shift=cfg.bf_shift)
         if peak_hom > 0:
             cfg.update_cov(peak_hom, peak_het)
 

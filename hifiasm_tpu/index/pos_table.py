@@ -51,13 +51,34 @@ class FilterTable:
 
 def build_filter_table(read_codes: Iterable[np.ndarray], k: int,
                        high_factor: float = 5.0, max_kmer_cnt: int = 2000,
-                       min_hist_cnt: int = 5,
+                       min_hist_cnt: int = 5, bf_shift: int = 0,
                        ) -> Tuple[FilterTable, int, int]:
     """Count ALL HPC k-mers, find coverage peaks, keep high-occ k-mers.
 
-    Returns (table, peak_hom, peak_het). ~ha_ft_gen (htab.cpp:1136-1169).
+    ``bf_shift > 0`` (the -f option) enables the blocked-bloom singleton
+    prefilter (~yak_bf_insert pass 0, htab.cpp:74-116): error k-mers
+    seen once never enter the count table, bounding memory at large
+    genome scale. The bloom is clamped down to ~4 bits/k-mer when the
+    input is small (same false-positive budget, no 16 GB allocation for
+    a bacterial run). Returns (table, peak_hom, peak_het).
+    ~ha_ft_gen (htab.cpp:1136-1169).
     """
     codes_list = list(read_codes)
+    if bf_shift > 0 and codes_list:
+        try:
+            from hifiasm_tpu.native import count_kmers_bloom_native
+            total = sum(len(c) for c in codes_list)
+            bf = min(bf_shift,
+                     max(22, int(np.ceil(np.log2(max(total, 1) * 4)))))
+            uc = count_kmers_bloom_native(codes_list, k, bf)
+        except Exception:
+            uc = None
+        if uc is not None:
+            log("build_filter_table",
+                f"bloom prefilter ({bf} bits): "
+                f"{len(uc[0])} distinct non-singleton k-mers")
+            return _finish_filter_table(uc[0], uc[1], high_factor,
+                                        max_kmer_cnt, min_hist_cnt)
     uc = None
     if codes_list:
         try:

@@ -95,6 +95,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ht_count_kmers.argtypes = [
         u8p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         u64p, u32cp]
+    lib.ht_count_kmers_bloom.restype = ctypes.c_int64
+    lib.ht_count_kmers_bloom.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int64, u64p,
+        ctypes.c_int64, u64p]
     lib.ht_unique_u64.restype = ctypes.c_int64
     lib.ht_unique_u64.argtypes = [u64p, ctypes.c_int64, u32cp]
     lib.ht_chain_groups.restype = ctypes.c_int64
@@ -291,6 +295,80 @@ def count_kmers_native(codes_list, k: int):
     hbuf[:ne].sort()                       # numpy SIMD (avx) sort
     nu = lib.ht_unique_u64(hbuf, ne, cbuf)
     return hbuf[:nu].copy(), cbuf[:nu].copy()
+
+
+def _merge_sorted_counts(ha, ca, hb, cb):
+    """Merge two sorted (hash, count) tables, summing shared keys."""
+    if len(ha) == 0:
+        return hb, cb.astype(np.int64)
+    if len(hb) == 0:
+        return ha, ca.astype(np.int64)
+    h = np.concatenate([ha, hb])
+    c = np.concatenate([ca.astype(np.int64), cb.astype(np.int64)])
+    order = np.argsort(h, kind="stable")
+    h, c = h[order], c[order]
+    new = np.empty(len(h), bool)
+    new[0] = True
+    np.not_equal(h[1:], h[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    csum = np.add.reduceat(c, starts)
+    return h[starts], csum
+
+
+def count_kmers_bloom_native(codes_list, k: int, bf_bits: int,
+                             chunk_bases: int = 32_000_000):
+    """Bloom-prefiltered HPC k-mer counting (~ha_ft_gen's -f pass,
+    htab.cpp:74-116 + 1136): singleton k-mers never enter the
+    sort/count stage, so peak memory tracks distinct NON-singleton
+    k-mers instead of total occurrences. Per-chunk (hash, count)
+    tables are merged pairwise (LSM-style) to keep intermediates
+    ~2x the final table. Returned counts are occurrences + 1
+    (the first, bloom-swallowed occurrence restored), saturating at
+    uint32. Returns (sorted unique hashes, uint32 counts) or None.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    bf_bits = max(bf_bits, 12)
+    bloom = np.zeros(1 << max(bf_bits - 6, 9), np.uint64)
+    stack = []                          # [(h, c)] pairwise-merge stack
+
+    def _push(h, c):
+        stack.append((h, c))
+        while len(stack) >= 2 and \
+                len(stack[-1][0]) * 2 >= len(stack[-2][0]):
+            hb, cb = stack.pop()
+            ha, ca = stack.pop()
+            stack.append(_merge_sorted_counts(ha, ca, hb, cb))
+
+    c0, n = 0, len(codes_list)
+    while c0 < n:
+        c1, bases = c0, 0
+        while c1 < n and bases < chunk_bases:
+            bases += len(codes_list[c1])
+            c1 += 1
+        chunk = codes_list[c0:c1]
+        bounds = np.zeros(len(chunk) + 1, np.int64)
+        for i, s in enumerate(chunk):
+            bounds[i + 1] = bounds[i] + len(s)
+        flat = np.concatenate(chunk) if chunk else np.zeros(0, np.uint8)
+        hbuf = np.empty(max(int(bounds[-1]), 1), np.uint64)
+        ne = lib.ht_count_kmers_bloom(
+            np.ascontiguousarray(flat, np.uint8), bounds, len(chunk), k,
+            bloom, max(bf_bits - 6, 9), hbuf)
+        em = hbuf[:ne]
+        em.sort()                        # numpy SIMD sort
+        cb = np.empty(max(ne, 1), np.uint32)
+        nu = lib.ht_unique_u64(em, ne, cb)
+        _push(em[:nu].copy(), cb[:nu].copy())
+        c0 = c1
+    h = np.zeros(0, np.uint64)
+    c = np.zeros(0, np.int64)
+    while stack:
+        hb, cb = stack.pop()
+        h, c = _merge_sorted_counts(h, c, hb, cb)
+    c = np.minimum(c + 1, 0xFFFFFFFF).astype(np.uint32)
+    return h, c
 
 
 def collect_anchors_native(mzs, pt, rids, tlens, hom_cov: int):

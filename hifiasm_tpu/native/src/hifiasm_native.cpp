@@ -1205,6 +1205,56 @@ extern "C" int64_t ht_count_kmers(
     return nu;
 }
 
+// Bloom-gated k-mer emission (~yak_bf_insert counting pass 0,
+// htab.cpp:74-116): insert each HPC k-mer hash into a shared blocked
+// bloom filter (512-bit cache-line blocks, 4 probes) and emit it ONLY
+// if all probed bits were already set — i.e. singletons (mostly
+// sequencing errors) never reach the sort/count stage, like the
+// reference's -f pre-filter. `bloom` is a caller-owned uint64 array of
+// (1 << words_log2) words persisting across chunked calls; insertion
+// uses atomic fetch_or, so a k-mer's two concurrent FIRST occurrences
+// may occasionally both be swallowed (bounded count noise, on par with
+// the bloom's own false-positive noise). Emitted hashes are compacted
+// into hbuf; returns the emitted count.
+extern "C" int64_t ht_count_kmers_bloom(
+    const uint8_t* codes, const int64_t* bounds, int64_t n_reads,
+    int64_t k, uint64_t* bloom, int64_t words_log2, uint64_t* hbuf) {
+    const uint64_t n_blocks = (1ULL << words_log2) >> 3;  // 8 words/block
+    std::vector<int64_t> nk(n_reads, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
+    for (int64_t r = 0; r < n_reads; ++r) {
+        uint64_t* out = hbuf + bounds[r];
+        int64_t wr = 0;
+        for_read_kmers(codes + bounds[r], bounds[r + 1] - bounds[r], k,
+                       [&](uint64_t h) {
+            const uint64_t m = h * 0x9E3779B97F4A7C15ULL;
+            uint64_t* blk = bloom + ((m >> 24) % n_blocks) * 8;
+            int seen = 1;
+            uint64_t probes = m;
+            for (int p = 0; p < 4; ++p, probes >>= 9) {
+                const uint64_t bit = probes & 511;
+                uint64_t* w = blk + (bit >> 6);
+                const uint64_t msk = 1ULL << (bit & 63);
+                const uint64_t old =
+                    __atomic_fetch_or(w, msk, __ATOMIC_RELAXED);
+                seen &= (old & msk) != 0;
+            }
+            if (seen) out[wr++] = h;
+        });
+        nk[r] = wr;
+    }
+    int64_t tot = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        if (tot != bounds[r] && nk[r])
+            std::memmove(hbuf + tot, hbuf + bounds[r],
+                         (size_t)nk[r] * sizeof(uint64_t));
+        tot += nk[r];
+    }
+    return tot;
+}
+
 // In-place unique+count scan over an already-sorted uint64 array.
 extern "C" int64_t ht_unique_u64(uint64_t* h, int64_t n,
                                  uint32_t* out_cnt) {

@@ -99,3 +99,44 @@ def test_position_table_drops_singletons(rng):
     reads = [rng.integers(0, 4, 1000).astype(np.uint8)]  # single read: all
     pt, _, _, _ = build_position_table(reads, k=21, w=11)
     assert pt.tot_pos == 0  # every minimizer occurs once -> dropped
+
+
+def test_bloom_prefilter_matches_exact(rng):
+    """Bloom-gated counting (-f) drops singletons but must agree with the
+    exact path on everything seen >= 2 times (counts within bloom noise),
+    and yield the same high-occ filter table."""
+    from hifiasm_tpu.native import count_kmers_bloom_native, count_kmers_native
+
+    g = make_genome(rng, 20000)
+    reads, _, _ = sample_reads(rng, g, depth=18, read_len=1800,
+                               err_rate=0.003)
+    k = 31
+    exact = count_kmers_native(reads, k)
+    bloom = count_kmers_bloom_native(reads, k, bf_bits=24, chunk_bases=50000)
+    assert exact is not None and bloom is not None
+    eh, ec = exact
+    bh, bc = bloom
+    # every k-mer with exact count >= 2 must be present
+    multi = ec >= 2
+    missing = np.setdiff1d(eh[multi], bh)
+    assert len(missing) == 0, f"{len(missing)} multi-occ k-mers dropped"
+    # no k-mer absent from the exact table may appear
+    assert len(np.setdiff1d(bh, eh)) == 0
+    # counts agree within bloom false-positive/race noise (+-2)
+    pos = np.searchsorted(eh, bh)
+    assert np.all(np.abs(bc.astype(np.int64) - ec[pos].astype(np.int64))
+                  <= 2)
+    # singletons (mostly error k-mers) are mostly gone
+    n_single = int((ec == 1).sum())
+    leaked = int(np.isin(bh, eh[ec == 1]).sum())
+    assert leaked < 0.05 * max(n_single, 1), (leaked, n_single)
+    # identical filter table + peaks through the public entry point
+    ft_e, hom_e, _ = build_filter_table(reads, k, high_factor=0.8,
+                                        bf_shift=0)
+    ft_b, hom_b, _ = build_filter_table(reads, k, high_factor=0.8,
+                                        bf_shift=24)
+    assert hom_e == hom_b
+    assert len(ft_e) > 0
+    # identical up to k-mers sitting exactly on the cutoff (bloom noise)
+    sym = np.setxor1d(ft_e.hashes, ft_b.hashes)
+    assert len(sym) <= 0.01 * len(ft_e), (len(sym), len(ft_e))
