@@ -32,16 +32,119 @@ def unitig_similarity(a: np.ndarray, b: np.ndarray, k: int = TOVLP_K,
     return float((kb[idx] == ka).mean())
 
 
-def confirm_purge_pairs(utg_seqs: List[np.ndarray], pairs,
-                        simi_rate: float, k: int = TOVLP_K):
-    """Filter (purged, kept, frac) purge pairs by sequence similarity
-    (~the hap_alignment_advance_worker verification, Purge_Dups.cpp:5610).
+HAP_ALIGN_K = 19
+HAP_ALIGN_W = 10
+HAP_WINDOW = 375                  # ~WINDOW (Hash_Table.h:9)
+HAP_ERR_RATE = 0.06               # inter-hap divergence + HiFi residual
+
+
+def hap_align_pair(a: np.ndarray, b: np.ndarray,
+                   max_windows: int = 24):
+    """Coordinate-level alignment of candidate haplotig ``a`` onto its
+    partner ``b`` (~hap_alignment_advance_worker, Purge_Dups.cpp:5610):
+    minimizer anchors -> chain DP -> window-sampled banded verification.
+
+    Returns (aligned_frac_of_a, identity, (a_s, a_e, b_s, b_e, rev)) of
+    the best chain, or (0.0, 0.0, None) when nothing chains.
     """
+    from hifiasm_tpu.index.pos_table import build_position_table
+    from hifiasm_tpu.ops.banded_batch import banded_batch_np
+    from hifiasm_tpu.ops.chain import ChainParams
+    from hifiasm_tpu.ops.sketch import sketch_read
+    from hifiasm_tpu.overlap.anchors import chain_many, collect_anchors
+
+    pt, _, _, _ = build_position_table([b], HAP_ALIGN_K, HAP_ALIGN_W,
+                                       ft=None, keep_min=1)
+    tlens = np.array([len(b)], np.int64)
+    mz = sketch_read(a, HAP_ALIGN_K, HAP_ALIGN_W, None)
+    an = collect_anchors(mz, pt, 1, tlens, hom_cov=20)
+    if len(an) == 0:
+        return 0.0, 0.0, None
+    cp = ChainParams.for_k(HAP_ALIGN_K, is_accurate=False, bw_rate=0.1)
+    ovs = chain_many([(1, an, len(a))], tlens, cp, max_n_chain=50)
+    ov = ovs[0]
+    if len(ov) == 0:
+        return 0.0, 0.0, None
+    # union of chained a-intervals = aligned extent of a. Region extents
+    # are projected to full-overlap ranges, so only credible chains
+    # (enough hits/score) may contribute to coverage.
+    cred = np.flatnonzero((ov.n_hits >= 4) &
+                          (ov.score >= max(40, 0.02 * ov.score.max())))
+    if len(cred) == 0:
+        return 0.0, 0.0, None
+    order = cred[np.argsort(ov.x_s[cred], kind="stable")]
+    covered, last = 0, -1
+    for o in order:
+        s, e = int(ov.x_s[o]), int(ov.x_e[o])
+        covered += max(0, e - max(s, last))
+        last = max(last, e)
+    frac = covered / max(len(a), 1)
+    best = int(np.argmax(ov.score))
+    span = (int(ov.x_s[best]), int(ov.x_e[best]),
+            int(ov.y_s[best]), int(ov.y_e[best]), int(ov.rev[best]))
+
+    # identity: banded alignment of windows sampled along the best chain
+    from hifiasm_tpu.io.readstore import revcomp_codes
+    tgt = revcomp_codes(b) if span[4] else b
+    hs = ov.hit_self[ov.hit_start[best]:ov.hit_start[best] + ov.n_hits[best]]
+    ht = ov.hit_t[ov.hit_start[best]:ov.hit_start[best] + ov.n_hits[best]]
+    n = len(hs)
+    if n == 0:
+        return frac, 0.0, span
+    sel = np.unique(np.linspace(0, n - 1, min(max_windows, n))
+                    .astype(np.int64))
+    e_budget = max(4, int(HAP_WINDOW * HAP_ERR_RATE))
+    xs, ys, xlens, ylens = [], [], [], []
+    for h in sel:
+        q0, t0 = int(hs[h]), int(ht[h])
+        xw = a[q0:q0 + HAP_WINDOW]
+        if len(xw) < 50:
+            continue
+        y0 = t0 - e_budget
+        seg = np.full(len(xw) + 2 * e_budget, 4, np.uint8)
+        s_lo, s_hi = max(0, y0), min(len(tgt), y0 + len(seg))
+        if s_hi <= s_lo:
+            continue
+        seg[s_lo - y0:s_hi - y0] = tgt[s_lo:s_hi]
+        xs.append(xw)
+        ys.append(seg)
+        xlens.append(len(xw))
+        ylens.append(s_hi - y0)
+    if not xs:
+        return frac, 0.0, span
+    XL = max(map(len, xs))
+    YL = XL + 2 * e_budget
+    xb = np.full((len(xs), XL), 4, np.uint8)
+    yb = np.full((len(xs), YL), 4, np.uint8)
+    for i, (xw, yw) in enumerate(zip(xs, ys)):
+        xb[i, :len(xw)] = xw
+        yb[i, :len(yw)] = yw
+    out = banded_batch_np(xb, np.array(xlens), yb, np.array(ylens),
+                          e_budget, traceback=False)
+    ok = out.err >= 0
+    if not ok.any():
+        return frac, 0.0, span
+    ident = 1.0 - float(out.err[ok].sum()) / max(
+        int(np.array(xlens)[ok].sum()), 1)
+    return frac, ident, span
+
+
+def confirm_purge_pairs(utg_seqs: List[np.ndarray], pairs,
+                        simi_rate: float, k: int = TOVLP_K,
+                        min_identity: float = 0.85):
+    """Filter (purged, kept, frac) purge pairs by coordinate-level
+    re-alignment (~hap_alignment_advance_worker, Purge_Dups.cpp:5610):
+    the purged unitig must chain onto its partner over >= simi_rate of
+    its length at haplotype-level identity. The k-mer similarity acts as
+    a cheap pre-filter before the alignment."""
     out = []
     for a, b, frac in pairs:
         sim = unitig_similarity(utg_seqs[a], utg_seqs[b], k)
-        if sim >= simi_rate * 0.5:     # generous: HPC/SNP divergence
-            out.append((a, b, frac, sim))
+        if sim < simi_rate * 0.25:     # clearly unrelated: skip alignment
+            continue
+        afrac, ident, span = hap_align_pair(utg_seqs[a], utg_seqs[b])
+        if afrac >= simi_rate and ident >= min_identity:
+            out.append((a, b, afrac, ident))
     log("confirm_purge_pairs",
-        f"{len(out)}/{len(pairs)} purge pairs sequence-confirmed")
+        f"{len(out)}/{len(pairs)} purge pairs alignment-confirmed")
     return out
