@@ -32,15 +32,31 @@ class ConsensusResult:
     n_corrected: int         # number of edit operations applied
 
 
+def _edit_distance(a: np.ndarray, b: np.ndarray) -> int:
+    """Levenshtein on tiny cluster ranges (tens of bases)."""
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    for i in range(1, len(a) + 1):
+        cur = np.empty_like(prev)
+        cur[0] = i
+        sub = prev[:-1] + (b != a[i - 1])
+        for j in range(1, len(b) + 1):
+            cur[j] = min(sub[j - 1], prev[j] + 1, cur[j - 1] + 1)
+        prev = cur
+    return int(prev[-1])
+
+
 def consensus_from_votes(q: np.ndarray, votes: np.ndarray,
                          ins_tot: np.ndarray, ins_base: np.ndarray,
                          ins_len: np.ndarray, het_sites: np.ndarray,
-                         occ_tot: int = 3, occ_exact: float = 0.500001
-                         ) -> ConsensusResult:
+                         occ_tot: int = 3, occ_exact: float = 0.500001,
+                         repl=None) -> ConsensusResult:
     """Apply corrections given aggregated matrices.
 
     votes [qlen, 5] INCLUDES the query's own vote; ins_base/ins_len are the
     per-position majority insertion base/length; ins_tot the voter count.
+    ``repl`` is an optional sorted, non-overlapping list of
+    (start, end, replacement) cluster substitutions from the DAG pass;
+    column edits inside those ranges are suppressed.
     This half is shared by the host CSR path and the device-aggregated path.
     """
     qlen = len(q)
@@ -54,14 +70,31 @@ def consensus_from_votes(q: np.ndarray, votes: np.ndarray,
     if len(het_sites):
         pass_sub[het_sites] = False
         pass_ins[het_sites] = False
+    repl = sorted(repl) if repl else []
+    for s, e, _ in repl:
+        pass_sub[s:e] = False
+        pass_ins[s:e] = False
 
     change = np.flatnonzero(pass_sub | pass_ins)
-    if len(change) == 0:
+    if len(change) == 0 and not repl:
         return ConsensusResult(q.copy(), 0)
     parts = []
     n_edits = 0
     prev = 0
-    for p in change:
+    ci, ri = 0, 0
+    while ci < len(change) or ri < len(repl):
+        if ri < len(repl) and (ci >= len(change)
+                               or repl[ri][0] <= change[ci]):
+            s, e, r = repl[ri]
+            ri += 1
+            parts.append(q[prev:s])
+            parts.append(np.asarray(r, np.uint8))
+            n_edits += _edit_distance(np.clip(q[s:e], 0, 3),
+                                      np.asarray(r, np.uint8))
+            prev = e
+            continue
+        p = change[ci]
+        ci += 1
         parts.append(q[prev:p])
         if pass_sub[p]:
             w = int(winner[p])
@@ -76,6 +109,99 @@ def consensus_from_votes(q: np.ndarray, votes: np.ndarray,
         prev = p + 1
     parts.append(q[prev:])
     return ConsensusResult(np.concatenate(parts).astype(np.uint8), n_edits)
+
+
+DAG_CLUSTER_GAP = 8               # max spacing joining ambiguous columns
+
+
+def _ambiguous_mask(q: np.ndarray, votes: np.ndarray, ins_tot: np.ndarray,
+                    het_sites: np.ndarray, occ_tot: int,
+                    occ_exact: float) -> np.ndarray:
+    """Columns where per-column voting cannot decide: enough coverage but
+    no majority symbol, or split insertion evidence. These mark complex
+    indel clusters that need sequence-level (DAG) consensus."""
+    cov = votes.sum(axis=1)
+    wv = votes.max(axis=1)
+    dels = votes[:, 4]
+    amb = (cov >= occ_tot) & (
+        (wv <= occ_exact * cov) |
+        # substantial-minority indel evidence: alignment ambiguity can
+        # smear one real indel across neighbouring columns, leaving each
+        # column wrongly confident — only the string vote resolves it
+        ((dels > 0.25 * cov) & (dels <= occ_exact * cov)) |
+        ((ins_tot > 0.25 * cov) & (ins_tot <= occ_exact * cov)))
+    if len(het_sites):
+        amb[het_sites] = False
+    return amb
+
+
+def _ambiguity_clusters(amb: np.ndarray, gap: int = DAG_CLUSTER_GAP,
+                        min_size: int = 2):
+    """Group ambiguous columns within ``gap`` bp; singletons are left to
+    the (conservative) column vote. Returns [(start, end)) ranges."""
+    pos = np.flatnonzero(amb)
+    if len(pos) < min_size:
+        return []
+    breaks = np.flatnonzero(np.diff(pos) > gap)
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [len(pos) - 1]])
+    return [(int(pos[s]), int(pos[e]) + 1)
+            for s, e in zip(starts, ends) if e - s + 1 >= min_size]
+
+
+def _implied_string(tb: np.ndarray, ic: np.ndarray, ib: np.ndarray) -> bytes:
+    """The subsequence an overlap's traceback implies for a query range."""
+    parts = []
+    for v, c, b in zip(tb, ic, ib):
+        if v <= 3:
+            parts.append(int(v))
+        # v == 4: query base deleted in the target
+        if c > 0:
+            parts.extend([int(b) if b <= 3 else 3] * int(min(c, MAX_INS_TRACK)))
+    return bytes(parts)
+
+
+def dag_cluster_consensus(q: np.ndarray, tbs: OverlapTracebacks,
+                          cis_idx: np.ndarray, clusters,
+                          het_sites=None,
+                          occ_tot: int = 3, occ_exact: float = 0.500001):
+    """Sequence-level plurality over ambiguous clusters (~the reference's
+    DAG consensus, Merge_DAGCon Correct.cpp:5031 / POA.cpp): each cis
+    overlap votes with the exact subsequence its traceback implies for
+    the cluster; the plurality string wins under the same occ thresholds
+    as the column vote. Resolves interacting nearby indels coherently
+    where column voting smears. Returns [(start, end, replacement)]."""
+    repl = []
+    het = set(int(h) for h in het_sites) if het_sites is not None else set()
+    for cs, ce in clusters:
+        # small context so flanking agreement anchors the strings
+        cs = max(0, cs - 2)
+        ce = min(len(q), ce + 2)
+        if any(p in het for p in range(cs, ce)):
+            continue                      # never rewrite het evidence
+        counts = {}
+        n_voters = 0
+        for o in cis_idx:
+            xs = int(tbs.x_s[o])
+            n = int(tbs.off[o + 1] - tbs.off[o])
+            if xs > cs or xs + n < ce:
+                continue
+            lo, hi = cs - xs, ce - xs
+            tb = tbs.view(o, "tb")[lo:hi]
+            if (tb > 4).any():
+                continue                  # window not aligned here
+            key = _implied_string(tb, tbs.view(o, "ins_cnt")[lo:hi],
+                                  tbs.view(o, "ins_base")[lo:hi])
+            counts[key] = counts.get(key, 0) + 1
+            n_voters += 1
+        qkey = np.clip(q[cs:ce], 0, 3).astype(np.uint8).tobytes()
+        counts[qkey] = counts.get(qkey, 0) + 1
+        n_voters += 1
+        best = max(counts, key=counts.get)
+        if (n_voters >= occ_tot and counts[best] > occ_exact * n_voters
+                and best != qkey):
+            repl.append((cs, ce, np.frombuffer(best, np.uint8)))
+    return repl
 
 
 def windowed_consensus(q: np.ndarray, ov: OverlapRegions,
@@ -115,5 +241,14 @@ def windowed_consensus(q: np.ndarray, ov: OverlapRegions,
     ins_base = np.argmax(ins_base_cnt, axis=1).astype(np.uint8)
     ins_len = (np.argmax(ins_len_cnt[:, 1:], axis=1) + 1).astype(np.int64)
 
+    # DAG pass for clustered ambiguity (~generate_consensus/Merge_DAGCon)
+    amb = _ambiguous_mask(q, votes, ins_tot, ph.het_sites, occ_tot,
+                          occ_exact)
+    repl = None
+    clusters = _ambiguity_clusters(amb)
+    if clusters:
+        repl = dag_cluster_consensus(q, tbs, np.flatnonzero(cis), clusters,
+                                     ph.het_sites, occ_tot, occ_exact)
+
     return consensus_from_votes(q, votes, ins_tot, ins_base, ins_len,
-                                ph.het_sites, occ_tot, occ_exact)
+                                ph.het_sites, occ_tot, occ_exact, repl=repl)

@@ -207,6 +207,7 @@ extern "C" int64_t ht_banded_batch(
 // penalty math, so results are bit-compatible with the numpy mirror).
 
 #include <cmath>
+#include <string>
 
 extern "C" void ht_chain_dp(
     int64_t n, const int64_t* self_off, const int64_t* t_off,
@@ -609,7 +610,9 @@ static int64_t ec_read_one(
             }
         }
     }
-    int64_t w_out = 0, n_edits = 0;
+    // finalize votes (query self-vote), per-column aggregates, ambiguity
+    std::vector<int32_t> covv(qlen), wvv(qlen);
+    std::vector<uint8_t> winv(qlen), amb(qlen, 0);
     for (int64_t p = 0; p < qlen; ++p) {
         const int qa = q[p] <= 3 ? q[p] : 3;
         votes[p * 5 + qa]++;                       // query's own vote
@@ -620,6 +623,119 @@ static int64_t ec_read_one(
             cov += votes[p * 5 + a];
             if (votes[p * 5 + a] > wv) { wv = votes[p * 5 + a]; winner = a; }
         }
+        covv[p] = cov;
+        wvv[p] = wv;
+        winv[p] = (uint8_t)winner;
+        // column ambiguity (mirrors ec/consensus.py _ambiguous_mask):
+        // no majority symbol, or substantial-minority indel evidence
+        // (a single real indel smeared across neighbouring columns)
+        const int32_t dv = votes[p * 5 + 4];
+        amb[p] = !het[p] && cov >= occ_tot &&
+                 ((double)wv <= occ_exact * cov ||
+                  ((double)dv > 0.25 * cov &&
+                   (double)dv <= occ_exact * cov) ||
+                  ((double)ins_tot[p] > 0.25 * cov &&
+                   (double)ins_tot[p] <= occ_exact * cov));
+    }
+    // DAG cluster consensus (mirrors dag_cluster_consensus): group
+    // ambiguous columns within 8 bp (>= 2 per cluster), extend +-2
+    // context, then exact-string plurality among covering cis overlaps
+    struct Repl { int64_t s, e; std::string r; };
+    std::vector<Repl> repl;
+    {
+        std::vector<int64_t> pos;
+        for (int64_t p = 0; p < qlen; ++p)
+            if (amb[p]) pos.push_back(p);
+        size_t gs = 0;
+        for (size_t gi = 0; gi <= pos.size(); ++gi) {
+            const bool brk = gi == pos.size() ||
+                (gi > gs && pos[gi] - pos[gi - 1] > 8);
+            if (!brk) continue;
+            if (gi - gs >= 2) {
+                int64_t cs = pos[gs] - 2 < 0 ? 0 : pos[gs] - 2;
+                int64_t ce = pos[gi - 1] + 3 > qlen ? qlen : pos[gi - 1] + 3;
+                bool has_het = false;
+                for (int64_t p = cs; p < ce && !has_het; ++p)
+                    has_het = het[p];
+                if (!has_het) {
+                    std::vector<std::string> strs;
+                    for (int64_t o = 0; o < n_ov; ++o) {
+                        if (is_match[o] != 1) continue;
+                        const int64_t xs = x_s[o];
+                        const int64_t n = off[o + 1] - off[o];
+                        if (xs > cs || xs + n < ce) continue;
+                        const int64_t lo = off[o] + (cs - xs);
+                        bool bad = false;
+                        std::string s8;
+                        for (int64_t t = lo; t < lo + (ce - cs); ++t) {
+                            const uint8_t v = tb[t];
+                            if (v > 4) { bad = true; break; }
+                            if (v <= 3) s8.push_back((char)v);
+                            if (icnt[t] > 0) {
+                                const char b =
+                                    (char)(ibase[t] <= 3 ? ibase[t] : 3);
+                                const int c = icnt[t] <= 8 ? icnt[t] : 8;
+                                s8.append(c, b);
+                            }
+                        }
+                        if (!bad) strs.push_back(std::move(s8));
+                    }
+                    std::string qs;
+                    for (int64_t p = cs; p < ce; ++p)
+                        qs.push_back((char)(q[p] <= 3 ? q[p] : 3));
+                    strs.push_back(qs);
+                    const int64_t n_voters = (int64_t)strs.size();
+                    std::sort(strs.begin(), strs.end());
+                    size_t bi = 0, bc = 0;
+                    for (size_t i = 0; i < strs.size();) {
+                        size_t j = i;
+                        while (j < strs.size() && strs[j] == strs[i]) ++j;
+                        if (j - i > bc) { bc = j - i; bi = i; }
+                        i = j;
+                    }
+                    if (n_voters >= occ_tot &&
+                        (double)bc > occ_exact * n_voters &&
+                        strs[bi] != qs)
+                        repl.push_back({cs, ce, strs[bi]});
+                }
+            }
+            gs = gi;
+        }
+    }
+    int64_t w_out = 0, n_edits = 0;
+    size_t ri = 0;
+    for (int64_t p = 0; p < qlen; ++p) {
+        if (ri < repl.size() && p == repl[ri].s) {
+            const Repl& R = repl[ri++];
+            if (w_out + (int64_t)R.r.size() + 4 >= out_cap) return -1;
+            for (char c : R.r) out_seq[w_out++] = (uint8_t)c;
+            // Levenshtein edit count on the tiny cluster range
+            {
+                const int64_t la = R.e - R.s, lb = (int64_t)R.r.size();
+                std::vector<int64_t> prev(lb + 1), cur(lb + 1);
+                for (int64_t j = 0; j <= lb; ++j) prev[j] = j;
+                for (int64_t i = 1; i <= la; ++i) {
+                    cur[0] = i;
+                    const uint8_t qa2 =
+                        q[R.s + i - 1] <= 3 ? q[R.s + i - 1] : 3;
+                    for (int64_t j = 1; j <= lb; ++j) {
+                        const int64_t sub =
+                            prev[j - 1] + ((uint8_t)R.r[j - 1] != qa2);
+                        const int64_t del = prev[j] + 1, ins = cur[j - 1] + 1;
+                        cur[j] = sub < del ? (sub < ins ? sub : ins)
+                                           : (del < ins ? del : ins);
+                    }
+                    std::swap(prev, cur);
+                }
+                n_edits += prev[lb];
+            }
+            p = R.e - 1;                           // skip the cluster range
+            continue;
+        }
+        const int qa = q[p] <= 3 ? q[p] : 3;
+        const int32_t cov = covv[p];
+        const int32_t wv = wvv[p];
+        const int winner = winv[p];
         bool pass_sub = cov >= occ_tot && (double)wv > occ_exact * cov &&
                         winner != qa && !het[p];
         bool pass_ins = cov >= occ_tot &&

@@ -87,3 +87,107 @@ def test_final_overlap_coordinates(rng):
             assert rec.ml[j] >= rec.bl[j] - 2
             checked += 1
     assert checked > 10
+
+
+def _mk_tracebacks(qlen, tb_rows, ic_rows=None, ib_rows=None):
+    """Hand-built OverlapTracebacks: every overlap covers [0, qlen-1]."""
+    from hifiasm_tpu.ec.window_align import OverlapTracebacks
+
+    n = len(tb_rows)
+    off = np.arange(n + 1, dtype=np.int64) * qlen
+    tb = np.concatenate([np.asarray(r, np.uint8) for r in tb_rows])
+    ic = np.concatenate([np.asarray(r, np.uint8) for r in ic_rows]) \
+        if ic_rows else np.zeros(n * qlen, np.uint8)
+    ib = np.concatenate([np.asarray(r, np.uint8) for r in ib_rows]) \
+        if ib_rows else np.zeros(n * qlen, np.uint8)
+    one = np.ones(n, np.int32)
+    z = np.zeros(n, np.int64)
+    return OverlapTracebacks(off, tb, ic, ib, one, one.copy(), z,
+                             z.copy(), z.copy(), x_s=np.zeros(n, np.int64))
+
+
+def test_dag_consensus_resolves_smeared_deletion():
+    """One real deletion in an AA homopolymer aligns to either column:
+    half the voters delete q[10], half q[11]. Column voting keeps both
+    (each column sees a 'keep' majority); the string plurality deletes
+    exactly one base (~Merge_DAGCon, Correct.cpp:5031)."""
+    from hifiasm_tpu.ec.consensus import windowed_consensus
+    from hifiasm_tpu.ec.phase import PhaseResult
+    from hifiasm_tpu.overlap.anchors import OverlapRegions
+
+    qlen = 30
+    q = np.array([1, 2] * (qlen // 2), np.uint8)
+    q[10] = q[11] = 0                        # the AA homopolymer
+    n_ov = 8
+    rows = []
+    for i in range(n_ov):
+        row = q.copy()                        # match everywhere...
+        row[10 if i < n_ov // 2 else 11] = 4  # ...except ONE A deleted
+        rows.append(row)
+    tbs = _mk_tracebacks(qlen, rows)
+    ov = OverlapRegions(
+        x_id=0, y_id=np.arange(n_ov, dtype=np.uint32),
+        rev=np.zeros(n_ov, np.uint8),
+        x_s=np.zeros(n_ov, np.int64),
+        x_e=np.full(n_ov, qlen - 1, np.int64),
+        y_s=np.zeros(n_ov, np.int64), y_e=np.full(n_ov, qlen - 1, np.int64),
+        score=np.ones(n_ov, np.int64), n_hits=np.ones(n_ov, np.int64))
+    ph = PhaseResult(np.ones(n_ov, np.uint8), np.zeros(0, np.int64),
+                     np.zeros(0, np.int64))
+    cns = windowed_consensus(q, ov, tbs, ph)
+    expect = np.concatenate([q[:10], q[11:]])    # one A removed
+    assert np.array_equal(cns.seq, expect), (cns.seq[8:14], cns.n_corrected)
+    assert cns.n_corrected == 1
+
+
+def test_dag_consensus_split_cluster_left_alone():
+    """50/50 split strings (a het indel): no plurality, no rewrite."""
+    from hifiasm_tpu.ec.consensus import windowed_consensus
+    from hifiasm_tpu.ec.phase import PhaseResult
+    from hifiasm_tpu.overlap.anchors import OverlapRegions
+
+    qlen = 30
+    q = np.array([1, 2] * (qlen // 2), np.uint8)
+    q[10] = q[11] = 0
+    n_ov = 8
+    rows = []
+    for i in range(n_ov):
+        row = q.copy()
+        if i % 2 == 0:                        # half delete BOTH bases
+            row[10] = row[11] = 4
+        rows.append(row)
+    tbs = _mk_tracebacks(qlen, rows)
+    ov = OverlapRegions(
+        x_id=0, y_id=np.arange(n_ov, dtype=np.uint32),
+        rev=np.zeros(n_ov, np.uint8),
+        x_s=np.zeros(n_ov, np.int64),
+        x_e=np.full(n_ov, qlen - 1, np.int64),
+        y_s=np.zeros(n_ov, np.int64), y_e=np.full(n_ov, qlen - 1, np.int64),
+        score=np.ones(n_ov, np.int64), n_hits=np.ones(n_ov, np.int64))
+    ph = PhaseResult(np.ones(n_ov, np.uint8), np.zeros(0, np.int64),
+                     np.zeros(0, np.int64))
+    cns = windowed_consensus(q, ov, tbs, ph)
+    assert np.array_equal(cns.seq, q), cns.seq[8:14]
+
+
+def test_native_dag_consensus_matches_python():
+    """The native consensus implements the same DAG cluster plurality as
+    ec/consensus.py and must produce the identical corrected sequence."""
+    from hifiasm_tpu.native import ec_read_native
+
+    qlen = 30
+    q = np.array([1, 2] * (qlen // 2), np.uint8)
+    q[10] = q[11] = 0
+    n_ov = 8
+    rows = []
+    for i in range(n_ov):
+        row = q.copy()
+        row[10 if i < n_ov // 2 else 11] = 4
+        rows.append(row)
+    tbs = _mk_tracebacks(qlen, rows)
+    out = ec_read_native(tbs, q)
+    assert out is not None
+    is_match, n_het, seq, n_edits = out
+    expect = np.concatenate([q[:10], q[11:]])
+    assert np.array_equal(seq, expect), seq[8:14]
+    assert n_edits == 1
