@@ -125,7 +125,8 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         from hifiasm_tpu.graph.unitig import unitig_seq
         from hifiasm_tpu.io.fastx import iter_fastx
         from hifiasm_tpu.io.readstore import seq_to_codes
-        from hifiasm_tpu.ul import ul_align, ul_bridge_arcs
+        from hifiasm_tpu.ul import integer_correction, ul_align, \
+            ul_renew_graph
 
         useqs = [unitig_seq(u, store, cov) for u in ug.utgs]
         ul_codes = []
@@ -133,7 +134,8 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
             for _, s in iter_fastx(path):
                 ul_codes.append(seq_to_codes(s))
         paths = ul_align(useqs, ul_codes)
-        ul_bridge_arcs(ug, paths)
+        integer_correction(paths)
+        ul_renew_graph(ug, paths)
 
     simi = (cfg.purge_simi_rate_l2 if cfg.purge_level == 2
             else cfg.purge_simi_rate_l3)

@@ -167,3 +167,92 @@ def ul_bridge_arcs(ug: UnitigGraph, paths: List[ULPath],
         ug.a_ol = np.concatenate([ug.a_ol, np.zeros(len(add_s), np.int64)])
     log("ul_bridge_arcs", f"added {len(add_s)} UL-supported bridge arcs")
     return len(add_s)
+
+
+def integer_correction(paths: List[ULPath], min_occ: int = 3,
+                       rounds: int = 3) -> int:
+    """UL-vs-UL correction in unitig-ID ("integer") space
+    (~integer_correction, gfa_ut.cpp:7622): a path block contradicted by
+    every other UL read traversing the same flanks is a chimeric/misplaced
+    mapping; replace it with the majority block.
+
+    Votes are oriented triples (prev, cur, next) over all paths in both
+    orientations; a block is rewritten when its own triple is unique and
+    >= min_occ other reads agree on an alternative. Runs up to ``rounds``
+    passes (the reference's 3 integer-correction rounds); returns the
+    number of corrected blocks.
+    """
+    def tri_votes():
+        cnt: Dict[Tuple[int, int, int], int] = {}
+        for p in paths:
+            vs = [u << 1 | r for (u, r, _, _) in p.blocks]
+            for a, b, c in zip(vs, vs[1:], vs[2:]):
+                cnt[(a, b, c)] = cnt.get((a, b, c), 0) + 1
+                cnt[(c ^ 1, b ^ 1, a ^ 1)] = \
+                    cnt.get((c ^ 1, b ^ 1, a ^ 1), 0) + 1
+        return cnt
+
+    n_fix = 0
+    for _ in range(rounds):
+        cnt = tri_votes()
+        changed = 0
+        for p in paths:
+            if len(p.blocks) < 3:
+                continue
+            vs = [u << 1 | r for (u, r, _, _) in p.blocks]
+            for i in range(1, len(vs) - 1):
+                a, x, c = vs[i - 1], vs[i], vs[i + 1]
+                if cnt.get((a, x, c), 0) != 1:
+                    continue              # own vote only -> suspicious
+                best_b, best_c = -1, 0
+                for (aa, b, cc), k in cnt.items():
+                    if aa == a and cc == c and b != x and k > best_c:
+                        best_b, best_c = b, k
+                if best_c >= min_occ:
+                    _, _, qs, qe = p.blocks[i]
+                    p.blocks[i] = (best_b >> 1, best_b & 1, qs, qe)
+                    vs[i] = best_b
+                    changed += 1
+        n_fix += changed
+        if changed == 0:
+            break
+    log("integer_correction", f"rewrote {n_fix} UL path blocks")
+    return n_fix
+
+
+def ul_renew_graph(ug: UnitigGraph, paths: List[ULPath],
+                   rounds: int = 3, min_support: int = 2,
+                   drop_contradicted: int = 3) -> None:
+    """Iterative UL-guided graph renewal (~gradually_renew_g,
+    Overlaps.cpp:39297 + the ``ou`` gate in cleaning): per round, bridge
+    UL-supported missing adjacencies, then drop arcs with zero UL support
+    whose source end has a >= drop_contradicted-supported alternative
+    (UL coverage contradicts the HiFi arc)."""
+    for _ in range(rounds):
+        added = ul_bridge_arcs(ug, paths, min_support)
+        sup = ul_arc_support(ug, paths)
+        src = ug.a_src.astype(np.int64)
+        dst = ug.a_dst.astype(np.int64)
+        arc_sup = np.array([sup.get((int(s), int(d)), 0)
+                            for s, d in zip(src, dst)], np.int64)
+        # strongest UL support per source end
+        best = {}
+        for s, c in zip(src, arc_sup):
+            best[int(s)] = max(best.get(int(s), 0), int(c))
+        drop = np.array([c == 0 and best.get(int(s), 0) >= drop_contradicted
+                         for s, c in zip(src, arc_sup)], bool)
+        # keep symmetry: a contradicted arc takes its complement with it
+        # (the complement's source end may never be traversed by UL)
+        comp = {(int(d) ^ 1, int(s) ^ 1) for s, d
+                in zip(src[drop], dst[drop])}
+        drop |= np.array([(int(s), int(d)) in comp
+                          for s, d in zip(src, dst)], bool)
+        if drop.any():
+            keep = ~drop
+            ug.a_src = ug.a_src[keep]
+            ug.a_dst = ug.a_dst[keep]
+            ug.a_ol = ug.a_ol[keep]
+            log("ul_renew_graph",
+                f"dropped {int(drop.sum())} UL-contradicted arcs")
+        if added == 0 and not drop.any():
+            break

@@ -34,3 +34,42 @@ def test_ul_bridging(rng):
     assert sup.get((1 << 1 | 0, 2 << 1 | 0), 0) >= 2
     n = ul_bridge_arcs(ug, paths, min_support=2)
     assert n >= 2
+
+
+def test_integer_correction_fixes_minority_block():
+    from hifiasm_tpu.ul import ULPath, integer_correction
+
+    # 4 reads traverse 0 -> 1 -> 2; one chimeric mapping says 0 -> 5 -> 2
+    good = [ULPath([(0, 0, 0, 100), (1, 0, 100, 200), (2, 0, 200, 300)])
+            for _ in range(3)]
+    bad = ULPath([(0, 0, 0, 100), (5, 0, 100, 200), (2, 0, 200, 300)])
+    n = integer_correction(good + [bad])
+    assert n == 1
+    assert [b[0] for b in bad.blocks] == [0, 1, 2]
+
+
+def test_integer_correction_respects_shared_votes():
+    from hifiasm_tpu.ul import ULPath, integer_correction
+
+    # two reads agree on the "minority" block: it is real variation
+    p1 = ULPath([(0, 0, 0, 1), (5, 0, 1, 2), (2, 0, 2, 3)])
+    p2 = ULPath([(0, 0, 0, 1), (5, 0, 1, 2), (2, 0, 2, 3)])
+    p3 = ULPath([(0, 0, 0, 1), (1, 0, 1, 2), (2, 0, 2, 3)])
+    n = integer_correction([p1, p2, p3])
+    assert n == 0
+    assert [b[0] for b in p1.blocks] == [0, 5, 2]
+
+
+def test_ul_renew_graph_drops_contradicted_arc():
+    from hifiasm_tpu.ul import ULPath, ul_renew_graph
+
+    ug = UnitigGraph([])
+    # HiFi graph says 0+ -> 3+ (both directions); UL strongly says 0+ -> 1+
+    ug.a_src = np.array([0 << 1 | 0, 3 << 1 | 1], np.uint32)
+    ug.a_dst = np.array([3 << 1 | 0, 0 << 1 | 1], np.uint32)
+    ug.a_ol = np.zeros(2, np.int64)
+    paths = [ULPath([(0, 0, 0, 1), (1, 0, 1, 2)]) for _ in range(4)]
+    ul_renew_graph(ug, paths)
+    pairs = {(int(s), int(d)) for s, d in zip(ug.a_src, ug.a_dst)}
+    assert (0 << 1 | 0, 1 << 1 | 0) in pairs       # bridged
+    assert (0 << 1 | 0, 3 << 1 | 0) not in pairs   # contradicted, dropped
