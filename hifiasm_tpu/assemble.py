@@ -17,7 +17,8 @@ import numpy as np
 from hifiasm_tpu.config import HifiasmConfig
 from hifiasm_tpu.ec.pipeline import ECResult, run_ec
 from hifiasm_tpu.graph.clean import (
-    asg_arc_del_short, asg_cut_tips, asg_pop_bubble,
+    asg_arc_cut_inexact, asg_arc_del_short, asg_cut_tips, asg_pop_bubble,
+    post_rescue, snapshot_arcs,
 )
 from hifiasm_tpu.graph.gfa import write_fasta, write_gfa
 from hifiasm_tpu.graph.sg import (
@@ -51,10 +52,13 @@ def clean_rounds(sg: StringGraph, cfg: HifiasmConfig,
     tips (protect mask) are never trimmed."""
     n_r = max(cfg.clean_rounds, 1)
     ratios = np.linspace(cfg.min_drop_rate, cfg.max_drop_rate, n_r)
+    snap = snapshot_arcs(sg)
     for r, ratio in enumerate(ratios):
         asg_cut_tips(sg, cfg.max_short_tip, protect)
+        asg_arc_cut_inexact(sg)
         asg_arc_del_short(sg, float(ratio))
         asg_pop_bubble(sg, cfg.small_pop_bubble_size or 100000, read_cov)
+    post_rescue(sg, snap)
     asg_cut_tips(sg, cfg.max_short_tip, protect)
     asg_pop_bubble(sg, cfg.large_pop_bubble_size, read_cov)
 

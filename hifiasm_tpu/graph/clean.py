@@ -175,3 +175,88 @@ def _bub_finder(g: StringGraph, v0: int, max_dist: int, alen, read_cov):
         path.append(w)
         w = parent[w]
     return inside, path
+
+
+def asg_arc_cut_inexact(g: StringGraph) -> int:
+    """Drop inexact arcs at branch vertices that compete with an exact
+    alternative (~asg_arc_cut_inexact, gfa_ut.cpp:3057-3127): an arc whose
+    overlap alignment had errors (el == 0) loses to a coexisting exact
+    (el == 1) arc unless it is the stronger overlap."""
+    to_del = []
+    for v in range(2 * g.n_seq):
+        ai = g.arcs_of(v)
+        if len(ai) < 2:
+            continue
+        ex = g.el[ai] == 1
+        if not ex.any() or ex.all():
+            continue
+        best_exact = int(g.ol[ai[ex]].max())
+        for k in np.flatnonzero(~ex):
+            if int(g.ol[ai[k]]) >= best_exact:
+                continue                  # longer than any exact arc: keep
+            w = int(g.v[ai[k]])
+            if len(g.arcs_of(w ^ 1)) >= 2:
+                to_del.append(ai[k])
+    if to_del:
+        g.del_[np.array(to_del)] = 1
+        g.symm_del()
+        g.cleanup()
+    log("asg_arc_cut_inexact", f"dropped {len(to_del)} inexact arcs")
+    return len(to_del)
+
+
+def snapshot_arcs(g: StringGraph):
+    """Copy the arc table before cleaning (for post_rescue)."""
+    return {f: getattr(g, f).copy()
+            for f in ("ul", "v", "ol", "strong", "el", "no_l_indel")}
+
+
+def post_rescue(g: StringGraph, snap) -> int:
+    """Re-add the strongest pre-cleaning arc at dead ends the cleaning
+    rounds created (~post_rescue, gfa_ut.cpp:3186): a live read end with
+    no successors gets its best original arc back when the target read is
+    still alive — over-aggressive drops must not break contigs."""
+    su = (snap["ul"] >> np.uint64(32)).astype(np.int64)
+    skey = (su.astype(np.uint64) << np.uint64(32)) | \
+        snap["v"].astype(np.uint64)
+    sorder = np.argsort(skey)
+    skey_s = skey[sorder]
+    su_s = su[sorder]
+    u_now = g.arc_u().astype(np.int64)
+    have = set(zip(u_now.tolist(), g.v.astype(np.int64).tolist()))
+    add_idx = []
+    for v in range(2 * g.n_seq):
+        if g.seq_del[v >> 1]:
+            continue
+        if len(g.arcs_of(v)) != 0:
+            continue
+        lo = int(np.searchsorted(su_s, v))
+        hi = int(np.searchsorted(su_s, v + 1))
+        cand = sorder[lo:hi]
+        cand = [c for c in cand
+                if not g.seq_del[int(snap["v"][c]) >> 1]
+                and (v, int(snap["v"][c])) not in have]
+        if not cand:
+            continue
+        best = max(cand, key=lambda c: int(snap["ol"][c]))
+        # complement arc from the snapshot
+        w = int(snap["v"][best])
+        ckey = np.uint64(((w ^ 1) << 32) | (v ^ 1))
+        p = int(np.searchsorted(skey_s, ckey))
+        if p >= len(skey_s) or skey_s[p] != ckey:
+            continue
+        add_idx.extend([int(best), int(sorder[p])])
+        have.add((v, w))
+        have.add((w ^ 1, v ^ 1))
+    if not add_idx:
+        log("post_rescue", "rescued 0 arcs")
+        return 0
+    idx = np.array(sorted(set(add_idx)), np.int64)
+    g.set_arcs(np.concatenate([g.ul, snap["ul"][idx]]),
+               np.concatenate([g.v, snap["v"][idx]]),
+               np.concatenate([g.ol, snap["ol"][idx]]),
+               np.concatenate([g.strong, snap["strong"][idx]]),
+               np.concatenate([g.el, snap["el"][idx]]),
+               np.concatenate([g.no_l_indel, snap["no_l_indel"][idx]]))
+    log("post_rescue", f"rescued {len(idx)} arcs at dead ends")
+    return len(idx)
