@@ -182,27 +182,25 @@ def asg_arc_cut_inexact(g: StringGraph) -> int:
     alternative (~asg_arc_cut_inexact, gfa_ut.cpp:3057-3127): an arc whose
     overlap alignment had errors (el == 0) loses to a coexisting exact
     (el == 1) arc unless it is the stronger overlap."""
-    to_del = []
-    for v in range(2 * g.n_seq):
-        ai = g.arcs_of(v)
-        if len(ai) < 2:
-            continue
-        ex = g.el[ai] == 1
-        if not ex.any() or ex.all():
-            continue
-        best_exact = int(g.ol[ai[ex]].max())
-        for k in np.flatnonzero(~ex):
-            if int(g.ol[ai[k]]) >= best_exact:
-                continue                  # longer than any exact arc: keep
-            w = int(g.v[ai[k]])
-            if len(g.arcs_of(w ^ 1)) >= 2:
-                to_del.append(ai[k])
-    if to_del:
-        g.del_[np.array(to_del)] = 1
+    if g.n_arcs == 0:
+        log("asg_arc_cut_inexact", "dropped 0 inexact arcs")
+        return 0
+    u = g.arc_u().astype(np.int64)
+    w = g.v.astype(np.int64)
+    live = g.del_ == 0
+    out_live = np.bincount(u[live], minlength=2 * g.n_seq)
+    best_ex = np.full(2 * g.n_seq, -1, np.int64)
+    sel = live & (g.el == 1)
+    np.maximum.at(best_ex, u[sel], g.ol[sel])
+    cand = live & (g.el == 0) & (g.ol < best_ex[u]) & \
+        (out_live[u] >= 2) & (out_live[w ^ 1] >= 2)
+    n = int(cand.sum())
+    if n:
+        g.del_[cand] = 1
         g.symm_del()
         g.cleanup()
-    log("asg_arc_cut_inexact", f"dropped {len(to_del)} inexact arcs")
-    return len(to_del)
+    log("asg_arc_cut_inexact", f"dropped {n} inexact arcs")
+    return n
 
 
 def snapshot_arcs(g: StringGraph):
@@ -224,12 +222,12 @@ def post_rescue(g: StringGraph, snap) -> int:
     su_s = su[sorder]
     u_now = g.arc_u().astype(np.int64)
     have = set(zip(u_now.tolist(), g.v.astype(np.int64).tolist()))
+    out_live = np.bincount(u_now[g.del_ == 0], minlength=2 * g.n_seq)
+    dead_ends = np.flatnonzero(np.repeat(g.seq_del == 0, 2) &
+                               (out_live == 0))
     add_idx = []
-    for v in range(2 * g.n_seq):
-        if g.seq_del[v >> 1]:
-            continue
-        if len(g.arcs_of(v)) != 0:
-            continue
+    for v in dead_ends:
+        v = int(v)
         lo = int(np.searchsorted(su_s, v))
         hi = int(np.searchsorted(su_s, v + 1))
         cand = sorder[lo:hi]
