@@ -145,18 +145,42 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
         from hifiasm_tpu.ec.device_ec import (
             DeviceEC, consensus_inputs_for_read,
         )
+        from hifiasm_tpu.ec.consensus import (
+            _ambiguity_clusters, _ambiguous_mask,
+        )
+        from hifiasm_tpu.ec.window_align import align_overlaps
+
         dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_ec)
         read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov)
+        ov_of = dict(read_ovs)
+        get_target = _TargetCache(store)
+        n_routed = 0
         outs, cns_in = dev.process(read_ovs)
         for rid, eco in outs.items():
             if rid not in cns_in:
                 continue
             q, v, it, ib_, il = consensus_inputs_for_read(
                 store, rid, cns_in[rid])
-            cns = consensus_from_votes(q, v, it, ib_, il, eco.het_sites)
+            # votes can't carry the cluster strings: reads whose vote
+            # matrix shows an ambiguity cluster re-run on the host path
+            # (traceback strings -> DAG plurality, ec/consensus.py)
+            amb = _ambiguous_mask(q, v, it, eco.het_sites, 3, 0.500001)
+            if _ambiguity_clusters(amb):
+                tbs = align_overlaps(q, ov_of[rid], get_target,
+                                     wl=cfg.ec_window,
+                                     e_rate=cfg.max_ov_diff_ec)
+                ph = phase_overlaps(q, ov_of[rid], tbs)
+                cns = windowed_consensus(q, ov_of[rid], tbs, ph)
+                n_routed += 1
+            else:
+                cns = consensus_from_votes(q, v, it, ib_, il,
+                                           eco.het_sites)
             if cns.n_corrected:
                 new_seqs[rid] = cns.seq
                 n_corr += cns.n_corrected
+        if n_routed:
+            log("ec_round",
+                f"routed {n_routed} ambiguous reads to the host DAG path")
     else:
         from hifiasm_tpu.native import ec_reads_native
 
