@@ -198,9 +198,10 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             if len(u.vs) else 0 for u in res.raw_ug.utgs], np.int64)
         _gfa(f"{ctg_pfx}r_utg.gfa", res.raw_ug, "utg", raw_cov)
     _gfa(f"{ctg_pfx}p_utg.gfa", res.ug, "utg", ug_cov)
-    from hifiasm_tpu.graph.gfa import write_lowq_bed
-    with open(f"{ctg_pfx}p_utg.lowQ.bed", "w") as f:
-        write_lowq_bed(f, res.ug, res.cov, "utg")
+    if cfg.bed_inconsist_rate > 0:        # --lowQ 0 disables the BED
+        from hifiasm_tpu.graph.gfa import write_lowq_bed
+        with open(f"{ctg_pfx}p_utg.lowQ.bed", "w") as f:
+            write_lowq_bed(f, res.ug, res.cov, "utg")
     if cfg.ex_list:
         from hifiasm_tpu.debug_trace import trace_reads
         with open(cfg.ex_list) as f:
@@ -243,7 +244,19 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         hits = map_hic_pairs(uidx, _pairs())
         hic_links = hic_link_matrix(len(res.ug), hits)
     hap1_ids, hap2_ids = [], []
-    if not primary_mode:
+    if not primary_mode and cfg.polyploidy > 2:
+        # polyploid: k-hap labeling (~output_poly_trio, Overlaps.cpp:14682)
+        from hifiasm_tpu.graph.hap_output import phase_unitigs_k
+        groups = phase_unitigs_k(res.ug, res.ec.reverse_paf,
+                                 res.store.n_reads, cfg.polyploidy,
+                                 n_perturb=cfg.n_perturb,
+                                 f_perturb=cfg.f_perturb, seed=cfg.seed)
+        for h, ids in enumerate(groups):
+            _gfa(f"{prefix}.{mode}.hap{h + 1}.p_ctg.gfa",
+                 _sub_ug(res.ug, ids), f"h{h + 1}tg",
+                 ug_cov[ids] if len(ids) else None)
+        hap1_ids, hap2_ids = groups[0], groups[1]
+    elif not primary_mode:
         hap1_ids, hap2_ids = phase_unitigs(
             res.ug, res.ec.reverse_paf, res.store.n_reads,
             trio_flags=res.store.trio_flags, n_perturb=cfg.n_perturb,
@@ -262,7 +275,8 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         for name, own, other in (("hap1", hap1_ids, hap2_ids),
                                  ("hap2", hap2_ids, hap1_ids)):
             scafs = self_scaffold(res.ug, res.ec.reverse_paf,
-                                  res.store.n_reads, own, other)
+                                  res.store.n_reads, own, other,
+                                  gap_max=cfg.scaf_gap_max)
             sseqs = scaffold_seqs(scafs, seqs)
             with open(f"{prefix}.{mode}.{name}.scaf.fa", "w") as f:
                 for i, s in enumerate(sseqs):

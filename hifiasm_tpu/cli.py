@@ -50,6 +50,35 @@ def build_parser() -> argparse.ArgumentParser:
                         "[%(default)s]")
     p.add_argument("-z", dest="adapter_len", type=int, default=0,
                    help="length of adapters to be removed [%(default)s]")
+    p.add_argument("-m", dest="large_pop_bubble_size", type=int,
+                   default=10_000_000,
+                   help="pop bubbles of <INT in size in contig graphs "
+                        "[%(default)s]")
+    p.add_argument("-p", dest="small_pop_bubble_size", type=int, default=0,
+                   help="pop bubbles of <INT in size in unitig graphs "
+                        "[%(default)s]")
+    p.add_argument("-n", dest="max_short_tip", type=int, default=3,
+                   help="remove tip unitigs composed of <=INT reads "
+                        "[%(default)s]")
+    p.add_argument("-x", dest="max_drop_rate", type=float, default=0.8,
+                   help="max overlap drop ratio [%(default)s]")
+    p.add_argument("-y", dest="min_drop_rate", type=float, default=0.2,
+                   help="min overlap drop ratio [%(default)s]")
+    p.add_argument("--max-kocc", dest="max_kmer_cnt", type=int,
+                   default=2000,
+                   help="employ k-mers occurring <INT times to rescue "
+                        "repetitive overlaps [%(default)s]")
+    p.add_argument("--n-weight", dest="n_weight", type=int, default=3,
+                   help="rounds of reweighting Hi-C links [%(default)s]")
+    p.add_argument("--n-hap", dest="polyploidy", type=int, default=2,
+                   help="number of haplotypes [%(default)s]")
+    p.add_argument("--scaf-gap", dest="scaf_gap_max", type=int,
+                   default=3_000_000,
+                   help="max gap size for scaffolding [%(default)s]")
+    p.add_argument("--lowQ", dest="bed_inconsist_rate", type=int,
+                   default=70,
+                   help="output contig regions with >=INT%% inconsistency "
+                        "in BED format; 0 to disable [%(default)s]")
     p.add_argument("--min-hist-cnt", dest="min_hist_kmer_cnt", type=int,
                    default=5, help="low k-mer histogram cut [%(default)s]")
     p.add_argument("--primary", action="store_true",
@@ -120,7 +149,11 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "ul_reads", "ul_error_rate", "ul_ec_round", "telo_motif",
               "max_ov_diff_ec", "max_ov_diff_final", "align_engine",
               "fn_bin_yak_pat", "fn_bin_yak_mat", "ex_list", "dual_scaf",
-              "is_ont", "adapter_len", "dbg_gfa"):
+              "is_ont", "adapter_len", "dbg_gfa",
+              "large_pop_bubble_size", "small_pop_bubble_size",
+              "max_short_tip", "max_drop_rate", "min_drop_rate",
+              "max_kmer_cnt", "n_weight", "polyploidy", "scaf_gap_max",
+              "bed_inconsist_rate"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

@@ -90,6 +90,11 @@ class HifiasmConfig:
     n_perturb: int = 10_000
     f_perturb: float = 0.1
     n_weight: int = 3
+    polyploidy: int = 2                   # --n-hap
+
+    # --- scaffolding / BED output ---
+    scaf_gap_max: int = 3_000_000         # --scaf-gap (CommandLines.cpp:358)
+    bed_inconsist_rate: int = 70          # --lowQ; 0 disables the BED
 
     # --- misc / output flags ---
     write_paf: bool = False

@@ -80,3 +80,38 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
     log("phase_unitigs", f"{len(hap1)} hap1 / {len(hap2)} hap2 unitigs "
         f"({int(linked.sum())} het-linked)")
     return hap1, hap2
+
+
+def phase_unitigs_k(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
+                    k_hap: int, n_perturb: int = 1000,
+                    f_perturb: float = 0.1, seed: int = 11,
+                    min_link: int = 2) -> List[List[int]]:
+    """Polyploid phasing: k-label max-cut over the trans-link graph
+    (~output_poly_trio + mc_solve_general, Overlaps.cpp:14682 /
+    rcut.cpp:4586). Unlinked (hom) unitigs appear in every haplotype."""
+    from hifiasm_tpu.phasing.mc_solve import mc_solve_k
+
+    n = len(ug.utgs)
+    if n == 0:
+        return [[] for _ in range(k_hap)]
+    links = unitig_trans_links(ug, rev_paf, n_reads)
+    ex, ey, ew = [], [], []
+    for a in range(n):
+        for b in range(a + 1, n):
+            w = links[a, b] + links[b, a]
+            if w >= min_link:
+                ex.append(a)
+                ey.append(b)
+                ew.append(float(w))
+    if not ex:
+        return [list(range(n)) for _ in range(k_hap)]
+    lab = mc_solve_k(n, np.array(ex), np.array(ey), np.array(ew), k_hap,
+                     n_perturb=n_perturb, f_perturb=f_perturb, seed=seed)
+    linked = np.zeros(n, bool)
+    linked[np.array(ex)] = True
+    linked[np.array(ey)] = True
+    out = [[i for i in range(n) if not linked[i] or lab[i] == h]
+           for h in range(k_hap)]
+    log("phase_unitigs_k",
+        " / ".join(f"{len(g)} hap{h + 1}" for h, g in enumerate(out)))
+    return out

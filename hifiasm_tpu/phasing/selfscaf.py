@@ -41,7 +41,8 @@ def read_layout_offsets(ug: UnitigGraph, n_reads: int
 
 def self_scaffold(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
                   hap1_ids: List[int], hap2_ids: List[int],
-                  min_links: int = 2) -> List[Scaffold]:
+                  min_links: int = 2,
+                  gap_max: int = MAX_SELF_SCAF_GAP) -> List[Scaffold]:
     """Order hap1 contigs along their homologous hap2 partners."""
     uid, off = read_layout_offsets(ug, n_reads)
     hap1 = set(hap1_ids)
@@ -75,7 +76,7 @@ def self_scaffold(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
         ok_chain = [chain[0]]
         meds = {a: m for m, a in partners}
         for a in chain[1:]:
-            if abs(meds[a] - meds[ok_chain[-1]]) <= MAX_SELF_SCAF_GAP:
+            if abs(meds[a] - meds[ok_chain[-1]]) <= gap_max:
                 ok_chain.append(a)
         if len(ok_chain) >= 2:
             for a in ok_chain:

@@ -46,3 +46,36 @@ def test_cli_end_to_end(rng, tmp_path):
     assert (tmp_path / "asm.bp.p_utg.gfa").exists()
     gfa = (tmp_path / "asm.bp.p_ctg.gfa").read_text()
     assert gfa.startswith("S\t")
+
+
+def test_cli_polyploid_outputs(rng, tmp_path):
+    from tests.synth import make_genome, sample_reads
+    g = make_genome(rng, 8000)
+    reads, _, _ = sample_reads(rng, g, depth=10, read_len=2000,
+                               err_rate=0.002)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+    rc = main(["-o", str(tmp_path / "asm"), "-r1", "-f0", "--n-hap", "3",
+               str(fa)])
+    assert rc == 0
+    for h in (1, 2, 3):
+        assert (tmp_path / f"asm.bp.hap{h}.p_ctg.gfa").exists()
+
+
+def test_cli_lowq_disable(rng, tmp_path):
+    from tests.synth import make_genome, sample_reads
+    g = make_genome(rng, 8000)
+    reads, _, _ = sample_reads(rng, g, depth=10, read_len=2000,
+                               err_rate=0.002)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+    rc = main(["-o", str(tmp_path / "asm"), "-r1", "-f0", "--lowQ", "0",
+               str(fa)])
+    assert rc == 0
+    assert not (tmp_path / "asm.bp.p_utg.lowQ.bed").exists()
