@@ -83,6 +83,11 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
             min_hist_cnt=cfg.min_hist_kmer_cnt, bf_shift=cfg.bf_shift)
         if peak_hom > 0:
             cfg.update_cov(peak_hom, peak_het)
+        elif cfg.hg_size > 0:
+            # --hg-size: infer coverage from the estimated genome size
+            est = max(int(round(store.total_bases / cfg.hg_size)), 1)
+            log("assemble", f"coverage from --hg-size: {est}")
+            cfg.update_cov(est)
 
         ec = run_ec(store, cfg, ft if len(ft) else None)
         if write_outputs:
@@ -116,7 +121,8 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     telo = None
     if cfg.telo_motif:
         from hifiasm_tpu.graph.telo import find_telo_reads
-        telo = find_telo_reads(store, cfg.telo_motif)
+        telo = find_telo_reads(store, cfg.telo_motif,
+                               min_hits=cfg.telo_min_score)
     # raw unitigs before any cleaning (~output r_utg, Overlaps.cpp
     # output_unitig_graph)
     raw_ug = ma_ug_gen(sg)
@@ -260,7 +266,8 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         hap1_ids, hap2_ids = phase_unitigs(
             res.ug, res.ec.reverse_paf, res.store.n_reads,
             trio_flags=res.store.trio_flags, n_perturb=cfg.n_perturb,
-            f_perturb=cfg.f_perturb, seed=cfg.seed, hic_links=hic_links)
+            f_perturb=cfg.f_perturb, seed=cfg.seed, hic_links=hic_links,
+            trio_occ_thres=cfg.trio_flag_occ_thres)
         for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
             _gfa(f"{prefix}.{mode}.{name}.p_ctg.gfa", _sub_ug(res.ug, ids),
                  f"h{name[-1]}tg", ug_cov[ids] if len(ids) else None)

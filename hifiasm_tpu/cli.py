@@ -79,6 +79,16 @@ def build_parser() -> argparse.ArgumentParser:
                    default=70,
                    help="output contig regions with >=INT%% inconsistency "
                         "in BED format; 0 to disable [%(default)s]")
+    p.add_argument("--hg-size", dest="hg_size", default=None,
+                   metavar="INT(k/m/g)",
+                   help="estimated haploid genome size for inferring read "
+                        "coverage [auto]")
+    p.add_argument("--t-occ", dest="trio_flag_occ_thres", type=int,
+                   default=60,
+                   help="forcedly remove unitigs with >INT unexpected "
+                        "haplotype-specific reads [%(default)s]")
+    p.add_argument("--telo-s", dest="telo_min_score", type=int, default=10,
+                   help="min motif hits for telomere reads [%(default)s]")
     p.add_argument("--min-hist-cnt", dest="min_hist_kmer_cnt", type=int,
                    default=5, help="low k-mer histogram cut [%(default)s]")
     p.add_argument("--primary", action="store_true",
@@ -153,7 +163,8 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "large_pop_bubble_size", "small_pop_bubble_size",
               "max_short_tip", "max_drop_rate", "min_drop_rate",
               "max_kmer_cnt", "n_weight", "polyploidy", "scaf_gap_max",
-              "bed_inconsist_rate"):
+              "bed_inconsist_rate", "trio_flag_occ_thres",
+              "telo_min_score"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary
@@ -165,6 +176,11 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
     cfg.fn_bin_list_pat = getattr(ns, "fn_bin_list_pat", None)
     cfg.fn_bin_list_mat = getattr(ns, "fn_bin_list_mat", None)
     cfg.ignore_bin = ns.ignore_bin
+    if ns.hg_size:
+        mult = {"k": 1_000, "m": 1_000_000, "g": 1_000_000_000}
+        v = ns.hg_size.strip().lower()
+        cfg.hg_size = int(float(v[:-1]) * mult[v[-1]]) if v[-1] in mult \
+            else int(float(v))
     return cfg
 
 

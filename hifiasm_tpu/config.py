@@ -91,6 +91,9 @@ class HifiasmConfig:
     f_perturb: float = 0.1
     n_weight: int = 3
     polyploidy: int = 2                   # --n-hap
+    hg_size: int = -1                     # --hg-size (bases; -1 auto)
+    trio_flag_occ_thres: int = 60         # --t-occ (CommandLines.cpp:321)
+    telo_min_score: int = 10              # --telo-s
 
     # --- scaffolding / BED output ---
     scaf_gap_max: int = 3_000_000         # --scaf-gap (CommandLines.cpp:358)

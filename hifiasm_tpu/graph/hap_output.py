@@ -26,9 +26,14 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
                   trio_flags: Optional[np.ndarray] = None,
                   n_perturb: int = 10000, f_perturb: float = 0.1,
                   seed: int = 11, min_link: int = 2,
-                  hic_links: Optional[np.ndarray] = None
+                  hic_links: Optional[np.ndarray] = None,
+                  trio_occ_thres: int = 60
                   ) -> Tuple[List[int], List[int]]:
-    """Returns (hap1_ids, hap2_ids); hom unitigs appear in both."""
+    """Returns (hap1_ids, hap2_ids); hom unitigs appear in both.
+
+    ``trio_occ_thres`` (--t-occ): a unitig carrying more than this many
+    unexpected opposite-haplotype reads is forcedly removed from both
+    haplotypes regardless of topology (CommandLines.cpp:321)."""
     n = len(ug.utgs)
     if n == 0:
         return [], []
@@ -38,10 +43,14 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
         bool(((trio_flags == FATHER) | (trio_flags == MOTHER)).any())
     if use_trio:
         hap1, hap2 = [], []
+        n_forced = 0
         for uid, u in enumerate(ug.utgs):
             fl = trio_flags[(u.vs >> 1).astype(np.int64)]
             n_p = int((fl == FATHER).sum())
             n_m = int((fl == MOTHER).sum())
+            if min(n_p, n_m) > trio_occ_thres:
+                n_forced += 1             # --t-occ: mixed-hap unitig
+                continue
             if n_p > n_m:
                 hap1.append(uid)
             elif n_m > n_p:
@@ -49,7 +58,8 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
             else:
                 hap1.append(uid)
                 hap2.append(uid)
-        log("phase_unitigs", f"trio: {len(hap1)} hap1 / {len(hap2)} hap2")
+        log("phase_unitigs", f"trio: {len(hap1)} hap1 / {len(hap2)} hap2"
+            + (f" ({n_forced} removed by --t-occ)" if n_forced else ""))
         return hap1, hap2
 
     links = unitig_trans_links(ug, rev_paf, n_reads)
