@@ -267,3 +267,51 @@ def test_overlap_coords_match_reference_paf(rng, tmp_path):
         f"query coords diverge: {close_q}/{matched}"
     assert close_t / matched > 0.9, \
         f"target coords diverge: {close_t}/{matched}"
+
+
+def test_trio_matches_reference(rng, tmp_path):
+    """Same reads + same YAK dumps through both assemblers: each must
+    produce one near-complete genome copy per haplotype, dominated by the
+    correct parental reads (dip.hap* in both namings)."""
+    from hifiasm_tpu.trio import _read_kmers
+    from tests.test_trio import write_yak_dump
+
+    L = 25000
+    h1, h2 = make_genome(rng, L, het_rate=0.006)
+    k = 31
+    k1 = np.unique(_read_kmers(h1, k)[1])
+    k2 = np.unique(_read_kmers(h2, k)[1])
+    pat, mat = str(tmp_path / "p.yak"), str(tmp_path / "m.yak")
+    write_yak_dump(pat, k, k1, np.full(len(k1), 20))
+    write_yak_dump(mat, k, k2, np.full(len(k2), 20))
+
+    r1, _, _ = sample_reads(rng, h1, depth=13, read_len=3000,
+                            err_rate=0.002)
+    r2, _, _ = sample_reads(rng, h2, depth=13, read_len=3000,
+                            err_rate=0.002)
+    reads = r1 + r2
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(output_prefix=str(tmp_path / "ours"),
+                        n_rounds_ec=1, fn_bin_yak_pat=pat,
+                        fn_bin_yak_mat=mat)
+    assemble(store, cfg)
+    subprocess.run([REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r1",
+                    "-1", pat, "-2", mat, str(fa)],
+                   capture_output=True, check=True, timeout=600)
+
+    def total_s(path):
+        return sum(len(ln.split("\t")[2]) for ln in open(path)
+                   if ln.startswith("S\t"))
+
+    for h in ("hap1", "hap2"):
+        ours = total_s(str(tmp_path / f"ours.dip.{h}.p_ctg.gfa"))
+        ref = total_s(str(tmp_path / f"ref.dip.{h}.p_ctg.gfa"))
+        assert 0.7 * L < ours < 1.4 * L, (h, ours)
+        assert abs(ours - ref) < 0.25 * max(ref, 1), (h, ours, ref)
