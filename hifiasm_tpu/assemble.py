@@ -128,6 +128,10 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     raw_ug = ma_ug_gen(sg)
     clean_rounds(sg, cfg, read_cov, protect=telo)
     ug = ma_ug_gen(sg)
+    from hifiasm_tpu.graph.unitig import ug_cut_tips
+    n_tip = ug_cut_tips(ug, cfg.max_contig_tip)
+    if n_tip:
+        log("assemble", f"removed {n_tip} contig tips (--ctg-n)")
 
     # ultralong "double graph" integration (~create_ul_info/ul_load,
     # Overlaps.cpp:39180 -> inter.cpp:21693)
@@ -142,7 +146,9 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         ul_codes = []
         for path in cfg.ul_reads:
             for _, s in iter_fastx(path):
-                ul_codes.append(seq_to_codes(s))
+                c = seq_to_codes(s)
+                if len(c) >= cfg.ul_min_base:   # --ul-cut
+                    ul_codes.append(c)
         paths = ul_align(useqs, ul_codes)
         integer_correction(paths)
         ul_renew_graph(ug, paths)
@@ -150,7 +156,8 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     simi = (cfg.purge_simi_rate_l2 if cfg.purge_level == 2
             else cfg.purge_simi_rate_l3)
     purge = purge_dups(ug, ec.reverse_paf, store.n_reads,
-                       purge_level=cfg.purge_level, simi_rate=simi)
+                       purge_level=cfg.purge_level, simi_rate=simi,
+                       min_ovlp_reads=cfg.purge_overlap_len)
     if purge.hap_pairs:
         # sequence-level confirmation of purge candidates (~tovlp)
         from hifiasm_tpu.graph.tovlp import confirm_purge_pairs

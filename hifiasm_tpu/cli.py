@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "haplotype-specific reads [%(default)s]")
     p.add_argument("--telo-s", dest="telo_min_score", type=int, default=10,
                    help="min motif hits for telomere reads [%(default)s]")
+    p.add_argument("-O", dest="purge_overlap_len", type=int, default=1,
+                   help="min number of overlapped reads for duplicate "
+                        "haplotigs [%(default)s]")
+    p.add_argument("--ctg-n", dest="max_contig_tip", type=int, default=3,
+                   help="remove tip contigs composed of <=INT reads "
+                        "[%(default)s]")
+    p.add_argument("--ul-cut", dest="ul_min_base", type=int, default=0,
+                   help="filter out <INT-base UL reads [%(default)s]")
     p.add_argument("--min-hist-cnt", dest="min_hist_kmer_cnt", type=int,
                    default=5, help="low k-mer histogram cut [%(default)s]")
     p.add_argument("--primary", action="store_true",
@@ -164,7 +172,8 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "max_short_tip", "max_drop_rate", "min_drop_rate",
               "max_kmer_cnt", "n_weight", "polyploidy", "scaf_gap_max",
               "bed_inconsist_rate", "trio_flag_occ_thres",
-              "telo_min_score"):
+              "telo_min_score", "purge_overlap_len", "max_contig_tip",
+              "ul_min_base"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

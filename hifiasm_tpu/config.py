@@ -67,6 +67,8 @@ class HifiasmConfig:
     purge_level: int = 3                  # -l: 0 off .. 3 aggressive
     purge_simi_rate_l2: float = 0.75
     purge_simi_rate_l3: float = 0.55
+    purge_overlap_len: int = 1            # -O min linked reads
+    max_contig_tip: int = 3               # --ctg-n
 
     # --- trio ---
     fn_bin_yak_pat: Optional[str] = None  # -1 pat.yak
@@ -84,6 +86,7 @@ class HifiasmConfig:
     ul_reads: List[str] = field(default_factory=list)
     ul_error_rate: float = 0.2
     ul_ec_round: int = 3
+    ul_min_base: int = 0                  # --ul-cut
 
     # --- phasing solver (CommandLines.cpp:325-328) ---
     seed: int = 11

@@ -56,8 +56,8 @@ def unitig_trans_links(ug: UnitigGraph, rev_paf: PafStore,
 
 
 def purge_dups(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
-               purge_level: int = 3,
-               simi_rate: float = 0.55) -> PurgeResult:
+               purge_level: int = 3, simi_rate: float = 0.55,
+               min_ovlp_reads: int = 1) -> PurgeResult:
     """Greedy duplicate purge: shorter unitig with enough trans-linked reads
     onto a longer one becomes alternate (~purge_dups, Purge_Dups.cpp:5527)."""
     n = len(ug.utgs)
@@ -80,7 +80,7 @@ def purge_dups(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
         cnt = links[a, cand]
         b = cand[np.argmax(cnt)]
         frac = links[a, b] / max(n_reads_utg[a], 1)
-        if frac >= simi_rate:
+        if links[a, b] >= min_ovlp_reads and frac >= simi_rate:
             alive[a] = False
             alt.append(int(a))
             pairs.append((int(a), int(b), float(frac)))

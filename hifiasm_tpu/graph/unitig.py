@@ -202,3 +202,32 @@ def unitig_coverage(u: Unitig, paf_counts: np.ndarray) -> int:
         return 0
     rids = (u.vs >> 1).astype(np.int64)
     return int(np.round(paf_counts[rids].mean())) if len(rids) else 0
+
+
+def ug_cut_tips(ug: UnitigGraph, max_reads: int = 3) -> int:
+    """Remove tip unitigs of <= max_reads reads attached at exactly one
+    end (~the --ctg-n contig-tip removal, CommandLines.cpp:296). Mutates
+    ``ug`` in place (unitigs renumbered); returns #removed."""
+    n = len(ug.utgs)
+    if n == 0 or len(ug.a_src) == 0:
+        return 0
+    deg = np.bincount(ug.a_src.astype(np.int64), minlength=2 * n)
+    drop = np.zeros(n, bool)
+    for uid, u in enumerate(ug.utgs):
+        if len(u.vs) > max_reads:
+            continue
+        d_f = int(deg[uid << 1])
+        d_r = int(deg[uid << 1 | 1])
+        if (d_f == 0) != (d_r == 0):
+            drop[uid] = True
+    if not drop.any():
+        return 0
+    remap = np.cumsum(~drop) - 1
+    ug.utgs = [u for uid, u in enumerate(ug.utgs) if not drop[uid]]
+    keep_arc = ~drop[ug.a_src >> 1] & ~drop[ug.a_dst >> 1]
+    src = ug.a_src[keep_arc].astype(np.int64)
+    dst = ug.a_dst[keep_arc].astype(np.int64)
+    ug.a_src = ((remap[src >> 1] << 1) | (src & 1)).astype(np.uint32)
+    ug.a_dst = ((remap[dst >> 1] << 1) | (dst & 1)).astype(np.uint32)
+    ug.a_ol = ug.a_ol[keep_arc]
+    return int(drop.sum())

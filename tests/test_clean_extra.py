@@ -79,3 +79,25 @@ def test_post_rescue_skips_dead_targets():
     g.cleanup()
     n = post_rescue(g, snap)
     assert n == 0
+
+
+def test_ug_cut_tips():
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph, ug_cut_tips
+
+    def mk_utg(n_reads):
+        vs = np.arange(n_reads, dtype=np.uint32) * 2
+        return Unitig(vs=vs, node_len=np.full(n_reads, 100, np.int64),
+                      len=100 * n_reads, circ=False,
+                      start=int(vs[0]), end=int(vs[-1]) ^ 1)
+
+    # 0 --- 1 (main path), 2 = 2-read tip hanging off 0's end
+    ug = UnitigGraph([mk_utg(10), mk_utg(10), mk_utg(2)])
+    ug.a_src = np.array([0 << 1, 1 << 1 | 1, 0 << 1, 2 << 1 | 1],
+                        np.uint32)
+    ug.a_dst = np.array([1 << 1, 0 << 1 | 1, 2 << 1, 0 << 1 | 1],
+                        np.uint32)
+    ug.a_ol = np.zeros(4, np.int64)
+    n = ug_cut_tips(ug, max_reads=3)
+    assert n == 1
+    assert len(ug) == 2
+    assert len(ug.a_src) == 2          # only the 0<->1 pair remains
