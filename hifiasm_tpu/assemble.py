@@ -254,6 +254,25 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
                 for (_, s1), (_, s2) in zip(iter_fastx(f1), iter_fastx(f2)):
                     yield seq_to_codes(s1), seq_to_codes(s2)
 
+        # misjoin (switch-error) breaks before phasing
+        # (~update_switch_unitig, hic.cpp:17051; --l-msjoin)
+        from hifiasm_tpu.graph.unitig import split_unitig
+        from hifiasm_tpu.phasing.hic import (
+            detect_switch_misjoins, map_hic_pairs_pos,
+        )
+        hits4 = map_hic_pairs_pos(uidx, _pairs())
+        breaks = detect_switch_misjoins(
+            np.array([len(s) for s in seqs], np.int64), hits4,
+            misjoin_len=cfg.misjoin_len)
+        n_broken = sum(split_unitig(res.ug, u, p)
+                       for u, p in breaks.items())
+        if n_broken:
+            log("assemble", f"broke {n_broken} misjoined unitigs")
+            seqs = [unitig_seq(u, res.store, res.cov) for u in res.ug.utgs]
+            uidx = UnitigIndex.build(seqs)
+            ug_cov = np.array([
+                int(np.round(res.read_cov[(u.vs >> 1)].mean()))
+                if len(u.vs) else 0 for u in res.ug.utgs], np.int64)
         hits = map_hic_pairs(uidx, _pairs())
         hic_links = hic_link_matrix(len(res.ug), hits)
     hap1_ids, hap2_ids = [], []

@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "repetitive overlaps [%(default)s]")
     p.add_argument("--n-weight", dest="n_weight", type=int, default=3,
                    help="rounds of reweighting Hi-C links [%(default)s]")
+    p.add_argument("--l-msjoin", dest="misjoin_len", type=int,
+                   default=500_000,
+                   help="detect misjoined unitigs of >=INT in size; "
+                        "0 to disable [%(default)s]")
     p.add_argument("--n-hap", dest="polyploidy", type=int, default=2,
                    help="number of haplotypes [%(default)s]")
     p.add_argument("--scaf-gap", dest="scaf_gap_max", type=int,
@@ -173,7 +177,7 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "max_kmer_cnt", "n_weight", "polyploidy", "scaf_gap_max",
               "bed_inconsist_rate", "trio_flag_occ_thres",
               "telo_min_score", "purge_overlap_len", "max_contig_tip",
-              "ul_min_base"):
+              "ul_min_base", "misjoin_len"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

@@ -94,6 +94,7 @@ class HifiasmConfig:
     f_perturb: float = 0.1
     n_weight: int = 3
     polyploidy: int = 2                   # --n-hap
+    misjoin_len: int = 500_000            # --l-msjoin; 0 disables
     hg_size: int = -1                     # --hg-size (bases; -1 auto)
     trio_flag_occ_thres: int = 60         # --t-occ (CommandLines.cpp:321)
     telo_min_score: int = 10              # --telo-s

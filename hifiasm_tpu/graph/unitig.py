@@ -231,3 +231,35 @@ def ug_cut_tips(ug: UnitigGraph, max_reads: int = 3) -> int:
     ug.a_dst = ((remap[dst >> 1] << 1) | (dst & 1)).astype(np.uint32)
     ug.a_ol = ug.a_ol[keep_arc]
     return int(drop.sum())
+
+
+def split_unitig(ug: UnitigGraph, uid: int, break_off: int) -> bool:
+    """Break unitig ``uid`` at the read boundary nearest ``break_off``
+    (~the misjoin breaks of update_switch_unitig, hic.cpp:17051). The
+    left part keeps ``uid`` and the left-end arcs; the right part is
+    appended and takes the right-end arcs. Returns False when the break
+    would leave an empty side."""
+    u = ug.utgs[uid]
+    cum = np.cumsum(u.node_len)
+    j = int(np.searchsorted(cum, break_off))
+    if j <= 0 or j >= len(u.vs):
+        return False
+    left_len = int(cum[j - 1])
+    new_id = len(ug.utgs)
+    left = Unitig(vs=u.vs[:j].copy(), node_len=u.node_len[:j].copy(),
+                  len=left_len, circ=False, start=int(u.vs[0]),
+                  end=int(u.vs[j - 1]) ^ 1)
+    right = Unitig(vs=u.vs[j:].copy(), node_len=u.node_len[j:].copy(),
+                   len=int(u.len) - left_len, circ=False,
+                   start=int(u.vs[j]), end=u.end)
+    ug.utgs[uid] = left
+    ug.utgs.append(right)
+    # right end of the original (vertex uid<<1) now belongs to the right
+    # part; left end (uid<<1|1) stays with the left part
+    src = ug.a_src.astype(np.int64)
+    dst = ug.a_dst.astype(np.int64)
+    src[src == (uid << 1)] = new_id << 1
+    dst[dst == (uid << 1 | 1)] = new_id << 1 | 1
+    ug.a_src = src.astype(np.uint32)
+    ug.a_dst = dst.astype(np.uint32)
+    return True

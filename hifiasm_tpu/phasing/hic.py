@@ -148,3 +148,68 @@ def combine_phase_weights(trans_links: np.ndarray, hic_links: np.ndarray,
             ew.append(float(t) - hic_scale * float(h))
     return (np.array(ex, np.int64), np.array(ey, np.int64),
             np.array(ew, np.float64))
+
+
+def map_hic_pairs_pos(index: UnitigIndex, pairs, k: int = HIC_K
+                      ) -> np.ndarray:
+    """[n, 4] (u1, p1, u2, p2) for PE pairs where both ends placed
+    uniquely (positions are unitig coordinates)."""
+    out = []
+    for r1, r2 in pairs:
+        u1, p1 = index.map_read_pos(r1, k)
+        u2, p2 = index.map_read_pos(r2, k)
+        if u1 >= 0 and u2 >= 0:
+            out.append((u1, p1, u2, p2))
+    hits = np.array(out, np.int64).reshape(-1, 4)
+    log("map_hic_pairs_pos", f"{len(hits)} positioned PE hits")
+    return hits
+
+
+def detect_switch_misjoins(utg_lens: np.ndarray, hits4: np.ndarray,
+                           misjoin_len: int = 500_000,
+                           min_hits: int = 5) -> dict:
+    """Misjoin (switch-error) detection (~update_switch_unitig,
+    hic.cpp:17051): a unitig whose left segment contacts partner v1 and
+    whose right segment contacts a different partner v2 — with v1 and v2
+    barely contacting each other — is a haplotype misjoin. Returns
+    {uid: break_position}. ``misjoin_len`` 0 disables; only unitigs of
+    >= misjoin_len are examined (the reference's 500 kb default)."""
+    breaks: dict = {}
+    if misjoin_len <= 0 or len(hits4) == 0:
+        return breaks
+    n = len(utg_lens)
+    inter = np.zeros((n, n), np.int64)
+    sel = hits4[hits4[:, 0] != hits4[:, 2]]
+    np.add.at(inter, (sel[:, 0], sel[:, 2]), 1)
+    np.add.at(inter, (sel[:, 2], sel[:, 0]), 1)
+    for u in np.flatnonzero(utg_lens >= misjoin_len):
+        # contacts of u: (position on u, partner)
+        a = hits4[(hits4[:, 0] == u) & (hits4[:, 2] != u)][:, [1, 2]]
+        b = hits4[(hits4[:, 2] == u) & (hits4[:, 0] != u)][:, [3, 0]]
+        c = np.concatenate([a, b]) if len(a) or len(b) else \
+            np.zeros((0, 2), np.int64)
+        if len(c) < 2 * min_hits:
+            continue
+        part, cnt = np.unique(c[:, 1], return_counts=True)
+        top = part[np.argsort(-cnt)[:2]]
+        if len(top) < 2:
+            continue
+        v1, v2 = int(top[0]), int(top[1])
+        p1 = np.sort(c[c[:, 1] == v1][:, 0])
+        p2 = np.sort(c[c[:, 1] == v2][:, 0])
+        if len(p1) < min_hits or len(p2) < min_hits:
+            continue
+        # the partners must be spatially separated on u...
+        if p1.max() < p2.min():
+            lo, hi = int(p1.max()), int(p2.min())
+        elif p2.max() < p1.min():
+            lo, hi = int(p2.max()), int(p1.min())
+        else:
+            continue
+        # ...and (different haplotype) barely contact each other
+        if inter[v1, v2] * 4 >= min(inter[u, v1], inter[u, v2]):
+            continue
+        breaks[int(u)] = (lo + hi) // 2
+    if breaks:
+        log("detect_switch_misjoins", f"{len(breaks)} misjoined unitigs")
+    return breaks

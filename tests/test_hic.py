@@ -48,3 +48,64 @@ def test_map_pairs(rng):
     hits = map_hic_pairs(idx, pairs)
     assert len(hits) >= 15
     assert (hits[:, 0] == hits[:, 1]).all()
+
+
+def test_detect_switch_misjoins_and_split():
+    """A chimeric unitig contacts partner A from its left half and
+    partner B from its right half, with A-B contacts near zero: it must
+    be detected (~update_switch_unitig) and split at the boundary."""
+    from hifiasm_tpu.phasing.hic import detect_switch_misjoins
+
+    rng = np.random.default_rng(3)
+    # unitigs: 0 = chimera (len 100k), 1 = partner A, 2 = partner B
+    utg_lens = np.array([100_000, 60_000, 60_000], np.int64)
+    hits = []
+    for _ in range(20):      # left half of 0 <-> A
+        hits.append((0, int(rng.integers(0, 45_000)), 1,
+                     int(rng.integers(0, 60_000))))
+    for _ in range(20):      # right half of 0 <-> B
+        hits.append((0, int(rng.integers(55_000, 100_000)), 2,
+                     int(rng.integers(0, 60_000))))
+    hits4 = np.array(hits, np.int64)
+    breaks = detect_switch_misjoins(utg_lens, hits4, misjoin_len=50_000)
+    assert 0 in breaks
+    assert 40_000 < breaks[0] < 60_000, breaks
+
+    # no switch: interleaved contacts -> no break
+    mixed = hits4.copy()
+    mixed[:, 1] = rng.integers(0, 100_000, len(mixed))
+    assert detect_switch_misjoins(utg_lens, mixed,
+                                  misjoin_len=50_000) == {}
+
+    # A-B contacts comparable to u-A/u-B: chromosome neighbourhood, keep
+    ab = [(1, 0, 2, 0)] * 10
+    hits_ab = np.concatenate([hits4, np.array(ab, np.int64)])
+    assert detect_switch_misjoins(utg_lens, hits_ab,
+                                  misjoin_len=50_000) == {}
+
+
+def test_split_unitig_moves_end_arcs():
+    from hifiasm_tpu.graph.unitig import (
+        Unitig, UnitigGraph, split_unitig,
+    )
+
+    vs = np.arange(10, dtype=np.uint32) * 2
+    u = Unitig(vs=vs, node_len=np.full(10, 1000, np.int64), len=10_000,
+               circ=False, start=0, end=int(vs[-1]) ^ 1)
+    other = Unitig(vs=np.array([100], np.uint32),
+                   node_len=np.array([5000], np.int64), len=5000,
+                   circ=False, start=100, end=101)
+    ug = UnitigGraph([u, other])
+    # arc out of 0's right end into 1, plus complement
+    ug.a_src = np.array([0 << 1, 1 << 1 | 1], np.uint32)
+    ug.a_dst = np.array([1 << 1, 0 << 1 | 1], np.uint32)
+    ug.a_ol = np.zeros(2, np.int64)
+    assert split_unitig(ug, 0, 4500)
+    assert len(ug) == 3
+    left, right = ug.utgs[0], ug.utgs[2]
+    assert len(left.vs) + len(right.vs) == 10
+    assert left.len + right.len == 10_000
+    # the right-end arc moved to the new right part
+    pairs = {(int(s), int(d)) for s, d in zip(ug.a_src, ug.a_dst)}
+    assert (2 << 1, 1 << 1) in pairs
+    assert (1 << 1 | 1, 2 << 1 | 1) in pairs
