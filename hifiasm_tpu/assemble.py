@@ -293,7 +293,8 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             res.ug, res.ec.reverse_paf, res.store.n_reads,
             trio_flags=res.store.trio_flags, n_perturb=cfg.n_perturb,
             f_perturb=cfg.f_perturb, seed=cfg.seed, hic_links=hic_links,
-            trio_occ_thres=cfg.trio_flag_occ_thres)
+            trio_occ_thres=cfg.trio_flag_occ_thres,
+            trio_dual=cfg.trio_dual)
         for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
             _gfa(f"{prefix}.{mode}.{name}.p_ctg.gfa", _sub_ug(res.ug, ids),
                  f"h{name[-1]}tg", ug_cov[ids] if len(ids) else None)

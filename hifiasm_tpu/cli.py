@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "haplotype-specific reads [%(default)s]")
     p.add_argument("--telo-s", dest="telo_min_score", type=int, default=10,
                    help="min motif hits for telomere reads [%(default)s]")
+    p.add_argument("--trio-dual", dest="trio_dual", action="store_true",
+                   help="utilize homology information to correct trio "
+                        "phasing errors")
     p.add_argument("-O", dest="purge_overlap_len", type=int, default=1,
                    help="min number of overlapped reads for duplicate "
                         "haplotigs [%(default)s]")
@@ -177,7 +180,7 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "max_kmer_cnt", "n_weight", "polyploidy", "scaf_gap_max",
               "bed_inconsist_rate", "trio_flag_occ_thres",
               "telo_min_score", "purge_overlap_len", "max_contig_tip",
-              "ul_min_base", "misjoin_len"):
+              "ul_min_base", "misjoin_len", "trio_dual"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

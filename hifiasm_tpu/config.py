@@ -97,6 +97,7 @@ class HifiasmConfig:
     misjoin_len: int = 500_000            # --l-msjoin; 0 disables
     hg_size: int = -1                     # --hg-size (bases; -1 auto)
     trio_flag_occ_thres: int = 60         # --t-occ (CommandLines.cpp:321)
+    trio_dual: bool = False               # --trio-dual
     telo_min_score: int = 10              # --telo-s
 
     # --- scaffolding / BED output ---

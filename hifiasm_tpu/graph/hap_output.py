@@ -27,13 +27,16 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
                   n_perturb: int = 10000, f_perturb: float = 0.1,
                   seed: int = 11, min_link: int = 2,
                   hic_links: Optional[np.ndarray] = None,
-                  trio_occ_thres: int = 60
+                  trio_occ_thres: int = 60, trio_dual: bool = False
                   ) -> Tuple[List[int], List[int]]:
     """Returns (hap1_ids, hap2_ids); hom unitigs appear in both.
 
     ``trio_occ_thres`` (--t-occ): a unitig carrying more than this many
     unexpected opposite-haplotype reads is forcedly removed from both
-    haplotypes regardless of topology (CommandLines.cpp:321)."""
+    haplotypes regardless of topology (CommandLines.cpp:321).
+    ``trio_dual`` (--trio-dual): strongly trans-linked (homologous)
+    unitig pairs must land on opposite haplotypes; the member with the
+    weaker parental majority is flipped when they agree."""
     n = len(ug.utgs)
     if n == 0:
         return [], []
@@ -42,24 +45,39 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
     use_trio = trio_flags is not None and \
         bool(((trio_flags == FATHER) | (trio_flags == MOTHER)).any())
     if use_trio:
-        hap1, hap2 = [], []
-        n_forced = 0
+        lab = np.zeros(n, np.int8)        # +1 pat, -1 mat, 0 hom/ambiguous
+        margin = np.zeros(n, np.int64)
+        forced = np.zeros(n, bool)
         for uid, u in enumerate(ug.utgs):
             fl = trio_flags[(u.vs >> 1).astype(np.int64)]
             n_p = int((fl == FATHER).sum())
             n_m = int((fl == MOTHER).sum())
             if min(n_p, n_m) > trio_occ_thres:
-                n_forced += 1             # --t-occ: mixed-hap unitig
+                forced[uid] = True        # --t-occ: mixed-hap unitig
                 continue
-            if n_p > n_m:
-                hap1.append(uid)
-            elif n_m > n_p:
-                hap2.append(uid)
-            else:
-                hap1.append(uid)
-                hap2.append(uid)
+            lab[uid] = np.sign(n_p - n_m)
+            margin[uid] = abs(n_p - n_m)
+        n_flip = 0
+        if trio_dual:
+            links = unitig_trans_links(ug, rev_paf, n_reads)
+            sym = links + links.T
+            for a in range(n):
+                if lab[a] == 0 or forced[a]:
+                    continue
+                b = int(np.argmax(sym[a]))
+                if sym[a, b] < 2 * min_link or lab[b] != lab[a] or \
+                        forced[b]:
+                    continue
+                # homologous pair on the same haplotype: flip the weaker
+                w = a if margin[a] <= margin[b] else b
+                lab[w] = -lab[w]
+                n_flip += 1
+        hap1 = [i for i in range(n) if not forced[i] and lab[i] >= 0]
+        hap2 = [i for i in range(n) if not forced[i] and lab[i] <= 0]
+        n_forced = int(forced.sum())
         log("phase_unitigs", f"trio: {len(hap1)} hap1 / {len(hap2)} hap2"
-            + (f" ({n_forced} removed by --t-occ)" if n_forced else ""))
+            + (f" ({n_forced} removed by --t-occ)" if n_forced else "")
+            + (f" ({n_flip} flipped by --trio-dual)" if n_flip else ""))
         return hap1, hap2
 
     links = unitig_trans_links(ug, rev_paf, n_reads)

@@ -44,3 +44,37 @@ def test_trio_assembly_partitions_haps(rng, tmp_path):
     n_f = sum(1 for x in flags if x == FATHER)
     n_m = sum(1 for x in flags if x == MOTHER)
     assert n_f > n_m, f"hap1 has {n_f} pat vs {n_m} mat reads"
+
+
+def test_trio_dual_flips_misbinned_unitig(rng, tmp_path):
+    """--trio-dual: two homologous (trans-linked) unitigs classified to
+    the SAME parent get the weaker one flipped."""
+    from hifiasm_tpu.graph.hap_output import phase_unitigs
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph
+    from hifiasm_tpu.overlap.paf import PafStore
+    from hifiasm_tpu.trio import FATHER
+
+    # unitig 0: reads 0-9 all FATHER; unitig 1: reads 10-19, misbinned
+    # FATHER for 3 reads (weaker); they are trans-linked (homologous)
+    def mk(rids):
+        vs = (np.array(rids, np.uint32) << 1)
+        return Unitig(vs=vs, node_len=np.full(len(vs), 1000, np.int64),
+                      len=1000 * len(vs), circ=False,
+                      start=int(vs[0]), end=int(vs[-1]) ^ 1)
+
+    ug = UnitigGraph([mk(range(10)), mk(range(10, 20))])
+    flags = np.zeros(20, np.uint8)
+    flags[:10] = FATHER
+    flags[10:13] = FATHER                   # weak FATHER majority
+    from hifiasm_tpu.overlap.paf import PafRecords
+    rev = PafStore(20)
+    for r in range(10):                     # dense trans links 0 <-> 1
+        rev[r] = PafRecords.from_columns(
+            qs=[0], qe=[500], tn=[r + 10], ts=[0], te=[500],
+            rev=[0], ml=[500], bl=[500])
+    h1, h2 = phase_unitigs(ug, rev, 20, trio_flags=flags, trio_dual=True)
+    assert 0 in h1 and 0 not in h2
+    assert 1 in h2 and 1 not in h1
+    # without --trio-dual both land in hap1
+    h1b, h2b = phase_unitigs(ug, rev, 20, trio_flags=flags)
+    assert 0 in h1b and 1 in h1b
