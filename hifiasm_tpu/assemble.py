@@ -128,10 +128,11 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     raw_ug = ma_ug_gen(sg)
     clean_rounds(sg, cfg, read_cov, protect=telo)
     ug = ma_ug_gen(sg)
-    from hifiasm_tpu.graph.unitig import ug_cut_tips
+    from hifiasm_tpu.graph.unitig import break_by_coverage, ug_cut_tips
     n_tip = ug_cut_tips(ug, cfg.max_contig_tip)
     if n_tip:
         log("assemble", f"removed {n_tip} contig tips (--ctg-n)")
+    break_by_coverage(ug, cov, b_low=cfg.b_low_cov, b_high=cfg.b_high_cov)
 
     # ultralong "double graph" integration (~create_ul_info/ul_load,
     # Overlaps.cpp:39180 -> inter.cpp:21693)

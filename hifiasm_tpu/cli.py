@@ -74,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default=500_000,
                    help="detect misjoined unitigs of >=INT in size; "
                         "0 to disable [%(default)s]")
+    p.add_argument("--b-cov", dest="b_low_cov", type=int, default=0,
+                   help="break contigs at positions with <INT-fold "
+                        "coverage; 0 to disable [%(default)s]")
+    p.add_argument("--h-cov", dest="b_high_cov", type=int, default=-1,
+                   help="break contigs at positions with >INT-fold "
+                        "coverage; -1 to disable [%(default)s]")
+    p.add_argument("--m-rate", dest="m_rate", type=float, default=0.75,
+                   help="break threshold rate with --b-cov/--h-cov "
+                        "[%(default)s]")
     p.add_argument("--n-hap", dest="polyploidy", type=int, default=2,
                    help="number of haplotypes [%(default)s]")
     p.add_argument("--scaf-gap", dest="scaf_gap_max", type=int,
@@ -180,7 +189,8 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "max_kmer_cnt", "n_weight", "polyploidy", "scaf_gap_max",
               "bed_inconsist_rate", "trio_flag_occ_thres",
               "telo_min_score", "purge_overlap_len", "max_contig_tip",
-              "ul_min_base", "misjoin_len", "trio_dual"):
+              "ul_min_base", "misjoin_len", "trio_dual", "b_low_cov",
+              "b_high_cov", "m_rate"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

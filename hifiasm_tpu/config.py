@@ -95,6 +95,9 @@ class HifiasmConfig:
     n_weight: int = 3
     polyploidy: int = 2                   # --n-hap
     misjoin_len: int = 500_000            # --l-msjoin; 0 disables
+    b_low_cov: int = 0                    # --b-cov; 0 disables
+    b_high_cov: int = -1                  # --h-cov; -1 disables
+    m_rate: float = 0.75                  # --m-rate
     hg_size: int = -1                     # --hg-size (bases; -1 auto)
     trio_flag_occ_thres: int = 60         # --t-occ (CommandLines.cpp:321)
     trio_dual: bool = False               # --trio-dual

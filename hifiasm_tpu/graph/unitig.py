@@ -263,3 +263,58 @@ def split_unitig(ug: UnitigGraph, uid: int, break_off: int) -> bool:
     ug.a_src = src.astype(np.uint32)
     ug.a_dst = dst.astype(np.uint32)
     return True
+
+
+def unitig_depth_profile(u: Unitig, cov: CoverageCut) -> np.ndarray:
+    """Read-depth along the unitig from its layout (same construction as
+    the lowQ BED profile)."""
+    depth = np.zeros(u.len + 1, np.int32)
+    off = 0
+    for k, v in enumerate(u.vs):
+        rid = int(v) >> 1
+        rl = int(cov.e[rid] - cov.s[rid])
+        end = min(off + rl, u.len)
+        depth[off] += 1
+        depth[end] -= 1
+        off += int(u.node_len[k])
+    return np.cumsum(depth[:-1])
+
+
+def break_by_coverage(ug: UnitigGraph, cov: CoverageCut,
+                      b_low: int = 0, b_high: int = -1,
+                      min_run: int = 2000) -> int:
+    """Break unitigs at abnormal-coverage positions (--b-cov/--h-cov,
+    CommandLines.cpp:316-318): a >= min_run stretch with depth < b_low
+    (or > b_high) in the unitig interior marks a likely misassembly;
+    split at its center. Returns #breaks applied."""
+    if b_low <= 0 and b_high < 0:
+        return 0
+    n_broken = 0
+    for uid in range(len(ug.utgs)):       # appended halves re-examined
+        while True:
+            u = ug.utgs[uid]
+            if len(u.vs) < 2 or u.len < 3 * min_run:
+                break
+            prof = unitig_depth_profile(u, cov)
+            bad = np.zeros(u.len, bool)
+            if b_low > 0:
+                bad |= prof < b_low
+            if b_high >= 0:
+                bad |= prof > b_high
+            bad[:min_run] = False          # unitig ends taper naturally
+            bad[-min_run:] = False
+            if not bad.any():
+                break
+            edges = np.flatnonzero(np.diff(bad.astype(np.int8)))
+            runs = [(int(s) + 1, int(e) + 1)
+                    for s, e in zip(edges[:-1], edges[1:])
+                    if bad[s + 1] and e - s >= min_run]
+            if not runs:
+                break
+            s, e = runs[0]
+            if not split_unitig(ug, uid, (s + e) // 2):
+                break
+            n_broken += 1                 # loop re-examines the left part
+    if n_broken:
+        log("break_by_coverage", f"{n_broken} coverage breaks")
+    return n_broken

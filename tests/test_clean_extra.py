@@ -101,3 +101,41 @@ def test_ug_cut_tips():
     assert n == 1
     assert len(ug) == 2
     assert len(ug.a_src) == 2          # only the 0<->1 pair remains
+
+
+def test_break_by_coverage(rng):
+    """A unitig whose middle drops to single coverage breaks there."""
+    from hifiasm_tpu.graph.sg import CoverageCut
+    from hifiasm_tpu.graph.unitig import (
+        Unitig, UnitigGraph, break_by_coverage, unitig_depth_profile,
+    )
+    from tests.synth import make_genome, sample_reads
+
+    # layout: 20 reads of 3000 bases stepping 500 (dense, depth ~6),
+    # then a 3000-base single-read bridge, then dense again
+    n1 = 20
+    # the read before the bridge contributes 2900, so the 3000-base
+    # bridge read is single-coverage for ~2900 of its span
+    node_len = [500] * (n1 - 2) + [2900] + [3000] + [500] * (n1 - 1) + \
+        [3000]
+    vs = np.arange(len(node_len), dtype=np.uint32) * 2
+    L = int(np.sum(node_len))
+    u = Unitig(vs=vs, node_len=np.array(node_len, np.int64), len=L,
+               circ=False, start=0, end=int(vs[-1]) ^ 1)
+    n_reads = len(vs)
+    cov = CoverageCut(np.zeros(n_reads, np.int64),
+                      np.full(n_reads, 3000, np.int64),
+                      np.zeros(n_reads, np.uint8))
+    ug = UnitigGraph([u])
+    prof = unitig_depth_profile(u, cov)
+    assert prof[:5000].max() >= 4          # dense region
+    n = break_by_coverage(ug, cov, b_low=2, min_run=1500)
+    assert n >= 1
+    assert len(ug) >= 2
+    assert sum(x.len for x in ug.utgs) == L
+    # disabled by default
+    ug2 = UnitigGraph([Unitig(vs=vs.copy(),
+                              node_len=np.array(node_len, np.int64),
+                              len=L, circ=False, start=0,
+                              end=int(vs[-1]) ^ 1)])
+    assert break_by_coverage(ug2, cov) == 0
