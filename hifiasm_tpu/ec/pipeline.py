@@ -108,14 +108,16 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
 
 
 def _use_device(cfg: HifiasmConfig, total_bases: int = 0) -> bool:
+    # auto: small inputs can't amortize device launches; decide from the
+    # size gate BEFORE touching jax — merely asking for the default
+    # backend initializes the TPU client (~10 s through the dev tunnel)
+    if cfg.align_engine != "jax" and total_bases < cfg.device_min_bases:
+        return False
     from hifiasm_tpu.ec.window_align import resolve_engine
     eng = resolve_engine(cfg.align_engine)
     if not getattr(eng, "__module__", "").endswith("banded_align_jax"):
         return False
-    if cfg.align_engine == "jax":
-        return True               # explicit request
-    # auto: small inputs can't amortize device launches; use host native
-    return total_bases >= cfg.device_min_bases
+    return True
 
 
 def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov):
