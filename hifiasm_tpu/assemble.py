@@ -114,7 +114,11 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     sg, cov, r_to_u = gen_init_sg(
         paf, store.lens, min_dp=max(cfg.min_overlap_coverage, 1),
         min_ovlp=cfg.min_overlap_len, max_hang=cfg.max_hang_len,
-        int_frac=cfg.max_hang_rate, gap_fuzz=cfg.gap_fuzz)
+        int_frac=cfg.max_hang_rate, gap_fuzz=cfg.gap_fuzz,
+        # ONT chemistry artifacts: junction support <= chem-c over
+        # chem-f flanks (~gen_chemical_arc_rf, ecovlp.cpp:6479)
+        chem_cov=cfg.chemical_cov if cfg.is_ont else 0,
+        chem_flank=cfg.chemical_flank if cfg.is_ont else 0)
     if cfg.dbg_gfa and write_outputs:
         from hifiasm_tpu.io.binfiles import write_graph
         write_graph(f"{cfg.output_prefix}.dbg_gfa.npz", sg, cov, r_to_u)

@@ -105,6 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trio-dual", dest="trio_dual", action="store_true",
                    help="utilize homology information to correct trio "
                         "phasing errors")
+    p.add_argument("--chem-c", dest="chemical_cov", type=int, default=1,
+                   help="detect chimeric reads with <=INT other reads "
+                        "support (--ont mode) [%(default)s]")
+    p.add_argument("--chem-f", dest="chemical_flank", type=int,
+                   default=256,
+                   help="length of flanking regions for chimeric read "
+                        "detection [%(default)s]")
     p.add_argument("-O", dest="purge_overlap_len", type=int, default=1,
                    help="min number of overlapped reads for duplicate "
                         "haplotigs [%(default)s]")
@@ -190,7 +197,7 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "bed_inconsist_rate", "trio_flag_occ_thres",
               "telo_min_score", "purge_overlap_len", "max_contig_tip",
               "ul_min_base", "misjoin_len", "trio_dual", "b_low_cov",
-              "b_high_cov", "m_rate"):
+              "b_high_cov", "m_rate", "chemical_cov", "chemical_flank"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

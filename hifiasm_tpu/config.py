@@ -40,6 +40,8 @@ class HifiasmConfig:
     max_n_chain: int = 100                # MIN_N_CHAIN (CommandLines.h:29)
     is_ont: bool = False                  # --ont: ONT R10 mode
     adapter_len: int = 0                  # -z: clip read ends
+    chemical_cov: int = 1                 # --chem-c (CommandLines.cpp:370)
+    chemical_flank: int = 256             # --chem-f
 
     @property
     def ec_window(self) -> int:

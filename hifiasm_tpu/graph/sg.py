@@ -261,10 +261,15 @@ def ma_hit_sub(min_dp: int, paf: PafStore, lens: np.ndarray,
 
 
 def detect_chimeric_reads(paf: PafStore, lens: np.ndarray,
-                          cov: CoverageCut) -> int:
-    """Drop reads with an internal zero-coverage gap flanked by covered
-    sequence (~detect_chimeric_reads, Overlaps.cpp:2449): a read spanning
-    a false join has overlaps on both sides but none across the joint."""
+                          cov: CoverageCut, chem_cov: int = 0,
+                          chem_flank: int = 0) -> int:
+    """Drop reads with an internal low-support junction flanked by
+    well-covered sequence (~detect_chimeric_reads, Overlaps.cpp:2449 and
+    the ONT chemical-artifact detection gen_chemical_arc_rf,
+    ecovlp.cpp:6479): a read spanning a false join has overlaps on both
+    sides but <= chem_cov reads across the joint. ``chem_flank`` requires
+    > chem_cov support at least that far on both sides (--chem-f); the
+    HiFi default (0, 0) keeps the strict zero-gap rule."""
     n_chim = 0
     for i in range(len(paf)):
         if cov.del_[i]:
@@ -273,25 +278,22 @@ def detect_chimeric_reads(paf: PafStore, lens: np.ndarray,
         live = rec.del_ == 0
         if not live.any():
             continue
-        qs = rec.qs[live]
-        qe = rec.qe[live]
-        ev = np.concatenate([qs * 2, qe * 2 + 1])
-        ev.sort()
-        dp = 0
-        covered_once = False
-        gap_after_cov = False
-        chimeric = False
-        for x in ev:
-            if x & 1:
-                dp -= 1
-                if dp == 0:
-                    gap_after_cov = covered_once
-            else:
-                if gap_after_cov and dp == 0:
-                    chimeric = True
-                    break
-                dp += 1
-                covered_once = True
+        L = int(lens[i])
+        if L <= 2 * chem_flank + 1:
+            continue
+        depth = np.zeros(L + 1, np.int32)
+        np.add.at(depth, np.minimum(rec.qs[live], L), 1)
+        np.add.at(depth, np.minimum(rec.qe[live], L), -1)
+        dp = np.cumsum(depth[:-1])
+        pmax = np.maximum.accumulate(dp)
+        smax = np.maximum.accumulate(dp[::-1])[::-1]
+        lo = chem_flank
+        hi = L - chem_flank
+        x = np.arange(lo, hi)
+        chimeric = bool(np.any(
+            (dp[lo:hi] <= chem_cov) &
+            (pmax[np.maximum(x - chem_flank, 0)] > chem_cov) &
+            (smax[np.minimum(x + chem_flank, L - 1)] > chem_cov)))
         if chimeric:
             cov.del_[i] = 1
             cov.s[i] = cov.e[i] = 0
@@ -512,10 +514,11 @@ def asg_arc_del_trans(g: StringGraph, fuzz: int) -> int:
 
 def gen_init_sg(paf: PafStore, lens: np.ndarray, min_dp: int,
                 min_ovlp: int, max_hang: int, int_frac: float,
-                gap_fuzz: int) -> Tuple[StringGraph, CoverageCut, np.ndarray]:
+                gap_fuzz: int, chem_cov: int = 0, chem_flank: int = 0
+                ) -> Tuple[StringGraph, CoverageCut, np.ndarray]:
     """The gen_init_sg chain (Overlaps.cpp:39228) for the HiFi-only path."""
     cov = ma_hit_sub(min_dp, paf, lens, min_ovlp)
-    detect_chimeric_reads(paf, lens, cov)
+    detect_chimeric_reads(paf, lens, cov, chem_cov, chem_flank)
     ma_hit_cut(paf, lens, cov, min_ovlp)
     ma_hit_flt(paf, cov, max_hang, int_frac, min_ovlp)
     r_to_u = ma_hit_contained(paf, cov, max_hang, int_frac, min_ovlp)

@@ -139,3 +139,30 @@ def test_break_by_coverage(rng):
                               len=L, circ=False, start=0,
                               end=int(vs[-1]) ^ 1)])
     assert break_by_coverage(ug2, cov) == 0
+
+
+def test_chimeric_low_support_junction():
+    """chem_cov=1: a junction crossed by only ONE read is chimeric when
+    both flanks are well covered (~gen_chemical_arc_rf)."""
+    from hifiasm_tpu.graph.sg import CoverageCut, detect_chimeric_reads
+    from hifiasm_tpu.overlap.paf import PafRecords, PafStore
+
+    L = 10_000
+    paf = PafStore(1)
+    # dense cover [0,4500) and [5500,10000); ONE read spans the joint
+    qs = [0, 500, 1000, 1500, 5500, 6000, 6500, 4000]
+    qe = [4500, 4500, 4500, 4500, 10_000, 10_000, 10_000, 6500]
+    paf[0] = PafRecords.from_columns(
+        qs=qs, qe=qe, tn=np.arange(1, 9), ts=np.zeros(8),
+        te=np.array(qe) - np.array(qs), rev=np.zeros(8),
+        ml=np.ones(8), bl=np.ones(8))
+    lens = np.array([L], np.int64)
+
+    cov = CoverageCut(np.zeros(1, np.int64), lens.copy(),
+                      np.zeros(1, np.uint8))
+    # strict rule: the spanning read means no zero gap -> kept
+    assert detect_chimeric_reads(paf, lens, cov) == 0
+    # chem rule: junction support 1 <= chem_cov -> dropped
+    assert detect_chimeric_reads(paf, lens, cov, chem_cov=1,
+                                 chem_flank=256) == 1
+    assert cov.del_[0] == 1
