@@ -160,16 +160,24 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
 
     simi = (cfg.purge_simi_rate_l2 if cfg.purge_level == 2
             else cfg.purge_simi_rate_l3)
+    utg_cov = np.array([
+        int(np.round(read_cov[(u.vs >> 1)].mean())) if len(u.vs) else 0
+        for u in ug.utgs], np.int64)
     purge = purge_dups(ug, ec.reverse_paf, store.n_reads,
                        purge_level=cfg.purge_level, simi_rate=simi,
-                       min_ovlp_reads=cfg.purge_overlap_len)
-    if purge.hap_pairs:
+                       min_ovlp_reads=cfg.purge_overlap_len,
+                       utg_cov=utg_cov, max_cov=cfg.purge_max_cov)
+    if purge.hap_pairs and cfg.trans_base_rate_sec >= 0:
         # sequence-level confirmation of purge candidates (~tovlp)
         from hifiasm_tpu.graph.tovlp import confirm_purge_pairs
         from hifiasm_tpu.graph.unitig import unitig_seq
 
         useqs = [unitig_seq(u, store, cov) for u in ug.utgs]
-        confirmed = confirm_purge_pairs(useqs, purge.hap_pairs, simi)
+        # base-level confirmation threshold = --s-base (read-level -s
+        # stays on the candidate generation; trans_base_rate_sec < 0
+        # disables the alignment pass entirely)
+        confirmed = confirm_purge_pairs(
+            useqs, purge.hap_pairs, max(simi, cfg.trans_base_rate_sec))
         keep_a = {a for a, _, _, _ in confirmed}
         restored = [a for a, _, _ in purge.hap_pairs if a not in keep_a]
         if restored:

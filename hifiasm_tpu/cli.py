@@ -112,6 +112,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=256,
                    help="length of flanking regions for chimeric read "
                         "detection [%(default)s]")
+    p.add_argument("--purge-max", dest="purge_max_cov", type=int,
+                   default=-1,
+                   help="coverage upper bound of purge-dups; -1 auto "
+                        "[%(default)s]")
+    p.add_argument("--s-base", dest="trans_base_rate_sec", type=float,
+                   default=0.5,
+                   help="base-level similarity threshold for homology "
+                        "detection; -1 to disable [%(default)s]")
     p.add_argument("-O", dest="purge_overlap_len", type=int, default=1,
                    help="min number of overlapped reads for duplicate "
                         "haplotigs [%(default)s]")
@@ -197,7 +205,8 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "bed_inconsist_rate", "trio_flag_occ_thres",
               "telo_min_score", "purge_overlap_len", "max_contig_tip",
               "ul_min_base", "misjoin_len", "trio_dual", "b_low_cov",
-              "b_high_cov", "m_rate", "chemical_cov", "chemical_flank"):
+              "b_high_cov", "m_rate", "chemical_cov", "chemical_flank",
+              "purge_max_cov", "trans_base_rate_sec"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

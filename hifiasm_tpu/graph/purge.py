@@ -57,7 +57,8 @@ def unitig_trans_links(ug: UnitigGraph, rev_paf: PafStore,
 
 def purge_dups(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
                purge_level: int = 3, simi_rate: float = 0.55,
-               min_ovlp_reads: int = 1) -> PurgeResult:
+               min_ovlp_reads: int = 1, utg_cov=None,
+               max_cov: int = -1) -> PurgeResult:
     """Greedy duplicate purge: shorter unitig with enough trans-linked reads
     onto a longer one becomes alternate (~purge_dups, Purge_Dups.cpp:5527)."""
     n = len(ug.utgs)
@@ -71,6 +72,10 @@ def purge_dups(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
     alt, pairs = [], []
     for a in order:
         if not alive[a]:
+            continue
+        # --purge-max: above the coverage bound the unitig is a
+        # homozygous/collapsed repeat, not a haplotig duplicate
+        if max_cov >= 0 and utg_cov is not None and utg_cov[a] > max_cov:
             continue
         # strongest trans partner still alive and longer
         cand = np.flatnonzero(alive & (lens >= lens[a]))
