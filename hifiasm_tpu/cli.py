@@ -233,7 +233,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
     from hifiasm_tpu.assemble import assemble
     from hifiasm_tpu.io.readstore import ReadStore
+    from hifiasm_tpu.native import set_threads
     from hifiasm_tpu.utils.logging import log
+
+    set_threads(cfg.threads)              # -t bounds the native kernels
 
     store = ReadStore.from_files(cfg.read_files,
                                  adapter_len=cfg.adapter_len)

@@ -101,6 +101,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, u64p]
     lib.ht_unique_u64.restype = ctypes.c_int64
     lib.ht_unique_u64.argtypes = [u64p, ctypes.c_int64, u32cp]
+    lib.ht_set_threads.restype = None
+    lib.ht_set_threads.argtypes = [ctypes.c_int32]
     lib.ht_chain_groups.restype = ctypes.c_int64
     lib.ht_chain_groups.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
@@ -109,6 +111,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64p, i64p, i64p, i64p, i64p]
     _lib = lib
     return _lib
+
+
+def set_threads(n: int) -> None:
+    """Bound the OpenMP worker count of every native kernel (-t)."""
+    lib = get_lib()
+    if lib is not None and n > 0:
+        lib.ht_set_threads(n)
 
 
 def banded_batch_native(x, xlen, y, ylen, e: int, traceback: bool = True):

@@ -208,6 +208,9 @@ extern "C" int64_t ht_banded_batch(
 
 #include <cmath>
 #include <string>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" void ht_chain_dp(
     int64_t n, const int64_t* self_off, const int64_t* t_off,
@@ -1385,4 +1388,14 @@ extern "C" int64_t ht_unique_u64(uint64_t* h, int64_t n,
         i = j;
     }
     return nu;
+}
+
+// -t: bound the OpenMP worker count for every native kernel
+// (~the reference's thread_num, CommandLines.cpp:101).
+extern "C" void ht_set_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#else
+    (void)n;
+#endif
 }
