@@ -149,3 +149,126 @@ def sharded_cnt_np(query_fn, hashes: np.ndarray, S: int) -> np.ndarray:
     """Convenience: uint64 numpy hashes -> counts via the device fn."""
     hi, lo = _split64(hashes)
     return np.asarray(query_fn(jnp.asarray(hi), jnp.asarray(lo)))
+
+
+@dataclass
+class ShardedPostings:
+    """Bucket-sharded postings: per-shard CSR into packed position lists.
+
+    The device-side form of ``ha_pt_t``'s (count, offset) + ha_idxpos
+    arrays (htab.h:20-22): rid/rev pack into one uint32 lane
+    (rid << 1 | rev), pos into another."""
+
+    n_shards: int
+    idx: ShardedIndex
+    start: np.ndarray      # [S, Hmax] int32 CSR into the posting lanes
+    p_rid: np.ndarray      # [S, Pmax] uint32 (rid << 1 | rev)
+    p_pos: np.ndarray      # [S, Pmax] uint32
+
+    @classmethod
+    def build(cls, pt: PositionTable, n_shards: int) -> "ShardedPostings":
+        idx = ShardedIndex.build(pt, n_shards)
+        shard = (pt.hashes % np.uint64(n_shards)).astype(np.int64)
+        per = np.zeros(n_shards, np.int64)
+        for s in range(n_shards):
+            per[s] = int(pt.count[shard == s].sum())
+        pmax = max(int(per.max()) if n_shards else 0, 1)
+        st = np.zeros((n_shards, idx.h_hi.shape[1]), np.int32)
+        pr = np.zeros((n_shards, pmax), np.uint32)
+        pp = np.zeros((n_shards, pmax), np.uint32)
+        for s in range(n_shards):
+            sel = np.flatnonzero(shard == s)
+            w = 0
+            for j, g in enumerate(sel):
+                st[s, j] = w
+                a, b = int(pt.start[g]), int(pt.start[g] + pt.count[g])
+                n = b - a
+                pr[s, w:w + n] = (pt.rid[a:b].astype(np.uint32) << 1) | \
+                    pt.rev[a:b]
+                pp[s, w:w + n] = pt.pos[a:b]
+                w += n
+        return cls(n_shards, idx, st, pr, pp)
+
+
+def make_sharded_postings(mesh: Mesh, sp: ShardedPostings, cap: int,
+                          k_post: int):
+    """Returns fn(q_hi, q_lo [Q]) -> (n [Q], rid [Q,K], pos [Q,K]):
+    the multi-chip anchor gather — queries route to their bucket shard
+    over ICI (all_to_all), owners gather up to K postings each, answers
+    route back (§5's "anchors routed by target-read shard")."""
+    S = sp.n_shards
+    K = k_post
+    assert len(mesh.devices) == S
+    sh = NamedSharding(mesh, P("data"))
+    idx = sp.idx
+    hh_d = jax.device_put(idx.h_hi, sh)
+    hl_d = jax.device_put(idx.h_lo, sh)
+    cn_d = jax.device_put(idx.counts, sh)
+    st_d = jax.device_put(sp.start, sh)
+    pr_d = jax.device_put(sp.p_rid, sh)
+    pp_d = jax.device_put(sp.p_pos, sh)
+    n_steps = int(np.ceil(np.log2(max(idx.h_hi.shape[1], 2)))) + 1
+    smask = np.uint32(S - 1)
+
+    def body(h_hi, h_lo, c_loc, st, pr, pp, q_hi, q_lo):
+        h_hi, h_lo, c_loc = h_hi[0], h_lo[0], c_loc[0]
+        st, pr, pp = st[0], pr[0], pp[0]
+        Qd = q_hi.shape[0]
+        dest = (q_lo & smask).astype(jnp.int32)
+        order = jnp.argsort(dest, stable=True)
+        qh_s = q_hi[order]
+        ql_s = q_lo[order]
+        d_srt = dest[order]
+        same = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                (d_srt[1:] == d_srt[:-1]).astype(jnp.int32)])
+        seg_start = jnp.where(same == 0, jnp.arange(Qd, dtype=jnp.int32), 0)
+        seg_start = lax.associative_scan(jnp.maximum, seg_start)
+        rank = jnp.arange(Qd, dtype=jnp.int32) - seg_start
+        slot = d_srt * cap + rank
+        ok = rank < cap
+        oobs = jnp.where(ok, slot, S * cap)
+        send_hi = jnp.zeros(S * cap, jnp.uint32).at[oobs].set(
+            qh_s, mode="drop").reshape(S, cap)
+        send_lo = jnp.zeros(S * cap, jnp.uint32).at[oobs].set(
+            ql_s, mode="drop").reshape(S, cap)
+        recv_hi = lax.all_to_all(send_hi, "data", 0, 0).reshape(-1)
+        recv_lo = lax.all_to_all(send_lo, "data", 0, 0).reshape(-1)
+        pos = _lex_searchsorted(h_hi, h_lo, recv_hi, recv_lo, n_steps)
+        posc = jnp.minimum(pos, h_hi.shape[0] - 1)
+        hit = (h_hi[posc] == recv_hi) & (h_lo[posc] == recv_lo)
+        n_loc = jnp.where(hit, jnp.minimum(c_loc[posc], K), 0)
+        base = jnp.where(hit, st[posc], 0)
+        gidx = base[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+        gidx = jnp.minimum(gidx, pr.shape[0] - 1)
+        valid = jnp.arange(K, dtype=jnp.int32)[None, :] < n_loc[:, None]
+        g_rid = jnp.where(valid, pr[gidx], 0)
+        g_pos = jnp.where(valid, pp[gidx], 0)
+        # route answers back: [S*cap, K] -> all_to_all on the lane axis
+        back_n = lax.all_to_all(
+            n_loc.astype(jnp.int32).reshape(S, cap), "data", 0, 0
+        ).reshape(-1)
+        back_rid = lax.all_to_all(
+            g_rid.reshape(S, cap * K), "data", 0, 0).reshape(-1, K)
+        back_pos = lax.all_to_all(
+            g_pos.reshape(S, cap * K), "data", 0, 0).reshape(-1, K)
+        slotc = jnp.minimum(slot, S * cap - 1)
+        out_n = jnp.zeros(Qd, jnp.int32).at[order].set(
+            jnp.where(ok, back_n[slotc], 0))
+        out_rid = jnp.zeros((Qd, K), jnp.uint32).at[order].set(
+            jnp.where(ok[:, None], back_rid[slotc], 0))
+        out_pos = jnp.zeros((Qd, K), jnp.uint32).at[order].set(
+            jnp.where(ok[:, None], back_pos[slotc], 0))
+        return out_n, out_rid, out_pos
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P("data", None),
+                  P("data", None), P("data", None), P("data", None),
+                  P("data"), P("data")),
+        out_specs=(P("data"), P("data", None), P("data", None)))
+
+    @jax.jit
+    def query(q_hi, q_lo):
+        return fn(hh_d, hl_d, cn_d, st_d, pr_d, pp_d, q_hi, q_lo)
+
+    return query

@@ -30,3 +30,50 @@ def test_sharded_cnt_matches_host(rng):
     got = sharded_cnt_np(query, qs_p, S)[:len(qs)]
     want = pt.cnt(qs)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_postings_match_host(rng):
+    """The all-to-all anchor gather returns exactly the host table's
+    postings (up to the K cap) for every query."""
+    from hifiasm_tpu.parallel.index_shard import (
+        ShardedPostings, _split64, make_sharded_postings,
+    )
+
+    g = make_genome(rng, 12000)
+    reads, _, _ = sample_reads(rng, g, depth=8, read_len=2000,
+                               err_rate=0.0)
+    pt, _, _, mzs = build_position_table(reads, 51, 51)
+    S = len(jax.devices())
+    sp = ShardedPostings.build(pt, S)
+    mesh = make_mesh(S)
+    K = 8
+
+    qs = np.concatenate([pt.hashes[::5],
+                         rng.integers(1, 1 << 60, 32).astype(np.uint64)])
+    per_dev = -(-len(qs) // S)
+    Q = per_dev * S
+    qs_p = np.concatenate([qs, np.zeros(Q - len(qs), np.uint64)])
+    cap = 2 * per_dev + 8
+    query = make_sharded_postings(mesh, sp, cap, K)
+    hi, lo = _split64(qs_p)
+    import jax.numpy as jnp
+    n, rid, pos = (np.asarray(a) for a in
+                   query(jnp.asarray(hi), jnp.asarray(lo)))
+    n, rid, pos = n[:len(qs)], rid[:len(qs)], pos[:len(qs)]
+    checked_hits = 0
+    for i, h in enumerate(qs):
+        hit = pt.get(int(h))
+        if hit is None:
+            assert n[i] == 0, (i, n[i])
+            continue
+        rr, pp_, vv, ss = hit
+        want_n = min(len(rr), K)
+        assert n[i] == want_n, (i, n[i], len(rr))
+        if want_n:
+            got = {(int(r), int(p)) for r, p in
+                   zip(rid[i, :want_n], pos[i, :want_n])}
+            want = {((int(r) << 1) | int(v), int(p))
+                    for r, p, v in zip(rr[:K], pp_[:K], vv[:K])}
+            assert got == want, (i, got, want)
+            checked_hits += 1
+    assert checked_hits > 20
