@@ -365,7 +365,7 @@ def count_kmers_bloom_native(codes_list, k: int, bf_bits: int,
         ne = lib.ht_count_kmers_bloom(
             np.ascontiguousarray(flat, np.uint8), bounds, len(chunk), k,
             bloom, max(bf_bits - 6, 9), hbuf)
-        em = hbuf[:ne]
+        em = hbuf[:ne]                   # partition-ordered, not sorted
         em.sort()                        # numpy SIMD sort
         cb = np.empty(max(ne, 1), np.uint32)
         nu = lib.ht_unique_u64(em, ne, cb)

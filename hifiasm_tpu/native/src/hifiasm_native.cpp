@@ -1325,20 +1325,25 @@ extern "C" int64_t ht_count_kmers(
 }
 
 // Bloom-gated k-mer emission (~yak_bf_insert counting pass 0,
-// htab.cpp:74-116): insert each HPC k-mer hash into a shared blocked
-// bloom filter (512-bit cache-line blocks, 4 probes) and emit it ONLY
-// if all probed bits were already set — i.e. singletons (mostly
-// sequencing errors) never reach the sort/count stage, like the
-// reference's -f pre-filter. `bloom` is a caller-owned uint64 array of
-// (1 << words_log2) words persisting across chunked calls; insertion
-// uses atomic fetch_or, so a k-mer's two concurrent FIRST occurrences
-// may occasionally both be swallowed (bounded count noise, on par with
-// the bloom's own false-positive noise). Emitted hashes are compacted
-// into hbuf; returns the emitted count.
+// htab.cpp:74-116): enumerate the chunk's HPC k-mer hashes, route them
+// to partitions by the hash TOP bits with a deterministic counting-sort
+// scatter, then each OpenMP thread runs the blocked bloom (512-bit
+// blocks, 4 probes) over its EXCLUSIVE partition — block index also
+// comes from the top bits, so partitions never share a block: no
+// atomics, fully deterministic (the reference's per-bucket threading
+// gives the same property). A hash is emitted ONLY when all probed
+// bits were already set — singletons (mostly sequencing errors) never
+// reach the count stage, like the reference's -f pre-filter. `bloom`
+// is a caller-owned uint64 array of (1 << words_log2) words persisting
+// across chunked calls. Emitted hashes are compacted into hbuf
+// (partition-ordered, NOT fully sorted); returns the count.
 extern "C" int64_t ht_count_kmers_bloom(
     const uint8_t* codes, const int64_t* bounds, int64_t n_reads,
     int64_t k, uint64_t* bloom, int64_t words_log2, uint64_t* hbuf) {
-    const uint64_t n_blocks = (1ULL << words_log2) >> 3;  // 8 words/block
+    const int64_t blocks_log2 = words_log2 - 3;   // 8 words/block
+    const int P_LOG2 = blocks_log2 < 6 ? (int)blocks_log2 : 6;
+    const int P = 1 << P_LOG2;                    // <= 64 partitions
+    const int shift = 64 - P_LOG2;
     std::vector<int64_t> nk(n_reads, 0);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 8)
@@ -1347,31 +1352,76 @@ extern "C" int64_t ht_count_kmers_bloom(
         uint64_t* out = hbuf + bounds[r];
         int64_t wr = 0;
         for_read_kmers(codes + bounds[r], bounds[r + 1] - bounds[r], k,
-                       [&](uint64_t h) {
-            const uint64_t m = h * 0x9E3779B97F4A7C15ULL;
-            uint64_t* blk = bloom + ((m >> 24) % n_blocks) * 8;
-            int seen = 1;
-            uint64_t probes = m;
-            for (int p = 0; p < 4; ++p, probes >>= 9) {
-                const uint64_t bit = probes & 511;
-                uint64_t* w = blk + (bit >> 6);
-                const uint64_t msk = 1ULL << (bit & 63);
-                const uint64_t old =
-                    __atomic_fetch_or(w, msk, __ATOMIC_RELAXED);
-                seen &= (old & msk) != 0;
-            }
-            if (seen) out[wr++] = h;
-        });
+                       [&](uint64_t h) { out[wr++] = h; });
         nk[r] = wr;
     }
-    int64_t tot = 0;
+    // per-(read, partition) histogram -> deterministic scatter offsets
+    std::vector<int64_t> rp((size_t)n_reads * P, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
     for (int64_t r = 0; r < n_reads; ++r) {
-        if (tot != bounds[r] && nk[r])
-            std::memmove(hbuf + tot, hbuf + bounds[r],
-                         (size_t)nk[r] * sizeof(uint64_t));
-        tot += nk[r];
+        const uint64_t* in = hbuf + bounds[r];
+        int64_t* row = rp.data() + (size_t)r * P;
+        for (int64_t i = 0; i < nk[r]; ++i) row[in[i] >> shift]++;
     }
-    return tot;
+    std::vector<int64_t> pbase(P + 1, 0);
+    {   // partition bases, then per-read cursors within each partition
+        std::vector<int64_t> psum(P, 0);
+        for (int64_t r = 0; r < n_reads; ++r)
+            for (int p = 0; p < P; ++p) psum[p] += rp[(size_t)r * P + p];
+        for (int p = 0; p < P; ++p) pbase[p + 1] = pbase[p] + psum[p];
+        std::vector<int64_t> cur(pbase.begin(), pbase.end() - 1);
+        for (int64_t r = 0; r < n_reads; ++r)
+            for (int p = 0; p < P; ++p) {
+                const int64_t c = rp[(size_t)r * P + p];
+                rp[(size_t)r * P + p] = cur[p];
+                cur[p] += c;
+            }
+    }
+    const int64_t tot = pbase[P];
+    std::vector<uint64_t> buf2(tot);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const uint64_t* in = hbuf + bounds[r];
+        int64_t* row = rp.data() + (size_t)r * P;
+        for (int64_t i = 0; i < nk[r]; ++i)
+            buf2[row[in[i] >> shift]++] = in[i];
+    }
+    // exclusive-block bloom scan per partition
+    std::vector<int64_t> emitted(P, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int p = 0; p < P; ++p) {
+        uint64_t* w = buf2.data() + pbase[p];
+        int64_t we = 0;
+        for (int64_t i = pbase[p]; i < pbase[p + 1]; ++i) {
+            const uint64_t h = buf2[i];
+            uint64_t* blk = bloom + (h >> (64 - blocks_log2)) * 8;
+            const uint64_t m = h * 0x9E3779B97F4A7C15ULL;
+            int seen = 1;
+            uint64_t probes = m;
+            for (int q = 0; q < 4; ++q, probes >>= 9) {
+                const uint64_t bit = probes & 511;
+                uint64_t* wd = blk + (bit >> 6);
+                const uint64_t msk = 1ULL << (bit & 63);
+                seen &= (*wd & msk) != 0;
+                *wd |= msk;
+            }
+            if (seen) w[we++] = h;
+        }
+        emitted[p] = we;
+    }
+    int64_t ne = 0;
+    for (int p = 0; p < P; ++p) {
+        std::memcpy(hbuf + ne, buf2.data() + pbase[p],
+                    (size_t)emitted[p] * sizeof(uint64_t));
+        ne += emitted[p];
+    }
+    return ne;
 }
 
 // In-place unique+count scan over an already-sorted uint64 array.
