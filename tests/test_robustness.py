@@ -84,3 +84,27 @@ def test_ont_mode_smoke(rng, tmp_path):
     res = assemble(store, cfg, write_outputs=False)
     assert res.ec.paf.total > 0
     assert len(res.ug) >= 1
+
+
+def test_assembly_is_deterministic(rng, tmp_path):
+    """Fixed seed + deterministic kernels: identical reruns produce
+    byte-identical outputs (the reference's determinism oracle,
+    SURVEY 4; seed=11, CommandLines.cpp:325)."""
+    from hifiasm_tpu.assemble import assemble
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.io.readstore import ReadStore
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 12000)
+    reads, _, _ = sample_reads(rng, g, depth=10, read_len=2000,
+                               err_rate=0.003)
+    outs = []
+    for run in range(2):
+        store = ReadStore.from_arrays(
+            [f"r{i}" for i in range(len(reads))],
+            [r.copy() for r in reads])
+        cfg = HifiasmConfig(output_prefix=str(tmp_path / f"run{run}"),
+                            n_rounds_ec=1, ignore_bin=True)
+        assemble(store, cfg)
+        outs.append((tmp_path / f"run{run}.bp.p_ctg.gfa").read_bytes())
+    assert outs[0] == outs[1]
