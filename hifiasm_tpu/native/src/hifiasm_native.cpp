@@ -219,10 +219,14 @@ extern "C" void ht_chain_dp(
     double bw_rate, double chn_pen_gap, double chn_pen_skip,
     int64_t* f, int64_t* pre) {
     const int64_t NEG = -(1LL << 62);
+    const int64_t max_dis = 5000;   // set_lchain_dp_op, anchor.cpp:2276
+    int64_t lo = 0;        // anchors sorted by SELF offset: two-pointer
     for (int64_t i = 0; i < n; ++i) {
         const int64_t si = self_off[i], oi = t_off[i];
         const int64_t spi = span[i], wi = weight[i];
-        const int64_t st = i - max_iter > 0 ? i - max_iter : 0;
+        while (lo < i && si - self_off[lo] > max_dis) ++lo;
+        int64_t st = i - max_iter > 0 ? i - max_iter : 0;
+        if (lo > st) st = lo;
         int64_t best = NEG, bj = -1;
         const int64_t sf_r = xl - (si + 1);
         const int64_t ot_r = yl - (oi + 1);
@@ -230,7 +234,7 @@ extern "C" void ht_chain_dp(
         for (int64_t j = st; j < i; ++j) {
             const int64_t dq = si - self_off[j];
             const int64_t dr = oi - t_off[j];
-            if (dq <= 0 || dr <= 0) continue;
+            if (dq <= 0 || dr <= 0 || dr > max_dis) continue;
             const int64_t dd = dr > dq ? dr - dq : dq - dr;
             const int64_t dg = dr < dq ? dr : dq;
             if (dd > 16) {   // bandwidth test is a no-op for dd <= 16

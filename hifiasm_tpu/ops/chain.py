@@ -22,6 +22,7 @@ from typing import List, Tuple
 
 import numpy as np
 
+MAX_DIS = 5000      # set_lchain_dp_op max_dis (anchor.cpp:2276)
 NEG_INF = np.int64(-(1 << 62))
 
 
@@ -104,7 +105,8 @@ def chain_scores_batch_np(self_off: np.ndarray, t_off: np.ndarray,
         dq = si - self_off
         dr = oi - t_off
         ok = (jidx[None, :] < i) & (jidx[None, :] >= i - p.max_iter) & \
-            (jidx[None, :] < n[:, None]) & (dq > 0) & (dr > 0)
+            (jidx[None, :] < n[:, None]) & (dq > 0) & (dr > 0) & \
+            (dq <= MAX_DIS) & (dr <= MAX_DIS)
         dd = np.abs(dr - dq)
         dg = np.minimum(dr, dq)
         sf_s = np.maximum(self_off - t_off, 0)

@@ -53,7 +53,8 @@ def chain_scores_batch(self_off, t_off, span, weight, n, xl, yl,
         dq = si - self_off                               # [B, N]
         dr = oi - t_off
         valid = (jidx[None, :] < i) & (jidx[None, :] >= i - max_iter) & \
-            (jidx[None, :] < n[:, None]) & (dq > 0) & (dr > 0)
+            (jidx[None, :] < n[:, None]) & (dq > 0) & (dr > 0) & \
+            (dq <= 5000) & (dr <= 5000)   # max_dis (anchor.cpp:2276)
         dd = jnp.abs(dr - dq)
         dg = jnp.minimum(dr, dq)
         sf_s = jnp.maximum(self_off - t_off, 0)
