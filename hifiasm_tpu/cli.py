@@ -242,7 +242,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                                  adapter_len=cfg.adapter_len)
     log("main", f"loaded {store.n_reads} reads, {store.total_bases} bases")
     assemble(store, cfg)
+    # closing summary (~main.cpp:69-73)
+    import resource
+    import time
+
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    cpu = time.process_time()
+    print(f"[M::main] Version: 0.1.0 (hifiasm-tpu)", file=sys.stderr)
+    print(f"[M::main] CMD: hifiasm_tpu "
+          f"{' '.join(argv if argv is not None else sys.argv[1:])}",
+          file=sys.stderr)
+    print(f"[M::main] Real time: {time.time() - _T0:.3f} sec; "
+          f"CPU: {cpu:.3f} sec; Peak RSS: {peak_gb:.3f} GB",
+          file=sys.stderr)
     return 0
+
+
+_T0 = __import__("time").time()
 
 
 if __name__ == "__main__":
