@@ -315,3 +315,80 @@ def test_trio_matches_reference(rng, tmp_path):
         ref = total_s(str(tmp_path / f"ref.dip.{h}.p_ctg.gfa"))
         assert 0.7 * L < ours < 1.4 * L, (h, ours)
         assert abs(ours - ref) < 0.25 * max(ref, 1), (h, ours, ref)
+
+
+def test_write_ec_matches_reference(rng, tmp_path):
+    """--write-ec: both assemblers correct the same reads to (near)
+    identical sequences; measure residual error vs the true genome."""
+    L = 25000
+    g = make_genome(rng, L)
+    reads, starts, strands = sample_reads(rng, g, depth=12, read_len=3000,
+                                          err_rate=0.004)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  [r.copy() for r in reads])
+    cfg = HifiasmConfig(output_prefix=str(tmp_path / "ours"),
+                        n_rounds_ec=1, write_ec=True)
+    assemble(store, cfg)
+    subprocess.run([REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r1",
+                    "--write-ec", str(fa)],
+                   capture_output=True, check=True, timeout=600)
+
+    def read_fa(path):
+        seqs = {}
+        name = None
+        for ln in open(path):
+            if ln.startswith(">"):
+                name = ln[1:].split()[0]
+                seqs[name] = ""
+            else:
+                seqs[name] += ln.strip()
+        return seqs
+
+    ours = read_fa(str(tmp_path / "ours.ec.fa"))
+    ref = read_fa(str(tmp_path / "ref.ec.fa"))
+    assert set(ours) == set(ref)
+
+    def residual(seqs):
+        """Mean per-read residual edit rate vs the true genome segment
+        (banded Myers over the native engine; e=31 covers the budget)."""
+        from hifiasm_tpu.native import banded_batch_native
+
+        e = 31
+        xs, ys = [], []
+        for i in range(0, len(reads), 3):
+            name = f"r{i}"
+            seq = seq_to_codes(seqs[name].encode())
+            src = g[starts[i]:starts[i] + len(reads[i])]
+            if strands[i]:
+                src = revcomp_codes(src)
+            if abs(len(seq) - len(src)) > 50:
+                continue
+            xs.append(seq)
+            ys.append(src)
+        XL = max(len(x) for x in xs)
+        YL = XL + 2 * e
+        xb = np.full((len(xs), XL), 4, np.uint8)
+        yb = np.full((len(xs), YL), 4, np.uint8)
+        xl = np.zeros(len(xs), np.int64)
+        yl = np.zeros(len(xs), np.int64)
+        for j, (x, y) in enumerate(zip(xs, ys)):
+            xb[j, :len(x)] = x
+            yb[j, :min(len(y), YL)] = y[:YL]
+            xl[j] = len(x)
+            yl[j] = min(len(y), YL)
+        out = banded_batch_native(xb, xl, yb, yl, e, traceback=False)
+        ok = out.err >= 0
+        return float(out.err[ok].sum()) / max(int(xl[ok].sum()), 1)
+
+    r_ours = residual(ours)
+    r_ref = residual(ref)
+    # both must beat the raw 0.4% error rate substantially, and ours
+    # must be in the same league as the reference
+    assert r_ours < 0.002, r_ours
+    assert r_ours < max(2.5 * r_ref, 0.001), (r_ours, r_ref)
