@@ -177,11 +177,16 @@ def detect_switch_misjoins(utg_lens: np.ndarray, hits4: np.ndarray,
     breaks: dict = {}
     if misjoin_len <= 0 or len(hits4) == 0:
         return breaks
-    n = len(utg_lens)
-    inter = np.zeros((n, n), np.int64)
+    # sparse inter-unitig contact counts (a dense [n, n] matrix would be
+    # quadratic in unitig count at genome scale)
     sel = hits4[hits4[:, 0] != hits4[:, 2]]
-    np.add.at(inter, (sel[:, 0], sel[:, 2]), 1)
-    np.add.at(inter, (sel[:, 2], sel[:, 0]), 1)
+    inter: dict = {}
+    for a, b in zip(sel[:, 0], sel[:, 2]):
+        k = (int(a), int(b)) if a < b else (int(b), int(a))
+        inter[k] = inter.get(k, 0) + 1
+
+    def inter_of(a, b):
+        return inter.get((a, b) if a < b else (b, a), 0)
     for u in np.flatnonzero(utg_lens >= misjoin_len):
         # contacts of u: (position on u, partner)
         a = hits4[(hits4[:, 0] == u) & (hits4[:, 2] != u)][:, [1, 2]]
@@ -207,7 +212,8 @@ def detect_switch_misjoins(utg_lens: np.ndarray, hits4: np.ndarray,
         else:
             continue
         # ...and (different haplotype) barely contact each other
-        if inter[v1, v2] * 4 >= min(inter[u, v1], inter[u, v2]):
+        if inter_of(v1, v2) * 4 >= min(inter_of(int(u), v1),
+                                       inter_of(int(u), v2)):
             continue
         breaks[int(u)] = (lo + hi) // 2
     if breaks:
