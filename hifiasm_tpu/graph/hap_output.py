@@ -14,7 +14,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from hifiasm_tpu.graph.purge import unitig_trans_links
+from hifiasm_tpu.graph.purge import sym_link_edges, unitig_trans_links
 from hifiasm_tpu.graph.unitig import UnitigGraph
 from hifiasm_tpu.overlap.paf import PafStore
 from hifiasm_tpu.phasing.mc_solve import mc_solve
@@ -60,13 +60,18 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
         n_flip = 0
         if trio_dual:
             links = unitig_trans_links(ug, rev_paf, n_reads)
-            sym = links + links.T
+            edges = sym_link_edges(links)
+            best = {}
+            for (a, b), w in edges.items():
+                if w > best.get(a, (0, -1))[0]:
+                    best[a] = (w, b)
+                if w > best.get(b, (0, -1))[0]:
+                    best[b] = (w, a)
             for a in range(n):
-                if lab[a] == 0 or forced[a]:
+                if lab[a] == 0 or forced[a] or a not in best:
                     continue
-                b = int(np.argmax(sym[a]))
-                if sym[a, b] < 2 * min_link or lab[b] != lab[a] or \
-                        forced[b]:
+                w_ab, b = best[a]
+                if w_ab < 2 * min_link or lab[b] != lab[a] or forced[b]:
                     continue
                 # homologous pair on the same haplotype: flip the weaker
                 w = a if margin[a] <= margin[b] else b
@@ -88,13 +93,11 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
         ex, ey, ew = list(ex), list(ey), list(ew)
     else:
         ex, ey, ew = [], [], []
-        for a in range(n):
-            for b in range(a + 1, n):
-                w = links[a, b] + links[b, a]
-                if w >= min_link:
-                    ex.append(a)
-                    ey.append(b)
-                    ew.append(float(w))      # >0: different haplotypes
+        for (a, b), w in sorted(sym_link_edges(links).items()):
+            if w >= min_link:
+                ex.append(a)
+                ey.append(b)
+                ew.append(float(w))          # >0: different haplotypes
     if not ex:
         ids = list(range(n))
         return ids, list(ids)
@@ -124,13 +127,11 @@ def phase_unitigs_k(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
         return [[] for _ in range(k_hap)]
     links = unitig_trans_links(ug, rev_paf, n_reads)
     ex, ey, ew = [], [], []
-    for a in range(n):
-        for b in range(a + 1, n):
-            w = links[a, b] + links[b, a]
-            if w >= min_link:
-                ex.append(a)
-                ey.append(b)
-                ew.append(float(w))
+    for (a, b), w in sorted(sym_link_edges(links).items()):
+        if w >= min_link:
+            ex.append(a)
+            ey.append(b)
+            ew.append(float(w))
     if not ex:
         return [list(range(n)) for _ in range(k_hap)]
     lab = mc_solve_k(n, np.array(ex), np.array(ey), np.array(ew), k_hap,

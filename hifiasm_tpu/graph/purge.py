@@ -33,26 +33,40 @@ class PurgeResult:
 
 
 def unitig_trans_links(ug: UnitigGraph, rev_paf: PafStore,
-                       n_reads: int) -> np.ndarray:
-    """[n_utg, n_utg] count of trans (inter-hap) read links between unitigs
-    (~the unitig-coordinate lift of hap_alignment_advance_worker)."""
+                       n_reads: int):
+    """Sparse trans (inter-hap) read-link counts between unitigs
+    (~the unitig-coordinate lift of hap_alignment_advance_worker).
+
+    Returns ``{ua: {ub: count}}``; a dense [n, n] matrix is quadratic in
+    unitig count and breaks at genome scale."""
     read_utg = np.full(n_reads, -1, np.int64)
     for uid, u in enumerate(ug.utgs):
         read_utg[(u.vs >> 1).astype(np.int64)] = uid
-    n = len(ug.utgs)
-    links = np.zeros((n, n), np.int64)
+    links: dict = {}
     for rid in range(n_reads):
-        ua = read_utg[rid]
+        ua = int(read_utg[rid])
         if ua < 0:
             continue
         rec = rev_paf[rid]
         if len(rec) == 0:
             continue
+        row = links.setdefault(ua, {})
         ubs = np.unique(read_utg[rec.tn.astype(np.int64)])
         for ub in ubs:
+            ub = int(ub)
             if ub >= 0 and ub != ua:
-                links[ua, ub] += 1     # ONE distinct read of ua linked to ub
+                row[ub] = row.get(ub, 0) + 1   # ONE distinct read of ua
     return links
+
+
+def sym_link_edges(links: dict) -> dict:
+    """{(a, b) a<b: links[a][b] + links[b][a]} from the sparse rows."""
+    out: dict = {}
+    for a, row in links.items():
+        for b, c in row.items():
+            k = (a, b) if a < b else (b, a)
+            out[k] = out.get(k, 0) + c
+    return out
 
 
 def purge_dups(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
@@ -71,6 +85,7 @@ def purge_dups(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
     alive = np.ones(n, bool)
     alt, pairs = [], []
     for a in order:
+        a = int(a)
         if not alive[a]:
             continue
         # --purge-max: above the coverage bound the unitig is a
@@ -78,14 +93,15 @@ def purge_dups(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
         if max_cov >= 0 and utg_cov is not None and utg_cov[a] > max_cov:
             continue
         # strongest trans partner still alive and longer
-        cand = np.flatnonzero(alive & (lens >= lens[a]))
-        cand = cand[cand != a]
-        if len(cand) == 0:
+        row = links.get(a, {})
+        b, cnt_ab = -1, 0
+        for ub, c in row.items():
+            if ub != a and alive[ub] and lens[ub] >= lens[a] and c > cnt_ab:
+                b, cnt_ab = ub, c
+        if b < 0:
             continue
-        cnt = links[a, cand]
-        b = cand[np.argmax(cnt)]
-        frac = links[a, b] / max(n_reads_utg[a], 1)
-        if links[a, b] >= min_ovlp_reads and frac >= simi_rate:
+        frac = cnt_ab / max(n_reads_utg[a], 1)
+        if cnt_ab >= min_ovlp_reads and frac >= simi_rate:
             alive[a] = False
             alt.append(int(a))
             pairs.append((int(a), int(b), float(frac)))

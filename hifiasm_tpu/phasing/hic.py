@@ -130,22 +130,28 @@ def hic_link_matrix(n_utg: int, pe_hits: np.ndarray) -> np.ndarray:
     return m
 
 
-def combine_phase_weights(trans_links: np.ndarray, hic_links: np.ndarray,
+def combine_phase_weights(trans_links: dict, hic_links: np.ndarray,
                           hic_scale: float = 1.0, min_evidence: int = 2
                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Edges for mc_solve: w > 0 different hap (trans), w < 0 same hap
-    (Hi-C), following the reference's weighting rounds (hic.cpp:17082)."""
-    n = trans_links.shape[0]
+    (Hi-C), following the reference's weighting rounds (hic.cpp:17082).
+    ``trans_links`` is the sparse {a: {b: count}} form."""
+    from hifiasm_tpu.graph.purge import sym_link_edges
+
+    pairs = dict(sym_link_edges(trans_links))
+    hr, hc = np.nonzero(hic_links)
+    for a, b in zip(hr, hc):
+        if a < b:
+            pairs.setdefault((int(a), int(b)), 0)
     ex, ey, ew = [], [], []
-    for a in range(n):
-        for b in range(a + 1, n):
-            t = trans_links[a, b] + trans_links[b, a]
-            h = hic_links[a, b]
-            if t + h < min_evidence:
-                continue
-            ex.append(a)
-            ey.append(b)
-            ew.append(float(t) - hic_scale * float(h))
+    for (a, b) in sorted(pairs):
+        t = pairs[(a, b)]
+        h = int(hic_links[a, b])
+        if t + h < min_evidence:
+            continue
+        ex.append(a)
+        ey.append(b)
+        ew.append(float(t) - hic_scale * float(h))
     return (np.array(ex, np.int64), np.array(ey, np.int64),
             np.array(ew, np.float64))
 

@@ -27,9 +27,7 @@ def test_hic_phasing_separates_haplotypes(rng):
         pe.append((0, 1))
         pe.append((2, 3))
     hic = hic_link_matrix(4, np.array(pe))
-    trans = np.zeros((4, 4), np.int64)
-    trans[0, 2] = trans[2, 0] = 20
-    trans[1, 3] = trans[3, 1] = 20
+    trans = {0: {2: 20}, 2: {0: 20}, 1: {3: 20}, 3: {1: 20}}
     ex, ey, ew = combine_phase_weights(trans, hic)
     s = mc_solve(4, ex, ey, ew, n_perturb=100)
     assert s[0] == s[1] and s[2] == s[3]
