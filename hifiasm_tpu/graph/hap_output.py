@@ -26,7 +26,7 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
                   trio_flags: Optional[np.ndarray] = None,
                   n_perturb: int = 10000, f_perturb: float = 0.1,
                   seed: int = 11, min_link: int = 2,
-                  hic_links: Optional[np.ndarray] = None,
+                  hic_links: Optional[dict] = None,
                   trio_occ_thres: int = 60, trio_dual: bool = False
                   ) -> Tuple[List[int], List[int]]:
     """Returns (hap1_ids, hap2_ids); hom unitigs appear in both.

@@ -121,32 +121,32 @@ def map_hic_pairs(index: UnitigIndex, pairs, k: int = HIC_K) -> np.ndarray:
     return hits
 
 
-def hic_link_matrix(n_utg: int, pe_hits: np.ndarray) -> np.ndarray:
-    """Symmetric inter-unitig Hi-C contact counts."""
-    m = np.zeros((n_utg, n_utg), np.int64)
+def hic_link_matrix(n_utg: int, pe_hits: np.ndarray) -> dict:
+    """Symmetric inter-unitig Hi-C contact counts, sparse
+    {(a, b) a<b: count} (dense [n, n] breaks at genome scale)."""
+    m: dict = {}
     sel = pe_hits[pe_hits[:, 0] != pe_hits[:, 1]]
-    np.add.at(m, (sel[:, 0], sel[:, 1]), 1)
-    np.add.at(m, (sel[:, 1], sel[:, 0]), 1)
+    for a, b in zip(sel[:, 0], sel[:, 1]):
+        k = (int(a), int(b)) if a < b else (int(b), int(a))
+        m[k] = m.get(k, 0) + 1
     return m
 
 
-def combine_phase_weights(trans_links: dict, hic_links: np.ndarray,
+def combine_phase_weights(trans_links: dict, hic_links: dict,
                           hic_scale: float = 1.0, min_evidence: int = 2
                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Edges for mc_solve: w > 0 different hap (trans), w < 0 same hap
     (Hi-C), following the reference's weighting rounds (hic.cpp:17082).
-    ``trans_links`` is the sparse {a: {b: count}} form."""
+    Both inputs are sparse: trans {a: {b: count}}, hic {(a, b): count}."""
     from hifiasm_tpu.graph.purge import sym_link_edges
 
     pairs = dict(sym_link_edges(trans_links))
-    hr, hc = np.nonzero(hic_links)
-    for a, b in zip(hr, hc):
-        if a < b:
-            pairs.setdefault((int(a), int(b)), 0)
+    for k in hic_links:
+        pairs.setdefault(k, 0)
     ex, ey, ew = [], [], []
     for (a, b) in sorted(pairs):
         t = pairs[(a, b)]
-        h = int(hic_links[a, b])
+        h = hic_links.get((a, b), 0)
         if t + h < min_evidence:
             continue
         ex.append(a)
