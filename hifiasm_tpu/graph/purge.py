@@ -42,20 +42,17 @@ def unitig_trans_links(ug: UnitigGraph, rev_paf: PafStore,
     read_utg = np.full(n_reads, -1, np.int64)
     for uid, u in enumerate(ug.utgs):
         read_utg[(u.vs >> 1).astype(np.int64)] = uid
+    qn, cols = rev_paf.flatten()
+    ua = read_utg[qn.astype(np.int64)]
+    ub = read_utg[cols["tn"].astype(np.int64)]
+    keep = (ua >= 0) & (ub >= 0) & (ua != ub)
+    # ONE distinct read of ua per ub: unique (read, target-unitig) pairs
+    pair = np.unique(np.stack([qn[keep].astype(np.int64), ua[keep],
+                               ub[keep]], axis=1), axis=0)
     links: dict = {}
-    for rid in range(n_reads):
-        ua = int(read_utg[rid])
-        if ua < 0:
-            continue
-        rec = rev_paf[rid]
-        if len(rec) == 0:
-            continue
-        row = links.setdefault(ua, {})
-        ubs = np.unique(read_utg[rec.tn.astype(np.int64)])
-        for ub in ubs:
-            ub = int(ub)
-            if ub >= 0 and ub != ua:
-                row[ub] = row.get(ub, 0) + 1   # ONE distinct read of ua
+    for a, b in zip(pair[:, 1], pair[:, 2]):
+        row = links.setdefault(int(a), {})
+        row[int(b)] = row.get(int(b), 0) + 1
     return links
 
 
