@@ -27,11 +27,19 @@ def asg_cut_tips(g: StringGraph, max_ext: int,
     ``protect``: boolean per-read mask (telomeric reads) that keeps the
     whole tip alive (~the uopt->te threading of gfa_ut.cpp:3059)."""
     n_removed = 0
-    for v0 in range(2 * g.n_seq):
+    # vectorized tip-start detection: live vertices with no predecessors
+    # (in-degree of v = live out-degree of v^1)
+    u = g.arc_u().astype(np.int64)
+    out_live = np.bincount(u[g.del_ == 0], minlength=2 * g.n_seq)
+    live_v = np.repeat(g.seq_del == 0, 2)
+    starts = np.flatnonzero(live_v &
+                            (out_live[np.arange(2 * g.n_seq) ^ 1] == 0))
+    for v0 in starts:
+        v0 = int(v0)
         if g.seq_del[v0 >> 1]:
-            continue
+            continue              # removed earlier in this pass
         if len(g.arcs_of(v0 ^ 1)) != 0:
-            continue  # has predecessors; not a tip start
+            continue
         # walk forward from the tip
         chain = [v0]
         v = v0
@@ -68,26 +76,27 @@ def asg_cut_tips(g: StringGraph, max_ext: int,
 
 def asg_arc_del_short(g: StringGraph, drop_ratio: float) -> int:
     """Drop arcs whose overlap is much weaker than the best at the vertex
-    (~asg_arc_del_short / asg_arc_cut_length). Keeps >= 1 arc per vertex."""
-    to_del = []
-    for v in range(2 * g.n_seq):
-        ai = g.arcs_of(v)
-        if len(ai) < 2:
-            continue
-        ols = g.ol[ai]
-        thres = int(ols.max() * drop_ratio)
-        for k in np.flatnonzero(ols < thres):
-            w = int(g.v[ai[k]])
-            # only drop if target keeps another incoming arc
-            if len(g.arcs_of(w ^ 1)) >= 2:
-                to_del.append(ai[k])
-    if to_del:
-        g.del_[np.array(to_del)] = 1
-        g.symm_del()
-        g.cleanup()
-    log("asg_arc_del_short", f"dropped {len(to_del)} weak arcs "
+    (~asg_arc_del_short / asg_arc_cut_length). Keeps >= 1 arc per vertex.
+    Vectorized: per-vertex max overlap via segment reduction."""
+    n = 0
+    if g.n_arcs:
+        u = g.arc_u().astype(np.int64)
+        w = g.v.astype(np.int64)
+        live = g.del_ == 0
+        out_live = np.bincount(u[live], minlength=2 * g.n_seq)
+        best = np.zeros(2 * g.n_seq, np.int64)
+        np.maximum.at(best, u[live], g.ol[live])
+        thres = (best * drop_ratio).astype(np.int64)
+        cand = live & (out_live[u] >= 2) & (g.ol < thres[u]) & \
+            (out_live[w ^ 1] >= 2)
+        n = int(cand.sum())
+        if n:
+            g.del_[cand] = 1
+            g.symm_del()
+            g.cleanup()
+    log("asg_arc_del_short", f"dropped {n} weak arcs "
         f"(ratio {drop_ratio:.2f})")
-    return len(to_del)
+    return n
 
 
 def asg_pop_bubble(g: StringGraph, max_dist: int,
@@ -96,9 +105,13 @@ def asg_pop_bubble(g: StringGraph, max_dist: int,
     asg_bub_pop1). Keeps the highest-coverage path; deletes the rest."""
     n_pop = 0
     alen = g.arc_len()
-    for v0 in range(2 * g.n_seq):
+    u = g.arc_u().astype(np.int64)
+    out_live = np.bincount(u[g.del_ == 0], minlength=2 * g.n_seq)
+    starts = np.flatnonzero(np.repeat(g.seq_del == 0, 2) & (out_live >= 2))
+    for v0 in starts:
+        v0 = int(v0)
         if g.seq_del[v0 >> 1]:
-            continue
+            continue              # popped earlier in this pass
         if len(g.arcs_of(v0)) < 2:
             continue
         result = _bub_finder(g, v0, max_dist, alen, read_cov)
@@ -115,6 +128,7 @@ def asg_pop_bubble(g: StringGraph, max_dist: int,
         if changed:
             n_pop += 1
             g.cleanup()
+            alen = g.arc_len()     # cleanup() compacted the arc arrays
     log("asg_pop_bubble", f"popped {n_pop} bubbles")
     return n_pop
 
