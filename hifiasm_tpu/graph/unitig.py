@@ -56,15 +56,29 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
             return None, 0
         return int(g.v[ai[0]]), int(alen[ai[0]])
 
-    for v0 in range(n_vtx):
+    # vectorized start detection (same ascending visit order as a full
+    # scan): v0 is interior iff its single predecessor also has a single
+    # successor; everything else that is live starts a unitig
+    live_v = np.repeat(g.seq_del == 0, 2)
+    u_arr = g.arc_u().astype(np.int64)
+    out_live = np.bincount(u_arr[g.del_ == 0], minlength=n_vtx)
+    vtx = np.arange(n_vtx)
+    starts_mask = live_v.copy()
+    one_in = live_v & (out_live[vtx ^ 1] == 1)
+    if one_in.any():
+        cand = np.flatnonzero(one_in)
+        # single live predecessor of v = complement of the only live arc
+        # out of v^1; first-live-arc per vertex via one unique() pass
+        live_idx = np.flatnonzero(g.del_ == 0)
+        uniq_u, first = np.unique(u_arr[live_idx], return_index=True)
+        first_arc = np.full(n_vtx, -1, np.int64)
+        first_arc[uniq_u] = live_idx[first]
+        pred = (g.v[first_arc[cand ^ 1]].astype(np.int64)) ^ 1
+        starts_mask[cand[out_live[pred] == 1]] = False
+    for v0 in np.flatnonzero(starts_mask):
+        v0 = int(v0)
         if visited[v0] or g.seq_del[v0 >> 1]:
             continue
-        # v0 starts a unitig iff its predecessor side is not a simple chain
-        ai_back = g.arcs_of(v0 ^ 1)
-        if len(ai_back) == 1:
-            w = int(g.v[ai_back[0]]) ^ 1
-            if _out_deg(g, w) == 1:
-                continue  # interior of a chain
         # walk forward
         path = [v0]
         seen_local = {v0}
@@ -100,7 +114,8 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
             end=(path[-1] ^ 1) if not circ else -1))
 
     # circles fully interior to chains (no start vertex) remain unvisited
-    for v0 in range(n_vtx):
+    for v0 in np.flatnonzero(~visited & live_v):
+        v0 = int(v0)
         if visited[v0] or g.seq_del[v0 >> 1]:
             continue
         path = [v0]
