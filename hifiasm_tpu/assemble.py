@@ -256,7 +256,7 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         from hifiasm_tpu.io.fastx import iter_fastx
         from hifiasm_tpu.io.readstore import seq_to_codes
         from hifiasm_tpu.phasing.hic import (
-            UnitigIndex, hic_link_matrix, map_hic_pairs,
+            UnitigIndex, hic_link_matrix,
         )
 
         seqs = [unitig_seq(u, res.store, res.cov) for u in res.ug.utgs]
@@ -286,8 +286,9 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             ug_cov = np.array([
                 int(np.round(res.read_cov[(u.vs >> 1)].mean()))
                 if len(u.vs) else 0 for u in res.ug.utgs], np.int64)
-        hits = map_hic_pairs(uidx, _pairs())
-        hic_links = hic_link_matrix(len(res.ug), hits)
+            hits4 = map_hic_pairs_pos(uidx, _pairs())
+        hic_links = hic_link_matrix(len(res.ug), hits4[:, [0, 2]])
+        hic_seqs, hic_hits4 = seqs, hits4
     hap1_ids, hap2_ids = [], []
     if not primary_mode and cfg.polyploidy > 2:
         # polyploid: k-hap labeling (~output_poly_trio, Overlaps.cpp:14682)
@@ -311,6 +312,30 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
             _gfa(f"{prefix}.{mode}.{name}.p_ctg.gfa", _sub_ug(res.ug, ids),
                  f"h{name[-1]}tg", ug_cov[ids] if len(ids) else None)
+        if mode == "hic" and not cfg.dual_scaf:
+            # Hi-C scaffolding per haplotype (~ha_aware_order,
+            # horder.cpp:4540): positioned PE hits -> end-proximity
+            # order graph -> greedy end matching -> scaffold FASTA
+            from hifiasm_tpu.io.readstore import codes_to_seq
+            from hifiasm_tpu.phasing.horder import (
+                end_weights, greedy_scaffold, scaffold_seqs,
+            )
+            lens_all = np.array([len(s) for s in hic_seqs], np.int64)
+            for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
+                idset = {int(i): k for k, i in enumerate(ids)}
+                sub_hits = [
+                    (idset[int(u1)], int(p1), idset[int(u2)], int(p2))
+                    for u1, p1, u2, p2 in hic_hits4
+                    if int(u1) in idset and int(u2) in idset]
+                sub_lens = lens_all[np.asarray(ids, np.int64)] \
+                    if ids else np.zeros(0, np.int64)
+                scafs = greedy_scaffold(
+                    len(ids), end_weights(len(ids), sub_lens, sub_hits))
+                sseqs = scaffold_seqs(scafs, [hic_seqs[i] for i in ids])
+                with open(f"{prefix}.hic.{name}.scaf.fa", "w") as f:
+                    for i, s in enumerate(sseqs):
+                        f.write(f">scaf{name}_{i + 1:06d}\n"
+                                f"{codes_to_seq(s).decode()}\n")
 
     if cfg.dual_scaf:
         from hifiasm_tpu.graph.unitig import unitig_seq

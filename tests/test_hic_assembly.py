@@ -59,3 +59,6 @@ def test_hic_mode_end_to_end(rng, tmp_path):
     # each haplotype output ~ one genome copy, not the whole diploid
     assert 0.5 * L < t1 < 1.6 * L, t1
     assert 0.5 * L < t2 < 1.6 * L, t2
+    # Hi-C scaffolds emitted per haplotype (~ha_aware_order)
+    assert (tmp_path / "asm.hic.hap1.scaf.fa").exists()
+    assert (tmp_path / "asm.hic.hap2.scaf.fa").exists()
