@@ -108,3 +108,23 @@ def test_assembly_is_deterministic(rng, tmp_path):
         assemble(store, cfg)
         outs.append((tmp_path / f"run{run}.bp.p_ctg.gfa").read_bytes())
     assert outs[0] == outs[1]
+
+
+def test_ont_mode_end_to_end(rng, tmp_path):
+    """--ont: smaller EC windows + chemistry-aware chimera detection
+    still assemble higher-error reads into one contig."""
+    from hifiasm_tpu.assemble import assemble
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.io.readstore import ReadStore
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 14000)
+    reads, _, _ = sample_reads(rng, g, depth=14, read_len=2500,
+                               err_rate=0.01)        # ONT-ish errors
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(output_prefix=str(tmp_path / "asm"),
+                        n_rounds_ec=2, is_ont=True)
+    res = assemble(store, cfg, write_outputs=False)
+    lens = sorted((u.len for u in res.ug.utgs), reverse=True)
+    assert lens and lens[0] > 0.75 * len(g), lens[:5]
