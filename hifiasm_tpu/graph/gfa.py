@@ -29,17 +29,20 @@ def write_gfa(f: IO[str], ug: UnitigGraph, store: ReadStore,
         seq = unitig_seq(u, store, cov)
         cov_i = int(coverage[i]) if coverage is not None else 0
         s_txt = "*" if noseq else codes_to_seq(seq).decode()
-        f.write(f"S\t{names[i]}\t{s_txt}\t"
-                f"LN:i:{len(seq)}\trd:i:{cov_i}\n")
+        lines = [f"S\t{names[i]}\t{s_txt}\t"
+                 f"LN:i:{len(seq)}\trd:i:{cov_i}\n"]
         off = 0
         for k, v in enumerate(u.vs):
             rid, d = int(v) >> 1, int(v) & 1
-            f.write(f"A\t{names[i]}\t{off}\t{'+-'[d]}\t{store.names[rid]}\t"
-                    f"{int(cov.s[rid])}\t{int(cov.e[rid])}\n")
+            lines.append(
+                f"A\t{names[i]}\t{off}\t{'+-'[d]}\t{store.names[rid]}\t"
+                f"{int(cov.s[rid])}\t{int(cov.e[rid])}\n")
             off += int(u.node_len[k])
-    for s, d, ol in zip(ug.a_src, ug.a_dst, ug.a_ol):
-        f.write(f"L\t{names[s >> 1]}\t{'+-'[int(s) & 1]}\t"
-                f"{names[d >> 1]}\t{'+-'[int(d) & 1]}\t{int(ol)}M\n")
+        f.write("".join(lines))
+    f.write("".join(
+        f"L\t{names[s >> 1]}\t{'+-'[int(s) & 1]}\t"
+        f"{names[d >> 1]}\t{'+-'[int(d) & 1]}\t{int(ol)}M\n"
+        for s, d, ol in zip(ug.a_src, ug.a_dst, ug.a_ol)))
 
 
 def write_fasta(f: IO[str], ug: UnitigGraph, store: ReadStore,
