@@ -270,34 +270,53 @@ def detect_chimeric_reads(paf: PafStore, lens: np.ndarray,
     sides but <= chem_cov reads across the joint. ``chem_flank`` requires
     > chem_cov support at least that far on both sides (--chem-f); the
     HiFi default (0, 0) keeps the strict zero-gap rule."""
+    n_reads = len(paf)
+    qn, pcols = paf.flatten()
+    qn = qn.astype(np.int64)
+    flat_live = (pcols["del_"] == 0) & (cov.del_[qn] == 0)
+    lens64 = lens.astype(np.int64)
     n_chim = 0
-    for i in range(len(paf)):
-        if cov.del_[i]:
-            continue
-        rec = paf[i]
-        live = rec.del_ == 0
-        if not live.any():
-            continue
-        L = int(lens[i])
-        if L <= 2 * chem_flank + 1:
-            continue
-        depth = np.zeros(L + 1, np.int32)
-        np.add.at(depth, np.minimum(rec.qs[live], L), 1)
-        np.add.at(depth, np.minimum(rec.qe[live], L), -1)
+    # chunked flat sweep (vectorized across reads; memory stays bounded)
+    CHUNK_BASES = 8_000_000
+    r0 = 0
+    while r0 < n_reads:
+        r1, bases = r0, 0
+        while r1 < n_reads and bases < CHUNK_BASES:
+            bases += int(lens64[r1])
+            r1 += 1
+        lens_c = lens64[r0:r1]
+        base = np.zeros(r1 - r0 + 1, np.int64)
+        np.cumsum(lens_c, out=base[1:])
+        tot = int(base[-1])
+        sel = flat_live & (qn >= r0) & (qn < r1)
+        rid_l = qn[sel] - r0
+        gs = base[rid_l] + np.minimum(pcols["qs"][sel], lens_c[rid_l])
+        ge = base[rid_l] + np.minimum(pcols["qe"][sel], lens_c[rid_l])
+        depth = np.bincount(gs, minlength=tot + 1).astype(np.int64) - \
+            np.bincount(ge, minlength=tot + 1).astype(np.int64)
         dp = np.cumsum(depth[:-1])
-        pmax = np.maximum.accumulate(dp)
-        smax = np.maximum.accumulate(dp[::-1])[::-1]
-        lo = chem_flank
-        hi = L - chem_flank
-        x = np.arange(lo, hi)
-        chimeric = bool(np.any(
-            (dp[lo:hi] <= chem_cov) &
-            (pmax[np.maximum(x - chem_flank, 0)] > chem_cov) &
-            (smax[np.minimum(x + chem_flank, L - 1)] > chem_cov)))
-        if chimeric:
-            cov.del_[i] = 1
-            cov.s[i] = cov.e[i] = 0
-            n_chim += 1
+        # segmented cummax via the +seg*BIG trick (seg non-decreasing)
+        seg = np.repeat(np.arange(r1 - r0, dtype=np.int64), lens_c)
+        big = np.int64(int(dp.max(initial=0)) + chem_cov + 2)
+        pmax = np.maximum.accumulate(dp + seg * big) - seg * big
+        smax = (np.maximum.accumulate((dp - seg * big)[::-1])[::-1]
+                + seg * big)
+        pos = np.arange(tot, dtype=np.int64)
+        off = pos - base[seg]                   # position within the read
+        interior = (off >= chem_flank) & (off < lens_c[seg] - chem_flank) \
+            & (lens_c[seg] > 2 * chem_flank + 1)
+        flag = interior & (dp <= chem_cov) & \
+            (pmax[np.maximum(pos - chem_flank, base[seg])] > chem_cov) & \
+            (smax[np.minimum(pos + chem_flank, base[seg + 1] - 1)]
+             > chem_cov)
+        if flag.any():
+            chim = np.unique(seg[flag]) + r0
+            chim = chim[cov.del_[chim] == 0]
+            cov.del_[chim] = 1
+            cov.s[chim] = 0
+            cov.e[chim] = 0
+            n_chim += len(chim)
+        r0 = r1
     if n_chim:
         log("detect_chimeric_reads", f"dropped {n_chim} chimeric reads")
     return n_chim
