@@ -137,6 +137,11 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     if n_tip:
         log("assemble", f"removed {n_tip} contig tips (--ctg-n)")
     break_by_coverage(ug, cov, b_low=cfg.b_low_cov, b_high=cfg.b_high_cov)
+    if cfg.post_join:
+        # -u: merge mutually-unique unitig pairs the contig-level
+        # cleanups exposed (~the reference's post-join, CommandLines:126)
+        from hifiasm_tpu.graph.unitig import ug_post_join
+        ug_post_join(ug, cov)
 
     # ultralong "double graph" integration (~create_ul_info/ul_load,
     # Overlaps.cpp:39180 -> inter.cpp:21693)

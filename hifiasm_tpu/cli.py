@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max overlap drop ratio [%(default)s]")
     p.add_argument("-y", dest="min_drop_rate", type=float, default=0.2,
                    help="min overlap drop ratio [%(default)s]")
+    p.add_argument("-u", dest="post_join", type=int, default=1,
+                   choices=(0, 1),
+                   help="post-join step for contigs which may improve "
+                        "N50; 0 to disable [%(default)s]")
     p.add_argument("--max-kocc", dest="max_kmer_cnt", type=int,
                    default=2000,
                    help="employ k-mers occurring <INT times to rescue "
@@ -206,7 +210,7 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "telo_min_score", "purge_overlap_len", "max_contig_tip",
               "ul_min_base", "misjoin_len", "trio_dual", "b_low_cov",
               "b_high_cov", "m_rate", "chemical_cov", "chemical_flank",
-              "purge_max_cov", "trans_base_rate_sec"):
+              "purge_max_cov", "trans_base_rate_sec", "post_join"):
         setattr(cfg, f, getattr(ns, f))
     cfg.read_files = ns.reads
     cfg.primary = ns.primary

@@ -71,6 +71,7 @@ class HifiasmConfig:
     purge_simi_rate_l3: float = 0.55
     purge_overlap_len: int = 1            # -O min linked reads
     max_contig_tip: int = 3               # --ctg-n
+    post_join: int = 1                    # -u (CommandLines.cpp:126)
     purge_max_cov: int = -1               # --purge-max (-1 auto)
     trans_base_rate_sec: float = 0.5      # --s-base (-1 disables)
 

@@ -333,3 +333,108 @@ def break_by_coverage(ug: UnitigGraph, cov: CoverageCut,
     if n_broken:
         log("break_by_coverage", f"{n_broken} coverage breaks")
     return n_broken
+
+
+def flip_unitig(u: Unitig, cov: CoverageCut) -> Unitig:
+    """Reverse-complement a unitig's read path.
+
+    Forward read i starts at S_i = sum(node_len[:i]) and ends at
+    S_i + extent_i; in reversed coordinates (length L) it spans
+    [L - end_i, L - S_i], so the reversed node lengths are the
+    differences of the forward END positions (last = extent of the
+    original first read). Verified by unitig_seq(flip(u)) ==
+    revcomp(unitig_seq(u))."""
+    n = len(u.vs)
+    ext = np.array([int(cov.e[int(v) >> 1] - cov.s[int(v) >> 1])
+                    for v in u.vs], np.int64)
+    starts = np.concatenate([[0], np.cumsum(u.node_len[:-1])])
+    ends = starts + ext
+    vs = (u.vs[::-1] ^ 1).astype(np.uint32)
+    node_len = np.empty(n, np.int64)
+    if n > 1:
+        node_len[:n - 1] = (ends[::-1][:-1] - ends[::-1][1:])
+    node_len[n - 1] = ext[0]
+    return Unitig(vs=vs, node_len=node_len, len=int(node_len.sum()),
+                  circ=u.circ, start=int(vs[0]),
+                  end=int(vs[-1]) ^ 1)
+
+
+def ug_post_join(ug: UnitigGraph, cov: CoverageCut) -> int:
+    """Post-join (-u, CommandLines.cpp:126): merge unitig pairs left
+    mutually unique by the contig-level cleanups (tip removal etc.);
+    ma_ug_gen only merges chains that were unambiguous in the READ
+    graph. The junction read keeps extent - overlap as its node length.
+    Returns the number of joins applied."""
+    n_join = 0
+    while True:
+        n = len(ug.utgs)
+        if n == 0 or len(ug.a_src) == 0:
+            break
+        deg = np.bincount(ug.a_src.astype(np.int64), minlength=2 * n)
+        src = ug.a_src.astype(np.int64)
+        dst = ug.a_dst.astype(np.int64)
+        pick = -1
+        for k in range(len(src)):
+            s, d, ol = int(src[k]), int(dst[k]), int(ug.a_ol[k])
+            if ol <= 0:
+                continue                   # bridged arc: no real overlap
+            if (s >> 1) == (d >> 1):
+                continue
+            if deg[s] != 1 or deg[d ^ 1] != 1:
+                continue                   # not mutually unique
+            if ug.utgs[s >> 1].circ or ug.utgs[d >> 1].circ:
+                continue
+            pick = k
+            break
+        if pick < 0:
+            break
+        s, d, ol = int(src[pick]), int(dst[pick]), int(ug.a_ol[pick])
+        ua, da = s >> 1, s & 1
+        ub, db = d >> 1, d & 1
+        a = ug.utgs[ua] if da == 0 else flip_unitig(ug.utgs[ua], cov)
+        b = ug.utgs[ub] if db == 0 else flip_unitig(ug.utgs[ub], cov)
+        # junction: a's last read contributes extent - ol
+        last = int(a.vs[-1])
+        ext_last = int(cov.e[last >> 1] - cov.s[last >> 1])
+        nl = a.node_len.copy()
+        nl[-1] = max(ext_last - ol, 0)
+        merged = Unitig(
+            vs=np.concatenate([a.vs, b.vs]).astype(np.uint32),
+            node_len=np.concatenate([nl, b.node_len]),
+            len=int(nl.sum() + b.node_len.sum()), circ=False,
+            start=int(a.vs[0]), end=int(b.vs[-1]) ^ 1)
+        # merged takes ua's slot (orientation: a-forward); arcs at the
+        # consumed ends disappear; outer ends remap
+        keep = np.ones(len(src), bool)
+        keep[pick] = False
+        comp = (src == (d ^ 1)) & (dst == (s ^ 1))
+        keep[comp] = False
+        src2, dst2, ol2 = src[keep], dst[keep], ug.a_ol[keep]
+
+        def remap(v):
+            # leaving a's outer end = ua<<1|(da^1) -> merged reverse-leave
+            out = np.where(v == (ua << 1 | (1 ^ da)), ua << 1 | 1, v)
+            # leaving b's outer end = ub<<1|db -> merged forward-leave
+            out = np.where(out == (ub << 1 | db), ua << 1, out)
+            return out
+
+        # entering arcs use the complement vertex of the end they enter
+        src2 = remap(src2)
+        dst2 = np.where(dst2 == (ua << 1 | (0 ^ da)), ua << 1, dst2)
+        dst2 = np.where(dst2 == (ub << 1 | (1 ^ db)), ua << 1 | 1, dst2)
+        ug.utgs[ua] = merged
+        drop = np.zeros(n, bool)
+        drop[ub] = True
+        remap_id = np.cumsum(~drop) - 1
+        ug.utgs = [u for i, u in enumerate(ug.utgs) if not drop[i]]
+        keep2 = ~drop[src2 >> 1] & ~drop[dst2 >> 1]
+        src2, dst2, ol2 = src2[keep2], dst2[keep2], ol2[keep2]
+        ug.a_src = ((remap_id[src2 >> 1] << 1) | (src2 & 1)).astype(
+            np.uint32)
+        ug.a_dst = ((remap_id[dst2 >> 1] << 1) | (dst2 & 1)).astype(
+            np.uint32)
+        ug.a_ol = ol2
+        n_join += 1
+    if n_join:
+        log("ug_post_join", f"joined {n_join} unitig pairs")
+    return n_join

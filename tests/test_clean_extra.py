@@ -166,3 +166,90 @@ def test_chimeric_low_support_junction():
     assert detect_chimeric_reads(paf, lens, cov, chem_cov=1,
                                  chem_flank=256) == 1
     assert cov.del_[0] == 1
+
+
+def test_flip_unitig_seq_is_revcomp(rng):
+    """flip_unitig must be an exact reverse-complement in sequence space
+    (checked on REAL assembled unitigs, incl. coverage-cut reads)."""
+    from hifiasm_tpu.assemble import assemble
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.graph.unitig import flip_unitig, unitig_seq
+    from hifiasm_tpu.io.readstore import ReadStore, revcomp_codes
+    from tests.synth import make_genome, sample_reads
+
+    # error-free reads: the overlap bases are identical whichever read
+    # supplies them, so the flip must be an EXACT revcomp (with errors,
+    # direction picks different reads for overlap regions — same as the
+    # reference's ma_ug_seq)
+    g = make_genome(rng, 12000)
+    reads, _, _ = sample_reads(rng, g, depth=10, read_len=2000,
+                               err_rate=0.0)
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig(output_prefix="/tmp/flip", n_rounds_ec=1,
+                        ignore_bin=True)
+    res = assemble(store, cfg, write_outputs=False)
+    checked = 0
+    for u in res.raw_ug.utgs:
+        if u.circ or len(u.vs) < 2:
+            continue
+        fwd = unitig_seq(u, res.store, res.cov)
+        rev = unitig_seq(flip_unitig(u, res.cov), res.store, res.cov)
+        assert np.array_equal(rev, revcomp_codes(fwd)), len(u.vs)
+        # double flip = identity
+        u2 = flip_unitig(flip_unitig(u, res.cov), res.cov)
+        assert np.array_equal(u2.vs, u.vs)
+        assert np.array_equal(u2.node_len, u.node_len)
+        checked += 1
+    assert checked >= 1
+
+
+def test_ug_post_join_merges_unique_pair():
+    from hifiasm_tpu.graph.sg import CoverageCut
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph, ug_post_join
+
+    # two 3-read unitigs joined tail(0)->head(1) with 500 bp overlap
+    def mk(rids):
+        vs = (np.array(rids, np.uint32) << 1)
+        return Unitig(vs=vs, node_len=np.full(len(vs), 1000, np.int64),
+                      len=1000 * len(vs), circ=False,
+                      start=int(vs[0]), end=int(vs[-1]) ^ 1)
+
+    ug = UnitigGraph([mk([0, 1, 2]), mk([3, 4, 5])])
+    ug.a_src = np.array([0 << 1, 1 << 1 | 1], np.uint32)
+    ug.a_dst = np.array([1 << 1, 0 << 1 | 1], np.uint32)
+    ug.a_ol = np.array([500, 500], np.int64)
+    cov = CoverageCut(np.zeros(6, np.int64), np.full(6, 1000, np.int64),
+                      np.zeros(6, np.uint8))
+    n = ug_post_join(ug, cov)
+    assert n == 1
+    assert len(ug) == 1
+    u = ug.utgs[0]
+    assert list(u.vs) == [0, 2, 4, 6, 8, 10]
+    # junction read contributes extent - ol = 500
+    assert list(u.node_len) == [1000, 1000, 500, 1000, 1000, 1000]
+    assert u.len == 5500
+    assert len(ug.a_src) == 0
+
+
+def test_ug_post_join_respects_branches():
+    from hifiasm_tpu.graph.sg import CoverageCut
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph, ug_post_join
+
+    def mk(rids):
+        vs = (np.array(rids, np.uint32) << 1)
+        return Unitig(vs=vs, node_len=np.full(len(vs), 1000, np.int64),
+                      len=1000 * len(vs), circ=False,
+                      start=int(vs[0]), end=int(vs[-1]) ^ 1)
+
+    # 0 branches to both 1 and 2: nothing mutually unique
+    ug = UnitigGraph([mk([0]), mk([1]), mk([2])])
+    ug.a_src = np.array([0 << 1, 0 << 1, 1 << 1 | 1, 2 << 1 | 1],
+                        np.uint32)
+    ug.a_dst = np.array([1 << 1, 2 << 1, 0 << 1 | 1, 0 << 1 | 1],
+                        np.uint32)
+    ug.a_ol = np.full(4, 500, np.int64)
+    cov = CoverageCut(np.zeros(3, np.int64), np.full(3, 1000, np.int64),
+                      np.zeros(3, np.uint8))
+    assert ug_post_join(ug, cov) == 0
+    assert len(ug) == 3
