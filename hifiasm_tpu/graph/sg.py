@@ -276,6 +276,29 @@ def detect_chimeric_reads(paf: PafStore, lens: np.ndarray,
     flat_live = (pcols["del_"] == 0) & (cov.del_[qn] == 0)
     lens64 = lens.astype(np.int64)
     n_chim = 0
+    if chem_cov == 0 and chem_flank == 0:
+        # HiFi default: zero-depth junction == internal gap in the union
+        # of overlap intervals — O(n_overlaps), no depth arrays
+        q = qn[flat_live]
+        qs = pcols["qs"][flat_live].astype(np.int64)
+        qe = pcols["qe"][flat_live].astype(np.int64)
+        order = np.lexsort((qs, q))
+        q, qs, qe = q[order], qs[order], qe[order]
+        if len(q):
+            big = np.int64(int(lens64.max(initial=0)) + 1)
+            cummax_e = np.maximum.accumulate(qe + q * big) - q * big
+            same = np.concatenate([[False], q[1:] == q[:-1]])
+            gap = same & (qs > np.concatenate([[0], cummax_e[:-1]]))
+            if gap.any():
+                chim = np.unique(q[gap])
+                cov.del_[chim] = 1
+                cov.s[chim] = 0
+                cov.e[chim] = 0
+                n_chim = len(chim)
+        if n_chim:
+            log("detect_chimeric_reads",
+                f"dropped {n_chim} chimeric reads")
+        return n_chim
     # chunked flat sweep (vectorized across reads; memory stays bounded)
     CHUNK_BASES = 8_000_000
     r0 = 0
