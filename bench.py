@@ -83,8 +83,10 @@ def _run_ours(reads) -> float:
     for f in os.listdir(WORK):           # never resume: measure a full run
         if f.startswith("ours"):
             os.unlink(os.path.join(WORK, f))
+    # bf_shift=0 == the reference's -f0 below: neither side builds the
+    # bloom prefilter, so the two measurements cover identical work
     cfg = HifiasmConfig(output_prefix=os.path.join(WORK, "ours"),
-                        n_rounds_ec=1, ignore_bin=True)
+                        n_rounds_ec=1, ignore_bin=True, bf_shift=0)
     t0 = time.time()
     assemble(store, cfg)
     return time.time() - t0

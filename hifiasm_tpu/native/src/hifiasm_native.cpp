@@ -212,62 +212,139 @@ extern "C" int64_t ht_banded_batch(
 #include <omp.h>
 #endif
 
-extern "C" void ht_chain_dp(
+// Exact re-expression of the reference chain DP (lchain_qdp_mcopy_fast,
+// Hash_Table.cpp:2097; scoring comput_sc_ch_ec :1515; bandwidth cal_bw
+// :1475; quick pre-pass quick_ck_lchain :2007). Groups here are single
+// (target, strand) anchor runs, so the reference's strand-segment
+// bookkeeping collapses: quick_check either resolves the whole group in
+// O(n) or the full DP (backward scan, max_skip break, max_ii fallback)
+// runs over all of it.
+
+static const int64_t CHAIN_NEG = -(1LL << 62);
+
+static inline int64_t chain_bw(int64_t sj, int64_t oj, int64_t si,
+                               int64_t oi, double bw_rate, int64_t xl,
+                               int64_t yl) {
+    int64_t sf_s = sj, sf_e = si + 1;
+    const int64_t sf_r = xl - sf_e, ot_r = yl - (oi + 1);
+    sf_s = (sf_s <= oj) ? 0 : sf_s - oj;
+    if (sf_r > ot_r) sf_e += ot_r; else sf_e = xl;
+    return (int64_t)((double)(sf_e - sf_s) * bw_rate);
+}
+
+static inline int64_t chain_pair_sc(int64_t si, int64_t oi, int64_t spi,
+                                    int64_t wi, int64_t sj, int64_t oj,
+                                    double bw_rate, double pen_gap,
+                                    double pen_skip, int64_t xl,
+                                    int64_t yl) {
+    const int64_t dq = si - sj;
+    if (dq <= 0) return CHAIN_NEG;
+    const int64_t dr = oi - oj;
+    if (dr <= 0) return CHAIN_NEG;
+    const int64_t dd = dr > dq ? dr - dq : dq - dr;
+    if (dd > 16 && dd > chain_bw(sj, oj, si, oi, bw_rate, xl, yl))
+        return CHAIN_NEG;
+    const int64_t dg = dr < dq ? dr : dq;
+    int64_t sc = spi < dg ? spi : dg;
+    sc = (sc >= wi) ? sc / (wi > 1 ? wi : 1) : 1;
+    if (dd || (dg > spi && dg > 0)) {
+        double lin = pen_gap * (double)dd;
+        const double a_pen =
+            (double)sc * (((double)dd / (double)dg) / bw_rate);
+        lin = (dd < 4) ? (lin < a_pen ? lin : a_pen)
+                       : (lin > a_pen ? lin : a_pen);
+        lin += pen_skip * (double)dg;
+        sc -= (int64_t)lin;
+    }
+    return sc;
+}
+
+// returns 1 when the quick pre-pass resolved the group (f/pre final; the
+// best index is then the LAST argmax of f), else 0 after the full DP.
+extern "C" int64_t ht_chain_dp(
     int64_t n, const int64_t* self_off, const int64_t* t_off,
     const int64_t* span, const int64_t* weight,
-    int64_t xl, int64_t yl, int64_t max_iter,
+    int64_t xl, int64_t yl, int64_t max_iter, int64_t max_skip,
+    int64_t max_dis, int64_t quick_check,
     double bw_rate, double chn_pen_gap, double chn_pen_skip,
-    int64_t* f, int64_t* pre) {
-    const int64_t NEG = -(1LL << 62);
-    const int64_t max_dis = 5000;   // set_lchain_dp_op, anchor.cpp:2276
-    int64_t lo = 0;        // anchors sorted by SELF offset: two-pointer
+    int64_t* f, int64_t* pre, int64_t* t) {
+    if (n <= 0) return 1;
+    // --- quick pre-pass: consecutive-link chain (quick_ck_lchain) ---
+    if (quick_check) {
+        int64_t msc0 = CHAIN_NEG, msc_i0 = -1, ddt = 0, z;
+        pre[0] = -1; f[0] = span[0];
+        msc0 = f[0]; msc_i0 = 0;
+        for (z = 1; z < n; ++z) {
+            const int64_t dq = self_off[z] - self_off[z - 1];
+            if (dq <= 0) break;
+            const int64_t dr = t_off[z] - t_off[z - 1];
+            if (dr <= 0) break;
+            const int64_t dd = dr > dq ? dr - dq : dq - dr;
+            if (dd > 16 && dd > chain_bw(self_off[z - 1], t_off[z - 1],
+                                         self_off[z], t_off[z], bw_rate,
+                                         xl, yl))
+                break;
+            int64_t sc = chain_pair_sc(self_off[z], t_off[z], span[z],
+                                       weight[z], self_off[z - 1],
+                                       t_off[z - 1], bw_rate, chn_pen_gap,
+                                       chn_pen_skip, xl, yl);
+            sc += f[z - 1];
+            if (sc < span[z]) break;
+            pre[z] = z - 1; f[z] = sc; ddt += dd;
+            if (f[z] >= msc0) { msc0 = f[z]; msc_i0 = z; }
+        }
+        if (z >= n && msc_i0 == n - 1) {
+            if (n >= 2 && ddt > 16 &&
+                ddt > chain_bw(self_off[0], t_off[0], self_off[n - 1],
+                               t_off[n - 1], bw_rate, xl, yl))
+                msc_i0 = -1;
+            if (msc_i0 == n - 1) return 1;
+        }
+    }
+    // --- full DP: backward scan + max_skip break + max_ii fallback ---
+    for (int64_t i = 0; i < n; ++i) t[i] = -1;
+    int64_t st = 0, max_ii = -1;
     for (int64_t i = 0; i < n; ++i) {
         const int64_t si = self_off[i], oi = t_off[i];
         const int64_t spi = span[i], wi = weight[i];
-        while (lo < i && si - self_off[lo] > max_dis) ++lo;
-        int64_t st = i - max_iter > 0 ? i - max_iter : 0;
-        if (lo > st) st = lo;
-        int64_t best = NEG, bj = -1;
-        const int64_t sf_r = xl - (si + 1);
-        const int64_t ot_r = yl - (oi + 1);
-        const int64_t sf_e = (sf_r <= ot_r) ? xl : si + 1 + ot_r;
-        for (int64_t j = st; j < i; ++j) {
-            const int64_t dq = si - self_off[j];
-            const int64_t dr = oi - t_off[j];
-            if (dq <= 0 || dr <= 0 || dr > max_dis) continue;
-            const int64_t dd = dr > dq ? dr - dq : dq - dr;
-            const int64_t dg = dr < dq ? dr : dq;
-            if (dd > 16) {   // bandwidth test is a no-op for dd <= 16
-                const int64_t sf_s = self_off[j] <= t_off[j]
-                                         ? 0 : self_off[j] - t_off[j];
-                const int64_t bw =
-                    (int64_t)((double)(sf_e - sf_s) * bw_rate);
-                if (dd > bw) continue;
+        int64_t max_f = spi, n_skip = 0, max_j = -1, end_j, j;
+        if (i - st > max_iter) st = i - max_iter;
+        for (j = i - 1; j >= st; --j) {
+            int64_t sc = chain_pair_sc(si, oi, spi, wi, self_off[j],
+                                       t_off[j], bw_rate, chn_pen_gap,
+                                       chn_pen_skip, xl, yl);
+            if (sc != CHAIN_NEG) {
+                sc += f[j];
+                if (sc > max_f) {
+                    max_f = sc; max_j = j;
+                    if (n_skip > 0) --n_skip;
+                } else if (t[j] == i) {
+                    if (++n_skip > max_skip) break;
+                }
+                if (pre[j] >= 0) t[pre[j]] = i;
             }
-            int64_t sc = spi < dg ? spi : dg;
-            sc = (sc >= wi) ? sc / (wi > 1 ? wi : 1) : 1;
-            int64_t pen = 0;
-            if (dd == 0) {
-                // exact reduction of the general formula at dd == 0:
-                // lin = min(0, 0) + chn_pen_skip * dg
-                if (dg > spi) pen = (int64_t)(chn_pen_skip * (double)dg);
-            } else {
-                double lin = chn_pen_gap * (double)dd;
-                const double dgm = dg > 1 ? (double)dg : 1.0;
-                const double a_pen =
-                    (double)sc * ((double)dd / dgm) / bw_rate;
-                lin = (dd < 4) ? (lin < a_pen ? lin : a_pen)
-                               : (lin > a_pen ? lin : a_pen);
-                lin += chn_pen_skip * (double)dg;
-                pen = (int64_t)lin;
-            }
-            const int64_t pair = sc - pen;
-            const int64_t tot = (f[j] == NEG) ? NEG : pair + f[j];
-            if (tot > best) { best = tot; bj = j; }
         }
-        if (best > spi) { f[i] = best; pre[i] = bj; }
-        else { f[i] = spi; pre[i] = -1; }
+        end_j = j;
+        if (max_ii < 0 || si > self_off[max_ii] + max_dis) {
+            int64_t mx = CHAIN_NEG;
+            max_ii = -1;
+            for (j = i - 1; j >= st && si <= max_dis + self_off[j]; --j)
+                if (mx < f[j]) { mx = f[j]; max_ii = j; }
+        }
+        if (max_ii >= 0 && max_ii < end_j) {
+            const int64_t tmp = chain_pair_sc(
+                si, oi, spi, wi, self_off[max_ii], t_off[max_ii], bw_rate,
+                chn_pen_gap, chn_pen_skip, xl, yl);
+            if (tmp != CHAIN_NEG && max_f < tmp + f[max_ii]) {
+                max_f = tmp + f[max_ii]; max_j = max_ii;
+            }
+        }
+        f[i] = max_f; pre[i] = max_j;
+        if (max_ii < 0 || (si <= max_dis + self_off[max_ii] &&
+                           f[max_ii] < f[i]))
+            max_ii = i;
     }
+    return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -290,7 +367,9 @@ extern "C" int64_t ht_chain_groups(
     const int64_t* self_off, const int64_t* t_off,
     const int64_t* span, const int64_t* weight,
     const int64_t* xl_g, const int64_t* yl_g,
-    int64_t max_iter, double bw_rate, double chn_pen_gap,
+    int64_t max_iter, int64_t max_skip, int64_t max_dis,
+    int64_t quick_check,
+    double bw_rate, double chn_pen_gap,
     double chn_pen_skip, int64_t mcopy_num, double mcopy_rate,
     int64_t mcopy_khit_cut,
     int64_t* chain_cnt,      // [G]
@@ -303,7 +382,7 @@ extern "C" int64_t ht_chain_groups(
 #pragma omp parallel
 #endif
     {
-    std::vector<int64_t> f, pre, seg;
+    std::vector<int64_t> f, pre, seg, tbuf;
     std::vector<uint8_t> used;
     std::vector<int64_t> cand;
 #ifdef _OPENMP
@@ -316,21 +395,31 @@ extern "C" int64_t ht_chain_groups(
         if (n == 0) continue;
         const int64_t xl = xl_g[g], yl = yl_g[g];
         f.assign(n, 0); pre.assign(n, -1); used.assign(n, 0);
-        ht_chain_dp(n, self_off + s, t_off + s, span + s, weight + s,
-                    xl, yl, max_iter, bw_rate, chn_pen_gap, chn_pen_skip,
-                    f.data(), pre.data());
-        // best chain, tie -> smaller projected overlap length
+        tbuf.resize(n);
+        const int64_t quick = ht_chain_dp(
+            n, self_off + s, t_off + s, span + s, weight + s,
+            xl, yl, max_iter, max_skip, max_dis, quick_check,
+            bw_rate, chn_pen_gap, chn_pen_skip,
+            f.data(), pre.data(), tbuf.data());
         int64_t msc = NEG, fmin = f[0];
         for (int64_t i = 0; i < n; ++i) {
             if (f[i] > msc) msc = f[i];
             if (f[i] < fmin) fmin = f[i];
         }
         int64_t msc_i = -1, best_ovl = 0;
-        for (int64_t i = 0; i < n; ++i) {
-            if (f[i] != msc) continue;
-            const int64_t ovl = chain_len1(self_off[s + i], xl,
-                                           t_off[s + i], yl);
-            if (msc_i < 0 || ovl < best_ovl) { msc_i = i; best_ovl = ovl; }
+        if (quick) {
+            // quick-resolved group: best = LAST argmax (quick_ck_lchain's
+            // ">=" update), no overlap-length tie-break
+            for (int64_t i = 0; i < n; ++i)
+                if (f[i] >= msc) msc_i = i;
+        } else {
+            // full DP: tie -> smaller projected overlap length
+            for (int64_t i = 0; i < n; ++i) {
+                if (f[i] != msc) continue;
+                const int64_t ovl = chain_len1(self_off[s + i], xl,
+                                               t_off[s + i], yl);
+                if (msc_i < 0 || ovl < best_ovl) { msc_i = i; best_ovl = ovl; }
+            }
         }
         // trace best (ascending order in hit_idx)
         auto trace = [&](int64_t end, bool stop_at_used) {
@@ -430,14 +519,9 @@ extern "C" int64_t ht_banded_jobs(
         const int64_t tl_full = t_len[b];
         const int64_t y0 = t_ws[b] - e;
         int64_t tl = xlen_in[b];
-        // materialise the virtually-padded target window once (small)
         int64_t pl = tl + 2 * e;
         if (tl_full - y0 < pl) pl = tl_full - y0;
         if (pl < 0) pl = 0;
-        for (int64_t j = 0; j < pl; ++j) {
-            const int64_t t = y0 + j;
-            ybuf[j] = (t >= 0 && t < tl_full) ? flat[t_base[b] + t] : 4;
-        }
         if (is_last[b] && pl < tl) tl = pl;   // suffix-overlap tail clamp
         // accepted windows write straight into the pre-initialised CSR
         // arena (defaults 5/0/0 already present); rejected ones write nothing
@@ -445,6 +529,35 @@ extern "C" int64_t ht_banded_jobs(
         uint8_t* icp = ic_arena + dst_base[b];
         uint8_t* ibp = ib_arena + dst_base[b];
         if (tl <= 0) { err_out[b] = -1; ys_out[b] = -1; yn_out[b] = 0; continue; }
+        // Exact fast path (the dominant case once reads are corrected,
+        // cf the reference's exact-overlap counter in cal_ov_r,
+        // ecovlp.cpp:6385): when x equals the target at shift 0, the DP
+        // below provably returns (err=0, yn=tl+e, ys=e, all-diagonal
+        // traceback) — the final-row scan can't beat 0 and the e3 ==
+        // best_err override pins yn to tl+e whenever pl - tl >= e — so
+        // a memcmp replaces the whole scan bit-identically.
+        if (pl - tl >= e && t_ws[b] >= 0) {
+            const uint8_t* yc = flat + t_base[b] + t_ws[b];
+            bool eq = true;
+            for (int64_t i2 = 0; i2 < tl; ++i2)
+                if (xb[i2] >= 4 || xb[i2] != yc[i2]) { eq = false; break; }
+            if (eq) {
+                err_out[b] = 0;
+                yn_out[b] = (int32_t)(tl + e);
+                if (traceback) {
+                    std::memcpy(tbp, xb, (size_t)tl);
+                    ys_out[b] = (int32_t)e;
+                } else {
+                    ys_out[b] = -1;
+                }
+                continue;
+            }
+        }
+        // materialise the virtually-padded target window once (small)
+        for (int64_t j = 0; j < pl; ++j) {
+            const int64_t t = y0 + j;
+            ybuf[j] = (t >= 0 && t < tl_full) ? flat[t_base[b] + t] : 4;
+        }
         const uint8_t* yb = ybuf.data();
         uint64_t peq[5] = {0, 0, 0, 0, 0};
         const int64_t w0 = W < pl ? W : pl;

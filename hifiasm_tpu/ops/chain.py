@@ -2,17 +2,23 @@
 
 Re-expresses the reference's quick-DP chaining (``lchain_qdp_mcopy_fast``,
 Hash_Table.cpp:2097-2284; scoring ``comput_sc_ch_ec`` :1515 and ``cal_bw``
-:1475) as an array program: for each anchor i the lookback over predecessors
-j is one vectorized score computation instead of a scalar loop with the
-skip/max_ii CPU heuristics (which only prune work, never improve scores —
-omitting them can only find equal-or-better chains).
+:1475).  Two implementations share the scoring:
+
+- ``chain_dp_ref`` — the scalar host oracle with the reference's exact
+  control flow: the ``quick_ck_lchain`` O(n) consecutive-link pre-pass
+  (Hash_Table.cpp:2007, resolves cleanly-collinear groups without the
+  O(n*iter) DP), then the backward predecessor scan with the
+  ``max_skip`` break and the ``max_ii`` long-range fallback.  The native
+  C++ kernel (ht_chain_dp) is bit-compatible with this.
+- ``chain_scores_batch_np`` — the vectorized [G, N] scorer mirrored by
+  the device version (ops/chain_jax.py).  It omits the sequential
+  pruning heuristics (they cannot vectorize); scores can differ from the
+  pruned path only where max_skip truncation would have hidden a
+  predecessor.
 
 Multi-copy extraction (secondary chains of repeats) follows the reference:
 after the best chain, endpoints with f >= mcopy_rate * best are traced
 greedily in score order, stopping at nodes already used.
-
-This is the host implementation; ops/chain_jax.py holds the batched
-lax.scan device version (same scoring, cross-validated in tests).
 """
 
 from __future__ import annotations
@@ -29,8 +35,9 @@ NEG_INF = np.int64(-(1 << 62))
 @dataclass
 class ChainParams:
     max_iter: int = 5000
-    max_dis: int = 5000
-    max_skip: int = 25            # unused (see module docstring)
+    max_dis: int = 5000           # bounds only the max_ii fallback window
+    max_skip: int = 25            # backward-scan skip break (minimap2)
+    quick_check: bool = True      # O(n) consecutive-link pre-pass
     bw_rate: float = 0.02         # bw_thres for HiFi EC
     chn_pen_gap: float = 0.5 * float(np.exp(-0.01 * 51))
     chn_pen_skip: float = 0.0005 * float(np.exp(-0.01 * 51))
@@ -136,6 +143,133 @@ def chain_scores_batch_np(self_off: np.ndarray, t_off: np.ndarray,
     return f, pre
 
 
+def _chain_bw(sj, oj, si, oi, bw_rate, xl, yl):
+    """~cal_bw (Hash_Table.cpp:1475)."""
+    sf_s, sf_e = sj, si + 1
+    sf_r, ot_r = xl - sf_e, yl - (oi + 1)
+    sf_s = 0 if sf_s <= oj else sf_s - oj
+    sf_e = sf_e + ot_r if sf_r > ot_r else xl
+    return int((sf_e - sf_s) * bw_rate)
+
+
+def _chain_pair_sc(si, oi, spi, wi, sj, oj, p: ChainParams, xl, yl):
+    """~comput_sc_ch_ec (Hash_Table.cpp:1515); None when invalid."""
+    dq = si - sj
+    if dq <= 0:
+        return None
+    dr = oi - oj
+    if dr <= 0:
+        return None
+    dd = abs(dr - dq)
+    if dd > 16 and dd > _chain_bw(sj, oj, si, oi, p.bw_rate, xl, yl):
+        return None
+    dg = min(dr, dq)
+    sc = min(spi, dg)
+    sc = sc // max(wi, 1) if sc >= wi else 1
+    if dd or (dg > spi and dg > 0):
+        lin = p.chn_pen_gap * dd
+        a_pen = sc * ((dd / dg) / p.bw_rate)
+        lin = min(lin, a_pen) if dd < 4 else max(lin, a_pen)
+        lin += p.chn_pen_skip * dg
+        sc -= int(lin)
+    return sc
+
+
+def chain_dp_ref(self_off, t_off, span, weight, xl: int, yl: int,
+                 p: ChainParams):
+    """Scalar oracle of the reference chain DP (lchain_qdp_mcopy_fast,
+    Hash_Table.cpp:2097): quick consecutive-link pre-pass
+    (quick_ck_lchain :2007), then — only if it fails — the full backward
+    scan with the max_skip break and the max_ii fallback.  The native
+    ht_chain_dp is bit-compatible (cross-validated in tests).
+
+    Returns (f, pre, quick): quick=True means the pre-pass resolved the
+    group (the best chain ends at the LAST anchor).
+    """
+    n = len(self_off)
+    f = np.zeros(n, np.int64)
+    pre = np.full(n, -1, np.int64)
+    if n == 0:
+        return f, pre, False
+    if p.quick_check:
+        f[0] = span[0]
+        msc0, msc_i0, ddt = int(f[0]), 0, 0
+        z = 1
+        while z < n:
+            dq = self_off[z] - self_off[z - 1]
+            dr = t_off[z] - t_off[z - 1]
+            if dq <= 0 or dr <= 0:
+                break
+            dd = abs(dr - dq)
+            if dd > 16 and dd > _chain_bw(self_off[z - 1], t_off[z - 1],
+                                          self_off[z], t_off[z],
+                                          p.bw_rate, xl, yl):
+                break
+            sc = _chain_pair_sc(self_off[z], t_off[z], span[z], weight[z],
+                                self_off[z - 1], t_off[z - 1], p, xl, yl)
+            sc += int(f[z - 1])
+            if sc < span[z]:
+                break
+            pre[z] = z - 1
+            f[z] = sc
+            ddt += dd
+            if f[z] >= msc0:
+                msc0, msc_i0 = int(f[z]), z
+            z += 1
+        if z >= n and msc_i0 == n - 1:
+            if n >= 2 and ddt > 16 and \
+                    ddt > _chain_bw(self_off[0], t_off[0], self_off[n - 1],
+                                    t_off[n - 1], p.bw_rate, xl, yl):
+                msc_i0 = -1
+            if msc_i0 == n - 1:
+                return f, pre, True
+    t = np.full(n, -1, np.int64)
+    st = 0
+    max_ii = -1
+    for i in range(n):
+        si, oi = int(self_off[i]), int(t_off[i])
+        spi, wi = int(span[i]), int(weight[i])
+        max_f, n_skip, max_j = spi, 0, -1
+        if i - st > p.max_iter:
+            st = i - p.max_iter
+        j = i - 1
+        while j >= st:
+            sc = _chain_pair_sc(si, oi, spi, wi, int(self_off[j]),
+                                int(t_off[j]), p, xl, yl)
+            if sc is not None:
+                sc += int(f[j])
+                if sc > max_f:
+                    max_f, max_j = sc, j
+                    if n_skip > 0:
+                        n_skip -= 1
+                elif t[j] == i:
+                    n_skip += 1
+                    if n_skip > p.max_skip:
+                        break
+                if pre[j] >= 0:
+                    t[pre[j]] = i
+            j -= 1
+        end_j = j
+        if max_ii < 0 or si > int(self_off[max_ii]) + p.max_dis:
+            mx, max_ii = None, -1
+            j = i - 1
+            while j >= st and si <= p.max_dis + int(self_off[j]):
+                if mx is None or mx < f[j]:
+                    mx, max_ii = int(f[j]), j
+                j -= 1
+        if max_ii >= 0 and max_ii < end_j:
+            tmp = _chain_pair_sc(si, oi, spi, wi, int(self_off[max_ii]),
+                                 int(t_off[max_ii]), p, xl, yl)
+            if tmp is not None and max_f < tmp + int(f[max_ii]):
+                max_f, max_j = tmp + int(f[max_ii]), max_ii
+        f[i] = max_f
+        pre[i] = max_j
+        if max_ii < 0 or (si <= p.max_dis + int(self_off[max_ii]) and
+                          f[max_ii] < f[i]):
+            max_ii = i
+    return f, pre, False
+
+
 def chain_dp_group(self_off: np.ndarray, t_off: np.ndarray, span: np.ndarray,
                    weight: np.ndarray, xl: int, yl: int, p: ChainParams
                    ) -> List[Tuple[int, np.ndarray]]:
@@ -147,23 +281,25 @@ def chain_dp_group(self_off: np.ndarray, t_off: np.ndarray, span: np.ndarray,
     n = len(self_off)
     if n == 0:
         return []
-    f, pre = chain_scores_batch_np(
-        np.asarray(self_off)[None], np.asarray(t_off)[None],
-        np.asarray(span)[None], np.asarray(weight)[None],
-        np.array([n]), np.array([xl]), np.array([yl]), p)
-    return extract_chains(f[0], pre[0], np.asarray(self_off, np.int64),
-                          np.asarray(t_off, np.int64), xl, yl, p)
+    so = np.asarray(self_off, np.int64)
+    to = np.asarray(t_off, np.int64)
+    f, pre, quick = chain_dp_ref(so, to, np.asarray(span, np.int64),
+                                 np.asarray(weight, np.int64), xl, yl, p)
+    return extract_chains(f, pre, so, to, xl, yl, p, quick=quick)
 
 
 def extract_chains(f: np.ndarray, pre: np.ndarray, self_off: np.ndarray,
-                   t_off: np.ndarray, xl: int, yl: int, p: ChainParams
-                   ) -> List[Tuple[int, np.ndarray]]:
+                   t_off: np.ndarray, xl: int, yl: int, p: ChainParams,
+                   quick: bool = False) -> List[Tuple[int, np.ndarray]]:
     """Best chain + multi-copy secondaries from a computed (f, pre)."""
     n = len(f)
-    # best chain: max f, tie -> smaller projected overlap length
     msc = int(f.max())
     cand = np.flatnonzero(f == msc)
-    if len(cand) > 1:
+    if quick:
+        # quick-resolved group: LAST argmax (quick_ck_lchain's ">=")
+        msc_i = int(cand[-1])
+    elif len(cand) > 1:
+        # full DP: tie -> smaller projected overlap length
         ovl = _chain_len(self_off[cand], self_off[cand], xl,
                          t_off[cand], t_off[cand], yl)
         msc_i = int(cand[np.argmin(ovl)])

@@ -341,8 +341,23 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
         except Exception:
             pass
 
-    # score in size buckets
     chains_of = {}
+    if not use_device:
+        # python fallback: scalar reference-semantics oracle per group
+        # (quick_check / max_skip pruning, same as the native kernel)
+        from hifiasm_tpu.ops.chain import chain_dp_group
+
+        for g, (ridx, s, e, tid, yl) in enumerate(groups):
+            _, an, rlen = reads[ridx]
+            chains_of[g] = chain_dp_group(
+                an.self_off[s:e].astype(np.int64),
+                an.t_off[s:e].astype(np.int64),
+                an.span[s:e].astype(np.int64),
+                an.weight[s:e].astype(np.int64), rlen, yl, params)
+        return _finish_chain_many(reads, groups, chains_of, tlens,
+                                  max_n_chain)
+
+    # device route: score in size buckets (unpruned batched scorer)
     sizes = np.array([e - s for _, s, e, _, _ in groups], np.int64)
     order = np.argsort(sizes, kind="stable")
     buckets = [32, 128, 512, 2048, 8192, 1 << 30]
@@ -406,7 +421,11 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                 f[bi, :m], pre[bi, :m], an.self_off[s:e].astype(np.int64),
                 an.t_off[s:e].astype(np.int64), rlen, yl, params)
 
-    # assemble per-read overlap regions
+    return _finish_chain_many(reads, groups, chains_of, tlens, max_n_chain)
+
+
+def _finish_chain_many(reads, groups, chains_of, tlens, max_n_chain):
+    """Assemble per-read overlap regions from per-group chains."""
     out = []
     g_by_read = {}
     for g, (ridx, s, e, tid, yl) in enumerate(groups):

@@ -99,25 +99,37 @@ def test_native_banded_speed(rng):
 
 
 def test_native_chain_matches_numpy(rng):
+    """Native chain DP == the scalar reference-semantics oracle, both on
+    quick-resolved (collinear) and full-DP (noisy/repeat) groups."""
     from hifiasm_tpu.native import chain_dp_native
-    from hifiasm_tpu.ops.chain import ChainParams, chain_scores_batch_np
+    from hifiasm_tpu.ops.chain import ChainParams, chain_dp_ref
 
     p = ChainParams.for_k(51)
-    for _ in range(10):
+    n_quick = 0
+    for it in range(14):
         n = int(rng.integers(5, 200))
         so = np.sort(rng.choice(np.arange(50, 5000), n, replace=False))
-        to = so + 40 + np.cumsum(rng.integers(-1, 2, n))
+        if it % 3 == 0:   # clean collinear group -> quick path
+            to = so + 40
+        elif it % 3 == 1:  # small jitter
+            to = so + 40 + np.cumsum(rng.integers(-1, 2, n))
+        else:              # two diagonals (repeat copy) -> full DP
+            to = so + np.where(np.arange(n) % 2 == 0, 40, 2300)
+            order = np.lexsort((to, so))
+            so, to = so[order], to[order]
         sp = np.full(n, 51)
         w = rng.integers(1, 3, n).astype(np.int64)
-        xl = yl = 5100
-        f_np, pre_np = chain_scores_batch_np(
-            so[None], to[None], sp[None], w[None], np.array([n]),
-            np.array([xl]), np.array([yl]), p)
+        xl = yl = 8000
+        f_py, pre_py, q_py = chain_dp_ref(
+            so.astype(np.int64), to.astype(np.int64), sp, w, xl, yl, p)
         out = chain_dp_native(so, to, sp, w, xl, yl, p)
         assert out is not None
-        f_nat, pre_nat = out
-        np.testing.assert_array_equal(f_nat, f_np[0])
-        np.testing.assert_array_equal(pre_nat, pre_np[0])
+        f_nat, pre_nat, q_nat = out
+        assert q_nat == q_py
+        n_quick += int(q_nat)
+        np.testing.assert_array_equal(f_nat, f_py)
+        np.testing.assert_array_equal(pre_nat, pre_py)
+    assert n_quick >= 4          # quick pre-pass actually exercised
 
 
 def test_native_chain_groups_matches_python(rng):
