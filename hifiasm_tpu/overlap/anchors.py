@@ -61,27 +61,24 @@ class OverlapRegions:
         return len(self.y_id)
 
     def take(self, idx: np.ndarray) -> "OverlapRegions":
+        idx = np.asarray(idx, np.int64)
         out = OverlapRegions(self.x_id)
         out.y_id = self.y_id[idx]
         out.rev = self.rev[idx]
         out.x_s, out.x_e = self.x_s[idx], self.x_e[idx]
         out.y_s, out.y_e = self.y_s[idx], self.y_e[idx]
         out.score, out.n_hits = self.score[idx], self.n_hits[idx]
-        # regather hits
-        starts, selfs, ts, spans = [], [], [], []
-        off = 0
-        new_start = []
-        for i in idx:
-            s, n = int(self.hit_start[i]), int(self.n_hits[i])
-            new_start.append(off)
-            selfs.append(self.hit_self[s:s + n])
-            ts.append(self.hit_t[s:s + n])
-            spans.append(self.hit_span[s:s + n])
-            off += n
-        out.hit_start = np.array(new_start, dtype=np.int64)
-        out.hit_self = np.concatenate(selfs) if selfs else np.zeros(0, np.int64)
-        out.hit_t = np.concatenate(ts) if ts else np.zeros(0, np.int64)
-        out.hit_span = np.concatenate(spans) if spans else np.zeros(0, np.int64)
+        # regather hits: one segmented gather (no per-overlap python loop)
+        n = self.n_hits[idx].astype(np.int64)
+        bounds = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(n, out=bounds[1:])
+        tot = int(bounds[-1])
+        seg = np.arange(tot) - np.repeat(bounds[:-1], n)
+        src = np.repeat(self.hit_start[idx], n) + seg
+        out.hit_start = bounds[:-1]
+        out.hit_self = self.hit_self[src]
+        out.hit_t = self.hit_t[src]
+        out.hit_span = self.hit_span[src]
         return out
 
 
@@ -289,7 +286,55 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
         except Exception:
             pass
 
-    # collect groups across reads
+    # native whole-batch DP + traceback on host when available: columns
+    # are plain concatenations of the per-read anchor arrays (groups are
+    # contiguous (tid, rev) runs within each read), group bounds come
+    # from one key-change scan — no per-group copy loop
+    if not use_device:
+        try:
+            from hifiasm_tpu.native import chain_groups_native, get_lib
+        except Exception:
+            get_lib = lambda: None  # noqa: E731
+        if get_lib() is not None:
+            nz = [(ridx, an, rlen) for ridx, (rid, an, rlen)
+                  in enumerate(reads) if len(an)]
+            if not nz:
+                return [_assemble_regions(rid, an, rlen, tlens, [],
+                                          max_n_chain)
+                        for rid, an, rlen in reads]
+            so = np.concatenate([an.self_off for _, an, _ in nz]
+                                ).astype(np.int64, copy=False)
+            to = np.concatenate([an.t_off for _, an, _ in nz]
+                                ).astype(np.int64, copy=False)
+            sp = np.concatenate([an.span for _, an, _ in nz]
+                                ).astype(np.int64, copy=False)
+            w = np.concatenate([an.weight for _, an, _ in nz]
+                               ).astype(np.int64, copy=False)
+            tid_all = np.concatenate([an.tid for _, an, _ in nz]
+                                     ).astype(np.int64, copy=False)
+            rev_all = np.concatenate([an.rev for _, an, _ in nz])
+            n_per = np.array([len(an) for _, an, _ in nz], np.int64)
+            ridx_all = np.repeat(
+                np.array([ridx for ridx, _, _ in nz], np.int64), n_per)
+            rlen_of = np.zeros(len(reads), np.int64)
+            for ridx, _, rlen in nz:
+                rlen_of[ridx] = rlen
+            key = (ridx_all << 33) | (tid_all << 1) | rev_all
+            cut = np.flatnonzero(key[1:] != key[:-1]) + 1
+            off = np.concatenate([[0], cut, [len(key)]]).astype(np.int64)
+            gstart = off[:-1]
+            read_g = ridx_all[gstart]
+            tid_g = tid_all[gstart]
+            rev_g = rev_all[gstart]
+            xlg = rlen_of[read_g]
+            ylg = tlens[tid_g].astype(np.int64)
+            cnt, score, start, hits, hit_idx = chain_groups_native(
+                off, so, to, sp, w, xlg, ylg, params)
+            return _assemble_regions_all(
+                reads, off, so, to, sp, xlg, ylg, tid_g, rev_g,
+                read_g, cnt, score, start, hits, hit_idx, max_n_chain)
+
+    # collect groups across reads (python / device routes)
     groups = []            # (read_idx, s, e, tid, yl)
     for ridx, (rid, an, rlen) in enumerate(reads):
         n = len(an)
@@ -302,44 +347,6 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
             s, e = int(bounds[gi]), int(bounds[gi + 1])
             groups.append((ridx, s, e, int(an.tid[s]),
                            int(tlens[an.tid[s]])))
-
-    # native whole-batch DP + traceback on host when available
-    if not use_device:
-        try:
-            from hifiasm_tpu.native import chain_groups_native, get_lib
-            if get_lib() is not None:
-                G = len(groups)
-                sizes_l = [e - s for _, s, e, _, _ in groups]
-                off = np.concatenate([[0], np.cumsum(sizes_l)]).astype(
-                    np.int64)
-                so = np.empty(off[-1], np.int64)
-                to = np.empty(off[-1], np.int64)
-                sp = np.empty(off[-1], np.int64)
-                w = np.empty(off[-1], np.int64)
-                xlg = np.empty(G, np.int64)
-                ylg = np.empty(G, np.int64)
-                tid_g = np.empty(G, np.int64)
-                rev_g = np.empty(G, np.uint8)
-                read_g = np.empty(G, np.int64)
-                for g, (ridx, s, e, tid, yl) in enumerate(groups):
-                    _, an, rlen = reads[ridx]
-                    sl = slice(off[g], off[g + 1])
-                    so[sl] = an.self_off[s:e]
-                    to[sl] = an.t_off[s:e]
-                    sp[sl] = an.span[s:e]
-                    w[sl] = an.weight[s:e]
-                    xlg[g] = rlen
-                    ylg[g] = yl
-                    tid_g[g] = tid
-                    rev_g[g] = an.rev[s]
-                    read_g[g] = ridx
-                cnt, score, start, hits, hit_idx = chain_groups_native(
-                    off, so, to, sp, w, xlg, ylg, params)
-                return _assemble_regions_all(
-                    reads, off, so, to, sp, xlg, ylg, tid_g, rev_g,
-                    read_g, cnt, score, start, hits, hit_idx, max_n_chain)
-        except Exception:
-            pass
 
     chains_of = {}
     if not use_device:
