@@ -107,6 +107,69 @@ def _iter_overlap_batches(store: ReadStore, codes, mzs, pt, cfg, hom_cov,
         yield planned
 
 
+def _use_fused(cfg: HifiasmConfig) -> bool:
+    """The fused native per-batch EC stage (ht_ec_batch) serves the
+    auto/native host path; explicit numpy/jax engines keep the
+    batched-window flow (tests cross-validate the two)."""
+    if cfg.align_engine not in ("auto", "native"):
+        return False
+    try:
+        from hifiasm_tpu.native import get_lib
+        return get_lib() is not None
+    except Exception:
+        return False
+
+
+def _ec_pass_fused(store: ReadStore, codes, mzs, pt, cfg: HifiasmConfig,
+                   hom_cov: int, e_rate: float, do_consensus: bool):
+    """Fused host EC pass: per batch, anchors -> chain DP -> one native
+    call that plans windows, aligns, phases and (optionally) builds the
+    consensus (~worker_hap_ec, ecovlp.cpp:3234).  Yields
+    (rids, ovs, result-dict) per batch; result None if unavailable."""
+    from hifiasm_tpu.config import THRESHOLD_MAX_SIZE
+    from hifiasm_tpu.native import ec_batch_native
+    from hifiasm_tpu.overlap.anchors import chain_many, collect_anchors_many
+
+    cp = ChainParams.for_k(cfg.k)
+    bank_off = np.zeros(store.n_reads + 1, np.int64)
+    for i, c in enumerate(codes):
+        bank_off[i + 1] = bank_off[i] + len(c)
+    bank = np.concatenate(codes) if codes else np.zeros(0, np.uint8)
+    cfg_tuple = (cfg.ec_window, THRESHOLD_MAX_SIZE, e_rate,
+                 THRESHOLD_MAX_SIZE, 2, 3, 0.500001)
+    bs = max(1, cfg.read_batch)
+    for b0 in range(0, store.n_reads, bs):
+        rids = list(range(b0, min(b0 + bs, store.n_reads)))
+        ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
+        reads = [(rid, an, len(codes[rid])) for rid, an in zip(rids, ans)]
+        ovs = chain_many(reads, store.lens, cp,
+                         max_n_chain=cfg.max_n_chain)
+        n_ovs = np.array([len(ov) for ov in ovs], np.int64)
+        r_ov_off = np.zeros(len(rids) + 1, np.int64)
+        np.cumsum(n_ovs, out=r_ov_off[1:])
+        hlens = np.array([len(ov.hit_self) for ov in ovs], np.int64)
+        hbase = np.concatenate([[0], np.cumsum(hlens[:-1])]) \
+            if len(ovs) else np.zeros(0, np.int64)
+        cat = np.concatenate
+        ov_cols = dict(
+            r_ov_off=r_ov_off,
+            y_id=cat([ov.y_id for ov in ovs]).astype(np.int64),
+            rev=cat([ov.rev for ov in ovs]),
+            x_s=cat([ov.x_s for ov in ovs]),
+            x_e=cat([ov.x_e for ov in ovs]),
+            y_s=cat([ov.y_s for ov in ovs]),
+            y_e=cat([ov.y_e for ov in ovs]),
+            hit_off=cat([ov.hit_start + hbase[j]
+                         for j, ov in enumerate(ovs)]),
+            n_hits=cat([ov.n_hits for ov in ovs]),
+            hit_self=cat([ov.hit_self for ov in ovs]),
+            hit_t=cat([ov.hit_t for ov in ovs]),
+        )
+        res = ec_batch_native([codes[r] for r in rids], bank_off, bank,
+                              ov_cols, cfg_tuple, do_consensus)
+        yield rids, ovs, res
+
+
 def _use_device(cfg: HifiasmConfig, total_bases: int = 0) -> bool:
     # auto: small inputs can't amortize device launches; decide from the
     # size gate BEFORE touching jax — merely asking for the default
@@ -183,6 +246,29 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
         if n_routed:
             log("ec_round",
                 f"routed {n_routed} ambiguous reads to the host DAG path")
+    elif _use_fused(cfg):
+        from hifiasm_tpu.ec.window_align import align_overlaps
+
+        get_target = _TargetCache(store)
+        for rids, ovs, res in _ec_pass_fused(
+                store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_ec,
+                do_consensus=True):
+            for j, rid in enumerate(rids):
+                seq = res["seqs"][j]
+                if seq is False:
+                    # rare consensus-buffer overflow: per-read fallback
+                    q = codes[rid]
+                    tbs = align_overlaps(q, ovs[j], get_target,
+                                         wl=cfg.ec_window,
+                                         e_rate=cfg.max_ov_diff_ec)
+                    ph = phase_overlaps(q, ovs[j], tbs)
+                    cns = windowed_consensus(q, ovs[j], tbs, ph)
+                    if cns.n_corrected:
+                        new_seqs[rid] = cns.seq
+                        n_corr += cns.n_corrected
+                elif seq is not None:
+                    new_seqs[rid] = seq
+                    n_corr += int(res["n_edits"][j])
     else:
         from hifiasm_tpu.native import ec_reads_native
 
@@ -272,6 +358,21 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
                 (eco.win_tot > 0) & (eco.win_ok == eco.win_tot),
                 eco.err, eco.ts, eco.te, eco.is_match,
                 cfg.max_ov_diff_final)
+    elif _use_fused(cfg):
+        for rids, ovs, res in _ec_pass_fused(
+                store, codes, mzs, pt, cfg, hom_cov,
+                cfg.max_ov_diff_final, do_consensus=False):
+            wt, wo = res["win_tot"], res["win_ok"]
+            o = 0
+            for j, rid in enumerate(rids):
+                n = len(ovs[j])
+                sl = slice(o, o + n)
+                o += n
+                _push_records_stats(
+                    paf, rev_paf, rid, store.lens, ovs[j],
+                    (wt[sl] > 0) & (wo[sl] == wt[sl]), res["err"][sl],
+                    res["ts"][sl], res["te"][sl], res["is_match"][sl],
+                    cfg.max_ov_diff_final)
     else:
         from hifiasm_tpu.native import ec_reads_native
 

@@ -24,11 +24,63 @@ from hifiasm_tpu.utils.logging import log
 MAGIC = "hifiasm-tpu-bin-v1"
 
 
+def _save_arrays(path: str, **arrs) -> None:
+    """Columnar container: JSON index + raw array bytes (np.savez's zip
+    CRC pass costs ~0.5 s per bench checkpoint; raw tofile doesn't)."""
+    import json
+
+    meta = []
+    for name, a in arrs.items():
+        if isinstance(a, str):
+            meta.append([name, "str", [len(a.encode())]])
+        else:
+            a = np.ascontiguousarray(a)
+            meta.append([name, a.dtype.str, list(a.shape)])
+    hdr = json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(b"HTBIN1\n")
+        f.write(len(hdr).to_bytes(8, "little"))
+        f.write(hdr)
+        for name, a in arrs.items():
+            if isinstance(a, str):
+                f.write(a.encode())
+            else:
+                np.ascontiguousarray(a).tofile(f)
+
+
+def _load_arrays(path: str):
+    """Load a _save_arrays container (or a legacy .npz) -> dict|None."""
+    import json
+
+    try:
+        with open(path, "rb") as f:
+            tag = f.read(7)
+            if tag != b"HTBIN1\n":
+                try:
+                    z = np.load(path, allow_pickle=False)
+                    return {k: z[k] for k in z.files}
+                except Exception:
+                    return None
+            n = int.from_bytes(f.read(8), "little")
+            meta = json.loads(f.read(n).decode())
+            out = {}
+            for name, dt, shape in meta:
+                if dt == "str":
+                    out[name] = f.read(shape[0]).decode()
+                else:
+                    cnt = int(np.prod(shape)) if shape else 1
+                    a = np.fromfile(f, dtype=np.dtype(dt), count=cnt)
+                    out[name] = a.reshape(shape)
+            return out
+    except Exception:
+        return None
+
+
 def write_reads(path: str, store: ReadStore) -> None:
     flat = np.concatenate([store.get_codes(i)
                            for i in range(store.n_reads)]) \
         if store.n_reads else np.zeros(0, np.uint8)
-    np.savez(
+    _save_arrays(
         path, magic=MAGIC, names="\n".join(store.names),
         lens=store.lens, codes=flat, trio_flags=store.trio_flags)
 
@@ -36,8 +88,8 @@ def write_reads(path: str, store: ReadStore) -> None:
 def load_reads(path: str) -> Optional[ReadStore]:
     if not os.path.exists(path):
         return None
-    z = np.load(path, allow_pickle=False)
-    if str(z["magic"]) != MAGIC:
+    z = _load_arrays(path)
+    if z is None or str(z["magic"]) != MAGIC:
         return None
     names = str(z["names"]).split("\n") if z["lens"].size else []
     lens = z["lens"]
@@ -51,17 +103,17 @@ def load_reads(path: str) -> Optional[ReadStore]:
 
 def write_paf(path: str, paf: PafStore) -> None:
     qn, cols = paf.flatten()
-    np.savez(path, magic=MAGIC, n_reads=len(paf), qn=qn,
-                        **{f: cols[f] for f in _FIELDS})
+    _save_arrays(path, magic=MAGIC, n_reads=np.array(len(paf)), qn=qn,
+                 **{f: cols[f] for f in _FIELDS})
 
 
 def load_paf(path: str) -> Optional[PafStore]:
     if not os.path.exists(path):
         return None
-    z = np.load(path, allow_pickle=False)
-    if str(z["magic"]) != MAGIC:
+    z = _load_arrays(path)
+    if z is None or str(z["magic"]) != MAGIC:
         return None
-    n_reads = int(z["n_reads"])
+    n_reads = int(np.asarray(z["n_reads"]).reshape(()))
     qn = z["qn"]
     paf = PafStore(n_reads)
     if len(qn) == 0:
@@ -81,8 +133,8 @@ def load_paf(path: str) -> Optional[PafStore]:
 def write_graph(path: str, sg, cov, r_to_u: np.ndarray) -> None:
     """String-graph checkpoint (~write_debug_graph, Overlaps.cpp:39436;
     --dbg-gfa lets the graph phase re-run standalone)."""
-    np.savez(
-        path, magic=MAGIC, n_seq=sg.n_seq, seq_len=sg.seq_len,
+    _save_arrays(
+        path, magic=MAGIC, n_seq=np.array(sg.n_seq), seq_len=sg.seq_len,
         seq_del=sg.seq_del, ul=sg.ul, v=sg.v, ol=sg.ol, strong=sg.strong,
         el=sg.el, no_l_indel=sg.no_l_indel, del_=sg.del_,
         cov_s=cov.s, cov_e=cov.e, cov_del=cov.del_, r_to_u=r_to_u)
@@ -95,10 +147,10 @@ def load_graph(path: str):
 
     if not os.path.exists(path):
         return None
-    z = np.load(path, allow_pickle=False)
-    if str(z["magic"]) != MAGIC:
+    z = _load_arrays(path)
+    if z is None or str(z["magic"]) != MAGIC:
         return None
-    sg = StringGraph(int(z["n_seq"]), z["seq_len"])
+    sg = StringGraph(int(np.asarray(z["n_seq"]).reshape(())), z["seq_len"])
     sg.seq_del = z["seq_del"].copy()
     sg.set_arcs(z["ul"], z["v"], z["ol"], z["strong"], z["el"],
                 z["no_l_indel"], z["del_"])

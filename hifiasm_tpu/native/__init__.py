@@ -150,6 +150,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ht_unique_u64.argtypes = [u64p, ctypes.c_int64, u32cp]
     lib.ht_set_threads.restype = None
     lib.ht_set_threads.argtypes = [ctypes.c_int32]
+    lib.ht_ec_batch.restype = ctypes.c_int64
+    lib.ht_ec_batch.argtypes = [
+        ctypes.c_int64, i64p, u8p, i64p, u8p, i64p,
+        i64p, u8p, i64p, i64p, i64p, i64p, i64p, i64p,
+        i64p, u8p, u8p, u8p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_int32,
+        i32p, i32p, i64p, i64p, i64p, u8p,
+        i64p, u8p, i64p, i64p, i64p]
     lib.ht_chain_groups.restype = ctypes.c_int64
     lib.ht_chain_groups.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
@@ -625,6 +634,89 @@ def ec_reads_native(items, do_consensus: bool = True,
             if do_consensus else None
         res.append((im, int(n_het[r]), seq, int(n_edits[r])))
     return res
+
+
+def ec_batch_native(codes_batch, bank_off, bank, ov_cols, cfg_tuple,
+                    do_consensus: bool = True):
+    """Fused per-batch EC stage (ht_ec_batch): window planning + banded
+    alignment + stats + phase + consensus in one native call.
+
+    codes_batch: list of query code arrays (batch reads, in order).
+    bank_off/bank: whole-store flat code bank (current sequences).
+    ov_cols: dict with concatenated per-overlap columns across the batch
+      (r_ov_off [R+1], y_id, rev, x_s, x_e, hit_off, n_hits, hit_self,
+      hit_t) — hit_off is GLOBAL into hit_self/hit_t.
+    cfg_tuple: (wl, e, e_rate, thre_cap, min_het_occ, occ_tot, occ_exact).
+
+    Returns dict with per-overlap (win_tot, win_ok, err, ts, te,
+    is_match) and per-read (n_het, seqs [list|None], n_edits) arrays, or
+    None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    wl, e, e_rate, thre_cap, min_het_occ, occ_tot, occ_exact = cfg_tuple
+    R = len(codes_batch)
+    q_off = np.zeros(R + 1, np.int64)
+    for i, q in enumerate(codes_batch):
+        q_off[i + 1] = q_off[i] + len(q)
+    qcat = np.concatenate(codes_batch) if R else np.zeros(0, np.uint8)
+    r_ov_off = np.ascontiguousarray(ov_cols["r_ov_off"], np.int64)
+    x_s = np.ascontiguousarray(ov_cols["x_s"], np.int64)
+    x_e = np.ascontiguousarray(ov_cols["x_e"], np.int64)
+    n_ov = len(x_s)
+    spans = x_e - x_s + 1
+    arena_off = np.zeros(n_ov + 1, np.int64)
+    np.cumsum(spans, out=arena_off[1:])
+    tot = int(arena_off[-1])
+    tb_a = np.full(max(tot, 1), 5, np.uint8)
+    ic_a = np.zeros(max(tot, 1), np.uint8)
+    ib_a = np.zeros(max(tot, 1), np.uint8)
+    win_tot = np.zeros(max(n_ov, 1), np.int32)
+    win_ok = np.zeros(max(n_ov, 1), np.int32)
+    err_sum = np.zeros(max(n_ov, 1), np.int64)
+    ts = np.ascontiguousarray(ov_cols["y_s"], np.int64).copy()
+    te = np.ascontiguousarray(ov_cols["y_e"], np.int64).copy()
+    is_match = np.zeros(max(n_ov, 1), np.uint8)
+    n_het = np.zeros(max(R, 1), np.int64)
+    caps = np.diff(q_off) * 2 + 64
+    out_off = np.zeros(R + 1, np.int64)
+    np.cumsum(caps, out=out_off[1:])
+    out_seq = np.empty(max(int(out_off[-1]), 1), np.uint8)
+    out_len = np.zeros(max(R, 1), np.int64)
+    n_edits = np.zeros(max(R, 1), np.int64)
+    rc = lib.ht_ec_batch(
+        R, q_off, np.ascontiguousarray(qcat, np.uint8),
+        np.ascontiguousarray(bank_off, np.int64),
+        np.ascontiguousarray(bank, np.uint8),
+        r_ov_off,
+        np.ascontiguousarray(ov_cols["y_id"], np.int64),
+        np.ascontiguousarray(ov_cols["rev"], np.uint8),
+        x_s, x_e,
+        np.ascontiguousarray(ov_cols["hit_off"], np.int64),
+        np.ascontiguousarray(ov_cols["n_hits"], np.int64),
+        np.ascontiguousarray(ov_cols["hit_self"], np.int64),
+        np.ascontiguousarray(ov_cols["hit_t"], np.int64),
+        arena_off, tb_a, ic_a, ib_a,
+        wl, e, e_rate, thre_cap, min_het_occ, occ_tot, occ_exact,
+        1 if do_consensus else 0,
+        win_tot, win_ok, err_sum, ts, te, is_match,
+        n_het, out_seq, out_off, out_len, n_edits)
+    if rc != 0:
+        raise AssertionError(f"native traceback stuck at overlap {-rc-1}")
+    seqs = []
+    for r in range(R):
+        if out_len[r] < 0:
+            seqs.append(False)            # overflow: caller falls back
+        elif do_consensus and n_edits[r] > 0:
+            seqs.append(out_seq[out_off[r]:out_off[r] + out_len[r]].copy())
+        else:
+            seqs.append(None)
+    return dict(win_tot=win_tot[:n_ov], win_ok=win_ok[:n_ov],
+                err=err_sum[:n_ov], ts=ts[:n_ov], te=te[:n_ov],
+                is_match=is_match[:n_ov], n_het=n_het[:R], seqs=seqs,
+                n_edits=n_edits[:R],
+                arena=(tb_a, ic_a, ib_a), arena_off=arena_off)
 
 
 def trans_reduce(idx_s, idx_n, av, alen, seq_del, del_, fuzz: int

@@ -485,6 +485,151 @@ extern "C" int64_t ht_chain_groups(
 // virtual slice with sentinel padding), replicating WindowBatcher._run's
 // semantics including the suffix-overlap tail clamp.
 
+struct WinScratch {
+    std::vector<uint64_t> vp, d0, hp;
+    std::vector<uint8_t> ybuf;
+    void init(int64_t XL, int64_t e, int traceback) {
+        if (traceback) {
+            vp.resize(XL + 1);
+            d0.resize(XL + 1);
+            hp.resize(XL + 1);
+        }
+        ybuf.resize(XL + 2 * e);
+    }
+};
+
+// target accessor: logical position j of the (optionally
+// reverse-complement) frame of a stored read
+static inline uint8_t tgt_at(const uint8_t* t, int64_t tl_full, int rev,
+                             int64_t j) {
+    if (!rev) return t[j];
+    const uint8_t c = t[tl_full - 1 - j];
+    return c < 4 ? (uint8_t)(3 - c) : (uint8_t)4;
+}
+
+// Align ONE query window against a target slice. Writes the accepted
+// traceback into tbp/icp/ibp (pre-initialised 5/0/0); returns err
+// (-1 reject, -2 traceback stuck) and the in-band y range via *ys/*yn.
+static int64_t win_align_one(
+    const uint8_t* xb, int64_t xlen,
+    const uint8_t* t, int64_t tl_full, int rev,
+    int64_t t_ws, int is_last, int64_t e, int64_t acc_thre,
+    int traceback, uint8_t* tbp, uint8_t* icp, uint8_t* ibp,
+    WinScratch& S, int64_t* ys_out, int64_t* yn_out) {
+    const int W = int(2 * e + 1);
+    const uint64_t mask = (W >= 64) ? ~0ULL : ((1ULL << W) - 1);
+    const int64_t y0 = t_ws - e;
+    int64_t tl = xlen;
+    int64_t pl = tl + 2 * e;
+    if (tl_full - y0 < pl) pl = tl_full - y0;
+    if (pl < 0) pl = 0;
+    if (is_last && pl < tl) tl = pl;   // suffix-overlap tail clamp
+    if (tl <= 0) { *ys_out = -1; *yn_out = 0; return -1; }
+    // Exact fast path (the dominant case once reads are corrected, cf
+    // the reference's exact-overlap counter in cal_ov_r, ecovlp.cpp:6385):
+    // when x equals the target at shift 0, the DP below provably returns
+    // (err=0, yn=tl+e, ys=e, all-diagonal traceback) — the final-row
+    // scan can't beat 0 and the e3 == best_err override pins yn to tl+e
+    // whenever pl - tl >= e — so a memcmp replaces the scan bit-
+    // identically.
+    if (pl - tl >= e && t_ws >= 0) {
+        bool eq = true;
+        if (!rev) {
+            const uint8_t* yc = t + t_ws;
+            for (int64_t i2 = 0; i2 < tl; ++i2)
+                if (xb[i2] >= 4 || xb[i2] != yc[i2]) { eq = false; break; }
+        } else {
+            for (int64_t i2 = 0; i2 < tl; ++i2)
+                if (xb[i2] >= 4 ||
+                    xb[i2] != tgt_at(t, tl_full, 1, t_ws + i2)) {
+                    eq = false;
+                    break;
+                }
+        }
+        if (eq) {
+            *yn_out = tl + e;
+            if (traceback) {
+                std::memcpy(tbp, xb, (size_t)tl);
+                *ys_out = e;
+            } else {
+                *ys_out = -1;
+            }
+            return 0;
+        }
+    }
+    // materialise the virtually-padded target window once (small)
+    for (int64_t j = 0; j < pl; ++j) {
+        const int64_t p = y0 + j;
+        S.ybuf[j] = (p >= 0 && p < tl_full) ? tgt_at(t, tl_full, rev, p)
+                                            : (uint8_t)4;
+    }
+    const uint8_t* yb = S.ybuf.data();
+    uint64_t peq[5] = {0, 0, 0, 0, 0};
+    const int64_t w0 = W < pl ? W : pl;
+    for (int64_t i = 0; i < w0; ++i) peq[yb[i]] |= 1ULL << i;
+    uint64_t VP = 0, VN = 0;
+    int64_t err = 0;
+    for (int64_t i = 0; i < tl; ++i) {
+        const uint64_t Eq = xb[i] < 4 ? peq[xb[i]] : 0;
+        const uint64_t X = Eq | VN;
+        const uint64_t D0 = (((VP + (X & VP)) & mask) ^ VP) | X;
+        const uint64_t HN = VP & D0;
+        const uint64_t HP = VN | (~(VP | D0) & mask);
+        const uint64_t X2 = D0 >> 1;
+        VN = X2 & HP;
+        VP = (HN | (~(X2 | HP) & mask)) & mask;
+        err += 1 - (int64_t)(D0 & 1);
+        if (traceback) {
+            S.vp[i + 1] = VP;
+            S.d0[i + 1] = D0;
+            S.hp[i + 1] = HP;
+        }
+        for (int c = 0; c < 4; ++c) peq[c] >>= 1;
+        const int64_t nb = i + W;
+        if (nb < pl) peq[yb[nb]] |= 1ULL << (W - 1);
+    }
+    int64_t best_err = err, best_n = tl, e2 = err, e3 = err;
+    const int64_t nb_max = (2 * e < pl - tl) ? 2 * e : (pl - tl);
+    for (int64_t b0 = 0; b0 < 2 * e; ++b0) {
+        e2 += (int64_t)((VP >> b0) & 1) - (int64_t)((VN >> b0) & 1);
+        if (b0 < nb_max && e2 < best_err) { best_err = e2; best_n = tl + b0 + 1; }
+        if (b0 < e) e3 += (int64_t)((VP >> b0) & 1) - (int64_t)((VN >> b0) & 1);
+    }
+    if (pl - tl >= e && e3 == best_err) best_n = tl + e;
+    if (best_err > e || best_err > acc_thre) {
+        *ys_out = -1;
+        *yn_out = best_n;
+        return -1;
+    }
+    *yn_out = best_n;
+    if (!traceback) { *ys_out = -1; return best_err; }
+    int64_t i = tl, j = best_n;
+    while (i > 0) {
+        const int64_t bb = j - i;
+        const uint64_t d0 = S.d0[i], hp = S.hp[i];
+        bool diag_ok = false, horiz_ok = false, vert_ok = false;
+        if (j >= 1 && bb >= 0 && bb <= 2 * e && j - 1 >= i - 1) {
+            const bool match = (xb[i - 1] < 4) && (j - 1 < pl) &&
+                               (xb[i - 1] == yb[j - 1]);
+            const bool d0bit = (d0 >> bb) & 1;
+            diag_ok = (match && d0bit) || (!match && !d0bit);
+        }
+        if (j - 1 >= i && bb - 1 >= 0)
+            horiz_ok = (S.vp[i] >> (bb - 1)) & 1;
+        if (bb >= 0 && bb <= 2 * e && j <= (i - 1) + 2 * e)
+            vert_ok = (hp >> bb) & 1;
+        if (diag_ok) { tbp[i - 1] = yb[j - 1]; --i; --j; }
+        else if (horiz_ok) {
+            if (icp[i - 1] < 255) ++icp[i - 1];
+            ibp[i - 1] = yb[j - 1];
+            --j;
+        } else if (vert_ok) { tbp[i - 1] = 4; --i; }
+        else { return -2; }
+    }
+    *ys_out = j;
+    return best_err;
+}
+
 extern "C" int64_t ht_banded_jobs(
     int64_t n_jobs, int64_t XL, int64_t e,
     const uint8_t* flat,
@@ -496,141 +641,161 @@ extern "C" int64_t ht_banded_jobs(
     int32_t* err_out, int32_t* ys_out, int32_t* yn_out,
     uint8_t* tb_arena, uint8_t* ic_arena, uint8_t* ib_arena,
     int32_t traceback) {
-    const int W = int(2 * e + 1);
-    const uint64_t mask = (W >= 64) ? ~0ULL : ((1ULL << W) - 1);
     int64_t stuck = 0;
 #ifdef _OPENMP
 #pragma omp parallel
 #endif
     {
-    std::vector<uint64_t> st_vp, st_d0, st_hp;
-    std::vector<uint8_t> ybuf;
-    if (traceback) {
-        st_vp.resize(XL + 1);
-        st_d0.resize(XL + 1);
-        st_hp.resize(XL + 1);
-    }
-    ybuf.resize(XL + 2 * e);
+    WinScratch S;
+    S.init(XL, e, traceback);
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 16)
 #endif
     for (int64_t b = 0; b < n_jobs; ++b) {
-        const uint8_t* xb = flat + x_off[b];
-        const int64_t tl_full = t_len[b];
-        const int64_t y0 = t_ws[b] - e;
-        int64_t tl = xlen_in[b];
-        int64_t pl = tl + 2 * e;
-        if (tl_full - y0 < pl) pl = tl_full - y0;
-        if (pl < 0) pl = 0;
-        if (is_last[b] && pl < tl) tl = pl;   // suffix-overlap tail clamp
-        // accepted windows write straight into the pre-initialised CSR
-        // arena (defaults 5/0/0 already present); rejected ones write nothing
-        uint8_t* tbp = tb_arena + dst_base[b];
-        uint8_t* icp = ic_arena + dst_base[b];
-        uint8_t* ibp = ib_arena + dst_base[b];
-        if (tl <= 0) { err_out[b] = -1; ys_out[b] = -1; yn_out[b] = 0; continue; }
-        // Exact fast path (the dominant case once reads are corrected,
-        // cf the reference's exact-overlap counter in cal_ov_r,
-        // ecovlp.cpp:6385): when x equals the target at shift 0, the DP
-        // below provably returns (err=0, yn=tl+e, ys=e, all-diagonal
-        // traceback) — the final-row scan can't beat 0 and the e3 ==
-        // best_err override pins yn to tl+e whenever pl - tl >= e — so
-        // a memcmp replaces the whole scan bit-identically.
-        if (pl - tl >= e && t_ws[b] >= 0) {
-            const uint8_t* yc = flat + t_base[b] + t_ws[b];
-            bool eq = true;
-            for (int64_t i2 = 0; i2 < tl; ++i2)
-                if (xb[i2] >= 4 || xb[i2] != yc[i2]) { eq = false; break; }
-            if (eq) {
-                err_out[b] = 0;
-                yn_out[b] = (int32_t)(tl + e);
-                if (traceback) {
-                    std::memcpy(tbp, xb, (size_t)tl);
-                    ys_out[b] = (int32_t)e;
-                } else {
-                    ys_out[b] = -1;
-                }
-                continue;
-            }
-        }
-        // materialise the virtually-padded target window once (small)
-        for (int64_t j = 0; j < pl; ++j) {
-            const int64_t t = y0 + j;
-            ybuf[j] = (t >= 0 && t < tl_full) ? flat[t_base[b] + t] : 4;
-        }
-        const uint8_t* yb = ybuf.data();
-        uint64_t peq[5] = {0, 0, 0, 0, 0};
-        const int64_t w0 = W < pl ? W : pl;
-        for (int64_t i = 0; i < w0; ++i) peq[yb[i]] |= 1ULL << i;
-        uint64_t VP = 0, VN = 0;
-        int64_t err = 0;
-        for (int64_t i = 0; i < tl; ++i) {
-            const uint64_t Eq = xb[i] < 4 ? peq[xb[i]] : 0;
-            const uint64_t X = Eq | VN;
-            const uint64_t D0 = (((VP + (X & VP)) & mask) ^ VP) | X;
-            const uint64_t HN = VP & D0;
-            const uint64_t HP = VN | (~(VP | D0) & mask);
-            const uint64_t X2 = D0 >> 1;
-            VN = X2 & HP;
-            VP = (HN | (~(X2 | HP) & mask)) & mask;
-            err += 1 - (int64_t)(D0 & 1);
-            if (traceback) {
-                st_vp[i + 1] = VP;
-                st_d0[i + 1] = D0;
-                st_hp[i + 1] = HP;
-            }
-            for (int c = 0; c < 4; ++c) peq[c] >>= 1;
-            const int64_t nb = i + W;
-            if (nb < pl) peq[yb[nb]] |= 1ULL << (W - 1);
-        }
-        int64_t best_err = err, best_n = tl, e2 = err, e3 = err;
-        const int64_t nb_max = (2 * e < pl - tl) ? 2 * e : (pl - tl);
-        for (int64_t b0 = 0; b0 < 2 * e; ++b0) {
-            e2 += (int64_t)((VP >> b0) & 1) - (int64_t)((VN >> b0) & 1);
-            if (b0 < nb_max && e2 < best_err) { best_err = e2; best_n = tl + b0 + 1; }
-            if (b0 < e) e3 += (int64_t)((VP >> b0) & 1) - (int64_t)((VN >> b0) & 1);
-        }
-        if (pl - tl >= e && e3 == best_err) best_n = tl + e;
-        if (best_err > e || best_err > acc_thre[b]) {
-            err_out[b] = -1; ys_out[b] = -1; yn_out[b] = (int32_t)best_n;
-            continue;
-        }
-        err_out[b] = (int32_t)best_err;
-        yn_out[b] = (int32_t)best_n;
-        if (!traceback) { ys_out[b] = -1; continue; }
-        int64_t i = tl, j = best_n;
-        while (i > 0) {
-            const int64_t bb = j - i;
-            const uint64_t d0 = st_d0[i], hp = st_hp[i];
-            bool diag_ok = false, horiz_ok = false, vert_ok = false;
-            if (j >= 1 && bb >= 0 && bb <= 2 * e && j - 1 >= i - 1) {
-                const bool match = (xb[i - 1] < 4) && (j - 1 < pl) &&
-                                   (xb[i - 1] == yb[j - 1]);
-                const bool d0bit = (d0 >> bb) & 1;
-                diag_ok = (match && d0bit) || (!match && !d0bit);
-            }
-            if (j - 1 >= i && bb - 1 >= 0)
-                horiz_ok = (st_vp[i] >> (bb - 1)) & 1;
-            if (bb >= 0 && bb <= 2 * e && j <= (i - 1) + 2 * e)
-                vert_ok = (hp >> bb) & 1;
-            if (diag_ok) { tbp[i - 1] = yb[j - 1]; --i; --j; }
-            else if (horiz_ok) {
-                if (icp[i - 1] < 255) ++icp[i - 1];
-                ibp[i - 1] = yb[j - 1];
-                --j;
-            } else if (vert_ok) { tbp[i - 1] = 4; --i; }
-            else {
+        int64_t ys = -1, yn = 0;
+        const int64_t err = win_align_one(
+            flat + x_off[b], xlen_in[b], flat + t_base[b], t_len[b], 0,
+            t_ws[b], is_last[b], e, acc_thre[b], traceback,
+            tb_arena + dst_base[b], ic_arena + dst_base[b],
+            ib_arena + dst_base[b], S, &ys, &yn);
+        if (err == -2) {
 #ifdef _OPENMP
 #pragma omp atomic write
 #endif
-                stuck = b + 1;
-                break;
-            }
+            stuck = b + 1;
+            err_out[b] = -1;
+        } else {
+            err_out[b] = (int32_t)err;
         }
-        ys_out[b] = (int32_t)j;
-        // report the effective (possibly clamped) xlen via yn? no: callers
-        // recompute from is_last; tb beyond tl stays 5
-        (void)tl;
+        ys_out[b] = (int32_t)ys;
+        yn_out[b] = (int32_t)yn;
+    }
+    }  // omp parallel
+    return stuck ? -stuck : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Fused per-batch EC stage: window planning + banded alignment + stats +
+// phase + consensus in ONE call, OMP-parallel across reads (the TPU-host
+// analog of the reference's per-read kt_for worker, worker_hap_ec
+// ecovlp.cpp:3234 + gen_hc_r_alin_ea :2810). Targets are read straight
+// from the 2-bit-decoded read bank; reverse-strand frames are computed
+// on the fly (no per-(tid,rev) target materialisation). Tracebacks land
+// in the shared CSR arena exactly as the unfused path writes them, and
+// the same ec_read_one phase/consensus runs in-thread per read.
+
+static int64_t ec_read_one(
+    int64_t n_ov, const int64_t* off, const int64_t* x_s,
+    const uint8_t* tb, const uint8_t* icnt, const uint8_t* ibase,
+    const uint8_t* usable, int64_t qlen, const uint8_t* q,
+    int64_t min_het_occ, int64_t occ_tot, double occ_exact,
+    int32_t do_consensus, uint8_t* is_match, int64_t* n_het_out,
+    uint8_t* out_seq, int64_t out_cap, int64_t* out_len,
+    int64_t* n_edits_out);
+
+extern "C" int64_t ht_ec_batch(
+    int64_t R,
+    const int64_t* q_off, const uint8_t* qcat,
+    const int64_t* bank_off, const uint8_t* bank,
+    const int64_t* r_ov_off,                    // [R+1] overlaps per read
+    const int64_t* y_id, const uint8_t* rev_arr,
+    const int64_t* x_s, const int64_t* x_e,     // [n_ov] query range (incl)
+    const int64_t* hit_off, const int64_t* n_hits,
+    const int64_t* hit_self, const int64_t* hit_t,
+    const int64_t* arena_off,                   // [n_ov+1] global CSR
+    uint8_t* tb_arena, uint8_t* ic_arena, uint8_t* ib_arena,
+    int64_t wl, int64_t e, double e_rate, int64_t thre_cap,
+    int64_t min_het_occ, int64_t occ_tot, double occ_exact,
+    int32_t do_consensus,
+    int32_t* win_tot, int32_t* win_ok, int64_t* err_sum,
+    int64_t* ts_out, int64_t* te_out,           // [n_ov] target range
+    uint8_t* is_match,                          // [n_ov]
+    int64_t* n_het_out,                         // [R]
+    uint8_t* out_seq, const int64_t* out_off,   // consensus CSR
+    int64_t* out_len, int64_t* n_edits) {
+    int64_t stuck = 0;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+    WinScratch S;
+    S.init(wl, e, 1);
+    std::vector<uint8_t> usable;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 2)
+#endif
+    for (int64_t r = 0; r < R; ++r) {
+        const int64_t o0 = r_ov_off[r], o1 = r_ov_off[r + 1];
+        const uint8_t* q = qcat + q_off[r];
+        usable.assign(o1 - o0, 0);
+        for (int64_t o = o0; o < o1; ++o) {
+            const int64_t tid = y_id[o];
+            const int rev = rev_arr[o];
+            const uint8_t* t = bank + bank_off[tid];
+            const int64_t tl_full = bank_off[tid + 1] - bank_off[tid];
+            const int64_t xs = x_s[o], xe = x_e[o];
+            const int64_t span = xe - xs + 1;
+            const int64_t nw = (span + wl - 1) / wl;
+            win_tot[o] = (int32_t)nw;
+            win_ok[o] = 0;
+            err_sum[o] = 0;
+            int64_t first_ts = -1, last_te = -1;
+            const int64_t hs0 = hit_off[o], hn = n_hits[o];
+            int64_t hi = 0;
+            for (int64_t wi = 0; wi < nw; ++wi) {
+                const int64_t ws = xs + wi * wl;
+                const int64_t wlen = (wl < xe - ws + 1) ? wl : xe - ws + 1;
+                const int is_last = (ws + wlen > xe) ? 1 : 0;
+                // nearest chain hit at-or-after the window start
+                // (searchsorted-left semantics, clamped)
+                while (hi < hn && hit_self[hs0 + hi] < ws) ++hi;
+                const int64_t hc = hi < hn ? hi : hn - 1;
+                const int64_t t_ws = hit_t[hs0 + hc] +
+                                     (ws - hit_self[hs0 + hc]);
+                int64_t thre = (int64_t)std::ceil((double)wlen * e_rate);
+                if (thre < 2) thre = 2;
+                if (thre > thre_cap) thre = thre_cap;
+                int64_t acc = thre * 2 < thre_cap ? thre * 2 : thre_cap;
+                const int64_t dst = arena_off[o] + (ws - xs);
+                int64_t ys = -1, yn = 0;
+                const int64_t err = win_align_one(
+                    q + ws, wlen, t, tl_full, rev, t_ws, is_last, e, acc,
+                    1, tb_arena + dst, ic_arena + dst, ib_arena + dst,
+                    S, &ys, &yn);
+                if (err == -2) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+                    stuck = o + 1;
+                    continue;
+                }
+                if (err >= 0) {
+                    win_ok[o]++;
+                    err_sum[o] += err;
+                    const int64_t y0 = t_ws - e;
+                    if (first_ts < 0) {
+                        first_ts = y0 + ys > 0 ? y0 + ys : 0;
+                    }
+                    last_te = y0 + yn - 1;
+                }
+            }
+            // precise target range from first/last accepted window;
+            // chain-projected estimate when nothing aligned (the unfused
+            // path keeps ov.y_s/y_e there — caller pre-fills ts/te)
+            if (first_ts >= 0) {
+                ts_out[o] = first_ts;
+                te_out[o] = last_te;
+            }
+            usable[o - o0] = (win_tot[o] > 0 && win_ok[o] == win_tot[o]);
+        }
+        const int64_t rc = ec_read_one(
+            o1 - o0, arena_off + o0, x_s + o0,
+            tb_arena, ic_arena, ib_arena, usable.data(),
+            q_off[r + 1] - q_off[r], q,
+            min_het_occ, occ_tot, occ_exact, do_consensus,
+            is_match + o0, n_het_out + r, out_seq + out_off[r],
+            out_off[r + 1] - out_off[r], out_len + r, n_edits + r);
+        if (rc != 0) out_len[r] = -1;
     }
     }  // omp parallel
     return stuck ? -stuck : 0;

@@ -502,11 +502,65 @@ def _assemble_regions(rid: int, an: Anchors, rlen: int, tlens: np.ndarray,
 
 def _finish_regions(ov: OverlapRegions, rlen: int, max_n_chain: int
                     ) -> OverlapRegions:
-    ov = filter_overlaps_quota(ov, rlen, max_n_chain)
-    ov = dedup_overlaps(ov)
-    # final order: by x_pos_s (or_xs sort)
-    order = np.lexsort((ov.y_id, ov.x_s))
-    return ov.take(order)
+    """Quota filter + dedup + final (x_s, y_id) order as ONE take()."""
+    idx = _quota_keep_idx(ov.score, ov.x_s, ov.x_e, rlen, max_n_chain)
+    if idx is not None:
+        keep2 = _dedup_keep_mask(ov.y_id[idx], ov.rev[idx], ov.x_s[idx],
+                                 ov.x_e[idx], ov.score[idx])
+        idx = idx[keep2]
+        order = np.lexsort((ov.y_id[idx], ov.x_s[idx]))
+        return ov.take(idx[order])
+    keep = _dedup_keep_mask(ov.y_id, ov.rev, ov.x_s, ov.x_e, ov.score)
+    if keep.all():
+        order = np.lexsort((ov.y_id, ov.x_s))
+        return ov.take(order)
+    idx = np.flatnonzero(keep)
+    order = np.lexsort((ov.y_id[idx], ov.x_s[idx]))
+    return ov.take(idx[order])
+
+
+def _quota_keep_idx(score, x_s, x_e, rlen: int, max_n_chain: int):
+    """Per-class quota keep-indices (None = keep everything)."""
+    n = len(score)
+    if n <= max_n_chain:
+        return None
+    w = ha_ov_type(x_s, x_e, rlen)
+    order = np.argsort(-score, kind="stable")
+    thresh = np.zeros(4, dtype=np.int64)
+    seen = np.zeros(4, dtype=np.int64)
+    for i in order:
+        c = int(w[i])
+        seen[c] += 1
+        if seen[c] == max_n_chain:
+            thresh[c] = score[i]
+    if (thresh > 0).any():
+        return np.flatnonzero(score >= thresh[w])
+    return None
+
+
+def _dedup_keep_mask(y_id, rev, x_s, x_e, score) -> np.ndarray:
+    """Keep-mask of dedup_overlaps on plain columns."""
+    n = len(y_id)
+    keep = np.ones(n, bool)
+    if n <= 1:
+        return keep
+    key = y_id.astype(np.int64) << 1 | rev
+    order = np.lexsort((-score, key))
+    for i in range(n):
+        a = order[i]
+        if not keep[a]:
+            continue
+        for j in range(i + 1, n):
+            b = order[j]
+            if key[b] != key[a]:
+                break
+            if not keep[b]:
+                continue
+            inter = min(x_e[a], x_e[b]) - max(x_s[a], x_s[b])
+            min_len = min(x_e[a] - x_s[a], x_e[b] - x_s[b]) + 1
+            if inter > 0.5 * min_len:
+                keep[b] = False
+    return keep
 
 
 def _assemble_regions_all(reads, off, so, to, sp, xlg, ylg, tid_g, rev_g,
@@ -578,26 +632,7 @@ def dedup_overlaps(ov: OverlapRegions) -> OverlapRegions:
     """Drop same-(target,strand) chains whose query ranges mostly overlap
     a higher-scoring chain (~dedup_chains, ecovlp.cpp:2984) — keeps
     secondary repeat copies, kills duplicate votes on the same span."""
-    n = len(ov)
-    if n <= 1:
-        return ov
-    keep = np.ones(n, bool)
-    key = ov.y_id.astype(np.int64) << 1 | ov.rev
-    order = np.lexsort((-ov.score, key))
-    for i in range(n):
-        a = order[i]
-        if not keep[a]:
-            continue
-        for j in range(i + 1, n):
-            b = order[j]
-            if key[b] != key[a]:
-                break
-            if not keep[b]:
-                continue
-            inter = min(ov.x_e[a], ov.x_e[b]) - max(ov.x_s[a], ov.x_s[b])
-            min_len = min(ov.x_e[a] - ov.x_s[a], ov.x_e[b] - ov.x_s[b]) + 1
-            if inter > 0.5 * min_len:
-                keep[b] = False
+    keep = _dedup_keep_mask(ov.y_id, ov.rev, ov.x_s, ov.x_e, ov.score)
     if keep.all():
         return ov
     return ov.take(np.flatnonzero(keep))
@@ -617,18 +652,7 @@ def ha_ov_type(x_s, x_e, rlen):
 def filter_overlaps_quota(ov: OverlapRegions, rlen: int, max_n_chain: int
                           ) -> OverlapRegions:
     """Keep <= max_n_chain overlaps per ha_ov_type class (by chain score)."""
-    if len(ov) <= max_n_chain:
+    idx = _quota_keep_idx(ov.score, ov.x_s, ov.x_e, rlen, max_n_chain)
+    if idx is None:
         return ov
-    w = ha_ov_type(ov.x_s, ov.x_e, rlen)
-    order = np.argsort(-ov.score, kind="stable")
-    thresh = np.zeros(4, dtype=np.int64)
-    seen = np.zeros(4, dtype=np.int64)
-    for i in order:
-        c = int(w[i])
-        seen[c] += 1
-        if seen[c] == max_n_chain:
-            thresh[c] = ov.score[i]
-    if (thresh > 0).any():
-        keep = ov.score >= thresh[w]
-        return ov.take(np.flatnonzero(keep))
-    return ov
+    return ov.take(idx)
