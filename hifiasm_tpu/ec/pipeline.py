@@ -142,32 +142,11 @@ def _ec_pass_fused(store: ReadStore, codes, mzs, pt, cfg: HifiasmConfig,
         rids = list(range(b0, min(b0 + bs, store.n_reads)))
         ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
         reads = [(rid, an, len(codes[rid])) for rid, an in zip(rids, ans)]
-        ovs = chain_many(reads, store.lens, cp,
-                         max_n_chain=cfg.max_n_chain)
-        n_ovs = np.array([len(ov) for ov in ovs], np.int64)
-        r_ov_off = np.zeros(len(rids) + 1, np.int64)
-        np.cumsum(n_ovs, out=r_ov_off[1:])
-        hlens = np.array([len(ov.hit_self) for ov in ovs], np.int64)
-        hbase = np.concatenate([[0], np.cumsum(hlens[:-1])]) \
-            if len(ovs) else np.zeros(0, np.int64)
-        cat = np.concatenate
-        ov_cols = dict(
-            r_ov_off=r_ov_off,
-            y_id=cat([ov.y_id for ov in ovs]).astype(np.int64),
-            rev=cat([ov.rev for ov in ovs]),
-            x_s=cat([ov.x_s for ov in ovs]),
-            x_e=cat([ov.x_e for ov in ovs]),
-            y_s=cat([ov.y_s for ov in ovs]),
-            y_e=cat([ov.y_e for ov in ovs]),
-            hit_off=cat([ov.hit_start + hbase[j]
-                         for j, ov in enumerate(ovs)]),
-            n_hits=cat([ov.n_hits for ov in ovs]),
-            hit_self=cat([ov.hit_self for ov in ovs]),
-            hit_t=cat([ov.hit_t for ov in ovs]),
-        )
+        ov_cols = chain_many(reads, store.lens, cp,
+                             max_n_chain=cfg.max_n_chain, flat=True)
         res = ec_batch_native([codes[r] for r in rids], bank_off, bank,
                               ov_cols, cfg_tuple, do_consensus)
-        yield rids, ovs, res
+        yield rids, ov_cols, res
 
 
 def _use_device(cfg: HifiasmConfig, total_bases: int = 0) -> bool:
@@ -248,9 +227,10 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
                 f"routed {n_routed} ambiguous reads to the host DAG path")
     elif _use_fused(cfg):
         from hifiasm_tpu.ec.window_align import align_overlaps
+        from hifiasm_tpu.overlap.anchors import regions_from_flat
 
         get_target = _TargetCache(store)
-        for rids, ovs, res in _ec_pass_fused(
+        for rids, cols, res in _ec_pass_fused(
                 store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_ec,
                 do_consensus=True):
             for j, rid in enumerate(rids):
@@ -258,11 +238,12 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
                 if seq is False:
                     # rare consensus-buffer overflow: per-read fallback
                     q = codes[rid]
-                    tbs = align_overlaps(q, ovs[j], get_target,
+                    ov = regions_from_flat(cols, j, rid)
+                    tbs = align_overlaps(q, ov, get_target,
                                          wl=cfg.ec_window,
                                          e_rate=cfg.max_ov_diff_ec)
-                    ph = phase_overlaps(q, ovs[j], tbs)
-                    cns = windowed_consensus(q, ovs[j], tbs, ph)
+                    ph = phase_overlaps(q, ov, tbs)
+                    cns = windowed_consensus(q, ov, tbs, ph)
                     if cns.n_corrected:
                         new_seqs[rid] = cns.seq
                         n_corr += cns.n_corrected
@@ -337,6 +318,40 @@ def _push_records_stats(paf: PafStore, rev_paf: PafStore, rid: int,
             el=el, no_l_indel=no_l_indel)
 
 
+def _push_records_flat(paf: PafStore, rev_paf: PafStore, rids,
+                       tlens: np.ndarray, cols: dict, full: np.ndarray,
+                       err: np.ndarray, ts_q: np.ndarray,
+                       te_q: np.ndarray, is_match: np.ndarray,
+                       e_rate: float) -> None:
+    """Batch-vectorized ~push_ne_ovlp over flat overlap columns (same
+    record math as _push_records_stats, computed once for every overlap
+    of the batch)."""
+    r_ov_off = cols["r_ov_off"]
+    qs_a = cols["x_s"]
+    qe_a = cols["x_e"] + 1
+    tn_a = cols["y_id"]
+    rev_a = cols["rev"]
+    tl = tlens[tn_a].astype(np.int64)
+    ts_a = np.where(rev_a == 0, ts_q, tl - 1 - te_q)
+    te_a = np.where(rev_a == 0, te_q + 1, tl - ts_q)
+    bl = qe_a - qs_a
+    ml = np.maximum(bl - err, 0)
+    el = (err <= bl * (e_rate * 0.5)).astype(np.uint8)
+    dlt = np.abs((te_q - ts_q + 1) - bl)
+    no_l = (dlt < LONG_INDEL_WIN_DIFF).astype(np.uint8)
+    for flag, dst in ((1, paf), (2, rev_paf)):
+        selm = full & (is_match == flag)
+        for j, rid in enumerate(rids):
+            o0, o1 = int(r_ov_off[j]), int(r_ov_off[j + 1])
+            idx = o0 + np.flatnonzero(selm[o0:o1])
+            if len(idx) == 0:
+                continue
+            dst[rid] = PafRecords.from_columns(
+                qs=qs_a[idx], qe=qe_a[idx], tn=tn_a[idx], ts=ts_a[idx],
+                te=te_a[idx], rev=rev_a[idx], ml=ml[idx], bl=bl[idx],
+                el=el[idx], no_l_indel=no_l[idx])
+
+
 def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
                        ft: Optional[FilterTable]) -> ECResult:
     """~cal_ov_r (ecovlp.cpp:6385): precise overlap records, no correction."""
@@ -359,20 +374,14 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
                 eco.err, eco.ts, eco.te, eco.is_match,
                 cfg.max_ov_diff_final)
     elif _use_fused(cfg):
-        for rids, ovs, res in _ec_pass_fused(
+        for rids, cols, res in _ec_pass_fused(
                 store, codes, mzs, pt, cfg, hom_cov,
                 cfg.max_ov_diff_final, do_consensus=False):
             wt, wo = res["win_tot"], res["win_ok"]
-            o = 0
-            for j, rid in enumerate(rids):
-                n = len(ovs[j])
-                sl = slice(o, o + n)
-                o += n
-                _push_records_stats(
-                    paf, rev_paf, rid, store.lens, ovs[j],
-                    (wt[sl] > 0) & (wo[sl] == wt[sl]), res["err"][sl],
-                    res["ts"][sl], res["te"][sl], res["is_match"][sl],
-                    cfg.max_ov_diff_final)
+            _push_records_flat(
+                paf, rev_paf, rids, store.lens, cols,
+                (wt > 0) & (wo == wt), res["err"], res["ts"], res["te"],
+                res["is_match"], cfg.max_ov_diff_final)
     else:
         from hifiasm_tpu.native import ec_reads_native
 

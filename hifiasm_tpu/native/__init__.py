@@ -150,6 +150,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ht_unique_u64.argtypes = [u64p, ctypes.c_int64, u32cp]
     lib.ht_set_threads.restype = None
     lib.ht_set_threads.argtypes = [ctypes.c_int32]
+    lib.ht_finish_regions.restype = None
+    lib.ht_finish_regions.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, u8p, i64p,
+        ctypes.c_int64, i64p, i64p]
     lib.ht_ec_batch.restype = ctypes.c_int64
     lib.ht_ec_batch.argtypes = [
         ctypes.c_int64, i64p, u8p, i64p, u8p, i64p,
@@ -634,6 +638,36 @@ def ec_reads_native(items, do_consensus: bool = True,
             if do_consensus else None
         res.append((im, int(n_het[r]), seq, int(n_edits[r])))
     return res
+
+
+def finish_regions_native(r_ov_off, score, x_s, x_e, y_id, rev, rlen_of,
+                          max_n_chain: int):
+    """Batched quota+dedup+order over flat overlap columns; returns
+    (kept global indices in final order, new r_ov_off) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    R = len(r_ov_off) - 1
+    n_ov = int(r_ov_off[-1])
+    out_idx = np.zeros(max(n_ov, 1), np.int64)
+    out_cnt = np.zeros(max(R, 1), np.int64)
+    lib.ht_finish_regions(
+        R, np.ascontiguousarray(r_ov_off, np.int64),
+        np.ascontiguousarray(score, np.int64),
+        np.ascontiguousarray(x_s, np.int64),
+        np.ascontiguousarray(x_e, np.int64),
+        np.ascontiguousarray(y_id, np.int64),
+        np.ascontiguousarray(rev, np.uint8),
+        np.ascontiguousarray(rlen_of, np.int64),
+        max_n_chain, out_idx, out_cnt)
+    new_off = np.zeros(R + 1, np.int64)
+    np.cumsum(out_cnt[:R], out=new_off[1:])
+    # compact the per-read slices (kept indices live at each read's o0)
+    seg = np.arange(int(new_off[-1])) - np.repeat(new_off[:-1],
+                                                  out_cnt[:R])
+    src = np.repeat(np.asarray(r_ov_off[:-1], np.int64),
+                    out_cnt[:R]) + seg
+    return out_idx[src], new_off
 
 
 def ec_batch_native(codes_batch, bank_off, bank, ov_cols, cfg_tuple,

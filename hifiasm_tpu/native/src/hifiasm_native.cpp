@@ -1387,6 +1387,116 @@ extern "C" int64_t ht_sketch_many(
 }
 
 // ---------------------------------------------------------------------------
+// Per-read overlap-region finishing (scalar port of
+// overlap/anchors._finish_regions): quota filter per ha_ov_type class
+// (~ha_get_candidates_interface's max_n_chain quotas, anchor.cpp:685),
+// overlap dedup (~dedup_chains, ecovlp.cpp:2984), final (x_s, y_id)
+// order. Emits the kept GLOBAL overlap indices in final order so the
+// caller gathers every column flat — no per-read python loops.
+
+static inline int ov_type4(int64_t xs, int64_t xe, int64_t rlen) {
+    if (xs == 0 && xe == rlen - 1) return 2;
+    if (xs > 0 && xe < rlen - 1) return 3;
+    return xs == 0 ? 0 : 1;
+}
+
+extern "C" void ht_finish_regions(
+    int64_t R, const int64_t* r_ov_off,
+    const int64_t* score, const int64_t* x_s, const int64_t* x_e,
+    const int64_t* y_id, const uint8_t* rev,
+    const int64_t* rlen_of, int64_t max_n_chain,
+    int64_t* out_idx,        // [n_ov] capacity; kept indices per read
+    int64_t* out_cnt) {      // [R] kept count per read
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+    std::vector<int64_t> idx, ord;
+    std::vector<uint8_t> keep;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 8)
+#endif
+    for (int64_t r = 0; r < R; ++r) {
+        const int64_t o0 = r_ov_off[r], o1 = r_ov_off[r + 1];
+        const int64_t n = o1 - o0;
+        const int64_t rlen = rlen_of[r];
+        idx.resize(n);
+        for (int64_t i = 0; i < n; ++i) idx[i] = o0 + i;
+        // --- quota filter (mirror of _quota_keep_idx) ---
+        if (n > max_n_chain) {
+            ord.assign(idx.begin(), idx.end());
+            std::stable_sort(ord.begin(), ord.end(),
+                             [&](int64_t a, int64_t b) {
+                                 return score[a] > score[b];
+                             });
+            int64_t thresh[4] = {0, 0, 0, 0}, seen[4] = {0, 0, 0, 0};
+            for (int64_t k = 0; k < n; ++k) {
+                const int64_t i = ord[k];
+                const int c = ov_type4(x_s[i], x_e[i], rlen);
+                if (++seen[c] == max_n_chain) thresh[c] = score[i];
+            }
+            if (thresh[0] > 0 || thresh[1] > 0 || thresh[2] > 0 ||
+                thresh[3] > 0) {
+                int64_t w = 0;
+                for (int64_t k = 0; k < n; ++k) {
+                    const int64_t i = idx[k];
+                    const int c = ov_type4(x_s[i], x_e[i], rlen);
+                    if (score[i] >= thresh[c]) idx[w++] = i;
+                }
+                idx.resize(w);
+            }
+        }
+        // --- dedup (mirror of _dedup_keep_mask) ---
+        const int64_t m = (int64_t)idx.size();
+        if (m > 1) {
+            ord.assign(idx.begin(), idx.end());
+            std::stable_sort(ord.begin(), ord.end(),
+                             [&](int64_t a, int64_t b) {
+                                 const int64_t ka = (y_id[a] << 1) | rev[a];
+                                 const int64_t kb = (y_id[b] << 1) | rev[b];
+                                 if (ka != kb) return ka < kb;
+                                 return score[a] > score[b];
+                             });
+            keep.assign(m, 1);
+            for (int64_t i = 0; i < m; ++i) {
+                if (!keep[i]) continue;
+                const int64_t a = ord[i];
+                const int64_t ka = (y_id[a] << 1) | rev[a];
+                for (int64_t j = i + 1; j < m; ++j) {
+                    const int64_t b = ord[j];
+                    if (((y_id[b] << 1) | rev[b]) != ka) break;
+                    if (!keep[j]) continue;
+                    const int64_t inter =
+                        (x_e[a] < x_e[b] ? x_e[a] : x_e[b]) -
+                        (x_s[a] > x_s[b] ? x_s[a] : x_s[b]);
+                    const int64_t la = x_e[a] - x_s[a], lb = x_e[b] - x_s[b];
+                    const int64_t min_len = (la < lb ? la : lb) + 1;
+                    if ((double)inter > 0.5 * (double)min_len) keep[j] = 0;
+                }
+            }
+            int64_t w = 0;
+            // keep[] is in ord[] order; restore the per-index mask by
+            // compacting ord, then rebuild idx in ORIGINAL order
+            std::vector<int64_t>& kept = ord;  // reuse
+            for (int64_t i = 0; i < m; ++i)
+                if (keep[i]) kept[w++] = ord[i];
+            kept.resize(w);
+            std::sort(kept.begin(), kept.end());
+            idx.assign(kept.begin(), kept.end());
+        }
+        // --- final order: x_s asc, y_id asc, stable ---
+        std::stable_sort(idx.begin(), idx.end(),
+                         [&](int64_t a, int64_t b) {
+                             if (x_s[a] != x_s[b]) return x_s[a] < x_s[b];
+                             return y_id[a] < y_id[b];
+                         });
+        out_cnt[r] = (int64_t)idx.size();
+        for (size_t k = 0; k < idx.size(); ++k) out_idx[o0 + k] = idx[k];
+    }
+    }  // omp parallel
+}
+
+// ---------------------------------------------------------------------------
 // Anchor collection (scalar port of overlap/anchors.collect_anchors):
 // binary-search each minimizer in the position table, expand postings into
 // (tid, rev, qpos, t_off) anchors with occurrence-class weights, sort per

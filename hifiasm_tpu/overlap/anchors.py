@@ -257,8 +257,8 @@ def chain_anchors(an: Anchors, rid: int, rlen: int, tlens: np.ndarray,
 
 def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                max_n_chain: int = 100,
-               device_threshold: Optional[int] = None
-               ) -> List[OverlapRegions]:
+               device_threshold: Optional[int] = None,
+               flat: bool = False):
     """Chain anchors of MANY reads at once.
 
     ``reads``: [(rid, Anchors, rlen)].  All (target, strand) groups across
@@ -299,9 +299,10 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
             nz = [(ridx, an, rlen) for ridx, (rid, an, rlen)
                   in enumerate(reads) if len(an)]
             if not nz:
-                return [_assemble_regions(rid, an, rlen, tlens, [],
-                                          max_n_chain)
-                        for rid, an, rlen in reads]
+                out = [_assemble_regions(rid, an, rlen, tlens, [],
+                                         max_n_chain)
+                       for rid, an, rlen in reads]
+                return _flat_from_regions(out) if flat else out
             so = np.concatenate([an.self_off for _, an, _ in nz]
                                 ).astype(np.int64, copy=False)
             to = np.concatenate([an.t_off for _, an, _ in nz]
@@ -332,7 +333,8 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                 off, so, to, sp, w, xlg, ylg, params)
             return _assemble_regions_all(
                 reads, off, so, to, sp, xlg, ylg, tid_g, rev_g,
-                read_g, cnt, score, start, hits, hit_idx, max_n_chain)
+                read_g, cnt, score, start, hits, hit_idx, max_n_chain,
+                flat=flat)
 
     # collect groups across reads (python / device routes)
     groups = []            # (read_idx, s, e, tid, yl)
@@ -361,8 +363,9 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                 an.t_off[s:e].astype(np.int64),
                 an.span[s:e].astype(np.int64),
                 an.weight[s:e].astype(np.int64), rlen, yl, params)
-        return _finish_chain_many(reads, groups, chains_of, tlens,
-                                  max_n_chain)
+        out = _finish_chain_many(reads, groups, chains_of, tlens,
+                                 max_n_chain)
+        return _flat_from_regions(out) if flat else out
 
     # device route: score in size buckets (unpruned batched scorer)
     sizes = np.array([e - s for _, s, e, _, _ in groups], np.int64)
@@ -428,7 +431,8 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                 f[bi, :m], pre[bi, :m], an.self_off[s:e].astype(np.int64),
                 an.t_off[s:e].astype(np.int64), rlen, yl, params)
 
-    return _finish_chain_many(reads, groups, chains_of, tlens, max_n_chain)
+    out = _finish_chain_many(reads, groups, chains_of, tlens, max_n_chain)
+    return _flat_from_regions(out) if flat else out
 
 
 def _finish_chain_many(reads, groups, chains_of, tlens, max_n_chain):
@@ -565,10 +569,12 @@ def _dedup_keep_mask(y_id, rev, x_s, x_e, score) -> np.ndarray:
 
 def _assemble_regions_all(reads, off, so, to, sp, xlg, ylg, tid_g, rev_g,
                           read_g, cnt, score, start, hits, hit_idx,
-                          max_n_chain):
+                          max_n_chain, flat=False):
     """Vectorized region assembly over ALL chains of a chain_many batch
     (same per-chain math as _assemble_regions; chains stay in (group,
-    copy) order so results are identical)."""
+    copy) order so results are identical).  With flat=True returns one
+    dict of batch-level columns (r_ov_off + per-overlap/hit arrays)
+    instead of per-read OverlapRegions."""
     G = len(cnt)
     mc = score.shape[1] if G else 0
     mask = np.arange(mc)[None, :] < cnt[:, None] if G \
@@ -605,7 +611,57 @@ def _assemble_regions_all(reads, off, so, to, sp, xlg, ylg, tid_g, rev_g,
     hit_span_f = sp[hidx]
     # chains are grouped by read (groups are built in read order)
     read_of_chain = read_g[g_of] if len(g_of) else np.zeros(0, np.int64)
-    cb = np.searchsorted(read_of_chain, np.arange(len(reads) + 1))
+    cb = np.searchsorted(read_of_chain, np.arange(len(reads) + 1)
+                         ).astype(np.int64)
+    y_id_f = tid_g[g_of] if len(g_of) else np.zeros(0, np.int64)
+    rev_f = rev_g[g_of] if len(g_of) else np.zeros(0, np.uint8)
+    rlen_of = np.array([rlen for _, _, rlen in reads], np.int64)
+
+    # batched native finishing (quota + dedup + (x_s, y_id) order) over
+    # the flat columns; python per-read fallback when unavailable
+    fin = None
+    try:
+        from hifiasm_tpu.native import finish_regions_native
+        fin = finish_regions_native(cb, sc_f, xs2, xe2, y_id_f, rev_f,
+                                    rlen_of, max_n_chain)
+    except Exception:
+        fin = None
+    if fin is not None:
+        idx, new_off = fin
+        nh_k = nh_f[idx]
+        hb = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(nh_k, out=hb[1:])
+        segk = np.arange(int(hb[-1])) - np.repeat(hb[:-1], nh_k)
+        hsrc = np.repeat(hs_glob[idx], nh_k) + segk
+        cols = dict(
+            r_ov_off=new_off,
+            y_id=y_id_f[idx], rev=rev_f[idx],
+            x_s=xs2[idx], x_e=xe2[idx], y_s=ts2[idx], y_e=te2[idx],
+            score=sc_f[idx], n_hits=nh_k, hit_off=hb[:-1],
+            hit_self=hit_self_f[hsrc], hit_t=hit_t_f[hsrc],
+            hit_span=hit_span_f[hsrc])
+        if flat:
+            return cols
+        out = []
+        for ridx, (rid, an, rlen) in enumerate(reads):
+            c0, c1 = int(new_off[ridx]), int(new_off[ridx + 1])
+            ov = OverlapRegions(rid)
+            ov.y_id = cols["y_id"][c0:c1].astype(np.uint32)
+            ov.rev = cols["rev"][c0:c1]
+            ov.x_s = cols["x_s"][c0:c1]
+            ov.x_e = cols["x_e"][c0:c1]
+            ov.y_s = cols["y_s"][c0:c1]
+            ov.y_e = cols["y_e"][c0:c1]
+            ov.score = cols["score"][c0:c1]
+            ov.n_hits = cols["n_hits"][c0:c1]
+            h0 = int(hb[c0])
+            ov.hit_start = hb[c0:c1] - h0
+            ov.hit_self = cols["hit_self"][h0:int(hb[c1])]
+            ov.hit_t = cols["hit_t"][h0:int(hb[c1])]
+            ov.hit_span = cols["hit_span"][h0:int(hb[c1])]
+            out.append(ov)
+        return out
+
     out = []
     for ridx, (rid, an, rlen) in enumerate(reads):
         c0, c1 = int(cb[ridx]), int(cb[ridx + 1])
@@ -625,7 +681,59 @@ def _assemble_regions_all(reads, off, so, to, sp, xlg, ylg, tid_g, rev_g,
         ov.hit_t = hit_t_f[h0:h1]
         ov.hit_span = hit_span_f[h0:h1]
         out.append(_finish_regions(ov, rlen, max_n_chain))
+    if flat:
+        return _flat_from_regions(out)
     return out
+
+
+def _flat_from_regions(regions) -> dict:
+    """Batch-level flat columns from per-read OverlapRegions."""
+    R = len(regions)
+    r_ov_off = np.zeros(R + 1, np.int64)
+    for j, ov in enumerate(regions):
+        r_ov_off[j + 1] = r_ov_off[j] + len(ov)
+    hlens = np.array([len(ov.hit_self) for ov in regions], np.int64)
+    hbase = np.concatenate([[0], np.cumsum(hlens[:-1])]) if R else \
+        np.zeros(0, np.int64)
+    cat = np.concatenate
+    return dict(
+        r_ov_off=r_ov_off,
+        y_id=cat([ov.y_id for ov in regions]).astype(np.int64),
+        rev=cat([ov.rev for ov in regions]),
+        x_s=cat([ov.x_s for ov in regions]),
+        x_e=cat([ov.x_e for ov in regions]),
+        y_s=cat([ov.y_s for ov in regions]),
+        y_e=cat([ov.y_e for ov in regions]),
+        score=cat([ov.score for ov in regions]),
+        n_hits=cat([ov.n_hits for ov in regions]),
+        hit_off=cat([ov.hit_start + hbase[j]
+                     for j, ov in enumerate(regions)]),
+        hit_self=cat([ov.hit_self for ov in regions]),
+        hit_t=cat([ov.hit_t for ov in regions]),
+        hit_span=cat([ov.hit_span for ov in regions]))
+
+
+def regions_from_flat(cols: dict, j: int, rid: int) -> OverlapRegions:
+    """Materialize read j's OverlapRegions view from flat batch columns."""
+    c0, c1 = int(cols["r_ov_off"][j]), int(cols["r_ov_off"][j + 1])
+    ov = OverlapRegions(rid)
+    ov.y_id = cols["y_id"][c0:c1].astype(np.uint32)
+    ov.rev = cols["rev"][c0:c1]
+    ov.x_s = cols["x_s"][c0:c1]
+    ov.x_e = cols["x_e"][c0:c1]
+    ov.y_s = cols["y_s"][c0:c1]
+    ov.y_e = cols["y_e"][c0:c1]
+    ov.score = cols["score"][c0:c1]
+    ov.n_hits = cols["n_hits"][c0:c1]
+    if c1 > c0:
+        h0 = int(cols["hit_off"][c0])
+        n_last = int(cols["n_hits"][c1 - 1])
+        h1 = int(cols["hit_off"][c1 - 1]) + n_last
+        ov.hit_start = cols["hit_off"][c0:c1] - h0
+        ov.hit_self = cols["hit_self"][h0:h1]
+        ov.hit_t = cols["hit_t"][h0:h1]
+        ov.hit_span = cols["hit_span"][h0:h1]
+    return ov
 
 
 def dedup_overlaps(ov: OverlapRegions) -> OverlapRegions:
