@@ -114,16 +114,23 @@ def main():
     total_bases = int(sum(len(r) for r in reads))
     fasta = os.path.join(WORK, "reads.fa")
     _write_fasta(reads, fasta)
-
-    wall_ours = _run_ours(reads)
-    ours_bps = total_bases / wall_ours
-
     exe = _build_reference()
+
+    # wall-clock on this host swings up to 3x with background load:
+    # interleave 3 runs of each side and compare MEDIANS
+    import statistics
+    ours_walls, ref_walls = [], []
+    for _ in range(3):
+        ours_walls.append(_run_ours(reads))
+        if exe:
+            w = _run_reference(exe, fasta)
+            if w > 0:
+                ref_walls.append(w)
+    wall_ours = statistics.median(ours_walls)
+    ours_bps = total_bases / wall_ours
     vs = 0.0
-    if exe:
-        wall_ref = _run_reference(exe, fasta)
-        if wall_ref > 0:
-            vs = wall_ref / wall_ours
+    if ref_walls:
+        vs = statistics.median(ref_walls) / wall_ours
     print(json.dumps({
         "metric": "assembly_bases_per_s",
         "value": round(ours_bps, 1),

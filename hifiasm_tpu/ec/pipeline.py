@@ -137,16 +137,29 @@ def _ec_pass_fused(store: ReadStore, codes, mzs, pt, cfg: HifiasmConfig,
     bank = np.concatenate(codes) if codes else np.zeros(0, np.uint8)
     cfg_tuple = (cfg.ec_window, THRESHOLD_MAX_SIZE, e_rate,
                  THRESHOLD_MAX_SIZE, 2, 3, 0.500001)
+    # double-buffered: the fused kernel (ctypes call releases the GIL)
+    # runs in a worker thread while the main thread prepares the next
+    # batch's anchors + chains — the host analog of kt_pipeline
+    from concurrent.futures import ThreadPoolExecutor
+
     bs = max(1, cfg.read_batch)
-    for b0 in range(0, store.n_reads, bs):
-        rids = list(range(b0, min(b0 + bs, store.n_reads)))
-        ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
-        reads = [(rid, an, len(codes[rid])) for rid, an in zip(rids, ans)]
-        ov_cols = chain_many(reads, store.lens, cp,
-                             max_n_chain=cfg.max_n_chain, flat=True)
-        res = ec_batch_native([codes[r] for r in rids], bank_off, bank,
-                              ov_cols, cfg_tuple, do_consensus)
-        yield rids, ov_cols, res
+    with ThreadPoolExecutor(1) as ex:
+        fut = prev = None
+        for b0 in range(0, store.n_reads, bs):
+            rids = list(range(b0, min(b0 + bs, store.n_reads)))
+            ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
+            reads = [(rid, an, len(codes[rid]))
+                     for rid, an in zip(rids, ans)]
+            ov_cols = chain_many(reads, store.lens, cp,
+                                 max_n_chain=cfg.max_n_chain, flat=True)
+            if fut is not None:
+                yield prev[0], prev[1], fut.result()
+            fut = ex.submit(ec_batch_native, [codes[r] for r in rids],
+                            bank_off, bank, ov_cols, cfg_tuple,
+                            do_consensus)
+            prev = (rids, ov_cols)
+        if fut is not None:
+            yield prev[0], prev[1], fut.result()
 
 
 def _use_device(cfg: HifiasmConfig, total_bases: int = 0) -> bool:

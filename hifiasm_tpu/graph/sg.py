@@ -381,20 +381,32 @@ def ma_hit_cut(paf: PafStore, lens: np.ndarray, cov: CoverageCut,
 
 def ma_hit_flt(paf: PafStore, cov: CoverageCut, max_hang: int,
                int_frac: float, min_ovlp: int) -> None:
-    """Drop overlaps ma_hit2arc rejects (~Overlaps.cpp:1865). In-place."""
+    """Drop overlaps ma_hit2arc rejects (~Overlaps.cpp:1865). In-place.
+
+    The hit2arc classification is a pure function of coordinates, so it
+    runs ONCE over all records flat; the read loop only applies the
+    reference's sequential liveness coupling (a read whose overlaps all
+    die is del'd and stops qualifying later reads' overlaps)."""
+    qn, c = paf.flatten()
+    if len(qn) == 0:
+        return
+    ql = (cov.e - cov.s)[qn]
+    tl = cov.e[c["tn"]] - cov.s[c["tn"]]
+    code, _, _, _, _ = hit2arc(c["qs"], c["qe"], c["tn"], c["ts"],
+                               c["te"], c["rev"], ql, tl, max_hang,
+                               int_frac, min_ovlp)
+    code_ok = (code >= 0) | (code == MA_HT_QCONT) | (code == MA_HT_TCONT)
+    pos = 0
     for i in range(len(paf)):
         rec = paf[i]
-        if len(rec) == 0:
+        n = len(rec)
+        if n == 0:
             continue
+        sl = slice(pos, pos + n)
+        pos += n
         live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0) & \
             (cov.del_[i] == 0)
-        ql = cov.e[i] - cov.s[i]
-        tl = cov.e[rec.tn] - cov.s[rec.tn]
-        code, _, _, _, _ = hit2arc(rec.qs, rec.qe, rec.tn, rec.ts, rec.te,
-                                   rec.rev, np.full(len(rec), ql), tl,
-                                   max_hang, int_frac, min_ovlp)
-        ok = live & ((code >= 0) | (code == MA_HT_QCONT) |
-                     (code == MA_HT_TCONT))
+        ok = live & code_ok[sl]
         rec.del_ = np.where(ok, 0, 1).astype(np.uint8)
         if not ok.any():
             cov.del_[i] = 1
@@ -461,38 +473,32 @@ def ma_sg_gen(paf: PafStore, cov: CoverageCut, max_hang: int,
     n = len(paf)
     g = StringGraph(n, (cov.e - cov.s))
     g.seq_del = cov.del_.copy()
-    uls, vs, ols, strongs, els, nlis = [], [], [], [], [], []
-    for i in range(n):
-        rec = paf[i]
-        if len(rec) == 0 or cov.del_[i]:
-            continue
-        live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0)
-        if not live.any():
-            continue
+    qn, c = paf.flatten()
+    if len(qn):
+        live = (c["del_"] == 0) & (cov.del_[qn] == 0) & \
+            (cov.del_[c["tn"]] == 0)
         idx = np.flatnonzero(live)
-        ql = int(cov.e[i] - cov.s[i])
-        tl = cov.e[rec.tn[idx]] - cov.s[rec.tn[idx]]
-        code, u, vdir, l, ol = hit2arc(
-            rec.qs[idx], rec.qe[idx], rec.tn[idx], rec.ts[idx], rec.te[idx],
-            rec.rev[idx], np.full(len(idx), ql), tl, max_hang, int_frac,
-            min_ovlp)
-        good = code >= 0
-        if not good.any():
-            continue
-        gi = idx[good]
-        uu = (np.uint32(i) << np.uint32(1)) | u[good]
-        vv = (rec.tn[gi].astype(np.uint32) << np.uint32(1)) | vdir[good]
-        uls.append((uu.astype(np.uint64) << np.uint64(32))
-                   | l[good].astype(np.uint64))
-        vs.append(vv)
-        ols.append(ql - l[good])
-        strongs.append((rec.ml[gi] >= rec.bl[gi] * 0.999).astype(np.uint8))
-        els.append(rec.el[gi])
-        nlis.append(rec.no_l_indel[gi])
-    if uls:
-        g.set_arcs(np.concatenate(uls), np.concatenate(vs),
-                   np.concatenate(ols), np.concatenate(strongs),
-                   np.concatenate(els), np.concatenate(nlis))
+        if len(idx):
+            qn_l = qn[idx]
+            tn_l = c["tn"][idx]
+            ql = (cov.e - cov.s)[qn_l]
+            tl = cov.e[tn_l] - cov.s[tn_l]
+            code, u, vdir, l, ol = hit2arc(
+                c["qs"][idx], c["qe"][idx], tn_l, c["ts"][idx],
+                c["te"][idx], c["rev"][idx], ql, tl, max_hang, int_frac,
+                min_ovlp)
+            good = code >= 0
+            gi = idx[good]
+            uu = (qn_l[good].astype(np.uint32) << np.uint32(1)) | u[good]
+            vv = (tn_l[good].astype(np.uint32) << np.uint32(1)) | \
+                vdir[good]
+            g.set_arcs(
+                (uu.astype(np.uint64) << np.uint64(32))
+                | l[good].astype(np.uint64),
+                vv,
+                ql[good] - l[good],
+                (c["ml"][gi] >= c["bl"][gi] * 0.999).astype(np.uint8),
+                c["el"][gi], c["no_l_indel"][gi])
     log("ma_sg_gen", f"{g.n_arcs} arcs over {int((cov.del_ == 0).sum())} "
         f"live reads")
     return g
