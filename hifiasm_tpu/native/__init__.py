@@ -703,9 +703,12 @@ def ec_batch_native(codes_batch, bank_off, bank, ov_cols, cfg_tuple,
     arena_off = np.zeros(n_ov + 1, np.int64)
     np.cumsum(spans, out=arena_off[1:])
     tot = int(arena_off[-1])
-    tb_a = np.full(max(tot, 1), 5, np.uint8)
-    ic_a = np.zeros(max(tot, 1), np.uint8)
-    ib_a = np.zeros(max(tot, 1), np.uint8)
+    # no pre-init: ht_ec_batch fills rejected/clamped spans itself
+    # (thread-parallel, cache-hot) — saves ~100 MB of serial memset per
+    # bench pass
+    tb_a = np.empty(max(tot, 1), np.uint8)
+    ic_a = np.empty(max(tot, 1), np.uint8)
+    ib_a = np.empty(max(tot, 1), np.uint8)
     win_tot = np.zeros(max(n_ov, 1), np.int32)
     win_ok = np.zeros(max(n_ov, 1), np.int32)
     err_sum = np.zeros(max(n_ov, 1), np.int64)

@@ -510,12 +510,15 @@ static inline uint8_t tgt_at(const uint8_t* t, int64_t tl_full, int rev,
 // Align ONE query window against a target slice. Writes the accepted
 // traceback into tbp/icp/ibp (pre-initialised 5/0/0); returns err
 // (-1 reject, -2 traceback stuck) and the in-band y range via *ys/*yn.
+// *tl_out reports the effective (possibly tail-clamped) xlen so callers
+// with UNinitialised arenas can fill [tl_out, xlen) themselves.
 static int64_t win_align_one(
     const uint8_t* xb, int64_t xlen,
     const uint8_t* t, int64_t tl_full, int rev,
     int64_t t_ws, int is_last, int64_t e, int64_t acc_thre,
     int traceback, uint8_t* tbp, uint8_t* icp, uint8_t* ibp,
-    WinScratch& S, int64_t* ys_out, int64_t* yn_out) {
+    WinScratch& S, int64_t* ys_out, int64_t* yn_out,
+    int64_t* tl_out = nullptr) {
     const int W = int(2 * e + 1);
     const uint64_t mask = (W >= 64) ? ~0ULL : ((1ULL << W) - 1);
     const int64_t y0 = t_ws - e;
@@ -524,6 +527,7 @@ static int64_t win_align_one(
     if (tl_full - y0 < pl) pl = tl_full - y0;
     if (pl < 0) pl = 0;
     if (is_last && pl < tl) tl = pl;   // suffix-overlap tail clamp
+    if (tl_out) *tl_out = tl > 0 ? tl : 0;
     if (tl <= 0) { *ys_out = -1; *yn_out = 0; return -1; }
     // Exact fast path (the dominant case once reads are corrected, cf
     // the reference's exact-overlap counter in cal_ov_r, ecovlp.cpp:6385):
@@ -757,11 +761,21 @@ extern "C" int64_t ht_ec_batch(
                 if (thre > thre_cap) thre = thre_cap;
                 int64_t acc = thre * 2 < thre_cap ? thre * 2 : thre_cap;
                 const int64_t dst = arena_off[o] + (ws - xs);
-                int64_t ys = -1, yn = 0;
+                int64_t ys = -1, yn = 0, tl_eff = 0;
+                // arenas arrive UNinitialised: zero the insert tracks up
+                // front (the traceback only writes insertion columns);
+                // tb gets its 5-fill below for rejected/clamped spans
+                std::memset(ic_arena + dst, 0, (size_t)wlen);
+                std::memset(ib_arena + dst, 0, (size_t)wlen);
                 const int64_t err = win_align_one(
                     q + ws, wlen, t, tl_full, rev, t_ws, is_last, e, acc,
                     1, tb_arena + dst, ic_arena + dst, ib_arena + dst,
-                    S, &ys, &yn);
+                    S, &ys, &yn, &tl_eff);
+                if (err < 0)
+                    std::memset(tb_arena + dst, 5, (size_t)wlen);
+                else if (tl_eff < wlen)
+                    std::memset(tb_arena + dst + tl_eff, 5,
+                                (size_t)(wlen - tl_eff));
                 if (err == -2) {
 #ifdef _OPENMP
 #pragma omp atomic write
