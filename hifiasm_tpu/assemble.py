@@ -108,7 +108,7 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
                    list_mat=cfg.fn_bin_list_mat)
         _drop_edges_by_trio(ec.paf, store.trio_flags)
 
-    paf = normalize_paf(ec.paf, store.lens)
+    paf = normalize_paf(ec.paf, store.lens, rescue_el=cfg.is_ont)
     read_cov = np.array([len(paf[i]) for i in range(store.n_reads)],
                         np.int64)
     sg, cov, r_to_u = gen_init_sg(
@@ -211,7 +211,10 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
     elif (cfg.fn_bin_yak_pat and cfg.fn_bin_yak_mat) or \
             (cfg.fn_bin_list_pat and cfg.fn_bin_list_mat):
         mode = "dip"
-    primary_mode = cfg.purge_level == 0   # -l0/--primary: unprefixed
+    # -l0 or --primary: unprefixed p_ctg/a_ctg, no hap1/hap2 partition
+    # (~CommandLines.cpp:947 clears HA_F_PARTITION; Overlaps.cpp:39156
+    # drops the ".bp" prefix when the flag is absent)
+    primary_mode = cfg.purge_level == 0 or cfg.primary
     ctg_pfx = f"{prefix}." if primary_mode else f"{prefix}.{mode}."
     ug_cov = np.array([
         int(np.round(res.read_cov[(u.vs >> 1)].mean())) if len(u.vs) else 0

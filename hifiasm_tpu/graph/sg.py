@@ -169,59 +169,101 @@ def hit2arc(qs, qe, tn, ts, te, rev, ql, tl, max_hang, int_frac, min_ovlp):
     return code, u, vdir, l, ol
 
 
-def normalize_paf(paf: PafStore, lens: np.ndarray) -> PafStore:
-    """Symmetrize: every (q,t) overlap gets its reciprocal (t,q) record,
-    deduped per (q,t,rev) keeping max ml (~normalize_ma_hit_t_single_side_
-    advance, Overlaps.cpp:39362)."""
+def normalize_paf(paf: PafStore, lens: np.ndarray,
+                  rescue_el: bool = False) -> PafStore:
+    """Pair-symmetric overlap normalization
+    (~normalize_ma_hit_t_single_side_advance, Overlaps.cpp:1139).
+
+    Matches the reference's semantics: an overlap pair must exist in BOTH
+    directions — one-sided pairs are dropped (rescued only when
+    ``rescue_el`` is set, the ONT path, and the record is exact/el,
+    Overlaps.cpp:1185-1191).  For two-sided pairs the record with the
+    longer query span wins (ties: the lower read id's record,
+    Overlaps.cpp:1170-1178) and the opposite direction is overwritten
+    with its exact coordinate swap (set_reverse_overlap,
+    Overlaps.cpp:1093), so reciprocal records stay mirrored — the arc
+    symmetry that symm_del and ug_post_join rely on."""
     qn, c = paf.flatten()
-    # reciprocal records: ma_hit_t keeps qs/qe and ts/te each in their own
-    # read's FORWARD frame (rev only records the relative orientation), so
-    # the reciprocal is a plain swap of the two coordinate pairs
-    r_qn = c["tn"].astype(np.uint32)
-    r_tn = qn.astype(np.uint32)
-    r_qs = c["ts"]
-    r_qe = c["te"]
-    r_ts = c["qs"]
-    r_te = c["qe"]
-
-    a_qn = np.concatenate([qn, r_qn])
-    a_tn = np.concatenate([c["tn"], r_tn])
-    a_qs = np.concatenate([c["qs"], r_qs])
-    a_qe = np.concatenate([c["qe"], r_qe])
-    a_ts = np.concatenate([c["ts"], r_ts])
-    a_te = np.concatenate([c["te"], r_te])
-    a_rev = np.concatenate([c["rev"], c["rev"]])
-    a_ml = np.concatenate([c["ml"], c["ml"]])
-    a_bl = np.concatenate([c["bl"], c["bl"]])
-    a_el = np.concatenate([c["el"], c["el"]])
-    a_nli = np.concatenate([c["no_l_indel"], c["no_l_indel"]])
-
-    # dedup by (qn, tn, rev): keep max ml (original record wins ties by order)
-    key = (a_qn.astype(np.uint64) << np.uint64(33)) | \
-          (a_tn.astype(np.uint64) << np.uint64(1)) | a_rev.astype(np.uint64)
-    order = np.lexsort((-a_ml, key))
-    key_sorted = key[order]
-    first = np.ones(len(key_sorted), bool)
-    first[1:] = key_sorted[1:] != key_sorted[:-1]
-    sel = order[first]
-    sel = sel[np.argsort(a_qn[sel], kind="stable")]
-
     out = PafStore(len(paf))
-    if len(sel) == 0:
+    if len(qn) == 0:
         return out
-    # group by query read
-    qsel = a_qn[sel]
+    qn = qn.astype(np.uint64)
+    tn = c["tn"].astype(np.uint64)
+    rev = c["rev"].astype(np.uint64)
+
+    # 1. dedup per (qn, tn, rev): keep max ml (stable on ties)
+    key = (qn << np.uint64(33)) | (tn << np.uint64(1)) | rev
+    order = np.lexsort((-c["ml"], key))
+    ks = key[order]
+    first = np.ones(len(ks), bool)
+    first[1:] = ks[1:] != ks[:-1]
+    sel = order[first]
+
+    # 2. pair resolution on the deduped records
+    dq, dt, dr = qn[sel], tn[sel], rev[sel]
+    lo = np.minimum(dq, dt)
+    hi = np.maximum(dq, dt)
+    pkey = (lo << np.uint64(33)) | (hi << np.uint64(1)) | dr
+    side = (dq > dt).astype(np.uint8)            # 0 = record from lower id
+    o2 = np.lexsort((side, pkey))
+    pks = pkey[o2]
+    paired = np.zeros(len(o2), bool)
+    paired[:-1] = pks[:-1] == pks[1:]            # row i pairs with i+1
+    i0 = o2[np.flatnonzero(paired)]              # side-0 record of each pair
+    i1 = o2[np.flatnonzero(paired) + 1]          # side-1 record
+
+    span = c["qe"][sel] - c["qs"][sel]
+    win = np.where(span[i1] > span[i0], i1, i0)  # ties -> lower-id side
+
+    # one-sided records: ONT el-rescue only
+    si = np.flatnonzero(~_mark(len(sel), i0, i1))
+    if rescue_el:
+        si = si[c["el"][sel][si] != 0]
+    else:
+        si = si[:0]
+
+    keep = np.concatenate([win, si])             # indices into `sel`
+    if len(keep) == 0:
+        return out
+    kidx = sel[keep]
+
+    # 3. emit winner + exact mirror for every kept record
+    w_qn = qn[kidx].astype(np.uint32)
+    w_tn = tn[kidx].astype(np.uint32)
+    a_qn = np.concatenate([w_qn, w_tn])
+    a_tn = np.concatenate([w_tn, w_qn])
+    a_qs = np.concatenate([c["qs"][kidx], c["ts"][kidx]])
+    a_qe = np.concatenate([c["qe"][kidx], c["te"][kidx]])
+    a_ts = np.concatenate([c["ts"][kidx], c["qs"][kidx]])
+    a_te = np.concatenate([c["te"][kidx], c["qe"][kidx]])
+    a_rev = np.concatenate([c["rev"][kidx]] * 2)
+    a_ml = np.concatenate([c["ml"][kidx]] * 2)
+    a_bl = np.concatenate([c["bl"][kidx]] * 2)
+    a_el = np.concatenate([c["el"][kidx]] * 2)
+    a_nli = np.concatenate([c["no_l_indel"][kidx]] * 2)
+
+    fkey = (a_qn.astype(np.uint64) << np.uint64(33)) | \
+        (a_tn.astype(np.uint64) << np.uint64(1)) | a_rev.astype(np.uint64)
+    forder = np.argsort(fkey, kind="stable")
+    qsel = a_qn[forder]
     bounds = np.flatnonzero(np.diff(qsel)) + 1
     starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [len(sel)]])
+    ends = np.concatenate([bounds, [len(forder)]])
     for s, e in zip(starts, ends):
         rid = int(qsel[s])
-        idx = sel[s:e]
+        idx = forder[s:e]
         out[rid] = PafRecords.from_columns(
             qs=a_qs[idx], qe=a_qe[idx], tn=a_tn[idx], ts=a_ts[idx],
             te=a_te[idx], rev=a_rev[idx], ml=a_ml[idx], bl=a_bl[idx],
             el=a_el[idx], no_l_indel=a_nli[idx])
     return out
+
+
+def _mark(n: int, *idx_arrays: np.ndarray) -> np.ndarray:
+    m = np.zeros(n, bool)
+    for a in idx_arrays:
+        m[a] = True
+    return m
 
 
 def ma_hit_sub(min_dp: int, paf: PafStore, lens: np.ndarray,

@@ -384,6 +384,14 @@ def ug_post_join(ug: UnitigGraph, cov: CoverageCut) -> int:
                 continue                   # not mutually unique
             if ug.utgs[s >> 1].circ or ug.utgs[d >> 1].circ:
                 continue
+            # the junction read must cover the whole arc overlap: if ol
+            # exceeds the last read's coverage-cut extent, trimming only
+            # that read would duplicate ol - extent bases in the merged
+            # contig -- skip the join
+            ja = ug.utgs[s >> 1]
+            jread = int(ja.vs[-1] if (s & 1) == 0 else ja.vs[0]) >> 1
+            if ol > int(cov.e[jread] - cov.s[jread]):
+                continue
             pick = k
             break
         if pick < 0:
