@@ -127,6 +127,10 @@ class HifiasmConfig:
     max_read_len: int = 65536             # padded read length cap
     use_pallas: bool = True               # use Pallas kernels when on TPU
     align_engine: str = "auto"            # auto | jax | native | numpy
+    # multi-chip: 0 = use every visible device when the device path is
+    # active (>1 device -> mesh-sharded EC + bucket-sharded index);
+    # 1 pins single-device; N caps the mesh size
+    mesh_devices: int = 0
     # below this input size the device path cannot amortize its launch
     # costs; route EC to the native host engine instead (auto mode only)
     device_min_bases: int = 50_000_000

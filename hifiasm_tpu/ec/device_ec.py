@@ -189,12 +189,46 @@ class DeviceEC:
     """Orchestrates the four device programs over all reads of a round."""
 
     def __init__(self, store: ReadStore, wl: int = WINDOW_HC,
-                 e_rate: float = 0.04, chunk: int = CHUNK):
+                 e_rate: float = 0.04, chunk: int = CHUNK, mesh=None):
         self.store = store
         self.wl = wl
         self.e_rate = e_rate
+        self.mesh = mesh
         self.chunk = chunk
         self.bank = build_bank(store)
+        self._shard_b = self._repl = None
+        if mesh is not None:
+            # multi-chip: the read bank replicates onto every chip; each
+            # window chunk shards on the batch axis, so the banded scans
+            # (the FLOP-heavy stage) run data-parallel over the mesh and
+            # the vote scatters psum into mesh-replicated accumulators —
+            # the SPMD form of the per-read kt_for (ecovlp.cpp:6078)
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = len(mesh.devices)
+            self.chunk = max(chunk // n_dev, 1) * n_dev
+            self._shard_b = NamedSharding(mesh, P("data"))
+            self._repl = NamedSharding(mesh, P())
+            self.bank = DeviceBank(
+                jax.device_put(self.bank.fwd, self._repl),
+                jax.device_put(self.bank.rc, self._repl),
+                jax.device_put(self.bank.lens, self._repl),
+                self.bank.L, self.bank.R)
+
+    def _put_b(self, a: np.ndarray):
+        """Batch-axis array -> device (sharded over the mesh if active)."""
+        import jax
+        if self._shard_b is not None:
+            return jax.device_put(a, self._shard_b)
+        return jnp.asarray(a)
+
+    def _zeros(self, n: int):
+        """Accumulator (mesh-replicated when sharded)."""
+        import jax
+        z = jnp.zeros(n, jnp.int32)
+        if self._repl is not None:
+            return jax.device_put(z, self._repl)
+        return z
 
     def process(self, read_ovs: List[Tuple[int, OverlapRegions]]
                 ) -> Tuple[Dict[int, ReadECOut], Dict[int, tuple]]:
@@ -267,7 +301,7 @@ class DeviceEC:
                 if pad else j_last[sel]
             err, ys, yn, xle, tb, ic, ib = _align_chunk(
                 self.wl, e, bank.fwd, bank.rc, bank.lens,
-                *[jnp.asarray(a) for a in args], jnp.asarray(lastp))
+                *[self._put_b(a) for a in args], self._put_b(lastp))
             chunks.append((tb, ic, ib, sel, pad))
             pend.append((sel, n, err, ys, yn, xle))
         _mark(f"L1 dispatched ({len(chunks)} chunks, {W} windows)")
@@ -314,11 +348,11 @@ class DeviceEC:
         _mark("L1 synced")
         qlen_d = bank.lens
         # ---- L2: raw allele counts ----
-        cnt = jnp.zeros(R * L * 5 , jnp.int32)
+        cnt = self._zeros(R * L * 5)
         for tb, ic, ib, sel, pad in chunks:
             args = self._chunk_args((j_qrid, j_ws, j_xlen), sel, pad)
             okp = self._pad_bool(w_use[sel], pad)
-            cnt = _raw_counts(self.wl, L, tb, *args, jnp.asarray(okp),
+            cnt = _raw_counts(self.wl, L, tb, *args, self._put_b(okp),
                               qlen_d, cnt)
         cnt_host = np.asarray(jnp.minimum(cnt, 255).astype(jnp.uint8)
                               ).reshape(R, L, 5)
@@ -341,16 +375,21 @@ class DeviceEC:
             alt_plane[rid, hs] = alt[hs]
 
         # ---- L3: per-overlap het agreement -> cis/trans ----
-        n_same = jnp.zeros(n_ov_tot, jnp.int32)
-        n_flip = jnp.zeros(n_ov_tot, jnp.int32)
-        alt_d = jnp.asarray(alt_plane)
-        het_d = jnp.asarray(het_plane)
+        n_same = self._zeros(n_ov_tot)
+        n_flip = self._zeros(n_ov_tot)
+        if self._repl is not None:
+            import jax
+            alt_d = jax.device_put(alt_plane, self._repl)
+            het_d = jax.device_put(het_plane, self._repl)
+        else:
+            alt_d = jnp.asarray(alt_plane)
+            het_d = jnp.asarray(het_plane)
         for tb, ic, ib, sel, pad in chunks:
             args = self._chunk_args((j_qrid, j_ws, j_xlen), sel, pad)
             okp = self._pad_bool(w_use[sel], pad)
             ovp = self._pad_arr(j_ovid[sel], pad)
             n_same, n_flip = _het_agree(
-                self.wl, tb, *args, jnp.asarray(okp), jnp.asarray(ovp),
+                self.wl, tb, *args, self._put_b(okp), self._put_b(ovp),
                 bank.fwd, alt_d, het_d, n_same, n_flip)
         n_same_h = np.asarray(n_same)
         n_flip_h = np.asarray(n_flip)
@@ -365,17 +404,17 @@ class DeviceEC:
                 len(het_per_read[rid][0]))
 
         # ---- L4: cis-only votes + insertion aggregates ----
-        votes = jnp.zeros(R * L * 5, jnp.int32)
-        ins_tot = jnp.zeros(R * L, jnp.int32)
-        ins_bc = jnp.zeros(R * L * 4, jnp.int32)
-        ins_lc = jnp.zeros(R * L * 9, jnp.int32)
+        votes = self._zeros(R * L * 5)
+        ins_tot = self._zeros(R * L)
+        ins_bc = self._zeros(R * L * 4)
+        ins_lc = self._zeros(R * L * 9)
         cis_w = w_use & (is_match_all[j_ovid] == 1)
         for tb, ic, ib, sel, pad in chunks:
             args = self._chunk_args((j_qrid, j_ws, j_xlen), sel, pad)
             cisp = self._pad_bool(cis_w[sel], pad)
             votes, ins_tot, ins_bc, ins_lc = _cis_votes(
                 self.wl, L, tb, ic, ib, *args, votes, ins_tot, ins_bc,
-                ins_lc, jnp.asarray(cisp), qlen_d)
+                ins_lc, self._put_b(cisp), qlen_d)
         ins_base, ins_len = _finalize_ins(ins_bc, ins_lc)
         votes_h = np.asarray(jnp.minimum(votes, 255).astype(jnp.uint8)
                              ).reshape(R, L, 5)
@@ -401,7 +440,7 @@ class DeviceEC:
         return out, cns_in
 
     def _chunk_args(self, arrays, sel, pad):
-        return [jnp.asarray(np.concatenate([a[sel], np.zeros(pad, a.dtype)])
+        return [self._put_b(np.concatenate([a[sel], np.zeros(pad, a.dtype)])
                             if pad else a[sel]) for a in arrays]
 
     def _pad_bool(self, a, pad):

@@ -175,13 +175,40 @@ def _use_device(cfg: HifiasmConfig, total_bases: int = 0) -> bool:
     return True
 
 
-def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov):
-    """Anchor collection + batched chain DP for every read."""
+def _active_mesh(cfg: HifiasmConfig):
+    """Mesh for the device path when >1 chip is visible (or
+    cfg.mesh_devices forces a size).  None = single-device."""
+    n = getattr(cfg, "mesh_devices", 0)
+    try:
+        import jax
+        avail = len(jax.devices())
+    except Exception:
+        return None
+    n = avail if n == 0 else min(n, avail)
+    if n <= 1:
+        return None
+    from hifiasm_tpu.parallel.mesh import make_mesh
+    return make_mesh(n)
+
+
+def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov, mesh=None):
+    """Anchor collection + batched chain DP for every read.
+
+    With a mesh, the posting lookups route through the bucket-sharded
+    device index (parallel/ec_shard.py) — byte-identical anchors, the
+    multi-chip ha_pt_get (htab.cpp:518)."""
     from hifiasm_tpu.overlap.anchors import chain_many, collect_anchors_many
 
     cp = ChainParams.for_k(cfg.k)
     rids = list(range(store.n_reads))
-    ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
+    if mesh is not None:
+        from hifiasm_tpu.parallel.ec_shard import (
+            MeshAnchorGather, collect_anchors_mesh,
+        )
+        gather = MeshAnchorGather(pt, mesh)
+        ans = collect_anchors_mesh(mzs, gather, rids, store.lens, hom_cov)
+    else:
+        ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
     reads = [(rid, an, len(codes[rid])) for rid, an in zip(rids, ans)]
     ovs = chain_many(reads, store.lens, cp, max_n_chain=cfg.max_n_chain)
     return [(rid, ov) for (rid, _, _), ov in zip(reads, ovs)]
@@ -207,8 +234,11 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
         )
         from hifiasm_tpu.ec.window_align import align_overlaps
 
-        dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_ec)
-        read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov)
+        mesh = _active_mesh(cfg)
+        dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_ec,
+                       mesh=mesh)
+        read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov,
+                                    mesh=mesh)
         ov_of = dict(read_ovs)
         get_target = _TargetCache(store)
         n_routed = 0
@@ -377,8 +407,11 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
     rev_paf = PafStore(store.n_reads)
     if _use_device(cfg, store.total_bases):
         from hifiasm_tpu.ec.device_ec import DeviceEC
-        dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_final)
-        read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov)
+        mesh = _active_mesh(cfg)
+        dev = DeviceEC(store, wl=cfg.ec_window,
+                       e_rate=cfg.max_ov_diff_final, mesh=mesh)
+        read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov,
+                                    mesh=mesh)
         outs, _ = dev.process(read_ovs)
         for rid, eco in outs.items():
             _push_records_stats(

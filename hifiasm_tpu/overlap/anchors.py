@@ -155,33 +155,43 @@ def collect_anchors_many(mzs, pt: PositionTable, rids, tlens: np.ndarray,
         qpos = qpos_all[qidx]
         qspan = qspan_all[qidx]
         occ = np.repeat(counts, counts)[keep].astype(np.int64)
-        rev = (qrev != trev).astype(np.uint8)
-        tl = tlens[tid].astype(np.int64)
-        t_off = np.where(rev == 0, tpos, tl - 1 - (tpos + 1 - tspan))
-        w = np.ones(len(occ), np.int64)
-        w[occ <= min_cnt] = 2
-        hi = occ >= max_cnt
-        wh = 1 + ((occ[hi] + (max_cnt << 1) - 1) // (max_cnt << 1))
-        w[hi] = np.floor(np.power(wh.astype(np.float64), 1.1)
-                         ).astype(np.int64)
-        w = np.minimum(w, 0xFFFFFF)
-        order = np.lexsort((t_off, qpos, rev, tid, qread_a))
-        qread_s = qread_a[order]
-        bnd = np.flatnonzero(np.diff(qread_s)) + 1
-        seg_s = np.concatenate([[0], bnd])
-        seg_e = np.concatenate([bnd, [len(qread_s)]])
-        seg_rid = {int(qread_s[s]): (s, e) for s, e in zip(seg_s, seg_e)}
+        by_rid = finish_anchor_chunk(qread_a, qpos, qrev, qspan, tid, tpos,
+                                     trev, tspan, occ, tlens, min_cnt,
+                                     max_cnt)
         for x in range(c0, c1):
-            rid = rids[x]
-            if rid in seg_rid:
-                s, e = seg_rid[rid]
-                sl = order[s:e]
-                out[x] = Anchors(tid[sl], rev[sl], qpos[sl], t_off[sl],
-                                 qspan[sl], w[sl])
-            else:
-                out[x] = empty()
+            out[x] = by_rid.get(rids[x], None) or empty()
         c0 = c1
     return out
+
+
+def finish_anchor_chunk(qread_a, qpos, qrev, qspan, tid, tpos, trev, tspan,
+                        occ, tlens, min_cnt, max_cnt):
+    """Posting columns -> per-read Anchors: occurrence-class weights
+    (anchor.cpp:1063-1071), target forward-frame offset, and the
+    (qread, tid, rev, qpos, t_off) lexsort.  Shared by the host gather
+    (collect_anchors_many) and the mesh all_to_all gather
+    (parallel/ec_shard.py) so both produce byte-identical anchors."""
+    rev = (qrev != trev).astype(np.uint8)
+    tl = tlens[tid].astype(np.int64)
+    t_off = np.where(rev == 0, tpos, tl - 1 - (tpos + 1 - tspan))
+    w = np.ones(len(occ), np.int64)
+    w[occ <= min_cnt] = 2
+    hi = occ >= max_cnt
+    wh = 1 + ((occ[hi] + (max_cnt << 1) - 1) // (max_cnt << 1))
+    w[hi] = np.floor(np.power(wh.astype(np.float64), 1.1)
+                     ).astype(np.int64)
+    w = np.minimum(w, 0xFFFFFF)
+    order = np.lexsort((t_off, qpos, rev, tid, qread_a))
+    qread_s = qread_a[order]
+    bnd = np.flatnonzero(np.diff(qread_s)) + 1
+    seg_s = np.concatenate([[0], bnd]) if len(qread_s) else []
+    seg_e = np.concatenate([bnd, [len(qread_s)]]) if len(qread_s) else []
+    by_rid = {}
+    for s, e in zip(seg_s, seg_e):
+        sl = order[s:e]
+        by_rid[int(qread_s[s])] = Anchors(
+            tid[sl], rev[sl], qpos[sl], t_off[sl], qspan[sl], w[sl])
+    return by_rid
 
 
 def collect_anchors(mz: Minimizers, pt: PositionTable, rid: int,

@@ -163,7 +163,7 @@ class ShardedPostings:
     idx: ShardedIndex
     start: np.ndarray      # [S, Hmax] int32 CSR into the posting lanes
     p_rid: np.ndarray      # [S, Pmax] uint32 (rid << 1 | rev)
-    p_pos: np.ndarray      # [S, Pmax] uint32
+    p_pos: np.ndarray      # [S, Pmax] uint32 ((span << 24) | pos)
 
     @classmethod
     def build(cls, pt: PositionTable, n_shards: int) -> "ShardedPostings":
@@ -185,7 +185,10 @@ class ShardedPostings:
                 n = b - a
                 pr[s, w:w + n] = (pt.rid[a:b].astype(np.uint32) << 1) | \
                     pt.rev[a:b]
-                pp[s, w:w + n] = pt.pos[a:b]
+                # span (k <= 64 fits in 8 bits) rides the top byte of the
+                # pos lane; read positions stay < 2^24 for HiFi inputs
+                pp[s, w:w + n] = (pt.span[a:b].astype(np.uint32) << 24) | \
+                    pt.pos[a:b].astype(np.uint32)
                 w += n
         return cls(n_shards, idx, st, pr, pp)
 

@@ -70,7 +70,7 @@ def test_sharded_postings_match_host(rng):
         want_n = min(len(rr), K)
         assert n[i] == want_n, (i, n[i], len(rr))
         if want_n:
-            got = {(int(r), int(p)) for r, p in
+            got = {(int(r), int(p) & 0xFFFFFF) for r, p in
                    zip(rid[i, :want_n], pos[i, :want_n])}
             want = {((int(r) << 1) | int(v), int(p))
                     for r, p, v in zip(rr[:K], pp_[:K], vv[:K])}
