@@ -159,7 +159,7 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
                 c = seq_to_codes(s)
                 if len(c) >= cfg.ul_min_base:   # --ul-cut
                     ul_codes.append(c)
-        paths = ul_align(useqs, ul_codes)
+        paths = ul_align(useqs, ul_codes, ug=ug)
         integer_correction(paths)
         ul_renew_graph(ug, paths)
 

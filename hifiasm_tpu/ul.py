@@ -82,15 +82,234 @@ class ULPath:
     blocks: List[Tuple[int, int, int, int]]  # (uid, rev, q_start, q_end)
 
 
+def _utg_adj(ug: UnitigGraph) -> Dict[int, List[Tuple[int, int]]]:
+    """vertex -> sorted [(dst_vertex, overlap)] (deterministic order)."""
+    adj: Dict[int, List[Tuple[int, int]]] = {}
+    for s, d, ol in zip(ug.a_src, ug.a_dst, ug.a_ol):
+        adj.setdefault(int(s), []).append((int(d), int(ol)))
+    for v in adj:
+        adj[v].sort()
+    return adj
+
+
+def _reach_starts(adj, utg_lens, src_v: int, cap: int,
+                  max_nodes: int = 64):
+    """Bounded deterministic Dijkstra from the END of oriented unitig
+    ``src_v``: returns {dst_vertex: (dist_to_its_start, prev_vertex)}
+    with distances measured in bases past src's end (an arc with overlap
+    ``ol`` places the next unitig's start at -ol relative to the current
+    end).  The graph half of the reference's ``hc_shortest_k``
+    (inter.cpp:5904) with the same distance cap semantics."""
+    import heapq
+
+    d_start: Dict[int, Tuple[int, int]] = {}
+    seen_end: Dict[int, int] = {}
+    heap = []
+    for w, ol in adj.get(src_v, []):
+        ds = -ol
+        if ds <= cap and (w not in d_start or ds < d_start[w][0]):
+            d_start[w] = (ds, -1)
+            heapq.heappush(heap, (ds + int(utg_lens[w >> 1]), w))
+    n_pop = 0
+    while heap and n_pop < max_nodes:
+        de, v = heapq.heappop(heap)
+        if seen_end.get(v, 1 << 62) <= de:
+            continue
+        seen_end[v] = de
+        n_pop += 1
+        for w, ol in adj.get(v, []):
+            ds = de - ol
+            if ds > cap:
+                continue
+            if w not in d_start or ds < d_start[w][0]:
+                d_start[w] = (ds, v)
+                heapq.heappush(heap, (ds + int(utg_lens[w >> 1]), w))
+    return d_start
+
+
+def _splice_junction(utg_seqs, utg_lens, vj: int, re_j: int, vi: int,
+                     rs_i: int, mids: List[int], ols: List[int]
+                     ) -> np.ndarray:
+    """Oriented target sequence from position re_j on vj to rs_i on vi,
+    walking the arc path (mids = intermediate vertices, ols = per-hop
+    overlaps into each next vertex)."""
+    from hifiasm_tpu.io.readstore import revcomp_codes
+
+    def seq_of(v):
+        s = utg_seqs[v >> 1]
+        return revcomp_codes(s) if (v & 1) else s
+
+    parts = [seq_of(vj)[re_j:]]
+    path = mids + [vi]
+    for idx, (v, ol) in enumerate(zip(path, ols)):
+        s = seq_of(v)
+        # last hop: run a margin past rs_i so junction windows that
+        # extend into vi have target sequence to align against
+        end = len(s) if idx < len(path) - 1 else min(len(s), rs_i + 200)
+        if ol < end:
+            parts.append(s[ol:end])
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+
+def graph_chain_paths(ov, ug: UnitigGraph, utg_seqs, utg_lens, ul,
+                      min_chain_score: int = 8, bw: int = 400,
+                      diff: float = UL_ERR_RATE, ol_tol: int = 400
+                      ) -> List[Tuple[int, int, int, int]]:
+    """Graph-chaining DP over per-unitig linear chains
+    (~gl_chain_graph / gl_chain_refine_advance, inter.cpp:5785, :4334).
+
+    Chains sort by query end; each chain may extend a predecessor whose
+    read gap is consistent with a bounded shortest path through the
+    unitig graph (the junction distance check of hc_target_len +
+    hc_shortest_k); junction-crossing transitions are verified at base
+    level on the spliced target.  The best-scoring chain backtracks into
+    one path of oriented unitigs, inserting anchor-less junction unitigs
+    the path traverses."""
+    sel = np.flatnonzero(ov.score >= min_chain_score)
+    if len(sel) == 0:
+        return []
+    order = sel[np.lexsort((ov.x_s[sel], ov.x_e[sel]))]
+    n = len(order)
+    v = (ov.y_id[order].astype(np.int64) << 1) | ov.rev[order]
+    qs = ov.x_s[order].astype(np.int64)
+    qe = ov.x_e[order].astype(np.int64)
+    rs = ov.y_s[order].astype(np.int64)
+    re_ = ov.y_e[order].astype(np.int64)
+    sc = ov.score[order].astype(np.int64)
+
+    adj = _utg_adj(ug)
+    f = sc.copy()
+    par = np.full(n, -1, np.int64)
+    trans_mid: Dict[Tuple[int, int], Tuple[List[int], List[int]]] = {}
+    reach_cache: Dict[Tuple[int, int], dict] = {}
+    verify_cache: Dict[Tuple[int, int], bool] = {}
+
+    def _junction_ok(j: int, i: int, mids, ols) -> bool:
+        key = (j, i)
+        if key in verify_cache:
+            return verify_cache[key]
+        # base-level spot check across the junction: a fixed 140 bp
+        # window starting just before the jump (WINDOW_UL-style budget;
+        # the band must fit the uint64 Myers lane, so e <= 31)
+        lo = max(int(qe[j]) - 40, 0)
+        hi = min(lo + 140, len(ul))
+        x = ul[lo:hi]
+        ok = False
+        if len(x) >= 20:
+            e = min(31, max(8, int(len(x) * diff)))
+            # target starts e bases BEFORE x's expected position (the
+            # engine's band convention, see _verify_block)
+            tgt = _splice_junction(
+                utg_seqs, utg_lens, int(v[j]),
+                max(int(re_[j]) - (int(qe[j]) - lo) - e, 0), int(v[i]),
+                int(rs[i]), mids, ols)
+            if len(tgt) > 0:
+                from hifiasm_tpu.ops.banded_batch import banded_batch_np
+                yb = np.full((1, len(x) + 2 * e), 4, np.uint8)
+                m = min(len(tgt), len(x) + 2 * e)
+                yb[0, :m] = tgt[:m]
+                out = banded_batch_np(
+                    x[None, :].copy(), np.array([len(x)]), yb,
+                    np.array([m]), e, traceback=False)
+                ok = bool(out.err[0] >= 0)
+        verify_cache[key] = ok
+        return ok
+
+    for i in range(n):
+        cands = []
+        for j in range(i - 1, -1, -1):
+            if qs[j] >= qs[i] or qe[j] > qe[i]:
+                continue
+            qgap = int(qs[i] - qe[j])
+            if qgap < -ol_tol:
+                continue
+            mids: List[int] = []
+            ols: List[int] = []
+            if v[j] == v[i]:
+                gdist = int(rs[i] - re_[j])
+                if gdist < -ol_tol:
+                    continue
+            else:
+                tail = int(utg_lens[int(v[j]) >> 1] - re_[j])
+                cap = int(max(qgap, 0) * (1.0 + diff)) + bw
+                ck = (int(v[j]), cap)
+                if ck not in reach_cache:
+                    reach_cache[ck] = _reach_starts(adj, utg_lens,
+                                                    int(v[j]), cap)
+                reach = reach_cache[ck]
+                if int(v[i]) not in reach:
+                    continue
+                ds, _ = reach[int(v[i])]
+                gdist = tail + ds + int(rs[i])
+                # reconstruct intermediate vertices (end to start)
+                mids_r = []
+                ols_r = []
+                cur = int(v[i])
+                while True:
+                    dsc, prev = reach[cur]
+                    nxt = int(v[j]) if prev == -1 else prev
+                    # overlap into cur on the chosen hop
+                    olv = 0
+                    for w, o in adj.get(nxt, []):
+                        if w == cur:
+                            olv = o
+                            break
+                    ols_r.append(olv)
+                    if prev == -1:
+                        break
+                    mids_r.append(prev)
+                    cur = prev
+                mids = mids_r[::-1]
+                ols = ols_r[::-1]
+            pen = abs(gdist - qgap)
+            if pen > bw + diff * max(qgap, gdist, 0):
+                continue
+            cand_sc = int(f[j] + sc[i] - pen // 32)
+            if cand_sc > f[i]:
+                cands.append((cand_sc, j, mids, ols))
+        cands.sort(key=lambda c: (-c[0], c[1]))
+        for cand_sc, j, mids, ols in cands:
+            if cand_sc <= f[i]:
+                break
+            if v[j] != v[i] and not _junction_ok(j, i, mids, ols):
+                continue
+            f[i] = cand_sc
+            par[i] = j
+            trans_mid[(j, i)] = (mids, ols)
+            break
+
+    best = int(np.argmax(f))
+    chain_idx = []
+    cur = best
+    while cur >= 0:
+        chain_idx.append(cur)
+        cur = int(par[cur])
+    chain_idx.reverse()
+
+    blocks: List[Tuple[int, int, int, int]] = []
+    for a, b in zip([None] + chain_idx[:-1], chain_idx):
+        if a is not None:
+            mids, _ = trans_mid.get((a, b), ([], []))
+            qgap = max(int(qs[b] - qe[a]), 0)
+            for m_i, mv in enumerate(mids):
+                qm = int(qe[a]) + (qgap * (m_i + 1)) // (len(mids) + 1)
+                blocks.append((mv >> 1, mv & 1, qm, qm))
+        blocks.append((int(v[b]) >> 1, int(v[b]) & 1, int(qs[b]),
+                       int(qe[b])))
+    return blocks
+
+
 def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
              k: int = UL_K, w: int = UL_W, min_chain_score: int = 8,
-             hom_cov: int = 20) -> List[ULPath]:
+             hom_cov: int = 20, ug: UnitigGraph = None) -> List[ULPath]:
     """Map each UL read to a path of oriented unitigs.
 
-    Linear chains per unitig come from the shared anchor/chain machinery;
-    the path is the q-sorted sequence of non-overlapping best chains (the
-    graph-DP refinement collapses to this when chains are unambiguous).
-    """
+    Linear chains per unitig come from the shared anchor/chain machinery.
+    With ``ug`` given, chains feed the graph-chaining DP
+    (graph_chain_paths ~ gl_chain_refine_advance, inter.cpp:4334): the
+    best path may cross unitig junctions, verified at base level, and
+    picks one allele through bubbles.  Without a graph the path is the
+    q-sorted sequence of non-overlapping best chains."""
     pt, _, _, mzs = build_position_table(
         utg_seqs, k, w, ft=None, keep_min=1)
     utg_lens = np.array([len(s) for s in utg_seqs], np.int64)
@@ -107,24 +326,37 @@ def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
 
     for (rid, an, rlen), ov in zip(reads, ovs):
         ul = ul_reads[rid - n_utg]
-        blocks = []
-        order = np.argsort(ov.x_s, kind="stable")
-        last_end = -1
-        for o in order:
+        # base-level screening of every candidate chain (WINDOW_UL spot
+        # checks, scall_ul_pipeline inter.cpp:19992)
+        ok_idx = []
+        for o in range(len(ov)):
             if ov.score[o] < min_chain_score:
-                continue
-            if int(ov.x_s[o]) < last_end - 200:   # heavy overlap: ambiguous
                 continue
             tgt = utg_seqs[int(ov.y_id[o])]
             if ov.rev[o]:
                 tgt = revcomp_codes(tgt)
             hs = ov.hit_self[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
             ht = ov.hit_t[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
-            if not _verify_block(ul, tgt, hs, ht):
+            if _verify_block(ul, tgt, hs, ht):
+                ok_idx.append(o)
+        ovf = ov.take(np.array(ok_idx, np.int64)) if ok_idx else None
+        if ovf is None:
+            paths.append(ULPath([]))
+            continue
+        if ug is not None:
+            blocks = graph_chain_paths(ovf, ug, utg_seqs, utg_lens, ul,
+                                       min_chain_score=min_chain_score)
+            paths.append(ULPath(blocks))
+            continue
+        blocks = []
+        order = np.argsort(ovf.x_s, kind="stable")
+        last_end = -1
+        for o in order:
+            if int(ovf.x_s[o]) < last_end - 200:   # heavy overlap
                 continue
-            blocks.append((int(ov.y_id[o]), int(ov.rev[o]),
-                           int(ov.x_s[o]), int(ov.x_e[o])))
-            last_end = int(ov.x_e[o])
+            blocks.append((int(ovf.y_id[o]), int(ovf.rev[o]),
+                           int(ovf.x_s[o]), int(ovf.x_e[o])))
+            last_end = int(ovf.x_e[o])
         paths.append(ULPath(blocks))
     n_mapped = sum(1 for p in paths if p.blocks)
     log("ul_align", f"mapped {n_mapped}/{len(ul_reads)} UL reads, "

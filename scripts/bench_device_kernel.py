@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Device vs host throughput on the EC hot kernel (banded window align).
+
+Measures windows/s for:
+- the TPU `_align_chunk` program (gather from the on-device read bank +
+  banded Myers scan, tracebacks device-resident) — the device half of
+  ecovlp.cpp:6078's worker loop;
+- the native C++ `ht_banded_batch` on all host cores.
+
+Run WITHOUT JAX_PLATFORMS=cpu to hit the real chip.  Prints a JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+import numpy as np
+
+
+def main():
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    n_windows = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
+
+    from tests.synth import make_genome, sample_reads
+    from hifiasm_tpu.io.readstore import ReadStore
+
+    rng = np.random.default_rng(11)
+    g = make_genome(rng, max(n_reads * 15000 // 12, 100000))
+    reads, _, _ = sample_reads(rng, g, depth=12, read_len=15000,
+                               err_rate=0.003)
+    reads = reads[:n_reads]
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    print(f"[bench] {store.n_reads} reads, {store.total_bases} bases",
+          file=sys.stderr)
+
+    # synth window jobs: query windows at random offsets vs random targets
+    # with the true genomic shift (realistic acceptance profile)
+    from hifiasm_tpu.config import WINDOW_HC
+    from hifiasm_tpu.ec.device_ec import E_BAND, build_bank, _align_chunk
+
+    wl = WINDOW_HC
+    R = store.n_reads
+    lens = store.lens
+    q_rid = rng.integers(0, R, n_windows).astype(np.int32)
+    q_ws = (rng.random(n_windows) *
+            np.maximum(lens[q_rid] - wl - 1, 1)).astype(np.int32)
+    t_rid = rng.integers(0, R, n_windows).astype(np.int32)
+    t_rev = np.zeros(n_windows, np.int32)
+    t_ws = np.minimum(q_ws + rng.integers(-8, 9, n_windows),
+                      np.maximum(lens[t_rid] - wl - 1, 1)).astype(np.int32)
+    t_ws = np.maximum(t_ws, 0)
+    xlen = np.full(n_windows, wl, np.int32)
+    last = np.zeros(n_windows, bool)
+
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    print(f"[bench] jax backend: {backend} {jax.devices()}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    bank = build_bank(store)
+    jax.block_until_ready(bank.fwd)
+    t_up = time.time() - t0
+    print(f"[bench] bank upload {t_up:.2f}s "
+          f"({bank.R}x{bank.L} x2 planes)", file=sys.stderr)
+
+    def run_once():
+        outs = []
+        for c0 in range(0, n_windows, chunk):
+            sel = slice(c0, min(c0 + chunk, n_windows))
+            n = sel.stop - sel.start
+            pad = chunk - n
+            a = [np.concatenate([v[sel], np.zeros(pad, v.dtype)])
+                 if pad else v[sel]
+                 for v in (q_rid, q_ws, xlen, t_rid, t_rev, t_ws)]
+            lastp = np.concatenate([last[sel], np.zeros(pad, bool)]) \
+                if pad else last[sel]
+            err, ys, yn, xle, tb, ic, ib = _align_chunk(
+                wl, E_BAND, bank.fwd, bank.rc, bank.lens,
+                *[jnp.asarray(x) for x in a], jnp.asarray(lastp))
+            outs.append(err)
+        for e_ in outs:
+            jax.block_until_ready(e_)
+        return outs
+
+    t0 = time.time()
+    run_once()                     # warmup + compile
+    t_compile = time.time() - t0
+    print(f"[bench] first pass (compile) {t_compile:.1f}s", file=sys.stderr)
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        run_once()
+        walls.append(time.time() - t0)
+    dev_wall = sorted(walls)[1]
+    dev_wps = n_windows / dev_wall
+    print(f"[bench] device: {dev_wall:.2f}s = {dev_wps:,.0f} windows/s "
+          f"(runs: {[f'{w:.2f}' for w in walls]})", file=sys.stderr)
+
+    # ---- host native on identical windows ----
+    from hifiasm_tpu.native import banded_batch_native
+
+    codes = [store.get_codes(i) for i in range(R)]
+    YL = wl + 2 * E_BAND
+    X = np.full((n_windows, wl), 4, np.uint8)
+    Y = np.full((n_windows, YL), 4, np.uint8)
+    xl_h = np.zeros(n_windows, np.int64)
+    yl_h = np.zeros(n_windows, np.int64)
+    for i in range(n_windows):
+        q = codes[q_rid[i]]
+        t = codes[t_rid[i]]
+        x = q[q_ws[i]:q_ws[i] + wl]
+        y0 = max(int(t_ws[i]) - E_BAND, 0)
+        y = t[y0:int(t_ws[i]) + wl + E_BAND]
+        X[i, :len(x)] = x
+        Y[i, :len(y)] = y
+        xl_h[i] = len(x)
+        yl_h[i] = len(y)
+
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        banded_batch_native(X, xl_h, Y, yl_h, E_BAND, traceback=True)
+        walls.append(time.time() - t0)
+    host_wall = sorted(walls)[1]
+    host_wps = n_windows / host_wall
+    print(f"[bench] host native ({os.cpu_count()} cores): "
+          f"{host_wall:.2f}s = {host_wps:,.0f} windows/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "device_ec_windows_per_s",
+        "value": round(dev_wps, 1),
+        "unit": "windows/s",
+        "backend": backend,
+        "compile_s": round(t_compile, 1),
+        "bank_upload_s": round(t_up, 2),
+        "host_native_windows_per_s": round(host_wps, 1),
+        "device_vs_host": round(dev_wps / host_wps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
