@@ -108,6 +108,27 @@ def _run_reference(exe, fasta) -> float:
     return wall
 
 
+def _bench_device_kernel():
+    """Device-EC hot-kernel throughput on the real accelerator, run as a
+    subprocess so the main measurement stays on the pinned-CPU host path
+    (and a wedged device tunnel cannot hang the bench).  Returns the
+    parsed JSON dict or None."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_device_kernel.py")
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    try:
+        r = subprocess.run(
+            [sys.executable, script, "1000", "100000", "8192"],
+            capture_output=True, timeout=900, env=env, text=True)
+        for line in reversed(r.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
 def main():
     os.makedirs(WORK, exist_ok=True)
     reads = _gen_data()
@@ -131,12 +152,20 @@ def main():
     vs = 0.0
     if ref_walls:
         vs = statistics.median(ref_walls) / wall_ours
-    print(json.dumps({
+    out = {
         "metric": "assembly_bases_per_s",
         "value": round(ours_bps, 1),
         "unit": "bases/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    dev = _bench_device_kernel()
+    if dev is not None:
+        out["device_backend"] = dev.get("backend")
+        out["device_ec_windows_per_s"] = dev.get("value")
+        out["host_native_windows_per_s"] = dev.get(
+            "host_native_windows_per_s")
+        out["device_vs_host_kernel"] = dev.get("device_vs_host")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -46,21 +46,55 @@ class AssemblyResult:
 
 def clean_rounds(sg: StringGraph, cfg: HifiasmConfig,
                  read_cov: Optional[np.ndarray],
-                 protect: Optional[np.ndarray] = None) -> None:
-    """~ul_clean_gfa round schedule (gfa_ut.cpp:3027): drop-ratio ramps
-    min_drop_rate -> max_drop_rate over clean_rounds rounds; telomeric
-    tips (protect mask) are never trimmed."""
+                 protect: Optional[np.ndarray] = None,
+                 paf=None, cov=None, r_to_u=None,
+                 avoid: Optional[np.ndarray] = None) -> None:
+    """~ul_clean_gfa round schedule (gfa_ut.cpp:3027-3256, HiFi path):
+    per round with the drop-ratio ramp — semi-circle cuts, bubble-masked
+    chimeric cut, inexact cut, weak-arc cut, bubble-link cuts, small
+    bubble pops; afterwards large-indel cuts, semi-circles, post_rescue,
+    dead-end tip extension, and the large bubble pop.  Telomeric tips
+    (protect mask) are never trimmed; ``avoid`` threads the trio-aware
+    path selection into every bubble pop."""
+    from hifiasm_tpu.graph.clean import (
+        asg_arc_cut_bub_links, asg_arc_cut_chimeric,
+        asg_arc_cut_complex_bub_links, asg_cut_large_indel,
+        asg_iterative_semi_circ, bubble_protect, ug_ext_gfa,
+    )
+
     n_r = max(cfg.clean_rounds, 1)
     ratios = np.linspace(cfg.min_drop_rate, cfg.max_drop_rate, n_r)
+    small_bub = cfg.small_pop_bubble_size or 100000
     snap = snapshot_arcs(sg)
-    for r, ratio in enumerate(ratios):
-        asg_cut_tips(sg, cfg.max_short_tip, protect)
-        asg_arc_cut_inexact(sg)
-        asg_arc_del_short(sg, float(ratio))
-        asg_pop_bubble(sg, cfg.small_pop_bubble_size or 100000, read_cov)
-    post_rescue(sg, snap)
     asg_cut_tips(sg, cfg.max_short_tip, protect)
-    asg_pop_bubble(sg, cfg.large_pop_bubble_size, read_cov)
+    for r, ratio in enumerate(ratios):
+        asg_iterative_semi_circ(sg)
+        vis = bubble_protect(sg, small_bub, read_cov)
+        if paf is not None and cov is not None:
+            asg_arc_cut_chimeric(sg, paf, cov, vis=vis, protect=protect)
+            asg_cut_tips(sg, cfg.max_short_tip, protect)
+        asg_arc_cut_inexact(sg)
+        asg_cut_tips(sg, cfg.max_short_tip, protect)
+        asg_arc_del_short(sg, float(ratio))
+        asg_cut_tips(sg, cfg.max_short_tip, protect)
+        vis = bubble_protect(sg, small_bub, read_cov)
+        asg_arc_cut_bub_links(sg, cfg.large_pop_bubble_size,
+                              read_cov=read_cov, vis=vis)
+        asg_arc_cut_complex_bub_links(sg, vis=vis)
+        asg_cut_tips(sg, cfg.max_short_tip, protect)
+        asg_pop_bubble(sg, small_bub, read_cov, avoid)
+    asg_iterative_semi_circ(sg)
+    vis = bubble_protect(sg, small_bub, read_cov)
+    asg_cut_large_indel(sg, cfg.max_short_tip, min_diff=0, vis=vis)
+    asg_cut_tips(sg, cfg.max_short_tip, protect)
+    post_rescue(sg, snap)
+    if paf is not None and cov is not None and r_to_u is not None:
+        ug_ext_gfa(sg, paf, cov, r_to_u, max_len=75000,
+                   tip_reads=cfg.max_short_tip,
+                   max_hang=cfg.max_hang_len, int_frac=cfg.max_hang_rate,
+                   min_ovlp=2000)
+    asg_cut_tips(sg, cfg.max_short_tip, protect)
+    asg_pop_bubble(sg, cfg.large_pop_bubble_size, read_cov, avoid)
 
 
 def assemble(store: ReadStore, cfg: HifiasmConfig,
@@ -130,7 +164,8 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     # raw unitigs before any cleaning (~output r_utg, Overlaps.cpp
     # output_unitig_graph)
     raw_ug = ma_ug_gen(sg)
-    clean_rounds(sg, cfg, read_cov, protect=telo)
+    clean_rounds(sg, cfg, read_cov, protect=telo, paf=paf, cov=cov,
+                 r_to_u=r_to_u)
     ug = ma_ug_gen(sg)
     from hifiasm_tpu.graph.unitig import break_by_coverage, ug_cut_tips
     n_tip = ug_cut_tips(ug, cfg.max_contig_tip)

@@ -100,9 +100,15 @@ def asg_arc_del_short(g: StringGraph, drop_ratio: float) -> int:
 
 
 def asg_pop_bubble(g: StringGraph, max_dist: int,
-                   read_cov: Optional[np.ndarray] = None) -> int:
+                   read_cov: Optional[np.ndarray] = None,
+                   avoid: Optional[np.ndarray] = None) -> int:
     """Pop simple bubbles/superbubbles within max_dist (miniasm-style
-    asg_bub_pop1). Keeps the highest-coverage path; deletes the rest."""
+    asg_bub_pop1). Keeps the highest-coverage path; deletes the rest.
+
+    ``avoid``: per-read bool mask the kept path must stay clear of when an
+    alternative exists — the trio-aware path selection of
+    ``asg_bub_pop1_primary_trio`` (Overlaps.h:1064), where the popped side
+    is the one carrying the wrong-haplotype reads."""
     n_pop = 0
     alen = g.arc_len()
     u = g.arc_u().astype(np.int64)
@@ -114,7 +120,7 @@ def asg_pop_bubble(g: StringGraph, max_dist: int,
             continue              # popped earlier in this pass
         if len(g.arcs_of(v0)) < 2:
             continue
-        result = _bub_finder(g, v0, max_dist, alen, read_cov)
+        result = _bub_finder(g, v0, max_dist, alen, read_cov, avoid)
         if result is None:
             continue
         inside, path = result
@@ -133,9 +139,12 @@ def asg_pop_bubble(g: StringGraph, max_dist: int,
     return n_pop
 
 
-def _bub_finder(g: StringGraph, v0: int, max_dist: int, alen, read_cov):
+def _bub_finder(g: StringGraph, v0: int, max_dist: int, alen, read_cov,
+                avoid: Optional[np.ndarray] = None):
     """Kahn-style superbubble detection from v0 (the asg_bub_pop1 scheme);
-    returns (inside_vertices, best_path_vertices incl. sink) or None."""
+    returns (inside_vertices, best_path_vertices incl. sink) or None.
+    ``avoid``-flagged reads carry a large negative score so the kept path
+    takes the other side when one exists (trio-aware popping)."""
     dist = {v0: 0}
     score = {v0: 0}
     parent = {}
@@ -158,6 +167,8 @@ def _bub_finder(g: StringGraph, v0: int, max_dist: int, alen, read_cov):
                 return None
             cov_w = int(read_cov[w >> 1]) if read_cov is not None else \
                 int(g.ol[a])
+            if avoid is not None and avoid[w >> 1]:
+                cov_w -= 1 << 30       # wrong-hap read: never the kept path
             sc = score[v] + cov_w
             if w not in dist:
                 dist[w] = d
@@ -272,3 +283,496 @@ def post_rescue(g: StringGraph, snap) -> int:
                np.concatenate([g.no_l_indel, snap["no_l_indel"][idx]]))
     log("post_rescue", f"rescued {len(idx)} arcs at dead ends")
     return len(idx)
+
+
+# ---------------------------------------------------------------------------
+# round-2 parity pack: bubble protection, arc-level chimeric cuts, bubble-
+# link cuts, large-indel cuts, semi-circles, dead-end tip extension
+# (~gfa_ut.cpp ul_clean_gfa pipeline, :3027-3256)
+# ---------------------------------------------------------------------------
+
+
+def bubble_protect(g: StringGraph, max_dist: int,
+                   read_cov: Optional[np.ndarray] = None) -> np.ndarray:
+    """Vertices inside simple bubbles -> protected from the cut passes
+    (~asg_arc_identify_simple_bubbles_multi filling seq_vis,
+    Overlaps.cpp:4690).  Returns a bool mask over 2*n_seq vertices."""
+    vis = np.zeros(2 * g.n_seq, bool)
+    if g.n_arcs == 0:
+        return vis
+    alen = g.arc_len()
+    u = g.arc_u().astype(np.int64)
+    out_live = np.bincount(u[g.del_ == 0], minlength=2 * g.n_seq)
+    starts = np.flatnonzero(np.repeat(g.seq_del == 0, 2) & (out_live >= 2))
+    for v0 in starts:
+        v0 = int(v0)
+        res = _bub_finder(g, v0, max_dist, alen, read_cov)
+        if res is None:
+            continue
+        inside, _ = res
+        vis[v0] = vis[v0 ^ 1] = True
+        for w in inside:
+            vis[w] = vis[w ^ 1] = True
+    return vis
+
+
+def _branch_vertices(g: StringGraph, vis: Optional[np.ndarray] = None
+                     ) -> np.ndarray:
+    """Live vertices with >= 2 live out-arcs (vectorized prefilter)."""
+    if g.n_arcs == 0:
+        return np.zeros(0, np.int64)
+    u = g.arc_u().astype(np.int64)
+    out_live = np.bincount(u[g.del_ == 0], minlength=2 * g.n_seq)
+    m = (out_live >= 2) & np.repeat(g.seq_del == 0, 2)
+    if vis is not None:
+        m &= ~vis
+    return np.flatnonzero(m)
+
+
+def _find_arc(g: StringGraph, s: int, d: int) -> int:
+    for ai in range(int(g.idx_s[s]), int(g.idx_s[s] + g.idx_n[s])):
+        if int(g.v[ai]) == d:
+            return ai
+    return -1
+
+
+def _del_arc_pair(g: StringGraph, ai: int) -> None:
+    """Delete one arc and its complement (asg_arc_del both directions)."""
+    g.del_[ai] = 1
+    u = int(g.ul[ai] >> np.uint64(32))
+    comp = _find_arc(g, int(g.v[ai]) ^ 1, u ^ 1)
+    if comp >= 0:
+        g.del_[comp] = 1
+
+
+# follow_limit_path return codes (Overlaps.h:47-54)
+_LONG_TIPS, _TWO_INPUT, _TWO_OUTPUT = 0, 1, 2
+_MUL_INPUT, _MUL_OUTPUT, _END_TIPS, _LOOP = 3, 4, 5, 7
+
+
+def _follow_limit_path(g: StringGraph, s: int, lim: int):
+    """Walk the unique-successor path from s (~follow_limit_path,
+    gfa_ut.cpp:493); returns (code, end_vertex, n_reads_walked)."""
+    v = s
+    occ = 0
+    while True:
+        occ += 1
+        e = v                      # reported end = vertex BEFORE the step
+        ai = g.arcs_of(v)
+        if len(ai) == 0:
+            return _END_TIPS, e, occ
+        if len(ai) == 2:
+            return _TWO_OUTPUT, e, occ
+        if len(ai) > 2:
+            return _MUL_OUTPUT, e, occ
+        if occ > lim:
+            return _LONG_TIPS, e, occ
+        w = int(g.v[ai[0]])
+        kw = len(g.arcs_of(w ^ 1))
+        v = w
+        if kw == 2:
+            return _TWO_INPUT, e, occ
+        if kw > 2:
+            return _MUL_INPUT, e, occ
+        if v == s:
+            return _LOOP, e, occ
+
+
+def if_sup_chimeric(rec, rlen: int, cov_s: int = 0) -> bool:
+    """True when the read's own EXACT overlaps do not continuously span it
+    (~if_sup_chimeric, gfa_ut.cpp:419): flush left-end and right-end
+    overlap coverage never connect across the middle."""
+    live = (rec.del_ == 0) & (rec.el != 0)
+    if not live.any():
+        return True
+    qs = np.maximum(rec.qs[live] - cov_s, 0)
+    qe = np.minimum(rec.qe[live] - cov_s, rlen)
+    left = qs == 0
+    right = qe == rlen
+    l1 = int(qe[left].max()) if left.any() else 0
+    r0 = int(qs[right].min()) if right.any() else rlen
+    if l1 > r0:
+        return False
+    if not left.any() or not right.any():
+        return True
+    # sweep all exact intervals: does the component containing 0 reach the
+    # component containing rlen?
+    ev = np.concatenate([qs * 2, qe * 2 + 1])
+    ev.sort(kind="stable")
+    dp = 0
+    st = 0
+    l1 = 0
+    r0 = rlen
+    for x in ev:
+        if x & 1:
+            dp -= 1
+            if dp == 0:
+                if st == 0:
+                    l1 = int(x >> 1)
+                if (x >> 1) == rlen:
+                    r0 = st
+        else:
+            if dp == 0:
+                st = int(x >> 1)
+            dp += 1
+    return not l1 > r0
+
+
+def asg_arc_cut_chimeric(g: StringGraph, paf, cov,
+                         vis: Optional[np.ndarray] = None,
+                         protect: Optional[np.ndarray] = None) -> int:
+    """Read-level chimeric cut at arc granularity
+    (~asg_arc_cut_chimeric, gfa_ut.cpp:917): a 1-in/1-out read whose only
+    forward arc is inexact, whose flanking junctions both have
+    alternatives, whose neighbor carries a competing exact arc, and whose
+    own exact overlaps do not span the read, is a chimera -> deleted."""
+    n_cut = 0
+    if g.n_arcs == 0:
+        log("asg_arc_cut_chimeric", "deleted 0 chimeric reads")
+        return 0
+    # vectorized prefilter: 1-in/1-out vertices whose single forward arc
+    # is inexact and whose flanking junctions both have alternatives
+    u_arr = g.arc_u().astype(np.int64)
+    live = g.del_ == 0
+    out_live = np.bincount(u_arr[live], minlength=2 * g.n_seq)
+    la = np.flatnonzero(live)
+    u_live = u_arr[la]
+    order = np.argsort(u_live, kind="stable")
+    uniq, first = np.unique(u_live[order], return_index=True)
+    only_arc = np.full(2 * g.n_seq, -1, np.int64)
+    only_arc[uniq] = la[order[first]]            # first live arc per vtx
+    vs = np.arange(2 * g.n_seq)
+    m = (out_live == 1) & (out_live[vs ^ 1] == 1) & \
+        np.repeat(g.seq_del == 0, 2)
+    if vis is not None:
+        m &= ~vis
+    if protect is not None:
+        m &= ~np.repeat(protect.astype(bool), 2)
+    cv = np.flatnonzero(m)
+    af = only_arc[cv]
+    ab = only_arc[cv ^ 1]
+    ok = (af >= 0) & (ab >= 0)
+    ok &= g.el[np.maximum(af, 0)] == 0
+    wf = g.v[np.maximum(af, 0)].astype(np.int64) ^ 1
+    wb = g.v[np.maximum(ab, 0)].astype(np.int64) ^ 1
+    ok &= (out_live[wf] >= 2) & (out_live[wb] >= 2)
+    cand = sorted((int(g.ol[a]), int(v), int(a))
+                  for v, a in zip(cv[ok], af[ok]))
+    for ol, v, ai in cand:
+        rid = v >> 1
+        if g.seq_del[rid] or g.del_[ai]:
+            continue
+        w = int(g.v[ai]) ^ 1
+        if g.seq_del[w >> 1]:
+            continue
+        a_f = g.arcs_of(v)
+        a_b = g.arcs_of(v ^ 1)
+        if len(a_f) != 1 or len(a_b) != 1:
+            continue
+        if len(g.arcs_of(int(g.v[a_f[0]]) ^ 1)) < 2 or \
+                len(g.arcs_of(int(g.v[a_b[0]]) ^ 1)) < 2:
+            continue
+        # neighbor must keep a competing exact arc
+        has_exact = any(
+            g.el[aw] and int(g.v[aw]) != (v ^ 1)
+            for aw in g.arcs_of(w))
+        if not has_exact:
+            continue
+        rlen = int(cov.e[rid] - cov.s[rid])
+        if not if_sup_chimeric(paf[rid], rlen, int(cov.s[rid])):
+            continue
+        g.seq_del[rid] = 1
+        n_cut += 1
+    if n_cut:
+        g.cleanup()
+    log("asg_arc_cut_chimeric", f"deleted {n_cut} chimeric reads")
+    return n_cut
+
+
+def asg_arc_cut_complex_bub_links(g: StringGraph, len_rat: float = 0.6,
+                                  vis: Optional[np.ndarray] = None) -> int:
+    """Cut cross-links between bubble chains
+    (~asg_arc_cut_complex_bub_links, gfa_ut.cpp:2453): when EVERY live
+    arc of a branch vertex is weak relative to the alternatives at its
+    destination, all of them are redundant links -> cut them all."""
+    n_cut = 0
+    cand = sorted((int(g.ol[g.arcs_of(v)].sum()), int(v))
+                  for v in _branch_vertices(g, vis))
+    for _, v in cand:
+        ai = g.arcs_of(v)
+        if len(ai) < 2:
+            continue
+        all_weak = True
+        for a in ai:
+            w = int(g.v[a]) ^ 1
+            others = [int(g.ol[t]) for t in g.arcs_of(w)
+                      if int(g.v[t]) != (v ^ 1)]
+            if len(others) < 1 or len(g.arcs_of(w)) < 2:
+                all_weak = False
+                break
+            if int(g.ol[a]) > min(others) * len_rat:
+                all_weak = False
+                break
+        if not all_weak:
+            continue
+        for a in ai:
+            _del_arc_pair(g, int(a))
+        n_cut += 1
+    if n_cut:
+        g.cleanup()
+    log("asg_arc_cut_complex_bub_links", f"cut links at {n_cut} vertices")
+    return n_cut
+
+
+def asg_arc_cut_bub_links(g: StringGraph, check_dist: int,
+                          len_rat: float = 0.6,
+                          read_cov: Optional[np.ndarray] = None,
+                          vis: Optional[np.ndarray] = None) -> int:
+    """False bubble-link cut (~asg_arc_cut_bub_links, gfa_ut.cpp:2355):
+    like the complex variant, but only cuts when the surrounding bubble
+    verifiably closes BOTH with only this vertex's links deleted and with
+    only the alternatives deleted (if_false_bub_links, :2314)."""
+    n_cut = 0
+    alen = g.arc_len()
+    cand = sorted((int(g.ol[g.arcs_of(v)].sum()), int(v))
+                  for v in _branch_vertices(g, vis))
+    for _, v in cand:
+        ai = g.arcs_of(v)
+        if len(ai) < 2:
+            continue
+        other_arcs = []
+        all_weak = True
+        for a in ai:
+            w = int(g.v[a]) ^ 1
+            aw = g.arcs_of(w)
+            others = [t for t in aw if int(g.v[t]) != (v ^ 1)]
+            if len(others) < 1 or len(aw) < 2:
+                all_weak = False
+                break
+            if int(g.ol[a]) > min(int(g.ol[t]) for t in others) * len_rat:
+                all_weak = False
+                break
+            other_arcs.extend(int(t) for t in others)
+        if not all_weak:
+            continue
+        # (a) delete the alternatives: does a bubble from v still close?
+        saved = g.del_.copy()
+        for t in other_arcs:
+            _del_arc_pair(g, t)
+        res_a = _bub_finder(g, v, check_dist, alen, read_cov) \
+            if len(g.arcs_of(v)) >= 2 else None
+        g.del_ = saved.copy()
+        if res_a is None:
+            continue
+        _, path_a = res_a
+        sink = path_a[0] if path_a else -1
+        # (b) delete v's own links: bubble from the sink side still closes?
+        for a in ai:
+            _del_arc_pair(g, int(a))
+        res_b = _bub_finder(g, sink ^ 1, check_dist, alen, read_cov) \
+            if sink >= 0 and len(g.arcs_of(sink ^ 1)) >= 2 else None
+        if res_b is None:
+            g.del_ = saved
+            continue
+        # both hold: the links are false -- keep v's links deleted
+        n_cut += 1
+    if n_cut:
+        g.cleanup()
+    log("asg_arc_cut_bub_links", f"cut false links at {n_cut} vertices")
+    return n_cut
+
+
+def asg_cut_large_indel(g: StringGraph, max_ext: int, min_diff: int = 50,
+                        vis: Optional[np.ndarray] = None) -> int:
+    """Cut arcs whose overlap alignment contained a large indel
+    (~asg_cut_large_indel, gfa_ut.cpp:2636): a no_l_indel==0 arc loses
+    when it is not within min_diff of the best overlap at both ends (or
+    the degree-1 end is a short extension)."""
+    n_cut = 0
+    if g.n_arcs == 0:
+        log("asg_cut_large_indel", "cut 0 large-indel arcs")
+        return 0
+    u_arr = g.arc_u().astype(np.int64)
+    live = g.del_ == 0
+    out_live = np.bincount(u_arr[live], minlength=2 * g.n_seq)
+    m = live & (g.no_l_indel == 0) & (out_live[u_arr] >= 2) & \
+        (g.seq_del[u_arr >> 1] == 0)
+    if vis is not None:
+        m &= ~vis[u_arr]
+    cand = sorted((int(g.ol[ai]), int(ai)) for ai in np.flatnonzero(m))
+    for ol, ai in cand:
+        if g.del_[ai]:
+            continue
+        u = int(g.ul[ai] >> np.uint64(32))
+        w = int(g.v[ai]) ^ 1
+        if g.seq_del[u >> 1] or g.seq_del[w >> 1]:
+            continue
+        au = g.arcs_of(u)
+        aw = g.arcs_of(w)
+        if len(au) <= 1 and len(aw) <= 1:
+            continue
+        if len(au) >= 2:
+            if ol + min_diff > int(g.ol[au].max()):
+                continue
+        if len(aw) >= 2:
+            wi = _find_arc(g, w, u ^ 1)
+            if wi < 0 or int(g.ol[wi]) + min_diff > int(g.ol[aw].max()):
+                continue
+        to_del = False
+        if len(au) > 1 and len(aw) > 1:
+            to_del = True
+        elif len(aw) == 1:
+            _, _, occ = _follow_limit_path(g, w ^ 1, max_ext)
+            to_del = occ < max_ext
+        elif len(au) == 1:
+            _, _, occ = _follow_limit_path(g, u ^ 1, max_ext)
+            to_del = occ < max_ext
+        if to_del:
+            _del_arc_pair(g, ai)
+            n_cut += 1
+    if n_cut:
+        g.cleanup()
+    log("asg_cut_large_indel", f"cut {n_cut} large-indel arcs")
+    return n_cut
+
+
+def asg_cut_semi_circ(g: StringGraph, lim_len: int = 100) -> int:
+    """Cut semi-circular back-arcs (~asg_cut_semi_circ, gfa_ut.cpp:2533):
+    a vertex with >=2 in-arcs and exactly one out-arc whose short forward
+    path loops back into its own in-side gets that back-arc removed."""
+    n_cut = 0
+    if g.n_arcs == 0:
+        log("asg_cut_semi_circ", "cut 0 semi-circular arcs")
+        return 0
+    u_arr = g.arc_u().astype(np.int64)
+    out_live = np.bincount(u_arr[g.del_ == 0], minlength=2 * g.n_seq)
+    vs_all = np.arange(2 * g.n_seq)
+    m = (out_live == 1) & (out_live[vs_all ^ 1] >= 2) & \
+        np.repeat(g.seq_del == 0, 2)
+    for v in np.flatnonzero(m):
+        v = int(v)
+        ai = g.arcs_of(v)
+        if len(ai) != 1 or len(g.arcs_of(v ^ 1)) <= 1:
+            continue
+        code, e, occ = _follow_limit_path(g, v, lim_len)
+        if occ > lim_len or code in (_LONG_TIPS, _LOOP, _END_TIPS):
+            continue
+        for aw in g.arcs_of(v ^ 1):
+            if int(g.v[aw]) == (e ^ 1):
+                _del_arc_pair(g, int(aw))
+                n_cut += 1
+    if n_cut:
+        g.cleanup()
+    log("asg_cut_semi_circ", f"cut {n_cut} semi-circular arcs")
+    return n_cut
+
+
+def asg_iterative_semi_circ(g: StringGraph, lim_len: int = 100) -> int:
+    """Iterate semi-circle cutting until stable
+    (~asg_iterative_semi_circ, gfa_ut.cpp:2623)."""
+    tot = 0
+    while True:
+        s = asg_cut_semi_circ(g, lim_len)
+        tot += s
+        if s == 0:
+            break
+    return tot
+
+
+def ug_ext_gfa(g: StringGraph, paf, cov, r_to_u: np.ndarray,
+               max_len: int, tip_reads: int, max_hang: int,
+               int_frac: float, min_ovlp: int = 2000) -> int:
+    """Extend dead ends back into deleted reads
+    (~ug_ext_gfa + gen_ext_tip, gfa_ut.cpp:3216-3256): a live vertex with
+    no successors re-acquires its longest (>= min_ovlp) overlap when the
+    target read was deleted by cleaning, is not contained in a live read,
+    and the extension is the mutual best; repeats up to tip_reads reads
+    or max_len bases.  Returns the number of reads revived."""
+    from hifiasm_tpu.graph.sg import hit2arc
+
+    n_rev = 0
+    ff = np.zeros(g.n_seq, bool)
+    lens = (cov.e - cov.s).astype(np.int64)
+
+    def best_arc_from(v):
+        rid = v >> 1
+        rec = paf[rid]
+        live = rec.del_ == 0
+        if not live.any():
+            return None
+        idx = np.flatnonzero(live)
+        tn = rec.tn[idx].astype(np.int64)
+        code, udir, vdir, l, ol = hit2arc(
+            np.maximum(rec.qs[idx] - cov.s[rid], 0),
+            np.minimum(rec.qe[idx] - cov.s[rid], lens[rid]),
+            tn, np.maximum(rec.ts[idx] - cov.s[tn], 0),
+            np.minimum(rec.te[idx] - cov.s[tn], lens[tn]),
+            rec.rev[idx], lens[rid], lens[tn], max_hang, int_frac,
+            min_ovlp)
+        ok = (code >= 0) & (((rid << 1) | udir) == v) & (ol >= min_ovlp)
+        if not ok.any():
+            return None
+        j = np.flatnonzero(ok)[np.argmax(ol[ok])]
+        w = int((tn[j] << 1) | vdir[j])
+        return w, int(l[j]), int(ol[j])
+
+    u_now = g.arc_u().astype(np.int64)
+    live_arcs = g.del_ == 0
+    out_live = np.bincount(u_now[live_arcs], minlength=2 * g.n_seq) \
+        if g.n_arcs else np.zeros(2 * g.n_seq, np.int64)
+    dead_ends = np.flatnonzero(np.repeat(g.seq_del == 0, 2) &
+                               (out_live == 0))
+    add = []
+    for v0 in dead_ends:
+        v = int(v0)
+        plen = int(lens[v >> 1])
+        steps = 0
+        while steps < tip_reads or plen < max_len:
+            steps += 1
+            got = best_arc_from(v)
+            if got is None:
+                break
+            w, l, ol = got
+            tid = w >> 1
+            # target must be a cleaning-deleted read, not contained in a
+            # live read, and unused by another extension
+            if not g.seq_del[tid] or ff[tid]:
+                break
+            cont = int(r_to_u[tid])
+            if cont >= 0 and (not g.seq_del[cont] or ff[cont]):
+                break
+            back = best_arc_from(w ^ 1)
+            if back is None or (back[0] ^ 1) != v:
+                break              # not the mutual best
+            ff[tid] = True
+            add.append((v, w, l, ol))
+            plen += int(lens[tid]) - ol
+            v = w
+    if not add:
+        log("ug_ext_gfa", "extended 0 dead ends")
+        return 0
+    for v, w, l, ol in add:
+        g.seq_del[w >> 1] = 0
+        n_rev += 1
+    new_ul, new_v, new_ol = [], [], []
+    for v, w, l, ol in add:
+        lw = int(lens[w >> 1]) - ol
+        new_ul.append((np.uint64(v) << np.uint64(32)) | np.uint64(l))
+        new_v.append(w)
+        new_ol.append(ol)
+        new_ul.append((np.uint64(w ^ 1) << np.uint64(32)) | np.uint64(
+            max(lw, 0)))
+        new_v.append(v ^ 1)
+        new_ol.append(ol)
+    z = np.zeros(len(new_v), np.uint8)
+    g.set_arcs(np.concatenate([g.ul, np.array(new_ul, np.uint64)]),
+               np.concatenate([g.v, np.array(new_v, np.uint32)]),
+               np.concatenate([g.ol, np.array(new_ol, np.int64)]),
+               np.concatenate([g.strong, z]),
+               np.concatenate([g.el, np.ones(len(new_v), np.uint8)]),
+               np.concatenate([g.no_l_indel, np.ones(len(new_v),
+                                                     np.uint8)]),
+               np.concatenate([g.del_, z]))
+    g.cleanup()
+    log("ug_ext_gfa", f"revived {n_rev} reads at dead ends")
+    return n_rev
