@@ -314,9 +314,9 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         # (~update_switch_unitig, hic.cpp:17051; --l-msjoin)
         from hifiasm_tpu.graph.unitig import split_unitig
         from hifiasm_tpu.phasing.hic import (
-            detect_switch_misjoins, map_hic_pairs_pos,
+            dedup_pe_hits, detect_switch_misjoins, map_hic_pairs_pos,
         )
-        hits4 = map_hic_pairs_pos(uidx, _pairs())
+        hits4 = dedup_pe_hits(map_hic_pairs_pos(uidx, _pairs()))
         breaks = detect_switch_misjoins(
             np.array([len(s) for s in seqs], np.int64), hits4,
             misjoin_len=cfg.misjoin_len)
@@ -329,7 +329,7 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             ug_cov = np.array([
                 int(np.round(res.read_cov[(u.vs >> 1)].mean()))
                 if len(u.vs) else 0 for u in res.ug.utgs], np.int64)
-            hits4 = map_hic_pairs_pos(uidx, _pairs())
+            hits4 = dedup_pe_hits(map_hic_pairs_pos(uidx, _pairs()))
         hic_links = hic_link_matrix(len(res.ug), hits4[:, [0, 2]])
         hic_seqs, hic_hits4 = seqs, hits4
     hap1_ids, hap2_ids = [], []

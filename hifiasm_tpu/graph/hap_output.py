@@ -87,17 +87,32 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
 
     links = unitig_trans_links(ug, rev_paf, n_reads)
     if hic_links is not None:
-        from hifiasm_tpu.phasing.hic import combine_phase_weights
-        ex, ey, ew = combine_phase_weights(links, hic_links,
-                                           min_evidence=min_link)
-        ex, ey, ew = list(ex), list(ey), list(ew)
-    else:
-        ex, ey, ew = [], [], []
-        for (a, b), w in sorted(sym_link_edges(links).items()):
-            if w >= min_link:
-                ex.append(a)
-                ey.append(b)
-                ew.append(float(w))          # >0: different haplotypes
+        # the n_weight renew->solve->label loop (hic.cpp:17082-17116)
+        from hifiasm_tpu.phasing.hic import (
+            combine_phase_weights, hic_phase_loop,
+        )
+        ex, ey, _ = combine_phase_weights(links, hic_links,
+                                          min_evidence=min_link)
+        if len(ex) == 0:
+            ids = list(range(n))
+            return ids, list(ids)
+        s = hic_phase_loop(n, links, hic_links, min_evidence=min_link,
+                           n_perturb=n_perturb, f_perturb=f_perturb,
+                           seed=seed)
+        linked = np.zeros(n, bool)
+        linked[np.asarray(ex, np.int64)] = True
+        linked[np.asarray(ey, np.int64)] = True
+        hap1 = [i for i in range(n) if not linked[i] or s[i] > 0]
+        hap2 = [i for i in range(n) if not linked[i] or s[i] < 0]
+        log("phase_unitigs", f"{len(hap1)} hap1 / {len(hap2)} hap2 "
+            f"unitigs (hic loop, {int(linked.sum())} het-linked)")
+        return hap1, hap2
+    ex, ey, ew = [], [], []
+    for (a, b), w in sorted(sym_link_edges(links).items()):
+        if w >= min_link:
+            ex.append(a)
+            ey.append(b)
+            ew.append(float(w))          # >0: different haplotypes
     if not ex:
         ids = list(range(n))
         return ids, list(ids)

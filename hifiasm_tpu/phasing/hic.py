@@ -84,10 +84,16 @@ class UnitigIndex:
         """Unitig id if the read places uniquely, else -1."""
         return self.map_read_pos(codes, k)[0]
 
-    def map_read_pos(self, codes: np.ndarray, k: int = HIC_K
-                     ) -> Tuple[int, int]:
-        """(unitig id, position) of a uniquely-placed read, else (-1, -1).
-        Position is the unitig coordinate of the first anchoring k-mer."""
+    def map_read_pos(self, codes: np.ndarray, k: int = HIC_K,
+                     min_frac: float = 0.7) -> Tuple[int, int]:
+        """(unitig id, position) of a confidently-placed read, else
+        (-1, -1).  Placement is by majority vote over anchoring k-mers:
+        sequencing errors can turn a k-mer into one that happens to anchor
+        elsewhere, so requiring unanimity collapses the mapping rate on
+        real short reads — a read places when >= min_frac of its matched
+        k-mers (and >= 2 when more than one matched) agree on one unitig
+        (the rescue half of the reference's mismatch-tolerant
+        ``hic_short_align``, hic.cpp:17016)."""
         h = _seq_kmers(codes, k)
         if len(h) == 0 or len(self.hashes) == 0:
             return -1, -1
@@ -96,14 +102,19 @@ class UnitigIndex:
         hit = self.hashes[idx] == h
         if not hit.any():
             return -1, -1
-        uids = np.unique(self.uid[idx[hit]])
-        if len(uids) != 1:
+        hit_idx = idx[hit]
+        uids, cnt = np.unique(self.uid[hit_idx], return_counts=True)
+        top = int(np.argmax(cnt))
+        n_hit = int(cnt.sum())
+        if cnt[top] < n_hit * min_frac:
             return -1, -1
-        uid = int(uids[0])
+        if n_hit > 1 and cnt[top] < 2:
+            return -1, -1
+        uid = int(uids[top])
         if self.pos is None:
             return uid, -1
-        first = int(np.flatnonzero(hit)[0])
-        return uid, int(self.pos[idx[first]])
+        first_pos = hit_idx[self.uid[hit_idx] == uid][0]
+        return uid, int(self.pos[first_pos])
 
 
 def map_hic_pairs(index: UnitigIndex, pairs, k: int = HIC_K) -> np.ndarray:
@@ -169,6 +180,106 @@ def map_hic_pairs_pos(index: UnitigIndex, pairs, k: int = HIC_K
     hits = np.array(out, np.int64).reshape(-1, 4)
     log("map_hic_pairs_pos", f"{len(hits)} positioned PE hits")
     return hits
+
+
+def dedup_pe_hits(hits4: np.ndarray) -> np.ndarray:
+    """PCR/optical duplicate removal (~the dedup_hits pass of
+    hic.cpp:17016): PE hits with identical (u1, p1, u2, p2) coordinates
+    are one molecule — keep a single copy (order-normalized)."""
+    if len(hits4) == 0:
+        return hits4
+    a = hits4.copy()
+    swap = (a[:, 0] > a[:, 2]) | ((a[:, 0] == a[:, 2]) &
+                                  (a[:, 1] > a[:, 3]))
+    a[swap] = a[swap][:, [2, 3, 0, 1]]
+    order = np.lexsort((a[:, 3], a[:, 2], a[:, 1], a[:, 0]))
+    a = a[order]
+    keep = np.ones(len(a), bool)
+    keep[1:] = (a[1:] != a[:-1]).any(axis=1)
+    out = a[keep]
+    log("dedup_pe_hits", f"{len(hits4)} -> {len(out)} PE hits after dedup")
+    return out
+
+
+def hic_phase_loop(n: int, trans_links: dict, hic_links: dict,
+                   n_weight: int = 3, hic_scale: float = 1.0,
+                   min_evidence: int = 2, seed: int = 11,
+                   n_perturb: int = 1000, f_perturb: float = 0.1
+                   ) -> np.ndarray:
+    """The n_weight renew->solve->label loop (hic.cpp:17082-17116).
+
+    Round 0 solves the combined trans/Hi-C weights from scratch.  Later
+    rounds RENEW the Hi-C weights against the current labels before
+    re-solving (~renew_kv_u_trans + get_trans_rate_function_advance,
+    hic.cpp:16003): the reference calibrates a noise-rate model from the
+    current phasing and re-weights every link with it.  Here each Hi-C
+    link is scaled by the leave-one-out consistency of its two endpoints
+    — the fraction of each node's OTHER labeled Hi-C evidence that
+    agrees with the current labels — so a noise contact that contradicts
+    the rest of its endpoints' evidence decays to zero instead of
+    locking in a wrong label.  The solver warm-starts from the previous
+    round's spins.  Returns spins in {-1, +1}."""
+    from hifiasm_tpu.graph.purge import sym_link_edges
+    from hifiasm_tpu.phasing.mc_solve import mc_solve
+
+    pairs = dict(sym_link_edges(trans_links))
+    for key in hic_links:
+        pairs.setdefault(key, 0)
+    # per-link cumulative damping: once a noise link is calibrated away
+    # it stays away (the reference refits its rate model each round from
+    # the labels; monotone damping is the stable discrete analog)
+    scale = {key: 1.0 for key in hic_links}
+    s = None
+    for rnd in range(max(n_weight, 1)):
+        if s is not None:
+            # consistency tables over EFFECTIVE evidence incl. the trans
+            # links (trans = different-hap evidence)
+            cons = np.zeros(n, np.float64)
+            tot = np.zeros(n, np.float64)
+            for (a, b), h in hic_links.items():
+                he = h * scale[(a, b)]
+                if s[a] == 0 or s[b] == 0 or he <= 0:
+                    continue
+                tot[a] += he
+                tot[b] += he
+                if s[a] == s[b]:
+                    cons[a] += he
+                    cons[b] += he
+            for (a, b), t in pairs.items():
+                if t <= 0 or s[a] == 0 or s[b] == 0:
+                    continue
+                tot[a] += t
+                tot[b] += t
+                if s[a] != s[b]:
+                    cons[a] += t
+                    cons[b] += t
+
+            def rest_cons(u, h_ab):
+                t_o = tot[u] - h_ab
+                if t_o <= 0:
+                    return 1.0             # no other evidence: neutral
+                return max(cons[u] - h_ab, 0.0) / t_o
+
+            for (a, b), h in hic_links.items():
+                he = h * scale[(a, b)]
+                if he <= 0 or s[a] == 0 or s[b] == 0 or s[a] != s[b]:
+                    continue               # only AGREEING links calibrate
+                scale[(a, b)] *= rest_cons(a, he) * rest_cons(b, he)
+        ex, ey, ew = [], [], []
+        for (a, b) in sorted(pairs):
+            t = float(pairs[(a, b)])
+            h = float(hic_links.get((a, b), 0))
+            if t + h < min_evidence:
+                continue
+            ex.append(a)
+            ey.append(b)
+            ew.append(t - hic_scale * h * scale.get((a, b), 1.0))
+        if not ex:
+            return np.zeros(n, np.int8)
+        s = mc_solve(n, np.array(ex, np.int64), np.array(ey, np.int64),
+                     np.array(ew, np.float64), n_perturb=n_perturb,
+                     f_perturb=f_perturb, seed=seed, init_s=s)
+    return s
 
 
 def detect_switch_misjoins(utg_lens: np.ndarray, hits4: np.ndarray,

@@ -183,8 +183,14 @@ def mc_solve_k(n: int, ex: np.ndarray, ey: np.ndarray, ew: np.ndarray,
 
 def mc_solve(n: int, ex: np.ndarray, ey: np.ndarray, ew: np.ndarray,
              n_perturb: int = 10000, f_perturb: float = 0.1,
-             seed: int = 11, max_sweeps: int = 1000) -> np.ndarray:
-    """Solve spins for a weighted graph; returns s in {-1,+1} (~mc_solve)."""
+             seed: int = 11, max_sweeps: int = 1000,
+             init_s: np.ndarray = None) -> np.ndarray:
+    """Solve spins for a weighted graph; returns s in {-1,+1} (~mc_solve).
+
+    ``init_s``: warm-start labels from a previous round (the reference's
+    renew->solve->label loop passes s->s back with init=0,
+    hic.cpp:17090); components whose labels are all set skip the
+    strongest-edge-first re-init and refine from the prior state."""
     g = McGraph.from_edges(n, ex, ey, ew)
     s = np.zeros(n, np.int8)
     rng = np.random.default_rng(seed)
@@ -194,7 +200,10 @@ def mc_solve(n: int, ex: np.ndarray, ey: np.ndarray, ew: np.ndarray,
         if len(nodes) == 1:
             s[nodes] = 1
             continue
-        _init_spins(g, s, nodes, rng)
+        if init_s is not None and (init_s[nodes] != 0).all():
+            s[nodes] = init_s[nodes]
+        else:
+            _init_spins(g, s, nodes, rng)
         _local_opt(g, s, nodes, rng, max_sweeps)
         best = s[nodes].copy()
         best_sc = _score(g, s, nodes)

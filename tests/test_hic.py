@@ -107,3 +107,52 @@ def test_split_unitig_moves_end_arcs():
     pairs = {(int(s), int(d)) for s, d in zip(ug.a_src, ug.a_dst)}
     assert (2 << 1, 1 << 1) in pairs
     assert (1 << 1 | 1, 2 << 1 | 1) in pairs
+
+
+def test_dedup_pe_hits_removes_duplicates():
+    from hifiasm_tpu.phasing.hic import dedup_pe_hits
+
+    hits = np.array([[0, 100, 1, 200],
+                     [1, 200, 0, 100],      # same molecule, swapped
+                     [0, 100, 1, 200],      # exact duplicate
+                     [0, 150, 1, 200]],     # distinct position
+                    np.int64)
+    out = dedup_pe_hits(hits)
+    assert len(out) == 2
+
+
+def test_mapping_rescue_tolerates_error_kmers(rng):
+    """A read whose error k-mer happens to anchor on ANOTHER unitig must
+    still place by majority vote (the unanimity rule would drop it)."""
+    from hifiasm_tpu.phasing.hic import HIC_K, UnitigIndex
+    from tests.synth import make_genome
+
+    u0 = make_genome(rng, 4000)
+    u1 = make_genome(rng, 4000)
+    idx = UnitigIndex.build([u0, u1])
+    # read from u0 with one substitution (may create foreign k-mers)
+    read = u0[1000:1150].copy()
+    read[75] = (read[75] + 1) % 4
+    uid, _ = idx.map_read_pos(read, HIC_K)
+    assert uid == 0
+
+
+def test_hic_loop_fixes_single_pass_mislabel():
+    """Nodes 0,1 | 2,3 (truth).  A noise Hi-C contact (1,3) makes the
+    single-pass optimum put 3 with {0,1}; the renew rounds zero that
+    contact out (it contradicts 3's other evidence) and round 2 fixes
+    the label (~the n_weight=3 loop of hic.cpp:17082-17116)."""
+    from hifiasm_tpu.phasing.hic import hic_phase_loop
+    from hifiasm_tpu.phasing.mc_solve import mc_solve
+
+    trans = {0: {2: 5}, 2: {0: 5}}
+    hic = {(0, 1): 3, (2, 3): 3, (1, 3): 4}
+    # single pass (round 0 weights only): 3 lands with {0,1}
+    ex = np.array([0, 0, 2, 1])
+    ey = np.array([2, 1, 3, 3])
+    ew = np.array([5.0, -3.0, -3.0, -4.0])
+    s0 = mc_solve(4, ex, ey, ew, seed=11)
+    assert s0[3] == s0[1], "premise: single pass mislabels node 3"
+    # the loop recovers the true phase
+    s = hic_phase_loop(4, trans, hic, n_weight=3, min_evidence=2, seed=11)
+    assert s[0] == s[1] and s[2] == s[3] and s[0] != s[2]
