@@ -203,10 +203,23 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     utg_cov = np.array([
         int(np.round(read_cov[(u.vs >> 1)].mean())) if len(u.vs) else 0
         for u in ug.utgs], np.int64)
+    purge_cov_thr = cfg.purge_max_cov
+    if purge_cov_thr < 0 and cfg.purge_level > 0:
+        # auto threshold from the measured read-coverage histogram
+        # (~get_read_coverage_thres + if_ploid_sample,
+        # Purge_Dups.cpp:394, :5591)
+        from hifiasm_tpu.graph.purge import purge_coverage_threshold
+        qn_t, _ = ec.reverse_paf.flatten()
+        trans_reads = np.unique(qn_t.astype(np.int64))
+        ploid_frac = float(store.lens[trans_reads].sum()) / \
+            max(int(store.lens.sum()), 1)
+        purge_cov_thr = purge_coverage_threshold(
+            read_cov, store.lens, ec.hom_cov, ploid_frac)
     purge = purge_dups(ug, ec.reverse_paf, store.n_reads,
                        purge_level=cfg.purge_level, simi_rate=simi,
                        min_ovlp_reads=cfg.purge_overlap_len,
-                       utg_cov=utg_cov, max_cov=cfg.purge_max_cov)
+                       utg_cov=utg_cov, max_cov=purge_cov_thr,
+                       seed=cfg.seed)
     if purge.hap_pairs and cfg.trans_base_rate_sec >= 0:
         # sequence-level confirmation of purge candidates (~tovlp)
         from hifiasm_tpu.graph.tovlp import confirm_purge_pairs
@@ -218,12 +231,18 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         # disables the alignment pass entirely)
         confirmed = confirm_purge_pairs(
             useqs, purge.hap_pairs, max(simi, cfg.trans_base_rate_sec))
-        keep_a = {a for a, _, _, _ in confirmed}
+        keep_a = {a for a, _, _, _, _ in confirmed}
         restored = [a for a, _, _ in purge.hap_pairs if a not in keep_a]
         if restored:
             purge.primary = sorted(purge.primary + restored)
             purge.alternate = [a for a in purge.alternate
                                if a not in set(restored)]
+        # join primary chains across the purged haplotigs
+        # (~link_unitigs, Purge_Dups.cpp:5679)
+        from hifiasm_tpu.graph.purge import link_purged_chains
+        spans = [(a, b, sp[0], sp[1], sp[4])
+                 for a, b, _, _, sp in confirmed if sp is not None]
+        link_purged_chains(ug, spans, purge.alternate)
 
     res = AssemblyResult(store, ec, sg, cov, r_to_u, ug, read_cov, purge,
                          raw_ug)

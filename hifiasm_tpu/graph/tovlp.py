@@ -144,7 +144,7 @@ def confirm_purge_pairs(utg_seqs: List[np.ndarray], pairs,
             continue
         afrac, ident, span = hap_align_pair(utg_seqs[a], utg_seqs[b])
         if afrac >= simi_rate and ident >= min_identity:
-            out.append((a, b, afrac, ident))
+            out.append((a, b, afrac, ident, span))
     log("confirm_purge_pairs",
         f"{len(out)}/{len(pairs)} purge pairs alignment-confirmed")
     return out

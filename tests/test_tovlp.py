@@ -51,6 +51,6 @@ def test_confirm_purge_pairs_filters(rng):
     seqs = [h1, h2, other]
     pairs = [(0, 1, 0.9), (2, 1, 0.9)]   # second pair is bogus
     out = confirm_purge_pairs(seqs, pairs, simi_rate=0.55)
-    kept = {(a, b) for a, b, _, _ in out}
+    kept = {(a, b) for a, b, _, _, _ in out}
     assert (0, 1) in kept
     assert (2, 1) not in kept
