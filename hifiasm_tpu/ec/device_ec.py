@@ -319,6 +319,65 @@ class DeviceEC:
         accept = np.minimum(j_thre * 2, E_BAND)
         w_ok = (err_all >= 0) & (err_all <= accept)
 
+        # ---- one boundary-retry round (pass-1 plan, shared with the
+        # host engines — window_align.retry_plan).  Retried tracebacks
+        # live in APPENDED chunks; the scatter stages mask per SLOT, so
+        # a window's pass-1 slot stays dead once its retry slot wins.
+        from hifiasm_tpu.ec.window_align import retry_plan
+        tws_fin = j_tws.astype(np.int64).copy()
+        y0p = tws_fin - e
+        win_y = np.stack([y0p + ys_all, y0p + yn_all], axis=1)
+        ridx, t2 = retry_plan(j_ovid.astype(np.int64),
+                              j_tws.astype(np.int64),
+                              j_xlen.astype(np.int64), w_ok, win_y, e)
+        ok_slot = w_ok.copy()
+        j_qrid_s, j_ws_s, j_xlen_s, j_ovid_s = j_qrid, j_ws, j_xlen, j_ovid
+        n_r = len(ridx)
+        if n_r:
+            r_qrid = j_qrid[ridx]
+            r_ws = j_ws[ridx]
+            r_xlen = j_xlen[ridx]
+            r_trid = j_trid[ridx]
+            r_trev = j_trev[ridx]
+            r_tws = t2.astype(np.int32)
+            r_last = j_last[ridx]
+            pend2 = []
+            for c0 in range(0, n_r, self.chunk):
+                sel2 = slice(c0, min(c0 + self.chunk, n_r))
+                n2 = sel2.stop - sel2.start
+                pad = self.chunk - n2
+                args = [np.concatenate([a[sel2], np.zeros(pad, a.dtype)])
+                        if pad else a[sel2]
+                        for a in (r_qrid, r_ws, r_xlen, r_trid, r_trev,
+                                  r_tws)]
+                lastp = np.concatenate([r_last[sel2],
+                                        np.zeros(pad, bool)]) \
+                    if pad else r_last[sel2]
+                err, ys, yn, xle, tb, ic, ib = _align_chunk(
+                    self.wl, e, bank.fwd, bank.rc, bank.lens,
+                    *[self._put_b(a) for a in args], self._put_b(lastp))
+                chunks.append((tb, ic, ib, slice(W + c0, W + sel2.stop),
+                               pad))
+                pend2.append((sel2, n2, err, ys, yn))
+            acc2 = np.zeros(n_r, bool)
+            for sel2, n2, err, ys, yn in pend2:
+                e2 = np.asarray(err)[:n2]
+                a2 = (e2 >= 0) & (e2 <= accept[ridx[sel2]])
+                acc2[sel2] = a2
+                upd = ridx[sel2][a2]
+                err_all[upd] = e2[a2]
+                ys_all[upd] = np.asarray(ys)[:n2][a2]
+                yn_all[upd] = np.asarray(yn)[:n2][a2]
+                tws_fin[upd] = t2[sel2][a2]
+                w_ok[upd] = True
+            ok_slot = np.concatenate([ok_slot, acc2])
+            j_qrid_s = np.concatenate([j_qrid, r_qrid])
+            j_ws_s = np.concatenate([j_ws, r_ws])
+            j_xlen_s = np.concatenate([j_xlen, r_xlen])
+            j_ovid_s = np.concatenate([j_ovid, j_ovid[ridx]])
+            _mark(f"retry round ({n_r} windows, {int(acc2.sum())} "
+                  "recovered)")
+
         # per-overlap stats
         win_tot = np.concatenate(win_tot_all).astype(np.int64)
         win_ok = np.zeros(n_ov_tot, np.int64)
@@ -326,11 +385,10 @@ class DeviceEC:
         ov_err = np.zeros(n_ov_tot, np.int64)
         np.add.at(ov_err, j_ovid[w_ok], err_all[w_ok])
         full = win_ok == win_tot
-        ov_full_w = full[j_ovid]                 # per-window: ov fully ok
-        w_use = w_ok & ov_full_w
+        w_use = ok_slot & full[j_ovid_s]         # per-SLOT: ov fully ok
 
         # precise per-overlap target ranges from first/last accepted window
-        y0 = (j_tws - e).astype(np.int64)
+        y0 = tws_fin - e
         ts_ov = np.full(n_ov_tot, -1, np.int64)
         te_ov = np.full(n_ov_tot, -1, np.int64)
         okw = np.flatnonzero(w_ok)
@@ -350,7 +408,7 @@ class DeviceEC:
         # ---- L2: raw allele counts ----
         cnt = self._zeros(R * L * 5)
         for tb, ic, ib, sel, pad in chunks:
-            args = self._chunk_args((j_qrid, j_ws, j_xlen), sel, pad)
+            args = self._chunk_args((j_qrid_s, j_ws_s, j_xlen_s), sel, pad)
             okp = self._pad_bool(w_use[sel], pad)
             cnt = _raw_counts(self.wl, L, tb, *args, self._put_b(okp),
                               qlen_d, cnt)
@@ -385,9 +443,9 @@ class DeviceEC:
             alt_d = jnp.asarray(alt_plane)
             het_d = jnp.asarray(het_plane)
         for tb, ic, ib, sel, pad in chunks:
-            args = self._chunk_args((j_qrid, j_ws, j_xlen), sel, pad)
+            args = self._chunk_args((j_qrid_s, j_ws_s, j_xlen_s), sel, pad)
             okp = self._pad_bool(w_use[sel], pad)
-            ovp = self._pad_arr(j_ovid[sel], pad)
+            ovp = self._pad_arr(j_ovid_s[sel], pad)
             n_same, n_flip = _het_agree(
                 self.wl, tb, *args, self._put_b(okp), self._put_b(ovp),
                 bank.fwd, alt_d, het_d, n_same, n_flip)
@@ -408,9 +466,9 @@ class DeviceEC:
         ins_tot = self._zeros(R * L)
         ins_bc = self._zeros(R * L * 4)
         ins_lc = self._zeros(R * L * 9)
-        cis_w = w_use & (is_match_all[j_ovid] == 1)
+        cis_w = w_use & (is_match_all[j_ovid_s] == 1)
         for tb, ic, ib, sel, pad in chunks:
-            args = self._chunk_args((j_qrid, j_ws, j_xlen), sel, pad)
+            args = self._chunk_args((j_qrid_s, j_ws_s, j_xlen_s), sel, pad)
             cisp = self._pad_bool(cis_w[sel], pad)
             votes, ins_tot, ins_bc, ins_lc = _cis_votes(
                 self.wl, L, tb, ic, ib, *args, votes, ins_tot, ins_bc,

@@ -130,6 +130,36 @@ def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float):
                 last=last)
 
 
+_T2_NONE = np.int64(-(1 << 62))
+
+
+def retry_plan(key: np.ndarray, t_ws: np.ndarray, wlen: np.ndarray,
+               acc: np.ndarray, win_y: np.ndarray, e: int):
+    """Window-boundary retry plan (~recalcate_window_advance,
+    Correct.cpp:10935), shared by every engine path.
+
+    A pass-1-rejected window retries at the offset CHAINED from a
+    pass-1-accepted neighbor of the SAME overlap (``key``): the previous
+    window's precise target end (forward, takes precedence) or the next
+    window's precise start minus this window's length (backward).  The
+    plan reads ONLY pass-1 results, so one batched retry round keeps all
+    engines bit-identical.  Returns (indices, new t_ws).
+    """
+    n = len(acc)
+    t2 = np.full(n, _T2_NONE, np.int64)
+    if n > 1:
+        ys = win_y[:, 0] - (t_ws.astype(np.int64) - e)
+        nxt = np.zeros(n, bool)
+        nxt[:-1] = (key[:-1] == key[1:]) & acc[1:] & (ys[1:] >= 0)
+        t2[nxt] = win_y[1:, 0][nxt[:-1]] - wlen[nxt]
+        prv = np.zeros(n, bool)
+        prv[1:] = (key[1:] == key[:-1]) & acc[:-1]
+        t2[prv] = win_y[:-1, 1][prv[1:]]
+    cand = (~acc) & (t2 != _T2_NONE) & (t2 != t_ws)
+    idx = np.flatnonzero(cand)
+    return idx, t2[idx]
+
+
 def _alloc_tracebacks(ov: OverlapRegions) -> OverlapTracebacks:
     n_ov = len(ov)
     spans = (ov.x_e - ov.x_s + 1) if n_ov else np.zeros(0, np.int64)
@@ -375,6 +405,25 @@ class WindowBatcher:
             err_all[sel] = err
             win_y[sel, 0] = y0 + ys
             win_y[sel, 1] = y0 + yn
+        # one boundary-retry round for rejected windows (pass-1 plan)
+        key = (jobs["read"].astype(np.int64) << 32) | jobs["ov"]
+        ridx, t2 = retry_plan(key, jobs["t_ws"], jobs["wlen"], acc_all,
+                              win_y, e)
+        for c0 in range(0, len(ridx), self.chunk):
+            rs = ridx[c0:c0 + self.chunk]
+            tw = t2[c0:c0 + self.chunk]
+            err, ys, yn = native(
+                flat, x_off[rs], jobs["wlen"][rs], t_base_w[rs], tw,
+                t_len_w[rs], jobs["last"][rs].astype(np.uint8),
+                dst_base[rs], accept_thre[rs], tb_arena, ic_arena,
+                ib_arena, self.wl, e)
+            ok = err >= 0
+            upd = rs[ok]
+            acc_all[upd] = True
+            err_all[upd] = err[ok]
+            y0r = tw[ok] - e
+            win_y[upd, 0] = y0r + ys[ok]
+            win_y[upd, 1] = y0r + yn[ok]
         # per-overlap stats (vectorized per read)
         for i, (q, ov, tbs, pl) in enumerate(self._reads):
             s, e = int(rb[i]), int(rb[i + 1])
@@ -390,48 +439,64 @@ class WindowBatcher:
         self._finalize_ranges(jobs, acc_all, win_y)
 
     # ---- legacy engine path (numpy / jax / explicit engines) ----
+    def _engine_chunk(self, engine, jobs, sel, t_ws, accept_thre,
+                      acc_all, win_y, e):
+        """Align one chunk of window jobs (t_ws may be a retry plan) and
+        scatter accepted tracebacks; updates acc_all/win_y in place."""
+        B = len(sel)
+        XL = self.wl
+        YL = XL + 2 * e
+        xb = np.full((B, XL), 4, np.uint8)
+        yb = np.full((B, YL), 4, np.uint8)
+        xlen = np.zeros(B, np.int64)
+        ylen = np.zeros(B, np.int64)
+        y0 = np.zeros(B, np.int64)
+        for bi, w in enumerate(sel):
+            q, ov, tbs, pl = self._reads[int(jobs["read"][w])]
+            ws = int(jobs["ws"][w])
+            wlen = int(jobs["wlen"][w])
+            xb[bi, :wlen] = q[ws:ws + wlen]
+            xlen[bi] = wlen
+            o = int(jobs["ov"][w])
+            t = self.get_target(int(ov.y_id[o]), int(ov.rev[o]))
+            y0v = int(t_ws[bi]) - e
+            src_lo = max(0, y0v)
+            src_hi = min(len(t), y0v + wlen + 2 * e)
+            if src_hi <= src_lo:
+                continue
+            yb[bi, src_lo - y0v:src_hi - y0v] = t[src_lo:src_hi]
+            ylen[bi] = src_hi - y0v
+            y0[bi] = y0v
+            if jobs["last"][w] and ylen[bi] < xlen[bi]:
+                xlen[bi] = ylen[bi]
+        out = engine(xb, xlen, yb, ylen, e)
+        accepted = (out.err >= 0) & (out.err <= accept_thre[sel])
+        acc_all[sel] = accepted
+        win_y[sel, 0] = y0 + out.y_start
+        win_y[sel, 1] = y0 + out.y_end
+        self._scatter(jobs, sel, xlen, out.tb_base, out.ins_cnt,
+                      out.ins_base, accepted, out.err.astype(np.int64),
+                      win_y)
+
     def _flush_engine(self, jobs, n) -> None:
         engine = self.engine or banded_batch_np
         e = THRESHOLD_MAX_SIZE
         accept_thre = np.minimum(jobs["thre"] * 2, THRESHOLD_MAX_SIZE)
         win_y = np.zeros((n, 2), np.int64)
         acc_all = np.zeros(n, bool)
-        for c0 in range(0, n, min(self.chunk, 4096)):
-            sel = np.arange(c0, min(c0 + min(self.chunk, 4096), n))
-            B = len(sel)
-            XL = self.wl
-            YL = XL + 2 * e
-            xb = np.full((B, XL), 4, np.uint8)
-            yb = np.full((B, YL), 4, np.uint8)
-            xlen = np.zeros(B, np.int64)
-            ylen = np.zeros(B, np.int64)
-            y0 = np.zeros(B, np.int64)
-            for bi, w in enumerate(sel):
-                q, ov, tbs, pl = self._reads[int(jobs["read"][w])]
-                ws = int(jobs["ws"][w])
-                wlen = int(jobs["wlen"][w])
-                xb[bi, :wlen] = q[ws:ws + wlen]
-                xlen[bi] = wlen
-                o = int(jobs["ov"][w])
-                t = self.get_target(int(ov.y_id[o]), int(ov.rev[o]))
-                y0v = int(jobs["t_ws"][w]) - e
-                src_lo = max(0, y0v)
-                src_hi = min(len(t), y0v + wlen + 2 * e)
-                if src_hi <= src_lo:
-                    continue
-                yb[bi, src_lo - y0v:src_hi - y0v] = t[src_lo:src_hi]
-                ylen[bi] = src_hi - y0v
-                y0[bi] = y0v
-                if jobs["last"][w] and ylen[bi] < xlen[bi]:
-                    xlen[bi] = ylen[bi]
-            out = engine(xb, xlen, yb, ylen, e)
-            accepted = (out.err >= 0) & (out.err <= accept_thre[sel])
-            acc_all[sel] = accepted
-            win_y[sel, 0] = y0 + out.y_start
-            win_y[sel, 1] = y0 + out.y_end
-            self._scatter(jobs, sel, xlen, out.tb_base, out.ins_cnt,
-                          out.ins_base, accepted, out.err.astype(np.int64),
-                          win_y)
+        ck = min(self.chunk, 4096)
+        for c0 in range(0, n, ck):
+            sel = np.arange(c0, min(c0 + ck, n))
+            self._engine_chunk(engine, jobs, sel, jobs["t_ws"][sel],
+                               accept_thre, acc_all, win_y, e)
+        # one boundary-retry round for rejected windows (pass-1 plan)
+        key = (jobs["read"].astype(np.int64) << 32) | jobs["ov"]
+        ridx, t2 = retry_plan(key, jobs["t_ws"], jobs["wlen"], acc_all,
+                              win_y, e)
+        for c0 in range(0, len(ridx), ck):
+            self._engine_chunk(engine, jobs, ridx[c0:c0 + ck],
+                               t2[c0:c0 + ck], accept_thre, acc_all,
+                               win_y, e)
         self._finalize_ranges(jobs, acc_all, win_y)
 
 

@@ -725,6 +725,7 @@ extern "C" int64_t ht_ec_batch(
     WinScratch S;
     S.init(wl, e, 1);
     std::vector<uint8_t> usable;
+    std::vector<int64_t> werr, wys, wyn, wtws;
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 2)
 #endif
@@ -743,9 +744,12 @@ extern "C" int64_t ht_ec_batch(
             win_tot[o] = (int32_t)nw;
             win_ok[o] = 0;
             err_sum[o] = 0;
-            int64_t first_ts = -1, last_te = -1;
             const int64_t hs0 = hit_off[o], hn = n_hits[o];
             int64_t hi = 0;
+            werr.assign(nw, -1);
+            wys.assign(nw, -1);
+            wyn.assign(nw, 0);
+            wtws.assign(nw, 0);
             for (int64_t wi = 0; wi < nw; ++wi) {
                 const int64_t ws = xs + wi * wl;
                 const int64_t wlen = (wl < xe - ws + 1) ? wl : xe - ws + 1;
@@ -781,17 +785,69 @@ extern "C" int64_t ht_ec_batch(
 #pragma omp atomic write
 #endif
                     stuck = o + 1;
+                    werr[wi] = -2;
                     continue;
                 }
-                if (err >= 0) {
-                    win_ok[o]++;
-                    err_sum[o] += err;
-                    const int64_t y0 = t_ws - e;
-                    if (first_ts < 0) {
-                        first_ts = y0 + ys > 0 ? y0 + ys : 0;
-                    }
-                    last_te = y0 + yn - 1;
+                werr[wi] = err;
+                wys[wi] = ys;
+                wyn[wi] = yn;
+                wtws[wi] = t_ws;
+            }
+            // window-boundary retry (~recalcate_window_advance,
+            // Correct.cpp:10935): a rejected window realigns at the
+            // offset CHAINED from a pass-1-accepted neighbor — the
+            // previous window's precise end (forward) or the next
+            // window's precise start minus this window's length
+            // (backward) — instead of the minimizer-hit projection that
+            // missed.  The plan reads ONLY pass-1 results (one batched
+            // retry round; keeps host/device engines bit-identical).
+            const std::vector<int64_t> werr0(werr);
+            for (int64_t wi = 0; wi < nw; ++wi) {
+                if (werr0[wi] != -1) continue;
+                const int64_t ws = xs + wi * wl;
+                const int64_t wlen = (wl < xe - ws + 1) ? wl : xe - ws + 1;
+                int64_t t2 = -(int64_t)1 << 62;
+                if (wi > 0 && werr0[wi - 1] >= 0) {
+                    t2 = (wtws[wi - 1] - e) + wyn[wi - 1];
+                } else if (wi + 1 < nw && werr0[wi + 1] >= 0 &&
+                           wys[wi + 1] >= 0) {
+                    t2 = (wtws[wi + 1] - e) + wys[wi + 1] - wlen;
                 }
+                if (t2 == (-(int64_t)1 << 62) || t2 == wtws[wi]) continue;
+                const int is_last = (ws + wlen > xe) ? 1 : 0;
+                int64_t thre = (int64_t)std::ceil((double)wlen * e_rate);
+                if (thre < 2) thre = 2;
+                if (thre > thre_cap) thre = thre_cap;
+                int64_t acc = thre * 2 < thre_cap ? thre * 2 : thre_cap;
+                const int64_t dst = arena_off[o] + (ws - xs);
+                int64_t ys = -1, yn = 0, tl_eff = 0;
+                std::memset(ic_arena + dst, 0, (size_t)wlen);
+                std::memset(ib_arena + dst, 0, (size_t)wlen);
+                const int64_t err = win_align_one(
+                    q + ws, wlen, t, tl_full, rev, t2, is_last, e, acc,
+                    1, tb_arena + dst, ic_arena + dst, ib_arena + dst,
+                    S, &ys, &yn, &tl_eff);
+                if (err < 0) {
+                    std::memset(tb_arena + dst, 5, (size_t)wlen);
+                    continue;
+                }
+                if (tl_eff < wlen)
+                    std::memset(tb_arena + dst + tl_eff, 5,
+                                (size_t)(wlen - tl_eff));
+                werr[wi] = err;
+                wys[wi] = ys;
+                wyn[wi] = yn;
+                wtws[wi] = t2;
+            }
+            int64_t first_ts = -1, last_te = -1;
+            for (int64_t wi = 0; wi < nw; ++wi) {
+                if (werr[wi] < 0) continue;
+                win_ok[o]++;
+                err_sum[o] += werr[wi];
+                const int64_t y0 = wtws[wi] - e;
+                if (first_ts < 0)
+                    first_ts = y0 + wys[wi] > 0 ? y0 + wys[wi] : 0;
+                last_te = y0 + wyn[wi] - 1;
             }
             // precise target range from first/last accepted window;
             // chain-projected estimate when nothing aligned (the unfused
