@@ -1,20 +1,28 @@
 #!/usr/bin/env python
 """Scale harness: synthetic genome -> full assembly, wall + contiguity.
 
-Usage: python scripts/scale_assembly.py [LENGTH] [--diploid]
-(CPU-forced; see ROADMAP.md environment notes.)
+Usage: python scripts/scale_assembly.py [LENGTH] [--diploid] [--tpu]
+(CPU-forced unless --tpu; see ROADMAP.md environment notes.  --tpu
+forces the device-EC path regardless of input size and reports the
+per-stage walls so the device/host split is visible.)
 """
 import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+USE_TPU = "--tpu" in sys.argv
+if not USE_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 from tests.synth import make_genome, sample_reads          # noqa: E402
 from hifiasm_tpu.io.readstore import ReadStore             # noqa: E402
@@ -40,6 +48,8 @@ def main():
                                   reads)
     cfg = HifiasmConfig(output_prefix="/tmp/scale_asm", n_rounds_ec=1,
                         ignore_bin=True)
+    if USE_TPU:
+        cfg.align_engine = "jax"     # force the device-EC path
     t0 = time.time()
     res = assemble(store, cfg, write_outputs=False)
     dt = time.time() - t0
