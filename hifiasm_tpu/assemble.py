@@ -377,12 +377,21 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         if mode == "hic" and not cfg.dual_scaf:
             # Hi-C scaffolding per haplotype (~ha_aware_order,
             # horder.cpp:4540): positioned PE hits -> end-proximity
-            # order graph -> greedy end matching -> scaffold FASTA
+            # order graph -> iterative join + weak-junction break rounds
+            # (scaffold_ug/renew_scaffold horder.cpp:3871/:3790); hap1's
+            # accepted layout seeds hap2's weights through the
+            # purge homolog pairing (the trans-index hap-aware hook)
             from hifiasm_tpu.io.readstore import codes_to_seq
             from hifiasm_tpu.phasing.horder import (
-                end_weights, greedy_scaffold, scaffold_seqs,
+                iterative_scaffold, scaffold_priors, scaffold_seqs,
             )
             lens_all = np.array([len(s) for s in hic_seqs], np.int64)
+            homolog_g: dict = {}
+            if res.purge is not None:
+                for a, b, _frac in res.purge.hap_pairs:
+                    homolog_g[int(a)] = int(b)
+                    homolog_g[int(b)] = int(a)
+            prior = None
             for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
                 idset = {int(i): k for k, i in enumerate(ids)}
                 sub_hits = [
@@ -391,8 +400,17 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
                     if int(u1) in idset and int(u2) in idset]
                 sub_lens = lens_all[np.asarray(ids, np.int64)] \
                     if ids else np.zeros(0, np.int64)
-                scafs = greedy_scaffold(
-                    len(ids), end_weights(len(ids), sub_lens, sub_hits))
+                scafs = iterative_scaffold(len(ids), sub_lens, sub_hits,
+                                           rounds=3, prior=prior)
+                # hap-aware transfer into the next hap's local id space
+                prior = None
+                if homolog_g and name == "hap1":
+                    other = {int(i): k for k, i in enumerate(hap2_ids)}
+                    hmap = {idset[int(i)]: other[homolog_g[int(i)]]
+                            for i in ids
+                            if int(i) in homolog_g
+                            and homolog_g[int(i)] in other}
+                    prior = scaffold_priors(scafs, hmap)
                 sseqs = scaffold_seqs(scafs, [hic_seqs[i] for i in ids])
                 with open(f"{prefix}.hic.{name}.scaf.fa", "w") as f:
                     for i, s in enumerate(sseqs):

@@ -3,10 +3,17 @@
 Re-expresses ``ha_aware_order`` / ``init_horder_t`` (horder.cpp:4540,
 :3926): PE hits are lifted to contig coordinates, each hit's end votes for
 the contig END it lies nearer (the order-graph ``osg_t`` of horder.h:28),
-and scaffolds are assembled by greedy highest-weight end matching over
-break+join rounds (the reference runs round = 3 of misjoin-break then
-rejoin; here joins below ``min_weight`` are simply never made, which is
-the same fixed point for clean inputs).
+and scaffolds are assembled by greedy highest-weight end matching.
+
+``iterative_scaffold`` adds the reference's full loop (``scaffold_ug``
+horder.cpp:3871 with round = 3): each round re-joins the current
+scaffolds as super-contigs, then ``renew_scaffold`` (horder.cpp:3790)
+repeatedly lifts the PE hits into scaffold coordinates and breaks
+junctions whose spanning Hi-C support is far below the local average
+span coverage (``break_scaffold``/``detect_lowNs`` horder.cpp:2275,
+:2163 — cutoff band 5..15, local window 2.5 Mb) until a fixed point.
+A bad greedy join is therefore revisited: broken next inner loop,
+and its ends become available again for the next round's matching.
 """
 
 from __future__ import annotations
@@ -108,6 +115,215 @@ def _same_chain(join: Dict[int, int], ea: int, eb: int) -> bool:
         cur = (nxt >> 1) << 1 | ((nxt & 1) ^ 1)
         guard += 1
     return False
+
+
+def _lift_tables(scaffolds: List[Scaffold], ctg_lens: np.ndarray,
+                 gap_len: int):
+    """Per-contig (scaffold id, offset, orient, scaffold len) tables for
+    lifting contig-space hit positions into scaffold space."""
+    n_ctg = len(ctg_lens)
+    scaf_of = np.full(n_ctg, -1, np.int64)
+    off_of = np.zeros(n_ctg, np.int64)
+    ori_of = np.zeros(n_ctg, np.int64)
+    scaf_lens = np.zeros(len(scaffolds), np.int64)
+    junctions: List[List[int]] = []       # per scaffold: junction positions
+    for si, sc in enumerate(scaffolds):
+        pos = 0
+        juncs = []
+        for i, (cid, enter) in enumerate(sc.members):
+            scaf_of[cid] = si
+            off_of[cid] = pos
+            ori_of[cid] = enter
+            pos += int(ctg_lens[cid])
+            if i + 1 < len(sc.members):
+                juncs.append(pos + gap_len // 2)
+                pos += gap_len
+        scaf_lens[si] = pos
+        junctions.append(juncs)
+    return scaf_of, off_of, ori_of, scaf_lens, junctions
+
+
+def _lift_hits(hits: np.ndarray, ctg_lens: np.ndarray, scaf_of, off_of,
+               ori_of):
+    """hits [n,4] (u1,p1,u2,p2) contig-space -> (sid1, sp1, sid2, sp2)."""
+    if len(hits) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    u1, p1, u2, p2 = (hits[:, 0].astype(np.int64),
+                      hits[:, 1].astype(np.int64),
+                      hits[:, 2].astype(np.int64),
+                      hits[:, 3].astype(np.int64))
+    sp1 = np.where(ori_of[u1] == 0, p1, ctg_lens[u1] - 1 - p1) + off_of[u1]
+    sp2 = np.where(ori_of[u2] == 0, p2, ctg_lens[u2] - 1 - p2) + off_of[u2]
+    return scaf_of[u1], sp1, scaf_of[u2], sp2
+
+
+def break_weak_junctions(scaffolds: List[Scaffold], ctg_lens: np.ndarray,
+                         hits: np.ndarray, gap_len: int = 100,
+                         local_bound: int = 2_500_000,
+                         cutoff: int = 5) -> Tuple[List[Scaffold], int]:
+    """One ``break_scaffold`` pass (horder.cpp:2275): lift hits into
+    scaffold coordinates; at every junction, compare the number of hits
+    spanning the joint against the local average span-coverage depth in
+    a ±``local_bound`` window (``detect_lowNs`` horder.cpp:2163).  A
+    junction with spanning support <= cov_avg/``cutoff`` is cut.
+
+    Returns (new scaffolds, number of junctions broken)."""
+    scaf_of, off_of, ori_of, scaf_lens, junctions = _lift_tables(
+        scaffolds, ctg_lens, gap_len)
+    sid1, sp1, sid2, sp2 = _lift_hits(hits, ctg_lens, scaf_of, off_of,
+                                      ori_of)
+    intra = sid1 == sid2
+    sid, lo = sid1[intra], np.minimum(sp1[intra], sp2[intra])
+    hi = np.maximum(sp1[intra], sp2[intra]) + 1
+
+    cut: List[Tuple[int, int]] = []       # (scaffold, member junction idx)
+    for si, juncs in enumerate(junctions):
+        if not juncs:
+            continue
+        m = sid == si
+        s_lo, s_hi = lo[m], hi[m]
+        for ji, jpos in enumerate(juncs):
+            ws = max(jpos - local_bound, 0)
+            we = min(jpos + local_bound, int(scaf_lens[si]))
+            inw = (s_lo >= ws) & (s_hi <= we)
+            if not inw.any():
+                cut.append((si, ji))
+                continue
+            spans = s_hi[inw] - s_lo[inw]
+            # local average depth = total span bases / covered interval
+            ev = np.concatenate([np.stack([s_lo[inw],
+                                           np.ones_like(s_lo[inw])], 1),
+                                 np.stack([s_hi[inw],
+                                           -np.ones_like(s_hi[inw])], 1)])
+            ev = ev[np.lexsort((-ev[:, 1], ev[:, 0]))]
+            depth = np.cumsum(ev[:, 1])
+            seg = np.diff(ev[:, 0], append=ev[-1, 0])
+            covered = int(seg[depth > 0].sum())
+            cov_avg = float(spans.sum()) / max(covered, 1)
+            spanning = int(((s_lo[inw] <= jpos - gap_len // 2) &
+                            (s_hi[inw] >= jpos + gap_len // 2)).sum())
+            if spanning <= cov_avg / cutoff:
+                cut.append((si, ji))
+
+    if not cut:
+        return scaffolds, 0
+    cutset = set(cut)
+    out: List[Scaffold] = []
+    for si, sc in enumerate(scaffolds):
+        run: List[Tuple[int, int]] = []
+        for i, mem in enumerate(sc.members):
+            run.append(mem)
+            if (si, i) in cutset:
+                out.append(Scaffold(run))
+                run = []
+        if run:
+            out.append(Scaffold(run))
+    return out, len(cut)
+
+
+def iterative_scaffold(n_ctg: int, ctg_lens: np.ndarray,
+                       pe_hits: List[Tuple[int, int, int, int]],
+                       rounds: int = 3, min_weight: float = 2.0,
+                       gap_len: int = 100, local_bound: int = 2_500_000,
+                       cutoff: int = 5,
+                       prior: Dict[Tuple[int, int], float] | None = None,
+                       ) -> List[Scaffold]:
+    """The full join/break loop of ``scaffold_ug`` (horder.cpp:3871,
+    round = 3) over contig-space PE hits.
+
+    ``prior`` adds end-pair weight bonuses in contig-end space — the
+    hap-aware hook (~``ha_aware_order`` horder.cpp:4540, where the other
+    haplotype's accepted layout informs this one through the trans
+    index)."""
+    ctg_lens = np.asarray(ctg_lens, np.int64)
+    hits = (np.asarray(pe_hits, np.int64).reshape(-1, 4)
+            if len(pe_hits) else np.zeros((0, 4), np.int64))
+    valid = ((hits[:, 0] >= 0) & (hits[:, 2] >= 0) &
+             (hits[:, 0] != hits[:, 2]) if len(hits) else
+             np.zeros(0, bool))
+    hits_inter = hits  # contig-space hits (inter + intra both kept)
+    scaffolds = [Scaffold([(c, 0)]) for c in range(n_ctg)]
+    for _ in range(max(rounds, 1)):
+        # ---- join: treat current scaffolds as super-contigs ----
+        scaf_of, off_of, ori_of, scaf_lens, _ = _lift_tables(
+            scaffolds, ctg_lens, gap_len)
+        sid1, sp1, sid2, sp2 = _lift_hits(
+            hits_inter[valid] if len(hits_inter) else hits_inter,
+            ctg_lens, scaf_of, off_of, ori_of)
+        sup_hits = list(zip(sid1.tolist(), sp1.tolist(),
+                            sid2.tolist(), sp2.tolist()))
+        w = end_weights(len(scaffolds), scaf_lens, sup_hits)
+        if prior:
+            # lift contig-end priors to super-contig ends
+            for (ea, eb), bonus in prior.items():
+                sa = _lift_end(ea, scaffolds, scaf_of, ori_of)
+                sb = _lift_end(eb, scaffolds, scaf_of, ori_of)
+                if sa is None or sb is None or (sa >> 1) == (sb >> 1):
+                    continue
+                key = (min(sa, sb), max(sa, sb))
+                w[key] = w.get(key, 0.0) + bonus
+        sup_scafs = greedy_scaffold(len(scaffolds), w,
+                                    min_weight=min_weight)
+        new: List[Scaffold] = []
+        for ss in sup_scafs:
+            members: List[Tuple[int, int]] = []
+            for sup_id, enter in ss.members:
+                mem = scaffolds[sup_id].members
+                if enter == 0:
+                    members.extend(mem)
+                else:
+                    members.extend((c, o ^ 1) for c, o in reversed(mem))
+            new.append(Scaffold(members))
+        scaffolds = new
+        # ---- renew: break weak junctions to a fixed point ----
+        while True:
+            scaffolds, n_cut = break_weak_junctions(
+                scaffolds, ctg_lens, hits_inter, gap_len=gap_len,
+                local_bound=local_bound, cutoff=cutoff)
+            if n_cut == 0:
+                break
+            log("iterative_scaffold", f"broke {n_cut} weak junctions")
+    log("iterative_scaffold",
+        f"{n_ctg} contigs -> {len(scaffolds)} scaffolds "
+        f"({rounds} rounds)")
+    return scaffolds
+
+
+def _lift_end(end: int, scaffolds: List[Scaffold], scaf_of, ori_of):
+    """Contig end -> super-contig end, if the contig sits at a scaffold
+    boundary with that end exposed (else the prior cannot apply)."""
+    cid, side = end >> 1, end & 1
+    si = int(scaf_of[cid])
+    if si < 0:
+        return None
+    mem = scaffolds[si].members
+    eff = side ^ int(ori_of[cid])         # side in scaffold orientation
+    if mem[0][0] == cid and eff == 0:
+        return si << 1
+    if mem[-1][0] == cid and eff == 1:
+        return si << 1 | 1
+    return None
+
+
+def scaffold_priors(accepted: List[Scaffold],
+                    homolog: Dict[int, int],
+                    bonus: float = 4.0) -> Dict[Tuple[int, int], float]:
+    """Hap-aware transfer (~``ha_aware_order`` horder.cpp:4540): each
+    adjacency accepted in one haplotype's layout votes for the
+    homologous contig pair in the other haplotype (via the trans/purge
+    pairing ``homolog``: this-hap ctg id -> other-hap ctg id)."""
+    prior: Dict[Tuple[int, int], float] = {}
+    for sc in accepted:
+        for (c1, o1), (c2, o2) in zip(sc.members, sc.members[1:]):
+            h1, h2 = homolog.get(c1), homolog.get(c2)
+            if h1 is None or h2 is None or h1 == h2:
+                continue
+            e1 = h1 << 1 | (o1 ^ 1)       # outgoing end of c1's homolog
+            e2 = h2 << 1 | o2             # incoming end of c2's homolog
+            key = (min(e1, e2), max(e1, e2))
+            prior[key] = prior.get(key, 0.0) + bonus
+    return prior
 
 
 def scaffold_seqs(scaffolds: List[Scaffold], ctg_seqs: List[np.ndarray],
