@@ -37,6 +37,10 @@ class HifiasmConfig:
     max_ov_diff_ec: float = 0.04          # EC alignment error budget
     max_ov_diff_final: float = 0.03       # final-pass error budget
     n_rounds_ec: int = 3                  # number_of_round
+    # True = legacy full realign of all overlaps after correction; the
+    # default mirrors the reference (final records come from the last EC
+    # round; cal_ov_r's realign worker is disabled, ecovlp.cpp:6391)
+    final_realign: bool = False
     max_n_chain: int = 100                # MIN_N_CHAIN (CommandLines.h:29)
     is_ont: bool = False                  # --ont: ONT R10 mode
     adapter_len: int = 0                  # -z: clip read ends

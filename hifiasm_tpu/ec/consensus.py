@@ -30,6 +30,12 @@ MAX_INS_TRACK = 8
 class ConsensusResult:
     seq: np.ndarray          # corrected codes
     n_corrected: int         # number of edit operations applied
+    # length-changing edits as (pos, delta) int64 arrays: original
+    # coordinates >= pos shift by the cumulative delta.  The coordinate
+    # trace that lets overlap records survive correction without a
+    # realign pass (~the reference's scc edit traces consumed by
+    # adjust_exact_match, ecovlp.cpp:3521)
+    edits: tuple = (np.zeros(0, np.int64), np.zeros(0, np.int64))
 
 
 def _edit_distance(a: np.ndarray, b: np.ndarray) -> int:
@@ -82,6 +88,7 @@ def consensus_from_votes(q: np.ndarray, votes: np.ndarray,
     n_edits = 0
     prev = 0
     ci, ri = 0, 0
+    ed_pos, ed_delta = [], []
     while ci < len(change) or ri < len(repl):
         if ri < len(repl) and (ci >= len(change)
                                or repl[ri][0] <= change[ci]):
@@ -91,6 +98,9 @@ def consensus_from_votes(q: np.ndarray, votes: np.ndarray,
             parts.append(np.asarray(r, np.uint8))
             n_edits += _edit_distance(np.clip(q[s:e], 0, 3),
                                       np.asarray(r, np.uint8))
+            if len(r) != e - s:
+                ed_pos.append(e)
+                ed_delta.append(len(r) - (e - s))
             prev = e
             continue
         p = change[ci]
@@ -100,15 +110,22 @@ def consensus_from_votes(q: np.ndarray, votes: np.ndarray,
             w = int(winner[p])
             if w != 4:                       # substitution
                 parts.append(np.array([w], np.uint8))
+            else:                            # deletion of the query base
+                ed_pos.append(p + 1)
+                ed_delta.append(-1)
             n_edits += 1
         else:
             parts.append(q[p:p + 1])
         if pass_ins[p]:
             parts.append(np.full(int(ins_len[p]), ins_base[p], np.uint8))
             n_edits += int(ins_len[p])
+            ed_pos.append(p + 1)
+            ed_delta.append(int(ins_len[p]))
         prev = p + 1
     parts.append(q[prev:])
-    return ConsensusResult(np.concatenate(parts).astype(np.uint8), n_edits)
+    return ConsensusResult(np.concatenate(parts).astype(np.uint8), n_edits,
+                           (np.asarray(ed_pos, np.int64),
+                            np.asarray(ed_delta, np.int64)))
 
 
 DAG_CLUSTER_GAP = 8               # max spacing joining ambiguous columns

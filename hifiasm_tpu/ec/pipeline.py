@@ -215,8 +215,18 @@ def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov, mesh=None):
 
 
 def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
-             round_idx: int) -> Tuple[int, int, int]:
-    """One correction round; returns (hom_cov, het_cov, n_corrected)."""
+             round_idx: int, collect=None) -> Tuple[int, int, int]:
+    """One correction round; returns (hom_cov, het_cov, n_corrected).
+
+    ``collect``: optional (paf, rev_paf) PafStore pair.  When given, the
+    round's per-overlap results are ALSO pushed as final overlap records
+    — the reference's architecture, where ``cal_ec_r`` stores the
+    round's overlaps in ``R_INF.paf``/``reverse_paf`` and the "final
+    overlap round" (``cal_ov_r``, ecovlp.cpp:6385) does no realignment
+    at all (its worker is disabled; it only refreshes stats).  Record
+    coordinates are therefore in the round's start-of-round frame; the
+    caller clamps them to the corrected lengths afterwards
+    (~``flip_paf_rc`` clamping, ecovlp.cpp:3846)."""
     codes = [store.get_codes(i) for i in range(store.n_reads)]
     pt, peak_hom, peak_het, mzs = build_position_table(
         codes, cfg.k, cfg.w, ft=ft, min_hist_cnt=cfg.min_hist_kmer_cnt,
@@ -244,6 +254,12 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
         n_routed = 0
         outs, cns_in = dev.process(read_ovs)
         for rid, eco in outs.items():
+            if collect is not None:
+                _push_records_stats(
+                    collect[0], collect[1], rid, store.lens, eco.ov,
+                    (eco.win_tot > 0) & (eco.win_ok == eco.win_tot),
+                    eco.err, eco.ts, eco.te, eco.is_match,
+                    cfg.max_ov_diff_final)
             if rid not in cns_in:
                 continue
             q, v, it, ib_, il = consensus_inputs_for_read(
@@ -265,6 +281,8 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
             if cns.n_corrected:
                 new_seqs[rid] = cns.seq
                 n_corr += cns.n_corrected
+                if collect is not None:
+                    collect[2][rid] = cns.edits
         if n_routed:
             log("ec_round",
                 f"routed {n_routed} ambiguous reads to the host DAG path")
@@ -276,6 +294,12 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
         for rids, cols, res in _ec_pass_fused(
                 store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_ec,
                 do_consensus=True):
+            if collect is not None:
+                wt, wo = res["win_tot"], res["win_ok"]
+                _push_records_flat(
+                    collect[0], collect[1], rids, store.lens, cols,
+                    (wt > 0) & (wo == wt), res["err"], res["ts"],
+                    res["te"], res["is_match"], cfg.max_ov_diff_final)
             for j, rid in enumerate(rids):
                 seq = res["seqs"][j]
                 if seq is False:
@@ -290,9 +314,13 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
                     if cns.n_corrected:
                         new_seqs[rid] = cns.seq
                         n_corr += cns.n_corrected
+                        if collect is not None:
+                            collect[2][rid] = cns.edits
                 elif seq is not None:
                     new_seqs[rid] = seq
                     n_corr += int(res["n_edits"][j])
+                    if collect is not None:
+                        collect[2][rid] = res["edits"][j]
     else:
         from hifiasm_tpu.native import ec_reads_native
 
@@ -305,16 +333,25 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
             for j, (rid, q, ov, tbs) in enumerate(batch):
                 nat = res[j] if res is not None else None
                 if nat is not None:
-                    _, _, seq, n_edits = nat
+                    is_match, _, seq, n_edits = nat[:4]
                     if n_edits:
                         new_seqs[rid] = seq
                         n_corr += n_edits
+                        if collect is not None:
+                            collect[2][rid] = nat[4]
                 else:
                     ph = phase_overlaps(q, ov, tbs)
+                    is_match = ph.is_match
                     cns = windowed_consensus(q, ov, tbs, ph)
                     if cns.n_corrected:
                         new_seqs[rid] = cns.seq
                         n_corr += cns.n_corrected
+                        if collect is not None:
+                            collect[2][rid] = cns.edits
+                if collect is not None:
+                    _push_records(collect[0], collect[1], rid, len(q),
+                                  store.lens, ov, tbs, is_match,
+                                  cfg.max_ov_diff_final)
     # barrier: write corrections back only after every read is processed
     for rid, seq in new_seqs.items():
         store.set_codes(rid, seq)
@@ -451,16 +488,90 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
     return ECResult(paf, rev_paf, hom_cov, peak_het)
 
 
+def _edit_cum_table(edits_map: dict, n_reads: int):
+    """Concatenate per-read (pos, delta) edit traces into one global
+    key-sorted table: key = rid << 34 | pos, value = CUMULATIVE delta at
+    original coordinates >= pos.  A (rid, 0, 0) sentinel per read makes
+    every lookup land inside its own read's slice."""
+    keys = [np.asarray([], np.int64)]
+    cums = [np.asarray([], np.int64)]
+    for rid in range(n_reads):
+        ed = edits_map.get(rid)
+        pos = ed[0] if ed is not None else np.zeros(0, np.int64)
+        delta = ed[1] if ed is not None else np.zeros(0, np.int64)
+        base = np.int64(rid) << 34
+        keys.append(base + np.concatenate([[0], pos]))
+        cums.append(np.concatenate([[0], np.cumsum(delta)]))
+    return np.concatenate(keys), np.concatenate(cums)
+
+
+def _remap_and_clamp(paf: PafStore, lens: np.ndarray,
+                     ed_keys: np.ndarray, ed_cums: np.ndarray) -> None:
+    """Shift record coordinates through the correction edit traces (the
+    reference's scc traces, consumed by ``adjust_exact_match``
+    ecovlp.cpp:3521) and clamp into the corrected read lengths
+    (~``flip_paf_rc`` bounding, ecovlp.cpp:3846).  Query coordinates
+    remap through the query read's trace, target coordinates (stored in
+    the target's forward frame) through the target read's trace."""
+    for rid, r in enumerate(paf.recs):
+        if not len(r):
+            continue
+        qbase = np.int64(rid) << 34
+        tn = r.tn.astype(np.int64)
+        tbase = tn << 34
+
+        def shift(coord, base):
+            idx = np.searchsorted(ed_keys, base + coord, side="right") - 1
+            return coord + ed_cums[idx]
+
+        ql = int(lens[rid])
+        tl = lens[tn]
+        qs = np.clip(shift(r.qs, qbase), 0, ql)
+        qe = np.clip(shift(r.qe, qbase), 0, ql)
+        ts = np.clip(shift(r.ts, tbase), 0, tl)
+        te = np.clip(shift(r.te, tbase), 0, tl)
+        keep = (qe > qs) & (te > ts)
+        r.qs, r.qe, r.ts, r.te = qs, qe, ts, te
+        r.bl = qe - qs
+        r.ml = np.minimum(r.ml, r.bl)
+        if not keep.all():
+            paf.recs[rid] = r.take(np.flatnonzero(keep))
+
+
 def run_ec(store: ReadStore, cfg: HifiasmConfig,
            ft: Optional[FilterTable] = None) -> ECResult:
-    """Full EC: n_rounds of correction + the final overlap pass."""
+    """Full EC: n_rounds of correction, with final overlap records taken
+    from the LAST round (the reference's flow: ``cal_ec_r`` stores each
+    round's overlaps and ``cal_ov_r`` never realigns — ecovlp.cpp:6268,
+    :6385).  ``cfg.final_realign`` forces the legacy full realign pass
+    against the corrected reads instead."""
     total_corr = 0
+    collected = None
     for r in range(cfg.n_rounds_ec):
-        hom_cov, het_cov, n_corr = ec_round(store, cfg, ft, r)
+        collect = None
+        if not cfg.final_realign:
+            # fresh stores every round: the reference overwrites
+            # R_INF.paf per round, keeping only the last round's records
+            collect = (PafStore(store.n_reads), PafStore(store.n_reads),
+                       {})
+        hom_cov, het_cov, n_corr = ec_round(store, cfg, ft, r,
+                                            collect=collect)
         cfg.update_cov(hom_cov, het_cov)
         total_corr += n_corr
+        if collect is not None:
+            collected = (collect, hom_cov, het_cov)
         if n_corr == 0:
             break
-    res = final_overlap_pass(store, cfg, ft)
+    if collected is None:
+        res = final_overlap_pass(store, cfg, ft)
+    else:
+        (paf, rev_paf, edits_map), hom_cov, het_cov = collected
+        ed_keys, ed_cums = _edit_cum_table(edits_map, store.n_reads)
+        _remap_and_clamp(paf, store.lens, ed_keys, ed_cums)
+        _remap_and_clamp(rev_paf, store.lens, ed_keys, ed_cums)
+        log("final_overlap_pass",
+            f"{paf.total} cis + {rev_paf.total} trans overlaps "
+            f"(from the last EC round)")
+        res = ECResult(paf, rev_paf, hom_cov, het_cov)
     res.n_corrected = total_corr
     return res

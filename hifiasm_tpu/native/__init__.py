@@ -84,6 +84,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _tried = True
     if not _build():
         return None
+    # The fused EC pipeline overlaps an OMP compute call (worker thread)
+    # with numpy batch prep (main thread) on the same cores; libgomp's
+    # default active spin-wait between parallel regions then burns a
+    # core busy-waiting and slows the EC pass ~4x (measured: 5.6 s ->
+    # 1.3 s per pass on the 24 Mb bench workload).  Must be set before
+    # libgomp initializes, i.e. before the first dlopen of the kernels.
+    os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
     lib = ctypes.CDLL(_SO)
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
@@ -132,12 +139,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, i64p, i64p, u8p, u8p, u8p, u8p,
         ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_double, ctypes.c_int32,
-        u8p, i64p, u8p, ctypes.c_int64, i64p, i64p]
+        u8p, i64p, u8p, ctypes.c_int64, i64p, i64p,
+        i64p, i64p, ctypes.c_int64, i64p]
     lib.ht_ec_reads.restype = None
     lib.ht_ec_reads.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, u8p, u8p, u8p, u8p,
         i64p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
-        ctypes.c_int32, u8p, i64p, u8p, i64p, i64p, i64p]
+        ctypes.c_int32, u8p, i64p, u8p, i64p, i64p, i64p,
+        i64p, i64p, ctypes.c_int64, i64p]
     lib.ht_count_kmers.restype = ctypes.c_int64
     lib.ht_count_kmers.argtypes = [
         u8p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
@@ -162,7 +171,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_int32,
         i32p, i32p, i64p, i64p, i64p, u8p,
-        i64p, u8p, i64p, i64p, i64p]
+        i64p, u8p, i64p, i64p, i64p,
+        i64p, i64p, ctypes.c_int64, i64p]
     lib.ht_chain_groups.restype = ctypes.c_int64
     lib.ht_chain_groups.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
@@ -540,11 +550,15 @@ def collect_anchors_native(mzs, pt, rids, tlens, hom_cov: int):
     return out
 
 
+ED_STRIDE = 1024                       # edit-trace events per read (cap)
+
+
 def ec_read_native(tbs, q, do_consensus: bool = True,
                    min_het_occ: int = 2, occ_tot: int = 3,
                    occ_exact: float = 0.500001):
     """Per-read phase + consensus in C; returns (is_match, n_het,
-    corrected_seq or None, n_edits) or None when unavailable / overflow."""
+    corrected_seq or None, n_edits, (ed_pos, ed_delta)) or None when
+    unavailable / overflow."""
     lib = get_lib()
     if lib is None:
         return None
@@ -558,17 +572,23 @@ def ec_read_native(tbs, q, do_consensus: bool = True,
     out_seq = np.empty(cap, np.uint8)
     out_len = np.zeros(1, np.int64)
     n_edits = np.zeros(1, np.int64)
+    ed_pos = np.empty(ED_STRIDE, np.int64)
+    ed_delta = np.empty(ED_STRIDE, np.int64)
+    ed_n = np.zeros(1, np.int64)
     rc = lib.ht_ec_read(
         n_ov, np.ascontiguousarray(tbs.off, np.int64),
         np.ascontiguousarray(tbs.x_s, np.int64),
         tbs.tb, tbs.ins_cnt, tbs.ins_base, usable,
         qlen, np.ascontiguousarray(q, np.uint8),
         min_het_occ, occ_tot, occ_exact, 1 if do_consensus else 0,
-        is_match, n_het, out_seq, cap, out_len, n_edits)
+        is_match, n_het, out_seq, cap, out_len, n_edits,
+        ed_pos, ed_delta, ED_STRIDE, ed_n)
     if rc != 0:
         return None                    # overflow: caller uses python path
     seq = out_seq[:int(out_len[0])].copy() if do_consensus else None
-    return is_match, int(n_het[0]), seq, int(n_edits[0])
+    ne = int(ed_n[0])
+    return (is_match, int(n_het[0]), seq, int(n_edits[0]),
+            (ed_pos[:ne].copy(), ed_delta[:ne].copy()))
 
 
 def ec_reads_native(items, do_consensus: bool = True,
@@ -579,8 +599,9 @@ def ec_reads_native(items, do_consensus: bool = True,
 
     items: list of (q, tbs); every tbs must carry the SAME shared flush
     arena (set by WindowBatcher._flush_native). Returns a per-read list of
-    (is_match, n_het, seq|None, n_edits), with None entries on per-read
-    overflow, or None when unavailable (caller uses the per-read path).
+    (is_match, n_het, seq|None, n_edits, (ed_pos, ed_delta)), with None
+    entries on per-read overflow, or None when unavailable (caller uses
+    the per-read path).
     """
     lib = get_lib()
     if lib is None or not items:
@@ -623,11 +644,15 @@ def ec_reads_native(items, do_consensus: bool = True,
     out_seq = np.empty(int(out_off[-1]), np.uint8)
     out_len = np.zeros(R, np.int64)
     n_edits = np.zeros(R, np.int64)
+    ed_pos = np.empty(R * ED_STRIDE, np.int64)
+    ed_delta = np.empty(R * ED_STRIDE, np.int64)
+    ed_n = np.zeros(R, np.int64)
     lib.ht_ec_reads(
         R, r_ov_off, off_idx, off_cat, x_s, tb_a, ic_a, ib_a, usable,
         q_off, qcat, min_het_occ, occ_tot, occ_exact,
         1 if do_consensus else 0,
-        is_match, n_het, out_seq, out_off, out_len, n_edits)
+        is_match, n_het, out_seq, out_off, out_len, n_edits,
+        ed_pos, ed_delta, ED_STRIDE, ed_n)
     res = []
     for r in range(R):
         if out_len[r] < 0:
@@ -636,7 +661,11 @@ def ec_reads_native(items, do_consensus: bool = True,
         im = is_match[r_ov_off[r]:r_ov_off[r + 1]].copy()
         seq = out_seq[out_off[r]:out_off[r] + out_len[r]].copy() \
             if do_consensus else None
-        res.append((im, int(n_het[r]), seq, int(n_edits[r])))
+        e0 = r * ED_STRIDE
+        ne = int(ed_n[r])
+        res.append((im, int(n_het[r]), seq, int(n_edits[r]),
+                    (ed_pos[e0:e0 + ne].copy(),
+                     ed_delta[e0:e0 + ne].copy())))
     return res
 
 
@@ -722,6 +751,9 @@ def ec_batch_native(codes_batch, bank_off, bank, ov_cols, cfg_tuple,
     out_seq = np.empty(max(int(out_off[-1]), 1), np.uint8)
     out_len = np.zeros(max(R, 1), np.int64)
     n_edits = np.zeros(max(R, 1), np.int64)
+    ed_pos = np.empty(max(R, 1) * ED_STRIDE, np.int64)
+    ed_delta = np.empty(max(R, 1) * ED_STRIDE, np.int64)
+    ed_n = np.zeros(max(R, 1), np.int64)
     rc = lib.ht_ec_batch(
         R, q_off, np.ascontiguousarray(qcat, np.uint8),
         np.ascontiguousarray(bank_off, np.int64),
@@ -738,11 +770,17 @@ def ec_batch_native(codes_batch, bank_off, bank, ov_cols, cfg_tuple,
         wl, e, e_rate, thre_cap, min_het_occ, occ_tot, occ_exact,
         1 if do_consensus else 0,
         win_tot, win_ok, err_sum, ts, te, is_match,
-        n_het, out_seq, out_off, out_len, n_edits)
+        n_het, out_seq, out_off, out_len, n_edits,
+        ed_pos, ed_delta, ED_STRIDE, ed_n)
     if rc != 0:
         raise AssertionError(f"native traceback stuck at overlap {-rc-1}")
     seqs = []
+    edits = []
     for r in range(R):
+        e0 = r * ED_STRIDE
+        ne = int(ed_n[r])
+        edits.append((ed_pos[e0:e0 + ne].copy(),
+                      ed_delta[e0:e0 + ne].copy()))
         if out_len[r] < 0:
             seqs.append(False)            # overflow: caller falls back
         elif do_consensus and n_edits[r] > 0:
@@ -752,7 +790,7 @@ def ec_batch_native(codes_batch, bank_off, bank, ov_cols, cfg_tuple,
     return dict(win_tot=win_tot[:n_ov], win_ok=win_ok[:n_ov],
                 err=err_sum[:n_ov], ts=ts[:n_ov], te=te[:n_ov],
                 is_match=is_match[:n_ov], n_het=n_het[:R], seqs=seqs,
-                n_edits=n_edits[:R],
+                n_edits=n_edits[:R], edits=edits,
                 arena=(tb_a, ic_a, ib_a), arena_off=arena_off)
 
 

@@ -695,7 +695,8 @@ static int64_t ec_read_one(
     int64_t min_het_occ, int64_t occ_tot, double occ_exact,
     int32_t do_consensus, uint8_t* is_match, int64_t* n_het_out,
     uint8_t* out_seq, int64_t out_cap, int64_t* out_len,
-    int64_t* n_edits_out);
+    int64_t* n_edits_out, int64_t* ed_pos, int64_t* ed_delta,
+    int64_t ed_cap, int64_t* ed_n);
 
 extern "C" int64_t ht_ec_batch(
     int64_t R,
@@ -716,7 +717,9 @@ extern "C" int64_t ht_ec_batch(
     uint8_t* is_match,                          // [n_ov]
     int64_t* n_het_out,                         // [R]
     uint8_t* out_seq, const int64_t* out_off,   // consensus CSR
-    int64_t* out_len, int64_t* n_edits) {
+    int64_t* out_len, int64_t* n_edits,
+    int64_t* ed_pos, int64_t* ed_delta,         // [R*ed_stride] edit trace
+    int64_t ed_stride, int64_t* ed_n) {         // [R]
     int64_t stuck = 0;
 #ifdef _OPENMP
 #pragma omp parallel
@@ -864,7 +867,9 @@ extern "C" int64_t ht_ec_batch(
             q_off[r + 1] - q_off[r], q,
             min_het_occ, occ_tot, occ_exact, do_consensus,
             is_match + o0, n_het_out + r, out_seq + out_off[r],
-            out_off[r + 1] - out_off[r], out_len + r, n_edits + r);
+            out_off[r + 1] - out_off[r], out_len + r, n_edits + r,
+            ed_pos + r * ed_stride, ed_delta + r * ed_stride,
+            ed_stride, ed_n + r);
         if (rc != 0) out_len[r] = -1;
     }
     }  // omp parallel
@@ -889,7 +894,11 @@ static int64_t ec_read_one(
     uint8_t* out_seq,         // [out_cap] out (consensus)
     int64_t out_cap,
     int64_t* out_len,         // [1] out
-    int64_t* n_edits_out) {   // [1] out
+    int64_t* n_edits_out,     // [1] out
+    int64_t* ed_pos,          // [ed_cap] out: length-changing edit trace
+    int64_t* ed_delta,        // [ed_cap] out (mirrors ConsensusResult.edits)
+    int64_t ed_cap,
+    int64_t* ed_n) {          // [1] out
     std::vector<int32_t> cnt4(qlen * 4, 0);
     std::vector<uint8_t> het(qlen, 0), alt(qlen, 0);
     // pass 1: allele counts over usable overlaps (substitution slots)
@@ -943,6 +952,7 @@ static int64_t ec_read_one(
     }
     *out_len = 0;
     *n_edits_out = 0;
+    if (ed_n) *ed_n = 0;
     if (!do_consensus) return 0;
     // pass 3: cis-only votes (+ query) and insertion aggregates
     std::vector<int32_t> votes(qlen * 5, 0), ins_tot(qlen, 0),
@@ -1057,12 +1067,25 @@ static int64_t ec_read_one(
             gs = gi;
         }
     }
-    int64_t w_out = 0, n_edits = 0;
+    int64_t w_out = 0, n_edits = 0, n_ed = 0;
+    // emit a length-changing edit event (pos, delta); cap overflow falls
+    // back to the python path (which computes the same trace)
+    auto emit_ed = [&](int64_t pos, int64_t delta) -> bool {
+        if (!ed_pos) return true;
+        if (n_ed >= ed_cap) return false;
+        ed_pos[n_ed] = pos;
+        ed_delta[n_ed] = delta;
+        ++n_ed;
+        return true;
+    };
     size_t ri = 0;
     for (int64_t p = 0; p < qlen; ++p) {
         if (ri < repl.size() && p == repl[ri].s) {
             const Repl& R = repl[ri++];
             if (w_out + (int64_t)R.r.size() + 4 >= out_cap) return -1;
+            if ((int64_t)R.r.size() != R.e - R.s &&
+                !emit_ed(R.e, (int64_t)R.r.size() - (R.e - R.s)))
+                return -1;
             for (char c : R.r) out_seq[w_out++] = (uint8_t)c;
             // Levenshtein edit count on the tiny cluster range
             {
@@ -1098,6 +1121,7 @@ static int64_t ec_read_one(
         if (w_out + 10 >= out_cap) return -1;      // caller falls back
         if (pass_sub) {
             if (winner != 4) out_seq[w_out++] = (uint8_t)winner;
+            else if (!emit_ed(p + 1, -1)) return -1;
             ++n_edits;
         } else {
             out_seq[w_out++] = q[p];
@@ -1112,6 +1136,7 @@ static int64_t ec_read_one(
             for (int l = 1; l <= 8; ++l)
                 if (ins_lc[p * 9 + l] > lc) { lc = ins_lc[p * 9 + l]; best_l = l; }
             if (w_out + best_l + 4 >= out_cap) return -1;
+            if (!emit_ed(p + 1, best_l)) return -1;
             for (int t = 0; t < best_l; ++t)
                 out_seq[w_out++] = (uint8_t)best_b;
             n_edits += best_l;
@@ -1119,6 +1144,7 @@ static int64_t ec_read_one(
     }
     *out_len = w_out;
     *n_edits_out = n_edits;
+    if (ed_n) *ed_n = n_ed;
     return 0;
 }
 
@@ -1131,11 +1157,12 @@ extern "C" int64_t ht_ec_read(
     int32_t do_consensus,
     uint8_t* is_match, int64_t* n_het_out,
     uint8_t* out_seq, int64_t out_cap,
-    int64_t* out_len, int64_t* n_edits_out) {
+    int64_t* out_len, int64_t* n_edits_out,
+    int64_t* ed_pos, int64_t* ed_delta, int64_t ed_cap, int64_t* ed_n) {
     return ec_read_one(n_ov, off, x_s, tb, icnt, ibase, usable, qlen, q,
                        min_het_occ, occ_tot, occ_exact, do_consensus,
                        is_match, n_het_out, out_seq, out_cap, out_len,
-                       n_edits_out);
+                       n_edits_out, ed_pos, ed_delta, ed_cap, ed_n);
 }
 
 // Batched phase+consensus over a flush's worth of reads in one call,
@@ -1159,7 +1186,9 @@ extern "C" void ht_ec_reads(
     uint8_t* out_seq,          // [out_off[R]]
     const int64_t* out_off,    // [R+1] per-read consensus capacity CSR
     int64_t* out_len,          // [R]
-    int64_t* n_edits_out) {    // [R]
+    int64_t* n_edits_out,      // [R]
+    int64_t* ed_pos, int64_t* ed_delta,  // [R*ed_stride] edit trace
+    int64_t ed_stride, int64_t* ed_n) {  // [R]
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 4)
 #endif
@@ -1171,7 +1200,9 @@ extern "C" void ht_ec_reads(
             q_off[r + 1] - q_off[r], q + q_off[r],
             min_het_occ, occ_tot, occ_exact, do_consensus,
             is_match + ro, n_het_out + r, out_seq + out_off[r],
-            out_off[r + 1] - out_off[r], out_len + r, n_edits_out + r);
+            out_off[r + 1] - out_off[r], out_len + r, n_edits_out + r,
+            ed_pos + r * ed_stride, ed_delta + r * ed_stride,
+            ed_stride, ed_n + r);
         if (rc != 0) out_len[r] = -1;
     }
 }

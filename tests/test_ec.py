@@ -187,7 +187,7 @@ def test_native_dag_consensus_matches_python():
     tbs = _mk_tracebacks(qlen, rows)
     out = ec_read_native(tbs, q)
     assert out is not None
-    is_match, n_het, seq, n_edits = out
+    is_match, n_het, seq, n_edits = out[:4]
     expect = np.concatenate([q[:10], q[11:]])
     assert np.array_equal(seq, expect), seq[8:14]
     assert n_edits == 1

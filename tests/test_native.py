@@ -221,7 +221,7 @@ def test_native_ec_read_matches_python(rng):
         cns = windowed_consensus(q, ov, tbs, phr)
         nat = ec_read_native(tbs, q)
         assert nat is not None
-        is_match, n_het, seq, n_edits = nat
+        is_match, n_het, seq, n_edits = nat[:4]
         np.testing.assert_array_equal(is_match, phr.is_match,
                                       err_msg=f"rid {rid} is_match")
         assert n_het == len(phr.het_sites), rid
