@@ -194,7 +194,16 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
                 c = seq_to_codes(s)
                 if len(c) >= cfg.ul_min_base:   # --ul-cut
                     ul_codes.append(c)
-        paths = ul_align(useqs, ul_codes, ug=ug)
+        # UL alignment cache (~write_all_ul_t/load_all_ul_t,
+        # inter.cpp:20120/:21705): keyed on unitig + UL input shape
+        from hifiasm_tpu.io.binfiles import load_ul_paths, save_ul_paths
+        ul_fp = (f"ul:{len(useqs)}:{sum(len(s) for s in useqs)}:"
+                 f"{len(ul_codes)}:{sum(len(c) for c in ul_codes)}")
+        paths = None if cfg.ignore_bin else \
+            load_ul_paths(cfg.output_prefix, ul_fp)
+        if paths is None:
+            paths = ul_align(useqs, ul_codes, ug=ug)
+            save_ul_paths(cfg.output_prefix, paths, ul_fp)
         integer_correction(paths)
         ul_renew_graph(ug, paths)
 
@@ -228,9 +237,20 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         useqs = [unitig_seq(u, store, cov) for u in ug.utgs]
         # base-level confirmation threshold = --s-base (read-level -s
         # stays on the candidate generation; trans_base_rate_sec < 0
-        # disables the alignment pass entirely)
-        confirmed = confirm_purge_pairs(
-            useqs, purge.hap_pairs, max(simi, cfg.trans_base_rate_sec))
+        # disables the alignment pass entirely).  The confirmed pairs
+        # are cached (~the trans.bin kv_u_trans dump, Overlaps.cpp:16379)
+        from hifiasm_tpu.io.binfiles import (
+            load_trans_links, save_trans_links,
+        )
+        tr_fp = (f"trans:{len(useqs)}:{sum(len(s) for s in useqs)}:"
+                 f"{len(purge.hap_pairs)}:"
+                 f"{sum(a + b for a, b, _ in purge.hap_pairs)}")
+        confirmed = None if cfg.ignore_bin else \
+            load_trans_links(cfg.output_prefix, tr_fp)
+        if confirmed is None:
+            confirmed = confirm_purge_pairs(
+                useqs, purge.hap_pairs, max(simi, cfg.trans_base_rate_sec))
+            save_trans_links(cfg.output_prefix, confirmed, tr_fp)
         keep_a = {a for a, _, _, _, _ in confirmed}
         restored = [a for a, _, _ in purge.hap_pairs if a not in keep_a]
         if restored:
@@ -332,10 +352,30 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         # misjoin (switch-error) breaks before phasing
         # (~update_switch_unitig, hic.cpp:17051; --l-msjoin)
         from hifiasm_tpu.graph.unitig import split_unitig
+        from hifiasm_tpu.io.binfiles import load_hic_hits, save_hic_hits
         from hifiasm_tpu.phasing.hic import (
             dedup_pe_hits, detect_switch_misjoins, map_hic_pairs_pos,
         )
-        hits4 = dedup_pe_hits(map_hic_pairs_pos(uidx, _pairs()))
+
+        def _seq_fp(ss):
+            lens = np.array([len(s) for s in ss], np.int64)
+            return (f"hic:{len(ss)}:{int(lens.sum())}:"
+                    f"{int(np.bitwise_xor.reduce(lens * (np.arange(len(ss)) + 1))) if len(ss) else 0}")
+
+        def _mapped_hits(ss, idx):
+            # PE hit cache (~hic.cpp:5239 hic.lk.bin): keyed on the
+            # unitig sequence fingerprint, so post-break remaps get
+            # their own entry and stale caches recompute
+            fp = _seq_fp(ss)
+            if not cfg.ignore_bin:
+                cached = load_hic_hits(prefix, fp)
+                if cached is not None:
+                    return cached
+            h = dedup_pe_hits(map_hic_pairs_pos(idx, _pairs()))
+            save_hic_hits(prefix, h, fp)
+            return h
+
+        hits4 = _mapped_hits(seqs, uidx)
         breaks = detect_switch_misjoins(
             np.array([len(s) for s in seqs], np.int64), hits4,
             misjoin_len=cfg.misjoin_len)
@@ -348,7 +388,7 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             ug_cov = np.array([
                 int(np.round(res.read_cov[(u.vs >> 1)].mean()))
                 if len(u.vs) else 0 for u in res.ug.utgs], np.int64)
-            hits4 = dedup_pe_hits(map_hic_pairs_pos(uidx, _pairs()))
+            hits4 = _mapped_hits(seqs, uidx)
         hic_links = hic_link_matrix(len(res.ug), hits4[:, [0, 2]])
         hic_seqs, hic_hits4 = seqs, hits4
     hap1_ids, hap2_ids = [], []

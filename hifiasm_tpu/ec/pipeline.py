@@ -228,9 +228,24 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
     caller clamps them to the corrected lengths afterwards
     (~``flip_paf_rc`` clamping, ecovlp.cpp:3846)."""
     codes = [store.get_codes(i) for i in range(store.n_reads)]
-    pt, peak_hom, peak_het, mzs = build_position_table(
-        codes, cfg.k, cfg.w, ft=ft, min_hist_cnt=cfg.min_hist_kmer_cnt,
-        keep_max=min(cfg.max_kmer_cnt, 4095))
+    # index dump/resume (~write_pt_index/load_pt_index, htab.cpp:1367,
+    # saved under --dbg-gfa like the reference's HA_F_VERBOSE_GFA load)
+    pt_fp = (f"pt:{store.n_reads}:{store.total_bases}:{cfg.k}:{cfg.w}:"
+             f"r{round_idx}")
+    loaded = None
+    if cfg.dbg_gfa and not cfg.ignore_bin and cfg.output_prefix:
+        from hifiasm_tpu.io.binfiles import load_pt_index
+        loaded = load_pt_index(cfg.output_prefix, pt_fp)
+    if loaded is not None:
+        _ft, pt, mzs, peak_hom, peak_het = loaded
+    else:
+        pt, peak_hom, peak_het, mzs = build_position_table(
+            codes, cfg.k, cfg.w, ft=ft, min_hist_cnt=cfg.min_hist_kmer_cnt,
+            keep_max=min(cfg.max_kmer_cnt, 4095))
+        if cfg.dbg_gfa and cfg.output_prefix:
+            from hifiasm_tpu.io.binfiles import save_pt_index
+            save_pt_index(cfg.output_prefix, ft, pt, mzs, pt_fp,
+                          peak_hom, peak_het)
     hom_cov = peak_hom if peak_hom > 0 else cfg.hom_cov
     new_seqs = {}
     n_corr = 0

@@ -189,3 +189,138 @@ def load_ec_state(prefix: str):
     log("load_ec_state", f"resumed from {p_ec} ({store.n_reads} reads, "
         f"{paf.total} + {rev_paf.total} overlaps)")
     return store, paf, rev_paf
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary caches: the reference's remaining resume surface.
+#   prefix.pt.bin      minimizer index + per-read sketches
+#                      (~write_pt_index/load_pt_index, htab.cpp:1367/:1432)
+#   prefix.hic.lk.bin  Hi-C PE hit cache (~hic.cpp:5239/:5403)
+#   prefix.ul.aln.bin  UL-to-unitig alignment paths
+#                      (~write_all_ul_t/load_all_ul_t, inter.cpp:20120/21705)
+#   prefix.trans.bin   unitig trans-link cache (~Overlaps.cpp:16379/:16407)
+# Every cache carries a fingerprint of its inputs; a stale cache is
+# ignored (recomputed and overwritten), never trusted.
+
+
+def save_pt_index(prefix: str, ft, pt, mzs, fingerprint: str,
+                  peak_hom: int = 0, peak_het: int = -1024) -> None:
+    """Dump the filter table, position table and per-read sketches."""
+    mz_off = np.zeros(len(mzs) + 1, np.int64)
+    for i, m in enumerate(mzs):
+        mz_off[i + 1] = mz_off[i] + len(m)
+    cat = lambda f, d: (np.concatenate([getattr(m, f) for m in mzs])
+                        if mzs else np.zeros(0, d))
+    _save_arrays(
+        f"{prefix}.pt.bin", magic=MAGIC, fp=fingerprint,
+        ft_hashes=ft.hashes if ft is not None else np.zeros(0, np.uint64),
+        ft_counts=ft.counts if ft is not None else np.zeros(0, np.uint16),
+        ft_cutoff=np.array([ft.cutoff if ft is not None else 0], np.int64),
+        peaks=np.array([peak_hom, peak_het], np.int64),
+        pt_hashes=pt.hashes, pt_start=pt.start, pt_count=pt.count,
+        pt_rid=pt.rid, pt_pos=pt.pos, pt_rev=pt.rev, pt_span=pt.span,
+        mz_off=mz_off, mz_hash=cat("hash", np.uint64),
+        mz_pos=cat("pos", np.int64), mz_rev=cat("rev", np.uint8),
+        mz_span=cat("span", np.int64), mz_cnt=cat("cnt", np.uint32))
+    log("save_pt_index", f"wrote {prefix}.pt.bin "
+        f"({pt.n_distinct} k-mers, {pt.tot_pos} positions)")
+
+
+def load_pt_index(prefix: str, fingerprint: str):
+    """-> (ft | None, pt, mzs) or None on miss / stale fingerprint."""
+    from hifiasm_tpu.index.pos_table import FilterTable, PositionTable
+    from hifiasm_tpu.ops.sketch import Minimizers
+
+    d = _load_arrays(f"{prefix}.pt.bin")
+    if d is None or d.get("fp") != fingerprint:
+        return None
+    ft = None
+    if len(d["ft_hashes"]):
+        ft = FilterTable(d["ft_hashes"], d["ft_counts"],
+                         int(d["ft_cutoff"][0]))
+    pt = PositionTable(d["pt_hashes"], d["pt_start"], d["pt_count"],
+                       d["pt_rid"], d["pt_pos"], d["pt_rev"],
+                       d["pt_span"])
+    off = d["mz_off"]
+    mzs = [Minimizers(d["mz_hash"][off[i]:off[i + 1]],
+                      d["mz_pos"][off[i]:off[i + 1]],
+                      d["mz_rev"][off[i]:off[i + 1]],
+                      d["mz_span"][off[i]:off[i + 1]],
+                      d["mz_cnt"][off[i]:off[i + 1]])
+           for i in range(len(off) - 1)]
+    peaks = d.get("peaks", np.array([0, -1024], np.int64))
+    log("load_pt_index", f"resumed index from {prefix}.pt.bin "
+        f"({pt.n_distinct} k-mers)")
+    return ft, pt, mzs, int(peaks[0]), int(peaks[1])
+
+
+def save_hic_hits(prefix: str, hits4: np.ndarray, fingerprint: str) -> None:
+    _save_arrays(f"{prefix}.hic.lk.bin", magic=MAGIC, fp=fingerprint,
+                 hits4=np.asarray(hits4, np.int64))
+    log("save_hic_hits", f"wrote {prefix}.hic.lk.bin ({len(hits4)} hits)")
+
+
+def load_hic_hits(prefix: str, fingerprint: str):
+    d = _load_arrays(f"{prefix}.hic.lk.bin")
+    if d is None or d.get("fp") != fingerprint:
+        return None
+    log("load_hic_hits",
+        f"resumed {len(d['hits4'])} PE hits from {prefix}.hic.lk.bin")
+    return d["hits4"].reshape(-1, 4)
+
+
+def save_ul_paths(prefix: str, paths, fingerprint: str) -> None:
+    """UL traversals: CSR of (uid, rev, q_start, q_end) blocks."""
+    off = np.zeros(len(paths) + 1, np.int64)
+    for i, p in enumerate(paths):
+        off[i + 1] = off[i] + len(p.blocks)
+    blocks = np.array([b for p in paths for b in p.blocks],
+                      np.int64).reshape(-1, 4)
+    _save_arrays(f"{prefix}.ul.aln.bin", magic=MAGIC, fp=fingerprint,
+                 off=off, blocks=blocks)
+    log("save_ul_paths", f"wrote {prefix}.ul.aln.bin ({len(paths)} paths)")
+
+
+def load_ul_paths(prefix: str, fingerprint: str):
+    from hifiasm_tpu.ul import ULPath
+
+    d = _load_arrays(f"{prefix}.ul.aln.bin")
+    if d is None or d.get("fp") != fingerprint:
+        return None
+    off = d["off"]
+    blocks = d["blocks"].reshape(-1, 4)
+    paths = [ULPath([tuple(int(x) for x in b)
+                     for b in blocks[off[i]:off[i + 1]]])
+             for i in range(len(off) - 1)]
+    log("load_ul_paths",
+        f"resumed {len(paths)} UL paths from {prefix}.ul.aln.bin")
+    return paths
+
+
+def save_trans_links(prefix: str, confirmed, fingerprint: str) -> None:
+    """Base-level trans-overlap cache: the alignment-confirmed purge
+    pairs [(a, b, afrac, ident, span5|None)] (the kv_u_trans dump,
+    Overlaps.cpp:16379 — the expensive base-level inference result)."""
+    rows = []
+    for a, b, afrac, ident, span in confirmed:
+        sp = list(span[:5]) if span is not None else [0] * 5
+        rows.append([a, b, afrac, ident,
+                     1.0 if span is not None else 0.0] + sp)
+    arr = np.array(rows, np.float64).reshape(-1, 10)
+    _save_arrays(f"{prefix}.trans.bin", magic=MAGIC, fp=fingerprint,
+                 links=arr)
+    log("save_trans_links", f"wrote {prefix}.trans.bin ({len(arr)} pairs)")
+
+
+def load_trans_links(prefix: str, fingerprint: str):
+    d = _load_arrays(f"{prefix}.trans.bin")
+    if d is None or d.get("fp") != fingerprint:
+        return None
+    arr = d["links"].reshape(-1, 10)
+    out = []
+    for r in arr:
+        span = tuple(int(x) for x in r[5:10]) if r[4] > 0 else None
+        out.append((int(r[0]), int(r[1]), float(r[2]), float(r[3]), span))
+    log("load_trans_links",
+        f"resumed {len(out)} trans pairs from {prefix}.trans.bin")
+    return out
