@@ -94,25 +94,29 @@ def _align_chunk(XL: int, e: int, fwd, rc, lens,
     return err, ys, yn, xlen_eff, tb, ic, ib
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(8,))
-def _raw_counts(XL: int, L: int, tb_flat, q_rid, q_ws, xlen, w_ok, qlen,
-                cnt):
-    """Scatter tb alleles into cnt [R*L*5] (includes dels for later use)."""
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(9,))
+def _raw_counts(XL: int, L: int, tb_flat, q_rid, q_row, q_ws, xlen, w_ok,
+                qlen, cnt):
+    """Scatter tb alleles into cnt [R_batch*L*5] (dels kept for later).
+
+    q_rid indexes the whole-store bank (lens); q_row is the BATCH-LOCAL
+    plane row — vote planes are sized to the read batch, not the store,
+    so HBM stays bounded at any input size."""
     B = q_rid.shape[0]
     tb = tb_flat.reshape(B, XL)
     i = jnp.arange(XL, dtype=jnp.int32)[None, :]
     pos = q_ws[:, None] + i
     valid = w_ok[:, None] & (i < xlen[:, None]) & (tb <= 4) & \
         (pos < qlen[q_rid][:, None])
-    idx = (q_rid[:, None] * L + pos) * 5 + jnp.minimum(tb, 4).astype(
+    idx = (q_row[:, None] * L + pos) * 5 + jnp.minimum(tb, 4).astype(
         jnp.int32)
     oob = jnp.int32(cnt.shape[0])
     idx = jnp.where(valid, idx, oob)
     return cnt.at[idx.reshape(-1)].add(1, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(9, 10))
-def _het_agree(XL: int, tb_flat, q_rid, q_ws, xlen, w_ok, ov_id,
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(10, 11))
+def _het_agree(XL: int, tb_flat, q_rid, q_row, q_ws, xlen, w_ok, ov_id,
                fwd, alt_plane, het_plane, n_same, n_flip):
     B = q_rid.shape[0]
     tb = tb_flat.reshape(B, XL)
@@ -120,8 +124,8 @@ def _het_agree(XL: int, tb_flat, q_rid, q_ws, xlen, w_ok, ov_id,
     pos = q_ws[:, None] + i
     posc = jnp.clip(pos, 0, fwd.shape[1] - 1)
     qa = fwd[q_rid[:, None], posc]
-    alt = alt_plane[q_rid[:, None], posc]
-    ish = het_plane[q_rid[:, None], posc] > 0
+    alt = alt_plane[q_row[:, None], posc]
+    ish = het_plane[q_row[:, None], posc] > 0
     valid = w_ok[:, None] & (i < xlen[:, None]) & (tb <= 3) & ish
     oob = jnp.int32(n_same.shape[0])
     ovb = jnp.broadcast_to(ov_id[:, None], (B, XL))
@@ -133,9 +137,9 @@ def _het_agree(XL: int, tb_flat, q_rid, q_ws, xlen, w_ok, ov_id,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1),
-                   donate_argnums=(8, 9, 10, 11))
-def _cis_votes(XL: int, L: int, tb_flat, ic_flat, ib_flat, q_rid, q_ws,
-               xlen, votes, ins_tot, ins_base_cnt, ins_len_cnt,
+                   donate_argnums=(9, 10, 11, 12))
+def _cis_votes(XL: int, L: int, tb_flat, ic_flat, ib_flat, q_rid, q_row,
+               q_ws, xlen, votes, ins_tot, ins_base_cnt, ins_len_cnt,
                w_cis, qlen):
     B = q_rid.shape[0]
     tb = tb_flat.reshape(B, XL)
@@ -145,7 +149,7 @@ def _cis_votes(XL: int, L: int, tb_flat, ic_flat, ib_flat, q_rid, q_ws,
     pos = q_ws[:, None] + i
     valid = w_cis[:, None] & (i < xlen[:, None]) & (tb <= 4) & \
         (pos < qlen[q_rid][:, None])
-    flat_pos = q_rid[:, None] * L + pos
+    flat_pos = q_row[:, None] * L + pos
     oob5 = jnp.int32(votes.shape[0])
     vidx = jnp.where(valid, flat_pos * 5 + jnp.minimum(tb, 4).astype(
         jnp.int32), oob5)
@@ -233,9 +237,28 @@ class DeviceEC:
     def process(self, read_ovs: List[Tuple[int, OverlapRegions]]
                 ) -> Tuple[Dict[int, ReadECOut], Dict[int, tuple]]:
         """read_ovs: [(rid, overlaps)]; returns per-read results plus
-        per-read consensus inputs (votes, ins aggregate views)."""
+        per-read consensus inputs (votes, ins aggregate views).
+
+        Reads stream through in bounded batches: the vote/count planes
+        are sized [rows_per_batch, L], NOT [n_reads, L] — at 100 Mb+
+        inputs whole-store planes exhaust a single chip's HBM."""
+        # ~1.5 GB of vote planes per batch: L*(5+5+1+4+9) int32 per row
+        rows = max(256, int(1.5e9 // max(self.bank.L * 96, 1)))
+        if len(read_ovs) <= rows:
+            return self._process_batch(read_ovs)
+        outs: Dict[int, ReadECOut] = {}
+        cns: Dict[int, tuple] = {}
+        for b0 in range(0, len(read_ovs), rows):
+            o, c = self._process_batch(read_ovs[b0:b0 + rows])
+            outs.update(o)
+            cns.update(c)
+        return outs, cns
+
+    def _process_batch(self, read_ovs: List[Tuple[int, OverlapRegions]]
+                       ) -> Tuple[Dict[int, ReadECOut], Dict[int, tuple]]:
         bank = self.bank
-        R, L = bank.R, bank.L
+        R, L = len(read_ovs), bank.L
+        row_of = {rid: i for i, (rid, _) in enumerate(read_ovs)}
         e = E_BAND
         # ---- plan all windows ----
         jobs = []
@@ -253,6 +276,9 @@ class DeviceEC:
         j_qrid = np.concatenate([np.full(len(p["ws"]), rid, np.int32)
                                  for rid, _, p in jobs]) if jobs else \
             np.zeros(0, np.int32)
+        j_qrow = np.concatenate([
+            np.full(len(p["ws"]), row_of[rid], np.int32)
+            for rid, _, p in jobs]) if jobs else np.zeros(0, np.int32)
         j_ws = np.concatenate([p["ws"] for _, _, p in jobs]).astype(np.int32) \
             if jobs else np.zeros(0, np.int32)
         j_xlen = np.concatenate([p["wlen"] for _, _, p in jobs]).astype(
@@ -332,6 +358,7 @@ class DeviceEC:
                               j_xlen.astype(np.int64), w_ok, win_y, e)
         ok_slot = w_ok.copy()
         j_qrid_s, j_ws_s, j_xlen_s, j_ovid_s = j_qrid, j_ws, j_xlen, j_ovid
+        j_qrow_s = j_qrow
         n_r = len(ridx)
         if n_r:
             r_qrid = j_qrid[ridx]
@@ -372,6 +399,7 @@ class DeviceEC:
                 w_ok[upd] = True
             ok_slot = np.concatenate([ok_slot, acc2])
             j_qrid_s = np.concatenate([j_qrid, r_qrid])
+            j_qrow_s = np.concatenate([j_qrow, j_qrow[ridx]])
             j_ws_s = np.concatenate([j_ws, r_ws])
             j_xlen_s = np.concatenate([j_xlen, r_xlen])
             j_ovid_s = np.concatenate([j_ovid, j_ovid[ridx]])
@@ -384,8 +412,11 @@ class DeviceEC:
         np.add.at(win_ok, j_ovid[w_ok], 1)
         ov_err = np.zeros(n_ov_tot, np.int64)
         np.add.at(ov_err, j_ovid[w_ok], err_all[w_ok])
-        full = win_ok == win_tot
-        w_use = ok_slot & full[j_ovid_s]         # per-SLOT: ov fully ok
+        # per-WINDOW evidence (~wcns_gen, ecovlp.cpp:2293): any aligned
+        # window qualifies the overlap; failed windows' slots are
+        # already excluded by ok_slot
+        usable_ov = win_ok > 0
+        w_use = ok_slot & usable_ov[j_ovid_s]
 
         # precise per-overlap target ranges from first/last accepted window
         y0 = tws_fin - e
@@ -408,7 +439,8 @@ class DeviceEC:
         # ---- L2: raw allele counts ----
         cnt = self._zeros(R * L * 5)
         for tb, ic, ib, sel, pad in chunks:
-            args = self._chunk_args((j_qrid_s, j_ws_s, j_xlen_s), sel, pad)
+            args = self._chunk_args((j_qrid_s, j_qrow_s, j_ws_s, j_xlen_s),
+                                    sel, pad)
             okp = self._pad_bool(w_use[sel], pad)
             cnt = _raw_counts(self.wl, L, tb, *args, self._put_b(okp),
                               qlen_d, cnt)
@@ -422,15 +454,16 @@ class DeviceEC:
         alt_plane = np.zeros((R, L), np.uint8)
         het_per_read = {}
         for rid, ov in read_ovs:
+            row = row_of[rid]
             qlen = int(self.store.lens[rid])
             q = self.store.get_codes(rid)
-            c4 = cnt_host[rid, :qlen, :4].astype(np.int32)
+            c4 = cnt_host[row, :qlen, :4].astype(np.int32)
             c4[np.arange(qlen), np.clip(q, 0, 3)] += 1
             hs, alt = het_from_counts(q, c4)
             het_per_read[rid] = (hs, alt[hs] if len(hs) else
                                  np.zeros(0, np.uint8))
-            het_plane[rid, hs] = 1
-            alt_plane[rid, hs] = alt[hs]
+            het_plane[row, hs] = 1
+            alt_plane[row, hs] = alt[hs]
 
         # ---- L3: per-overlap het agreement -> cis/trans ----
         n_same = self._zeros(n_ov_tot)
@@ -443,7 +476,8 @@ class DeviceEC:
             alt_d = jnp.asarray(alt_plane)
             het_d = jnp.asarray(het_plane)
         for tb, ic, ib, sel, pad in chunks:
-            args = self._chunk_args((j_qrid_s, j_ws_s, j_xlen_s), sel, pad)
+            args = self._chunk_args((j_qrid_s, j_qrow_s, j_ws_s, j_xlen_s),
+                                    sel, pad)
             okp = self._pad_bool(w_use[sel], pad)
             ovp = self._pad_arr(j_ovid_s[sel], pad)
             n_same, n_flip = _het_agree(
@@ -458,7 +492,7 @@ class DeviceEC:
             b = ov_base[rid]
             sl = slice(b, b + len(ov))
             is_match_all[sl] = classify_overlaps(
-                full[sl], n_same_h[sl], n_flip_h[sl],
+                usable_ov[sl], n_same_h[sl], n_flip_h[sl],
                 len(het_per_read[rid][0]))
 
         # ---- L4: cis-only votes + insertion aggregates ----
@@ -468,7 +502,8 @@ class DeviceEC:
         ins_lc = self._zeros(R * L * 9)
         cis_w = w_use & (is_match_all[j_ovid_s] == 1)
         for tb, ic, ib, sel, pad in chunks:
-            args = self._chunk_args((j_qrid_s, j_ws_s, j_xlen_s), sel, pad)
+            args = self._chunk_args((j_qrid_s, j_qrow_s, j_ws_s, j_xlen_s),
+                                    sel, pad)
             cisp = self._pad_bool(cis_w[sel], pad)
             votes, ins_tot, ins_bc, ins_lc = _cis_votes(
                 self.wl, L, tb, ic, ib, *args, votes, ins_tot, ins_bc,
@@ -489,12 +524,13 @@ class DeviceEC:
             b = ov_base[rid]
             n = len(ov)
             sl = slice(b, b + n)
-            hs, alt = het_per_read[rid]
+            hs = het_per_read[rid][0]
+            row = row_of[rid]
             out[rid] = ReadECOut(
                 ov, is_match_all[sl], win_tot[sl], win_ok[sl], ov_err[sl],
                 ts_ov[sl], te_ov[sl], hs)
-            cns_in[rid] = (votes_h[rid], ins_tot_h[rid], ins_base_h[rid],
-                           ins_len_h[rid])
+            cns_in[rid] = (votes_h[row], ins_tot_h[row], ins_base_h[row],
+                           ins_len_h[row])
         return out, cns_in
 
     def _chunk_args(self, arrays, sel, pad):

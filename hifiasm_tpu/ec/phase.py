@@ -49,17 +49,28 @@ def _positions(ov: OverlapRegions, tbs: OverlapTracebacks, usable: np.ndarray):
 def het_from_counts(q: np.ndarray, cnt: np.ndarray, min_het_occ: int = 2
                     ) -> tuple:
     """(het_sites, site_alt) from an allele-count matrix cnt [qlen, 4]
-    that ALREADY includes the query's own vote (the het rule of
-    generate_haplotypes_naive_HiFi: occ0 >= 2 && occ1 >= 2)."""
+    that ALREADY includes the query's own vote.
+
+    Base rule ~generate_haplotypes_naive_HiFi (occ0 >= 2 && occ1 >= 2),
+    plus a two-sided balance test standing in for the reference's SNP
+    matrix filter (SetSnpMatrix / rphase_hc, Correct.cpp:20191): a true
+    het site splits the pile near 50/50, so the MINOR allele must carry
+    >= 25% of the site's two-allele coverage.  Without it, two reads
+    sharing a coincident sequencing error (2 vs 10) or a handful of
+    divergent repeat-copy reads (3 vs 11) freeze the site as "het",
+    invert the cis/trans split and block the correction — measured 1.3×
+    to 2× residual-error excess vs the reference at err 0.01."""
     qlen = len(q)
     qsel = np.arange(qlen)
     qa = np.clip(q, 0, 3)
-    occ0 = cnt[qsel, qa]
+    occ0 = cnt[qsel, qa].astype(np.int64)
     alt_cnt = cnt.astype(np.int64).copy()
     alt_cnt[qsel, qa] = 0
     site_alt = np.argmax(alt_cnt, axis=1).astype(np.uint8)
     occ1 = alt_cnt[qsel, site_alt]
-    het = (occ0 >= min_het_occ) & (occ1 >= min_het_occ) & (q <= 3)
+    minor = np.minimum(occ0, occ1)
+    het = (occ0 >= min_het_occ) & (occ1 >= min_het_occ) & (q <= 3) & \
+        (minor * 4 >= occ0 + occ1)
     return np.flatnonzero(het), site_alt
 
 
@@ -83,7 +94,11 @@ def phase_overlaps(q: np.ndarray, ov: OverlapRegions, tbs: OverlapTracebacks,
                    min_het_occ: int = 2) -> PhaseResult:
     n_ov = len(ov)
     is_match = np.zeros(n_ov, np.uint8)
-    usable = tbs.fully_aligned()
+    # per-WINDOW evidence (~wcns_gen, ecovlp.cpp:2293: every aligned
+    # window of an is_match overlap votes; unaligned windows are skipped
+    # individually, they do not disqualify the whole overlap) — at high
+    # error rates requiring fully-aligned overlaps starves the consensus
+    usable = tbs.win_ok > 0
     is_match[usable] = 1
     if n_ov == 0 or not usable.any():
         return PhaseResult(is_match, np.zeros(0, np.int64),

@@ -563,8 +563,7 @@ def ec_read_native(tbs, q, do_consensus: bool = True,
     if lib is None:
         return None
     n_ov = len(tbs.win_tot)
-    usable = ((tbs.win_tot > 0) & (tbs.win_ok == tbs.win_tot)
-              ).astype(np.uint8)
+    usable = (tbs.win_ok > 0).astype(np.uint8)   # per-window evidence
     is_match = np.zeros(n_ov, np.uint8)
     n_het = np.zeros(1, np.int64)
     qlen = len(q)
@@ -629,7 +628,7 @@ def ec_reads_native(items, do_consensus: bool = True,
     x_s = np.ascontiguousarray(np.concatenate(
         [np.asarray(t.x_s, np.int64) for _, t in items]))
     usable = np.ascontiguousarray(np.concatenate(
-        [t.fully_aligned().astype(np.uint8) for _, t in items]))
+        [(t.win_ok > 0).astype(np.uint8) for _, t in items]))
     q_off = np.zeros(R + 1, np.int64)
     for i, (q, _) in enumerate(items):
         q_off[i + 1] = q_off[i] + len(q)

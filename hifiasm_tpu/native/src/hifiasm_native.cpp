@@ -859,7 +859,10 @@ extern "C" int64_t ht_ec_batch(
                 ts_out[o] = first_ts;
                 te_out[o] = last_te;
             }
-            usable[o - o0] = (win_tot[o] > 0 && win_ok[o] == win_tot[o]);
+            // per-WINDOW evidence (~wcns_gen ecovlp.cpp:2293): any
+            // aligned window lets the overlap vote; its unaligned
+            // windows stay 5-filled and are skipped slot-by-slot
+            usable[o - o0] = (win_ok[o] > 0);
         }
         const int64_t rc = ec_read_one(
             o1 - o0, arena_off + o0, x_s + o0,
@@ -924,7 +927,15 @@ static int64_t ec_read_one(
             if (c > best_c) { best_c = c; best_a = a; }
         }
         alt[p] = (uint8_t)best_a;
-        if (occ0 >= min_het_occ && best_c >= min_het_occ && q[p] <= 3) {
+        // two-sided balance test on top of the occ>=2 base rule
+        // (~the SNP-matrix filter SetSnpMatrix/rphase_hc,
+        // Correct.cpp:20191; mirrors ec/phase.py het_from_counts):
+        // the minor allele must carry >= 25% of two-allele coverage,
+        // else coincident errors / divergent repeat reads freeze the
+        // site as het and invert the cis/trans split
+        const int32_t minor = occ0 < best_c ? occ0 : best_c;
+        if (occ0 >= min_het_occ && best_c >= min_het_occ && q[p] <= 3 &&
+            (int64_t)minor * 4 >= (int64_t)occ0 + best_c) {
             het[p] = 1;
             ++n_het;
         }

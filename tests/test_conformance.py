@@ -389,6 +389,75 @@ def test_write_ec_matches_reference(rng, tmp_path):
     r_ours = residual(ours)
     r_ref = residual(ref)
     # both must beat the raw 0.4% error rate substantially, and ours
-    # must be in the same league as the reference
+    # must match the reference (1.2x band, VERDICT r1 acceptance;
+    # measured band across seeds after the het balance test: 0.68-1.15)
     assert r_ours < 0.002, r_ours
-    assert r_ours < max(2.5 * r_ref, 0.001), (r_ours, r_ref)
+    assert r_ours < max(1.2 * r_ref, 0.0005), (r_ours, r_ref)
+
+
+def test_write_ec_parity_high_error(tmp_path):
+    """EC residual parity at err 0.01 — the regime where one-shot
+    windows diverge without the het balance test + boundary retry
+    (VERDICT r1 item 9: band 1.2x)."""
+    rng = np.random.default_rng(3)
+    L = 25000
+    g = make_genome(rng, L)
+    reads, starts, strands = sample_reads(rng, g, depth=12, read_len=3000,
+                                          err_rate=0.01)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  [r.copy() for r in reads])
+    assemble(store, HifiasmConfig(output_prefix=str(tmp_path / "ours"),
+                                  n_rounds_ec=1, write_ec=True,
+                                  ignore_bin=True))
+    subprocess.run([REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r1",
+                    "--write-ec", str(fa)],
+                   capture_output=True, check=True, timeout=600)
+
+    from hifiasm_tpu.native import banded_batch_native
+
+    def read_fa(path):
+        seqs = {}
+        name = None
+        for ln in open(path):
+            if ln.startswith(">"):
+                name = ln[1:].split()[0]
+                seqs[name] = ""
+            else:
+                seqs[name] += ln.strip()
+        return seqs
+
+    def residual(seqs):
+        e = 31
+        xs, ys = [], []
+        for i in range(0, len(reads), 3):
+            seq = seq_to_codes(seqs[f"r{i}"].encode())
+            src = g[starts[i]:starts[i] + len(reads[i])]
+            if strands[i]:
+                src = revcomp_codes(src)
+            if abs(len(seq) - len(src)) > 50:
+                continue
+            xs.append(seq)
+            ys.append(src)
+        XL = max(len(x) for x in xs)
+        YL = XL + 2 * e
+        xb = np.full((len(xs), XL), 4, np.uint8)
+        yb = np.full((len(xs), YL), 4, np.uint8)
+        xl = np.zeros(len(xs), np.int64)
+        yl = np.zeros(len(xs), np.int64)
+        for j, (x, y) in enumerate(zip(xs, ys)):
+            xb[j, :len(x)] = x
+            yb[j, :min(len(y), YL)] = y[:YL]
+            xl[j] = len(x)
+            yl[j] = min(len(y), YL)
+        out = banded_batch_native(xb, xl, yb, yl, e, traceback=False)
+        ok = out.err >= 0
+        return float(out.err[ok].sum()) / max(int(xl[ok].sum()), 1)
+
+    r_ours = residual(read_fa(str(tmp_path / "ours.ec.fa")))
+    r_ref = residual(read_fa(str(tmp_path / "ref.ec.fa")))
+    assert r_ours < max(1.2 * r_ref, 0.0006), (r_ours, r_ref)

@@ -49,3 +49,37 @@ def test_device_matches_host_final(rng):
         np.testing.assert_array_equal(a.ts, b.ts)
         np.testing.assert_array_equal(a.te, b.te)
         np.testing.assert_array_equal(a.ml, b.ml)
+
+
+def test_device_read_batching_identical(rng, monkeypatch):
+    """Bounded-HBM read batching (vote planes sized per batch) must not
+    change any output: forcing tiny batches == one-shot processing."""
+    import hifiasm_tpu.ec.device_ec as D
+
+    s1 = _mk_store(rng)
+    s2 = ReadStore.from_arrays(
+        s1.names, [s1.get_codes(i) for i in range(s1.n_reads)])
+    cfg = HifiasmConfig(align_engine="jax")
+    r1 = ec_round(s1, cfg, None, 0)
+
+    orig = D.DeviceEC._process_batch
+
+    def tiny_process(self, read_ovs):
+        return orig(self, read_ovs)
+
+    monkeypatch.setattr(
+        D.DeviceEC, "process",
+        lambda self, read_ovs: _merge_batches(self, read_ovs, orig, 7))
+    r2 = ec_round(s2, cfg, None, 0)
+    assert r1[2] == r2[2]
+    for i in range(s1.n_reads):
+        np.testing.assert_array_equal(s1.get_codes(i), s2.get_codes(i))
+
+
+def _merge_batches(dev, read_ovs, orig, rows):
+    outs, cns = {}, {}
+    for b0 in range(0, len(read_ovs), rows):
+        o, c = orig(dev, read_ovs[b0:b0 + rows])
+        outs.update(o)
+        cns.update(c)
+    return outs, cns
