@@ -389,6 +389,10 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
                 int(np.round(res.read_cov[(u.vs >> 1)].mean()))
                 if len(u.vs) else 0 for u in res.ug.utgs], np.int64)
             hits4 = _mapped_hits(seqs, uidx)
+        # Hi-C-guided tangle resolution before phasing
+        # (~resolve_tangles_hic, hic.cpp:17069)
+        from hifiasm_tpu.phasing.hic import resolve_tangles_hic
+        resolve_tangles_hic(res.ug, hits4)
         hic_links = hic_link_matrix(len(res.ug), hits4[:, [0, 2]])
         hic_seqs, hic_hits4 = seqs, hits4
     hap1_ids, hap2_ids = [], []
@@ -398,7 +402,8 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         groups = phase_unitigs_k(res.ug, res.ec.reverse_paf,
                                  res.store.n_reads, cfg.polyploidy,
                                  n_perturb=cfg.n_perturb,
-                                 f_perturb=cfg.f_perturb, seed=cfg.seed)
+                                 f_perturb=cfg.f_perturb, seed=cfg.seed,
+                                 hic_links=hic_links)
         for h, ids in enumerate(groups):
             _gfa(f"{prefix}.{mode}.hap{h + 1}.p_ctg.gfa",
                  _sub_ug(res.ug, ids), f"h{h + 1}tg",

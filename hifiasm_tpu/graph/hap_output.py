@@ -131,22 +131,36 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
 def phase_unitigs_k(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
                     k_hap: int, n_perturb: int = 1000,
                     f_perturb: float = 0.1, seed: int = 11,
-                    min_link: int = 2) -> List[List[int]]:
+                    min_link: int = 2,
+                    hic_links: Optional[dict] = None) -> List[List[int]]:
     """Polyploid phasing: k-label max-cut over the trans-link graph
     (~output_poly_trio + mc_solve_general, Overlaps.cpp:14682 /
-    rcut.cpp:4586). Unlinked (hom) unitigs appear in every haplotype."""
+    rcut.cpp:4586). Unlinked (hom) unitigs appear in every haplotype.
+
+    With ``hic_links``, Hi-C contact weights fold into the edge weights
+    (the polyploid Hi-C mode, ~hic_short_align_mmhap hic.cpp:17657:
+    PE contacts drive the k-label partition)."""
     from hifiasm_tpu.phasing.mc_solve import mc_solve_k
 
     n = len(ug.utgs)
     if n == 0:
         return [[] for _ in range(k_hap)]
     links = unitig_trans_links(ug, rev_paf, n_reads)
-    ex, ey, ew = [], [], []
-    for (a, b), w in sorted(sym_link_edges(links).items()):
-        if w >= min_link:
-            ex.append(a)
-            ey.append(b)
-            ew.append(float(w))
+    if hic_links:
+        # trans overlaps push apart (w > 0), Hi-C cis contacts pull
+        # together (w < 0) — the same signed weighting as the diploid
+        # loop (combine_phase_weights ~hic.cpp:17082)
+        from hifiasm_tpu.phasing.hic import combine_phase_weights
+        exa, eya, ewa = combine_phase_weights(links, hic_links,
+                                              min_evidence=min_link)
+        ex, ey, ew = list(exa), list(eya), list(ewa)
+    else:
+        ex, ey, ew = [], [], []
+        for (a, b), w in sorted(sym_link_edges(links).items()):
+            if w >= min_link:
+                ex.append(a)
+                ey.append(b)
+                ew.append(float(w))
     if not ex:
         return [list(range(n)) for _ in range(k_hap)]
     lab = mc_solve_k(n, np.array(ex), np.array(ey), np.array(ew), k_hap,

@@ -336,3 +336,101 @@ def detect_switch_misjoins(utg_lens: np.ndarray, hits4: np.ndarray,
     if breaks:
         log("detect_switch_misjoins", f"{len(breaks)} misjoined unitigs")
     return breaks
+
+
+def resolve_tangles_hic(ug, hits4: np.ndarray, max_w_occ: int = 4,
+                        chain_cap: int = 5) -> int:
+    """Hi-C-guided tangle resolution (~resolve_tangles_hic +
+    resolve_bubble_chain_by_hic, hic.cpp:16259/:13990): at every unitig
+    end with >= 2 outgoing arcs, score each branch by the normalized
+    Hi-C contact weight between the source unitig and the branch's
+    downstream chain (walked up to ``chain_cap`` unitigs); when the best
+    branch has real support (> ``max_w_occ`` raw hits, the reference's
+    cutoff) the competing arcs are dropped (with their mirrors).
+
+    Simplification vs the reference: the source context is the branching
+    unitig itself rather than the whole upstream bubble chain, and the
+    walk is over unitig arcs rather than the bubble-chain graph.
+    Returns the number of arcs cut."""
+    n = len(ug)
+    if n == 0 or len(hits4) == 0 or len(ug.a_src) == 0:
+        return 0
+    h = np.asarray(hits4, np.int64)
+    u1, u2 = h[:, 0], h[:, 2]
+    inter = u1 != u2
+    lo = np.minimum(u1[inter], u2[inter])
+    hi = np.maximum(u1[inter], u2[inter])
+    key, cnt = np.unique(lo * np.int64(n) + hi, return_counts=True)
+    contacts = dict(zip(key.tolist(), cnt.tolist()))
+    tot = np.bincount(np.concatenate([u1, u2]), minlength=n).astype(
+        np.int64)
+
+    def occ_of(a: int, b: int) -> int:
+        if a == b:
+            return 0
+        a2, b2 = (a, b) if a < b else (b, a)
+        return contacts.get(a2 * n + b2, 0)
+
+    # per-end outgoing arc lists
+    out_of = {}
+    for i in range(len(ug.a_src)):
+        out_of.setdefault(int(ug.a_src[i]), []).append(i)
+
+    def walk(d: int):
+        """Unitig ids along the single-path chain entered via end d."""
+        chain = []
+        cur = d
+        seen = set()
+        for _ in range(chain_cap):
+            uid = cur >> 1
+            if uid in seen:
+                break
+            seen.add(uid)
+            chain.append(uid)
+            nxt = out_of.get((uid << 1) | (cur & 1), [])
+            live = [i for i in nxt if not_cut[i] ]
+            if len(live) != 1:
+                break
+            cur = int(ug.a_dst[live[0]])
+        return chain
+
+    not_cut = np.ones(len(ug.a_src), bool)
+    arc_key = {}
+    for i in range(len(ug.a_src)):
+        arc_key[(int(ug.a_src[i]), int(ug.a_dst[i]))] = i
+    n_cut = 0
+    for e in sorted(out_of):
+        idxs = [i for i in out_of[e] if not_cut[i]]
+        if len(idxs) < 2:
+            continue
+        src_u = e >> 1
+        best_i, best_w, best_occ = -1, -1.0, 0
+        ws = []
+        for i in idxs:
+            chain = walk(int(ug.a_dst[i]))
+            occ = sum(occ_of(src_u, c) for c in chain)
+            denom = max(min(int(tot[src_u]),
+                            max(int(tot[c]) for c in chain)
+                            if chain else 1), 1)
+            w = occ / denom
+            ws.append((w, occ, i))
+            if w > best_w:
+                best_i, best_w, best_occ = i, w, occ
+        if best_occ <= max_w_occ:
+            continue
+        for w, occ, i in ws:
+            if i == best_i:
+                continue
+            not_cut[i] = False
+            n_cut += 1
+            m = arc_key.get((int(ug.a_dst[i]) ^ 1, int(ug.a_src[i]) ^ 1))
+            if m is not None and not_cut[m]:
+                not_cut[m] = False
+                n_cut += 1
+    if n_cut:
+        keep = np.flatnonzero(not_cut)
+        ug.a_src = ug.a_src[keep]
+        ug.a_dst = ug.a_dst[keep]
+        ug.a_ol = ug.a_ol[keep]
+        log("resolve_tangles_hic", f"cut {n_cut} tangle arcs")
+    return n_cut

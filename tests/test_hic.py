@@ -156,3 +156,83 @@ def test_hic_loop_fixes_single_pass_mislabel():
     # the loop recovers the true phase
     s = hic_phase_loop(4, trans, hic, n_weight=3, min_evidence=2, seed=11)
     assert s[0] == s[1] and s[2] == s[3] and s[0] != s[2]
+
+
+def test_resolve_tangles_hic():
+    """Branching unitig end: the branch with dominant Hi-C contact
+    keeps its arc; the unsupported branch arc (and mirror) is cut
+    (~resolve_bubble_chain_by_hic, hic.cpp:13990)."""
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph
+    from hifiasm_tpu.phasing.hic import resolve_tangles_hic
+
+    ug = UnitigGraph()
+    for _ in range(3):             # A=0, B=1, C=2
+        ug.utgs.append(Unitig(np.zeros(1, np.uint32),
+                              np.array([1000]), 1000, False, 0, 0))
+    # A tail -> B head, A tail -> C head (+ mirrors)
+    ug.a_src = np.array([0 << 1 | 0, 0 << 1 | 0,
+                         1 << 1 | 1, 2 << 1 | 1], np.uint32)
+    ug.a_dst = np.array([1 << 1 | 0, 2 << 1 | 0,
+                         0 << 1 | 1, 0 << 1 | 1], np.uint32)
+    ug.a_ol = np.zeros(4, np.int64)
+    # contacts: A-B strong (10 hits), A-C nothing
+    hits = np.array([[0, 100, 1, 200]] * 10, np.int64)
+    n_cut = resolve_tangles_hic(ug, hits)
+    assert n_cut == 2
+    pairs = {(int(s), int(d)) for s, d in zip(ug.a_src, ug.a_dst)}
+    assert (0 << 1 | 0, 1 << 1 | 0) in pairs
+    assert (0 << 1 | 0, 2 << 1 | 0) not in pairs
+    assert (2 << 1 | 1, 0 << 1 | 1) not in pairs
+
+
+def test_resolve_tangles_hic_needs_support():
+    """Below the occ cutoff (<= 4 hits) nothing is cut."""
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph
+    from hifiasm_tpu.phasing.hic import resolve_tangles_hic
+
+    ug = UnitigGraph()
+    for _ in range(3):
+        ug.utgs.append(Unitig(np.zeros(1, np.uint32),
+                              np.array([1000]), 1000, False, 0, 0))
+    ug.a_src = np.array([0, 0], np.uint32)
+    ug.a_dst = np.array([1 << 1, 2 << 1], np.uint32)
+    ug.a_ol = np.zeros(2, np.int64)
+    hits = np.array([[0, 100, 1, 200]] * 3, np.int64)
+    assert resolve_tangles_hic(ug, hits) == 0
+    assert len(ug.a_src) == 2
+
+
+def test_polyploid_hic_weights():
+    """phase_unitigs_k with hic_links: cis contacts pull unitigs onto
+    the same haplotype, trans overlaps push apart
+    (~hic_short_align_mmhap, hic.cpp:17657)."""
+    from hifiasm_tpu.graph.hap_output import phase_unitigs_k
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph
+    from hifiasm_tpu.overlap.paf import PafRecords, PafStore
+
+    # 3 unitigs over reads 0..5 (2 reads each)
+    ug = UnitigGraph()
+    for i in range(3):
+        ug.utgs.append(Unitig(np.array([i * 4, i * 4 + 2], np.uint32),
+                              np.array([500, 500]), 1000, False, 0, 0))
+    rev = PafStore(6)
+    # trans overlaps: unitig0 reads <-> unitig1 reads (different haps)
+    rev[0] = PafRecords.from_columns(
+        qs=np.array([0, 0]), qe=np.array([100, 100]),
+        tn=np.array([2, 3], np.uint32), ts=np.array([0, 0]),
+        te=np.array([100, 100]), rev=np.zeros(2, np.uint8),
+        ml=np.array([90, 90]), bl=np.array([100, 100]))
+    rev[2] = PafRecords.from_columns(
+        qs=np.array([0]), qe=np.array([100]), tn=np.array([0], np.uint32),
+        ts=np.array([0]), te=np.array([100]), rev=np.zeros(1, np.uint8),
+        ml=np.array([90]), bl=np.array([100]))
+    # Hi-C: unitig0 and unitig2 share many cis contacts -> same hap
+    hic = {(0, 2): 20}
+    groups = phase_unitigs_k(ug, rev, 6, 2, hic_links=hic, seed=11)
+    g_of = {}
+    for gi, ids in enumerate(groups):
+        for u in ids:
+            g_of.setdefault(u, set()).add(gi)
+    assert g_of[0] & g_of[2], "cis-linked unitigs split apart"
+    assert not (g_of[0] & g_of[1] and len(g_of[0] | g_of[1]) == 1), \
+        "trans-linked unitigs ended on one hap"
