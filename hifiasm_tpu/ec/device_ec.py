@@ -193,11 +193,19 @@ class DeviceEC:
     """Orchestrates the four device programs over all reads of a round."""
 
     def __init__(self, store: ReadStore, wl: int = WINDOW_HC,
-                 e_rate: float = 0.04, chunk: int = CHUNK, mesh=None):
+                 e_rate: float = 0.04, chunk: int = 0, mesh=None):
         self.store = store
         self.wl = wl
         self.e_rate = e_rate
         self.mesh = mesh
+        if chunk <= 0:
+            # accelerator backends take 4x bigger chunks: each chunk is
+            # one launch round-trip, and launch latency (not bandwidth)
+            # dominated the measured 120 Mb run through the dev tunnel
+            # (~1.4 s per chunk x 28 chunks per stage); CPU keeps the
+            # small chunk so tests don't pay padded-compute cost
+            import jax
+            chunk = CHUNK if jax.default_backend() == "cpu" else CHUNK * 4
         self.chunk = chunk
         self.bank = build_bank(store)
         self._shard_b = self._repl = None
