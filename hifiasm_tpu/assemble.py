@@ -131,6 +131,13 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     if write_outputs and cfg.write_paf:
         _dump_paf(store, ec.paf, f"{cfg.output_prefix}.0.paf")
         _dump_paf(store, ec.reverse_paf, f"{cfg.output_prefix}.1.paf")
+    if cfg.dbg_ovec:
+        # --dbg-ovec (~ha_ec_dbg / cal_ec_r_dbg, Assembly.cpp:1061,
+        # ecovlp.cpp:6487): dump the EC overlap set and stop before
+        # graph construction
+        _dump_paf(store, ec.paf, f"{cfg.output_prefix}.ovlp.paf")
+        log("assemble", "--dbg-ovec: wrote EC overlaps, stopping")
+        return AssemblyResult(store, ec, None, None, None, None, None)
 
     # trio binning (~ha_triobin call site, Assembly.cpp:2101)
     if (cfg.fn_bin_yak_pat and cfg.fn_bin_yak_mat) or \

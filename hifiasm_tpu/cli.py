@@ -176,6 +176,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scaffold each haplotype with the other's homology")
     p.add_argument("--dbg-gfa", dest="dbg_gfa", action="store_true",
                    help="checkpoint the string graph for standalone reruns")
+    p.add_argument("--dbg-ovec", dest="dbg_ovec", action="store_true",
+                   help="dump the EC overlap set (prefix.ovlp.paf) and stop")
+    p.add_argument("--fast", dest="fast", action="store_true",
+                   help="fast index counting (already the default here: "
+                        "the sort/segment-reduce build is single-pass)")
     p.add_argument("--hom-cov", dest="hom_cov_set", type=int,
                    help="homozygous read coverage")
     p.add_argument("--max-od-ec", dest="max_ov_diff_ec", type=float,
@@ -202,7 +207,7 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "ul_reads", "ul_error_rate", "ul_ec_round", "telo_motif",
               "max_ov_diff_ec", "max_ov_diff_final", "align_engine",
               "fn_bin_yak_pat", "fn_bin_yak_mat", "ex_list", "dual_scaf",
-              "is_ont", "adapter_len", "dbg_gfa",
+              "is_ont", "adapter_len", "dbg_gfa", "dbg_ovec", "fast",
               "large_pop_bubble_size", "small_pop_bubble_size",
               "max_short_tip", "max_drop_rate", "min_drop_rate",
               "max_kmer_cnt", "n_weight", "polyploidy", "scaf_gap_max",

@@ -125,6 +125,8 @@ class HifiasmConfig:
     ex_list: Optional[str] = None         # -e: read-name trace list
     dual_scaf: bool = False               # --dual-scaf self-scaffolding
     dbg_gfa: bool = False                 # --dbg-gfa graph checkpoint
+    dbg_ovec: bool = False                # --dbg-ovec: EC overlap dump, stop
+    fast: bool = False                    # --fast (N/A: single-pass build)
 
     # --- device execution ---
     read_batch: int = 64                  # reads per device batch

@@ -1,5 +1,6 @@
 """CLI end-to-end: reads file -> contig outputs via main()."""
 
+import os
 import numpy as np
 
 from hifiasm_tpu.cli import main, parse_config
@@ -79,3 +80,30 @@ def test_cli_lowq_disable(rng, tmp_path):
                str(fa)])
     assert rc == 0
     assert not (tmp_path / "asm.bp.p_utg.lowQ.bed").exists()
+
+
+def test_dbg_ovec_stops_before_graph(tmp_path, rng):
+    """--dbg-ovec dumps prefix.ovlp.paf and stops (~ha_ec_dbg)."""
+    import subprocess
+    import sys
+
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 15000)
+    reads, _, _ = sample_reads(rng, g, depth=10, read_len=2500,
+                               err_rate=0.002)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "hifiasm_tpu", str(fa), "-o",
+         str(tmp_path / "x"), "-i", "--dbg-ovec", "-r1"],
+        capture_output=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-500:]
+    assert (tmp_path / "x.ovlp.paf").exists()
+    assert not (tmp_path / "x.bp.p_ctg.gfa").exists()
+    n_lines = sum(1 for _ in open(tmp_path / "x.ovlp.paf"))
+    assert n_lines > 10
