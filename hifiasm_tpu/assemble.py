@@ -300,12 +300,15 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
     ug_cov = np.array([
         int(np.round(res.read_cov[(u.vs >> 1)].mean())) if len(u.vs) else 0
         for u in res.ug.utgs], np.int64)
+    seq_cache: dict = {}     # id(u) -> seq, valid for this output phase
     def _gfa(path: str, ug: UnitigGraph, pfx: str, ucov) -> None:
         # every graph gets a *.noseq.gfa sibling like the reference
         with open(path, "w") as f:
-            write_gfa(f, ug, res.store, res.cov, pfx, ucov)
+            write_gfa(f, ug, res.store, res.cov, pfx, ucov,
+                      seq_cache=seq_cache)
         with open(path[:-4] + ".noseq.gfa", "w") as f:
-            write_gfa(f, ug, res.store, res.cov, pfx, ucov, noseq=True)
+            write_gfa(f, ug, res.store, res.cov, pfx, ucov, noseq=True,
+                      seq_cache=seq_cache)
 
     if res.raw_ug is not None:
         raw_cov = np.array([
@@ -331,7 +334,7 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
     _gfa(f"{ctg_pfx}p_ctg.gfa", prim, "ptg",
          ug_cov[prim_ids] if len(prim_ids) else None)
     with open(f"{prefix}.p_ctg.fa", "w") as f:
-        write_fasta(f, prim, res.store, res.cov)
+        write_fasta(f, prim, res.store, res.cov, seq_cache=seq_cache)
     if alt_ids:
         _gfa(f"{prefix}.a_ctg.gfa", _sub_ug(res.ug, alt_ids), "atg",
              ug_cov[alt_ids])
@@ -389,6 +392,7 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         n_broken = sum(split_unitig(res.ug, u, p)
                        for u, p in breaks.items())
         if n_broken:
+            seq_cache.clear()         # split_unitig mutates paths in place
             log("assemble", f"broke {n_broken} misjoined unitigs")
             seqs = [unitig_seq(u, res.store, res.cov) for u in res.ug.utgs]
             uidx = UnitigIndex.build(seqs)
@@ -400,6 +404,7 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         # (~resolve_tangles_hic, hic.cpp:17069)
         from hifiasm_tpu.phasing.hic import resolve_tangles_hic
         resolve_tangles_hic(res.ug, hits4)
+        seq_cache.clear()             # tangle resolution can rewire paths
         hic_links = hic_link_matrix(len(res.ug), hits4[:, [0, 2]])
         hic_seqs, hic_hits4 = seqs, hits4
     hap1_ids, hap2_ids = [], []

@@ -17,16 +17,28 @@ from hifiasm_tpu.graph.unitig import UnitigGraph, unitig_seq
 from hifiasm_tpu.io.readstore import ReadStore, codes_to_seq
 
 
+def _useq(u, store, cov, seq_cache):
+    """unitig_seq with an optional caller-scoped memo (one output phase
+    writes the same unitigs into several GFA/FASTA siblings)."""
+    if seq_cache is None:
+        return unitig_seq(u, store, cov)
+    seq = seq_cache.get(id(u))
+    if seq is None:
+        seq = seq_cache[id(u)] = unitig_seq(u, store, cov)
+    return seq
+
+
 def write_gfa(f: IO[str], ug: UnitigGraph, store: ReadStore,
               cov: CoverageCut, name_prefix: str = "utg",
               coverage: Optional[np.ndarray] = None,
-              noseq: bool = False) -> None:
+              noseq: bool = False, seq_cache: Optional[dict] = None
+              ) -> None:
     """``noseq=True`` writes ``*`` S-line sequences
     (~ma_ug_print_simple, the reference's ``*.noseq.gfa`` siblings)."""
     names = [f"{name_prefix}{i + 1:06d}l" if not u.circ else
              f"{name_prefix}{i + 1:06d}c" for i, u in enumerate(ug.utgs)]
     for i, u in enumerate(ug.utgs):
-        seq = unitig_seq(u, store, cov)
+        seq = _useq(u, store, cov, seq_cache)
         cov_i = int(coverage[i]) if coverage is not None else 0
         s_txt = "*" if noseq else codes_to_seq(seq).decode()
         lines = [f"S\t{names[i]}\t{s_txt}\t"
@@ -46,9 +58,10 @@ def write_gfa(f: IO[str], ug: UnitigGraph, store: ReadStore,
 
 
 def write_fasta(f: IO[str], ug: UnitigGraph, store: ReadStore,
-                cov: CoverageCut, name_prefix: str = "ctg") -> None:
+                cov: CoverageCut, name_prefix: str = "ctg",
+                seq_cache: Optional[dict] = None) -> None:
     for i, u in enumerate(ug.utgs):
-        seq = unitig_seq(u, store, cov)
+        seq = _useq(u, store, cov, seq_cache)
         f.write(f">{name_prefix}{i + 1:06d}\n{codes_to_seq(seq).decode()}\n")
 
 
@@ -59,15 +72,14 @@ def write_lowq_bed(f: IO[str], ug: UnitigGraph, cov: CoverageCut,
     each GFA, docs/source/interpreting-output.rst)."""
     for i, u in enumerate(ug.utgs):
         name = f"{name_prefix}{i + 1:06d}l"
-        depth = np.zeros(u.len + 1, np.int32)
-        off = 0
-        for k, v in enumerate(u.vs):
-            rid = int(v) >> 1
-            rl = int(cov.e[rid] - cov.s[rid])
-            end = min(off + rl, u.len)
-            depth[off] += 1
-            depth[end] -= 1
-            off += int(u.node_len[k])
+        rids = (u.vs >> np.uint32(1)).astype(np.int64)
+        nl = np.asarray(u.node_len, np.int64)
+        offs = np.concatenate([[0], np.cumsum(nl[:-1])]) if len(nl) else \
+            np.zeros(0, np.int64)
+        rl = (cov.e - cov.s)[rids]
+        ends = np.minimum(offs + rl, u.len)
+        depth = (np.bincount(offs, minlength=u.len + 1)
+                 - np.bincount(ends, minlength=u.len + 1))
         prof = np.cumsum(depth[:-1])
         low = prof < min_cov
         if not low.any():

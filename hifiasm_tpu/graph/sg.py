@@ -390,35 +390,48 @@ def detect_chimeric_reads(paf: PafStore, lens: np.ndarray,
 def ma_hit_cut(paf: PafStore, lens: np.ndarray, cov: CoverageCut,
                min_ovlp: int) -> None:
     """Clip overlaps into the coverage-cut subregions and renormalize
-    coordinates to the cut frame (~Overlaps.cpp:2533). In-place."""
+    coordinates to the cut frame (~Overlaps.cpp:2533). In-place.
+
+    Runs flat over the whole store (one vectorized pass), then scatters
+    the new columns back into the per-read records."""
+    qn, c = paf.flatten()
+    if len(qn) == 0:
+        return
+    tn = c["tn"]
+    rq_s, rq_e = cov.s[qn], cov.e[qn]
+    rt_s, rt_e = cov.s[tn], cov.e[tn]
+    dead = (cov.del_[qn] == 1) | (cov.del_[tn] == 1) | (c["del_"] == 1)
+    rev = c["rev"].astype(bool)
+    oqs, oqe, ots, ote = c["qs"], c["qe"], c["ts"], c["te"]
+    qs = np.where(rev,
+                  np.where(ote < rt_e, oqs, oqs + ote - rt_e),
+                  np.where(ots > rt_s, oqs, oqs + rt_s - ots))
+    qe = np.where(rev,
+                  np.where(ots > rt_s, oqe, oqe - (rt_s - ots)),
+                  np.where(ote < rt_e, oqe, oqe - (ote - rt_e)))
+    ts = np.where(rev,
+                  np.where(oqe < rq_e, ots, ots + oqe - rq_e),
+                  np.where(oqs > rq_s, ots, ots + rq_s - oqs))
+    te = np.where(rev,
+                  np.where(oqs > rq_s, ote, ote - (rq_s - oqs)),
+                  np.where(oqe < rq_e, ote, ote - (oqe - rq_e)))
+    qs = np.maximum(qs, rq_s) - rq_s
+    qe = np.minimum(qe, rq_e) - rq_s
+    ts = np.maximum(ts, rt_s) - rt_s
+    te = np.minimum(te, rt_e) - rt_s
+    ok = (qe - qs >= min_ovlp) & (te - ts >= min_ovlp) & ~dead
+    del_ = np.where(ok, 0, 1).astype(np.uint8)
+    pos = 0
     for i in range(len(paf)):
         rec = paf[i]
-        if len(rec) == 0:
+        n = len(rec)
+        if n == 0:
             continue
-        tn = rec.tn
-        rq_s, rq_e = cov.s[i], cov.e[i]
-        rt_s, rt_e = cov.s[tn], cov.e[tn]
-        dead = (cov.del_[i] == 1) | (cov.del_[tn] == 1) | (rec.del_ == 1)
-        rev = rec.rev.astype(bool)
-        qs = np.where(rev,
-                      np.where(rec.te < rt_e, rec.qs, rec.qs + rec.te - rt_e),
-                      np.where(rec.ts > rt_s, rec.qs, rec.qs + rt_s - rec.ts))
-        qe = np.where(rev,
-                      np.where(rec.ts > rt_s, rec.qe, rec.qe - (rt_s - rec.ts)),
-                      np.where(rec.te < rt_e, rec.qe, rec.qe - (rec.te - rt_e)))
-        ts = np.where(rev,
-                      np.where(rec.qe < rq_e, rec.ts, rec.ts + rec.qe - rq_e),
-                      np.where(rec.qs > rq_s, rec.ts, rec.ts + rq_s - rec.qs))
-        te = np.where(rev,
-                      np.where(rec.qs > rq_s, rec.te, rec.te - (rq_s - rec.qs)),
-                      np.where(rec.qe < rq_e, rec.te, rec.te - (rec.qe - rq_e)))
-        qs = np.maximum(qs, rq_s) - rq_s
-        qe = np.minimum(qe, rq_e) - rq_s
-        ts = np.maximum(ts, rt_s) - rt_s
-        te = np.minimum(te, rt_e) - rt_s
-        ok = (qe - qs >= min_ovlp) & (te - ts >= min_ovlp) & ~dead
-        rec.qs, rec.qe, rec.ts, rec.te = qs, qe, ts, te
-        rec.del_ = np.where(ok, 0, 1).astype(np.uint8)
+        sl = slice(pos, pos + n)
+        pos += n
+        rec.qs, rec.qe = qs[sl], qe[sl]
+        rec.ts, rec.te = ts[sl], te[sl]
+        rec.del_ = del_[sl]
 
 
 def ma_hit_flt(paf: PafStore, cov: CoverageCut, max_hang: int,
@@ -461,20 +474,28 @@ def ma_hit_contained(paf: PafStore, cov: CoverageCut, max_hang: int,
     rid or -1 (~ma_hit_contained_advance, Overlaps.cpp:1781)."""
     n = len(paf)
     r_to_u = np.full(n, -1, np.int64)
+    # hit2arc codes are a pure function of record coordinates: compute
+    # them ONCE over the flat store; the read loop below only applies
+    # the reference's sequential containment coupling
+    qn_f, c_f = paf.flatten()
+    if len(qn_f):
+        ql_f = (cov.e - cov.s)[qn_f]
+        tl_f = cov.e[c_f["tn"]] - cov.s[c_f["tn"]]
+        code_f, _, _, _, _ = hit2arc(
+            c_f["qs"], c_f["qe"], c_f["tn"], c_f["ts"], c_f["te"],
+            c_f["rev"], ql_f, tl_f, max_hang, int_frac, min_ovlp)
+    pos_f = 0
     for i in range(n):
-        if cov.del_[i]:
-            continue
         rec = paf[i]
-        if len(rec) == 0:
+        nr = len(rec)
+        sl = slice(pos_f, pos_f + nr)
+        pos_f += nr
+        if cov.del_[i] or nr == 0:
             continue
         live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0)
         if not live.any():
             continue
-        ql = cov.e[i] - cov.s[i]
-        tl = cov.e[rec.tn] - cov.s[rec.tn]
-        code, _, _, _, _ = hit2arc(rec.qs, rec.qe, rec.tn, rec.ts, rec.te,
-                                   rec.rev, np.full(len(rec), ql), tl,
-                                   max_hang, int_frac, min_ovlp)
+        code = code_f[sl]
         qc = live & (code == MA_HT_QCONT)
         tc = live & (code == MA_HT_TCONT)
         for j in np.flatnonzero(qc):

@@ -14,7 +14,7 @@ from typing import List, Optional
 import numpy as np
 
 from hifiasm_tpu.graph.sg import CoverageCut, StringGraph
-from hifiasm_tpu.io.readstore import ReadStore, revcomp_codes
+from hifiasm_tpu.io.readstore import ReadStore
 from hifiasm_tpu.utils.logging import log
 
 
@@ -198,17 +198,33 @@ def _link_unitig_arcs(g: StringGraph, ug: UnitigGraph) -> None:
 
 
 def unitig_seq(u: Unitig, store: ReadStore, cov: CoverageCut) -> np.ndarray:
-    """Concatenate read contributions along the path (~ma_ug_seq)."""
-    parts = []
-    for i, v in enumerate(u.vs):
-        rid, d = int(v) >> 1, int(v) & 1
-        codes = store.get_codes(rid)[int(cov.s[rid]):int(cov.e[rid])]
-        if d:
-            codes = revcomp_codes(codes)
-        parts.append(codes[: int(u.node_len[i])])
-    if not parts:
+    """Concatenate read contributions along the path (~ma_ug_seq).
+
+    Vectorized: one fancy-index gather from the store-wide flat code
+    bank per unitig (node_len[i] leading bases of each path read in
+    path orientation), instead of a per-read decode/revcomp loop."""
+    if len(u.vs) == 0:
         return np.zeros(0, np.uint8)
-    return np.concatenate(parts)
+    flat = store.flat_codes()
+    rids = (u.vs >> np.uint32(1)).astype(np.int64)
+    dirs = (u.vs & np.uint32(1)).astype(np.int64)
+    s = cov.s[rids].astype(np.int64)
+    e = cov.e[rids].astype(np.int64)
+    nl = np.minimum(np.asarray(u.node_len, np.int64), e - s)
+    nl = np.maximum(nl, 0)
+    tot = int(nl.sum())
+    if tot == 0:
+        return np.zeros(0, np.uint8)
+    starts = np.cumsum(nl) - nl
+    j = np.arange(tot, dtype=np.int64) - np.repeat(starts, nl)
+    off = store.offsets[rids]
+    base = np.repeat(np.where(dirs == 0, off + s, off + e - 1), nl)
+    sign = np.repeat(1 - 2 * dirs, nl)
+    out = flat[base + sign * j]          # fancy index -> fresh array
+    if dirs.any():
+        comp = np.repeat(dirs == 1, nl) & (out < 4)   # N stays N
+        out[comp] = 3 - out[comp]
+    return out
 
 
 def unitig_coverage(u: Unitig, paf_counts: np.ndarray) -> int:

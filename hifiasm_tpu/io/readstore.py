@@ -152,6 +152,21 @@ class ReadStore:
     def total_bases(self) -> int:
         return int(self.offsets[-1])
 
+    def flat_codes(self) -> np.ndarray:
+        """Whole-store decoded code bank (one flat uint8 array; index
+        base j of read rid at ``offsets[rid] + j``). Cached; invalidated
+        by set_codes. Callers must not mutate the returned array."""
+        cached = getattr(self, "_flat", None)
+        ver = getattr(self, "_version", 0)
+        if cached is not None and cached[1] == ver:
+            return cached[0]
+        n = self.n_reads
+        flat = (np.concatenate([self.get_codes(r) for r in range(n)])
+                if n else np.zeros(0, np.uint8))
+        flat.flags.writeable = False
+        self._flat = (flat, ver)
+        return flat
+
     def get_codes(self, rid: int) -> np.ndarray:
         """Recover a read's codes (with N=4 restored) ~ recover_UC_Read.
 
@@ -179,6 +194,7 @@ class ReadStore:
         cache = getattr(self, "_decoded", None)
         if cache is not None:
             cache.pop(rid, None)
+        self._version = getattr(self, "_version", 0) + 1
         nsites = np.flatnonzero(codes == 4)
         c = codes.copy()
         c[nsites] = 0

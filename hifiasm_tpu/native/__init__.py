@@ -356,7 +356,7 @@ def sketch_many_native(codes_list, k: int, w: int, ft=None,
     return out
 
 
-def count_kmers_native(codes_list, k: int, chunk_bases: int = 16_000_000):
+def count_kmers_native(codes_list, k: int, chunk_bases: int = 32_000_000):
     """Fused HPC k-mer count: hash + parallel sort + unique in native code.
 
     Returns (sorted unique uint64 hashes, uint32 counts) over all complete
@@ -407,6 +407,9 @@ def count_kmers_native(codes_list, k: int, chunk_bases: int = 16_000_000):
         nu = lib.ht_unique_u64(em, ne, cbuf)
         _push(em[:nu].copy(), cbuf[:nu].copy())
         c0 = c1
+    if len(stack) == 1:                 # single chunk: no merge, no copy
+        h, c32 = stack[0]
+        return h, c32.astype(np.uint32, copy=False)
     h = np.zeros(0, np.uint64)
     c = np.zeros(0, np.int64)
     while stack:

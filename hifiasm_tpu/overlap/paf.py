@@ -86,11 +86,12 @@ class PafStore:
 
     def flatten(self):
         """(qn, columns...) flat view for graph build / serialization."""
-        qn = np.concatenate([
-            np.full(len(r), i, dtype=np.uint32)
-            for i, r in enumerate(self.recs)]) if len(self.recs) else \
-            np.zeros(0, np.uint32)
-        cols = {f: (np.concatenate([getattr(r, f) for r in self.recs])
-                    if len(self.recs) else np.zeros(0, _DTYPES[f]))
+        if not self.recs:
+            return np.zeros(0, np.uint32), \
+                {f: np.zeros(0, _DTYPES[f]) for f in _FIELDS}
+        counts = np.fromiter((len(r) for r in self.recs), np.int64,
+                             len(self.recs))
+        qn = np.repeat(np.arange(len(self.recs), dtype=np.uint32), counts)
+        cols = {f: np.concatenate([getattr(r, f) for r in self.recs])
                 for f in _FIELDS}
         return qn, cols
