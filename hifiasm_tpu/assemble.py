@@ -213,6 +213,12 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
             save_ul_paths(cfg.output_prefix, paths, ul_fp)
         integer_correction(paths)
         ul_renew_graph(ug, paths)
+        # join bridged pairs, inserting UL gap sequence as pseudo-reads
+        from hifiasm_tpu.ul import ul_fill_bridged
+        new_rids = ul_fill_bridged(ug, store, cov, paths, ul_codes)
+        if new_rids:
+            read_cov = np.concatenate(
+                [read_cov, np.array([c for _, c in new_rids], np.int64)])
 
     simi = (cfg.purge_simi_rate_l2 if cfg.purge_level == 2
             else cfg.purge_simi_rate_l3)

@@ -210,6 +210,26 @@ class ReadStore:
     def get_seq(self, rid: int) -> bytes:
         return codes_to_seq(self.get_codes(rid))
 
+    def append_read(self, name: str, codes: np.ndarray,
+                    trio_flag: int = 0) -> int:
+        """Append a new (pseudo-)read — e.g. a UL gap-fill segment — and
+        return its rid. Invalidates the flat-bank cache."""
+        self._version = getattr(self, "_version", 0) + 1
+        rid = self.n_reads
+        nsites = np.flatnonzero(codes == 4)
+        c = codes.copy()
+        c[nsites] = 0
+        self._packed_list.append(pack_2bit(c))
+        self.names.append(name)
+        self._n_sites.append(nsites.astype(np.int64))
+        self.lens = np.append(self.lens, len(codes))
+        self.offsets = np.append(self.offsets,
+                                 self.offsets[-1] + len(codes))
+        if self.trio_flags is not None:
+            self.trio_flags = np.append(
+                self.trio_flags, np.uint8(trio_flag))
+        return rid
+
 
 def _iter_all(path: str):
     from hifiasm_tpu.io.fastx import iter_fastx

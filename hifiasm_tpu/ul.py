@@ -238,6 +238,17 @@ def graph_chain_paths(ov, ug: UnitigGraph, utg_seqs, utg_lens, ul,
                                                     int(v[j]), cap)
                 reach = reach_cache[ck]
                 if int(v[i]) not in reach:
+                    # graph-disconnected jump (the UL read evidences an
+                    # adjacency the HiFi graph lacks): allow a penalized
+                    # "bridge" transition — these consecutive blocks are
+                    # exactly what ul_bridge_arcs/ul_fill_bridged consume
+                    # (~the dead-end jumps of gl_chain, inter.cpp:5785)
+                    if qgap > 50000:
+                        continue
+                    cand_sc = int(f[j] + sc[i]
+                                  - max(8, qgap // 256))
+                    if cand_sc > f[i]:
+                        cands.append((cand_sc, j, [], [], True))
                     continue
                 ds, _ = reach[int(v[i])]
                 gdist = tail + ds + int(rs[i])
@@ -266,12 +277,13 @@ def graph_chain_paths(ov, ug: UnitigGraph, utg_seqs, utg_lens, ul,
                 continue
             cand_sc = int(f[j] + sc[i] - pen // 32)
             if cand_sc > f[i]:
-                cands.append((cand_sc, j, mids, ols))
+                cands.append((cand_sc, j, mids, ols, False))
         cands.sort(key=lambda c: (-c[0], c[1]))
-        for cand_sc, j, mids, ols in cands:
+        for cand_sc, j, mids, ols, is_bridge in cands:
             if cand_sc <= f[i]:
                 break
-            if v[j] != v[i] and not _junction_ok(j, i, mids, ols):
+            if not is_bridge and v[j] != v[i] and \
+                    not _junction_ok(j, i, mids, ols):
                 continue
             f[i] = cand_sc
             par[i] = j
@@ -450,6 +462,154 @@ def integer_correction(paths: List[ULPath], min_occ: int = 3,
             break
     log("integer_correction", f"rewrote {n_fix} UL path blocks")
     return n_fix
+
+
+def ul_gap_sequences(paths: List[ULPath], ul_reads: List[np.ndarray]
+                     ) -> Dict[Tuple[int, int], np.ndarray]:
+    """Per bridged unitig-end pair, the UL-derived gap sequence
+    (~the UL sequence fill of rescue_src_ul joins, Overlaps.cpp:39190).
+
+    For every consecutive block pair (a, b) of every UL path the read
+    bases between a's end and b's start ARE the junction sequence in
+    src->dst orientation.  Among the supporting reads the representative
+    is the lower-median-length candidate (deterministic tie-break on the
+    raw bytes) — UL base error is handled downstream by polishing, the
+    structural length is what matters for the join."""
+    cands: Dict[Tuple[int, int], List[np.ndarray]] = {}
+    for p, ul in zip(paths, ul_reads):
+        for (ua, ra, _, qe_a), (ub, rb, qs_b, _) in zip(p.blocks,
+                                                        p.blocks[1:]):
+            key = (ua << 1 | ra, ub << 1 | rb)
+            seq = ul[qe_a:qs_b] if qs_b > qe_a else \
+                np.zeros(0, np.uint8)
+            cands.setdefault(key, []).append(seq)
+    out: Dict[Tuple[int, int], np.ndarray] = {}
+    for key, lst in cands.items():
+        lst.sort(key=lambda s: (len(s), s.tobytes()))
+        rep = lst[(len(lst) - 1) // 2]
+        out[key] = rep
+        ckey = (key[1] ^ 1, key[0] ^ 1)
+        if ckey not in cands:
+            from hifiasm_tpu.io.readstore import revcomp_codes
+            out[ckey] = revcomp_codes(rep)
+    return out
+
+
+def ul_fill_bridged(ug: UnitigGraph, store, cov, paths: List[ULPath],
+                    ul_reads: List[np.ndarray], min_support: int = 2
+                    ) -> List[Tuple[int, int]]:
+    """Join mutually-unique bridged (ol=0) unitig pairs, inserting the
+    UL gap sequence as a pseudo-read on the merged path (so GFA A-lines
+    and FASTA both carry the filled sequence).  Returns
+    [(new_rid, support)] for the appended gap reads (support = #UL
+    traversals of the joined junction); callers extend any per-read
+    coverage arrays with these.
+
+    ~the UL-bridge consumption of gradually_renew_g (Overlaps.cpp:39297)
+    combined with the post-join merge; the reference re-runs ma_ug_gen
+    at the read level, we merge at the unitig level with the UL segment
+    carrying the novel (HiFi-uncovered) junction bases."""
+    from hifiasm_tpu.graph.unitig import Unitig, flip_unitig
+
+    gaps = ul_gap_sequences(paths, ul_reads)
+    sup = ul_arc_support(ug, paths)
+    new_reads: List[Tuple[int, int]] = []
+    n_join = 0
+    while True:
+        n = len(ug.utgs)
+        if n == 0 or len(ug.a_src) == 0:
+            break
+        deg = np.bincount(ug.a_src.astype(np.int64), minlength=2 * n)
+        src = ug.a_src.astype(np.int64)
+        dst = ug.a_dst.astype(np.int64)
+        pick = -1
+        for k in range(len(src)):
+            s, d, ol = int(src[k]), int(dst[k]), int(ug.a_ol[k])
+            if ol != 0:
+                continue                  # only bridged arcs
+            if (s >> 1) == (d >> 1):
+                continue
+            if deg[s] != 1 or deg[d ^ 1] != 1:
+                continue                  # not mutually unique
+            if ug.utgs[s >> 1].circ or ug.utgs[d >> 1].circ:
+                continue
+            if (s, d) not in gaps or sup.get((s, d), 0) < min_support:
+                continue
+            pick = k
+            break
+        if pick < 0:
+            break
+        s, d = int(src[pick]), int(dst[pick])
+        ua, da = s >> 1, s & 1
+        ub, db = d >> 1, d & 1
+        a = ug.utgs[ua] if da == 0 else flip_unitig(ug.utgs[ua], cov)
+        b = ug.utgs[ub] if db == 0 else flip_unitig(ug.utgs[ub], cov)
+        gseq = gaps[(s, d)]
+        mid_vs = np.zeros(0, np.uint32)
+        mid_nl = np.zeros(0, np.int64)
+        if len(gseq):
+            rid = store.append_read(f"ulg{len(new_reads) + 1:06d}", gseq)
+            cov.s = np.append(cov.s, 0)
+            cov.e = np.append(cov.e, len(gseq))
+            cov.del_ = np.append(cov.del_, np.uint8(0))
+            new_reads.append((rid, int(sup.get((s, d), 0))))
+            mid_vs = np.array([rid << 1], np.uint32)
+            mid_nl = np.array([len(gseq)], np.int64)
+        merged = Unitig(
+            vs=np.concatenate([a.vs, mid_vs, b.vs]).astype(np.uint32),
+            node_len=np.concatenate([a.node_len, mid_nl, b.node_len]),
+            len=int(a.node_len.sum() + mid_nl.sum() + b.node_len.sum()),
+            circ=False, start=int(a.vs[0]), end=int(b.vs[-1]) ^ 1)
+        keep = np.ones(len(src), bool)
+        keep[pick] = False
+        comp = (src == (d ^ 1)) & (dst == (s ^ 1))
+        keep[comp] = False
+        src2, dst2, ol2 = src[keep], dst[keep], ug.a_ol[keep]
+        out = np.where(src2 == (ua << 1 | (1 ^ da)), ua << 1 | 1, src2)
+        src2 = np.where(out == (ub << 1 | db), ua << 1, out)
+        dst2_ = np.where(dst2 == (ua << 1 | (0 ^ da)), ua << 1, dst2)
+        dst2 = np.where(dst2_ == (ub << 1 | (1 ^ db)), ua << 1 | 1, dst2_)
+        ug.utgs[ua] = merged
+        drop = np.zeros(n, bool)
+        drop[ub] = True
+        remap_id = np.cumsum(~drop) - 1
+        ug.utgs = [u for i, u in enumerate(ug.utgs) if not drop[i]]
+        keep2 = ~drop[src2 >> 1] & ~drop[dst2 >> 1]
+        src2, dst2, ol2 = src2[keep2], dst2[keep2], ol2[keep2]
+        ug.a_src = ((remap_id[src2 >> 1] << 1) | (src2 & 1)).astype(
+            np.uint32)
+        ug.a_dst = ((remap_id[dst2 >> 1] << 1) | (dst2 & 1)).astype(
+            np.uint32)
+        ug.a_ol = ol2
+        # remap the support/gap keys into the merged id space: vertices
+        # of ua/ub collapse onto the merged unitig's outer ends
+        def _remap_v(v: int) -> int:
+            if v == (ua << 1 | (1 ^ da)):
+                return (ua << 1 | 1)
+            if v == (ub << 1 | db):
+                return (ua << 1)
+            if v == (ua << 1 | (0 ^ da)):
+                return (ua << 1)
+            if v == (ub << 1 | (1 ^ db)):
+                return (ua << 1 | 1)
+            return v
+        def _remap_pair_dict(dd):
+            nd = {}
+            for (x, y), val in dd.items():
+                x2, y2 = _remap_v(int(x)), _remap_v(int(y))
+                x2 = (remap_id[x2 >> 1] << 1) | (x2 & 1)
+                y2 = (remap_id[y2 >> 1] << 1) | (y2 & 1)
+                if (x2 >> 1) < len(ug.utgs) and (y2 >> 1) < len(ug.utgs):
+                    nd[(int(x2), int(y2))] = val
+            return nd
+        gaps = _remap_pair_dict(gaps)
+        sup = _remap_pair_dict(sup)
+        n_join += 1
+    if n_join:
+        log("ul_fill_bridged",
+            f"joined {n_join} bridged unitig pairs "
+            f"({len(new_reads)} UL gap segments inserted)")
+    return new_reads
 
 
 def ul_renew_graph(ug: UnitigGraph, paths: List[ULPath],
