@@ -387,14 +387,27 @@ def detect_chimeric_reads(paf: PafStore, lens: np.ndarray,
     return n_chim
 
 
+def _paf_offsets(paf: PafStore) -> np.ndarray:
+    counts = np.fromiter((len(r) for r in paf.recs), np.int64,
+                         len(paf.recs))
+    off = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    return off
+
+
 def ma_hit_cut(paf: PafStore, lens: np.ndarray, cov: CoverageCut,
-               min_ovlp: int) -> None:
+               min_ovlp: int, flat=None) -> None:
     """Clip overlaps into the coverage-cut subregions and renormalize
     coordinates to the cut frame (~Overlaps.cpp:2533). In-place.
 
     Runs flat over the whole store (one vectorized pass), then scatters
-    the new columns back into the per-read records."""
-    qn, c = paf.flatten()
+    the new columns back into the per-read records (or, with ``flat``
+    given, updates the shared flat columns in place — gen_init_sg
+    flattens once and scatters once for the whole stage chain)."""
+    if flat is not None:
+        qn, c, _ = flat
+    else:
+        qn, c = paf.flatten()
     if len(qn) == 0:
         return
     tn = c["tn"]
@@ -421,6 +434,11 @@ def ma_hit_cut(paf: PafStore, lens: np.ndarray, cov: CoverageCut,
     te = np.minimum(te, rt_e) - rt_s
     ok = (qe - qs >= min_ovlp) & (te - ts >= min_ovlp) & ~dead
     del_ = np.where(ok, 0, 1).astype(np.uint8)
+    if flat is not None:
+        c["qs"][:], c["qe"][:] = qs, qe
+        c["ts"][:], c["te"][:] = ts, te
+        c["del_"][:] = del_
+        return
     pos = 0
     for i in range(len(paf)):
         rec = paf[i]
@@ -435,14 +453,18 @@ def ma_hit_cut(paf: PafStore, lens: np.ndarray, cov: CoverageCut,
 
 
 def ma_hit_flt(paf: PafStore, cov: CoverageCut, max_hang: int,
-               int_frac: float, min_ovlp: int) -> None:
+               int_frac: float, min_ovlp: int, flat=None) -> None:
     """Drop overlaps ma_hit2arc rejects (~Overlaps.cpp:1865). In-place.
 
     The hit2arc classification is a pure function of coordinates, so it
     runs ONCE over all records flat; the read loop only applies the
     reference's sequential liveness coupling (a read whose overlaps all
     die is del'd and stops qualifying later reads' overlaps)."""
-    qn, c = paf.flatten()
+    if flat is not None:
+        qn, c, off = flat
+    else:
+        qn, c = paf.flatten()
+        off = _paf_offsets(paf)
     if len(qn) == 0:
         return
     ql = (cov.e - cov.s)[qn]
@@ -451,24 +473,29 @@ def ma_hit_flt(paf: PafStore, cov: CoverageCut, max_hang: int,
                                c["te"], c["rev"], ql, tl, max_hang,
                                int_frac, min_ovlp)
     code_ok = (code >= 0) | (code == MA_HT_QCONT) | (code == MA_HT_TCONT)
-    pos = 0
+    del_f = c["del_"]
+    tn_f = c["tn"]
+    use_flat = flat is not None
     for i in range(len(paf)):
-        rec = paf[i]
-        n = len(rec)
-        if n == 0:
+        s0, s1 = int(off[i]), int(off[i + 1])
+        if s0 == s1:
             continue
-        sl = slice(pos, pos + n)
-        pos += n
-        live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0) & \
-            (cov.del_[i] == 0)
+        sl = slice(s0, s1)
+        d_i = del_f[sl] if use_flat else paf[i].del_
+        t_i = tn_f[sl] if use_flat else paf[i].tn
+        live = (d_i == 0) & (cov.del_[t_i] == 0) & (cov.del_[i] == 0)
         ok = live & code_ok[sl]
-        rec.del_ = np.where(ok, 0, 1).astype(np.uint8)
+        new_del = np.where(ok, 0, 1).astype(np.uint8)
+        if use_flat:
+            del_f[sl] = new_del
+        else:
+            paf[i].del_ = new_del
         if not ok.any():
             cov.del_[i] = 1
 
 
 def ma_hit_contained(paf: PafStore, cov: CoverageCut, max_hang: int,
-                     int_frac: float, min_ovlp: int
+                     int_frac: float, min_ovlp: int, flat=None
                      ) -> np.ndarray:
     """Mark contained reads; returns container map r_to_u[rid] = container
     rid or -1 (~ma_hit_contained_advance, Overlaps.cpp:1781)."""
@@ -477,22 +504,28 @@ def ma_hit_contained(paf: PafStore, cov: CoverageCut, max_hang: int,
     # hit2arc codes are a pure function of record coordinates: compute
     # them ONCE over the flat store; the read loop below only applies
     # the reference's sequential containment coupling
-    qn_f, c_f = paf.flatten()
+    if flat is not None:
+        qn_f, c_f, off = flat
+    else:
+        qn_f, c_f = paf.flatten()
+        off = _paf_offsets(paf)
     if len(qn_f):
         ql_f = (cov.e - cov.s)[qn_f]
         tl_f = cov.e[c_f["tn"]] - cov.s[c_f["tn"]]
         code_f, _, _, _, _ = hit2arc(
             c_f["qs"], c_f["qe"], c_f["tn"], c_f["ts"], c_f["te"],
             c_f["rev"], ql_f, tl_f, max_hang, int_frac, min_ovlp)
-    pos_f = 0
+    del_f = c_f["del_"]
+    tn_f = c_f["tn"]
+    use_flat = flat is not None
     for i in range(n):
-        rec = paf[i]
-        nr = len(rec)
-        sl = slice(pos_f, pos_f + nr)
-        pos_f += nr
-        if cov.del_[i] or nr == 0:
+        s0, s1 = int(off[i]), int(off[i + 1])
+        if cov.del_[i] or s0 == s1:
             continue
-        live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0)
+        sl = slice(s0, s1)
+        d_i = del_f[sl] if use_flat else paf[i].del_
+        t_i = tn_f[sl] if use_flat else paf[i].tn
+        live = (d_i == 0) & (cov.del_[t_i] == 0)
         if not live.any():
             continue
         code = code_f[sl]
@@ -501,14 +534,14 @@ def ma_hit_contained(paf: PafStore, cov: CoverageCut, max_hang: int,
         for j in np.flatnonzero(qc):
             if cov.del_[i] == 0:
                 cov.del_[i] = 1
-                r_to_u[i] = int(rec.tn[j])
-            rec.del_[j] = 1
+                r_to_u[i] = int(t_i[j])
+            d_i[j] = 1
         for j in np.flatnonzero(tc):
-            t = int(rec.tn[j])
+            t = int(t_i[j])
             if cov.del_[t] == 0:
                 cov.del_[t] = 1
                 r_to_u[t] = i
-            rec.del_[j] = 1
+            d_i[j] = 1
     # resolve container chains (transfor_R_to_U)
     for i in range(n):
         u = r_to_u[i]
@@ -520,23 +553,33 @@ def ma_hit_contained(paf: PafStore, cov: CoverageCut, max_hang: int,
             r_to_u[i] = u
     # second pass: drop hits touching deleted reads
     for i in range(n):
-        rec = paf[i]
-        if len(rec) == 0:
+        s0, s1 = int(off[i]), int(off[i + 1])
+        if s0 == s1:
             continue
-        live = (rec.del_ == 0) & (cov.del_[rec.tn] == 0) & (cov.del_[i] == 0)
-        rec.del_ = np.where(live, 0, 1).astype(np.uint8)
+        sl = slice(s0, s1)
+        d_i = del_f[sl] if use_flat else paf[i].del_
+        t_i = tn_f[sl] if use_flat else paf[i].tn
+        live = (d_i == 0) & (cov.del_[t_i] == 0) & (cov.del_[i] == 0)
+        new_del = np.where(live, 0, 1).astype(np.uint8)
+        if use_flat:
+            del_f[sl] = new_del
+        else:
+            paf[i].del_ = new_del
         if not live.any() and cov.del_[i] == 0:
             cov.del_[i] = 1
     return r_to_u
 
 
 def ma_sg_gen(paf: PafStore, cov: CoverageCut, max_hang: int,
-              int_frac: float, min_ovlp: int) -> StringGraph:
+              int_frac: float, min_ovlp: int, flat=None) -> StringGraph:
     """Overlap records -> string graph arcs (~ma_sg_gen, Overlaps.cpp)."""
     n = len(paf)
     g = StringGraph(n, (cov.e - cov.s))
     g.seq_del = cov.del_.copy()
-    qn, c = paf.flatten()
+    if flat is not None:
+        qn, c, _ = flat
+    else:
+        qn, c = paf.flatten()
     if len(qn):
         live = (c["del_"] == 0) & (cov.del_[qn] == 0) & \
             (cov.del_[c["tn"]] == 0)
@@ -630,9 +673,24 @@ def gen_init_sg(paf: PafStore, lens: np.ndarray, min_dp: int,
     """The gen_init_sg chain (Overlaps.cpp:39228) for the HiFi-only path."""
     cov = ma_hit_sub(min_dp, paf, lens, min_ovlp)
     detect_chimeric_reads(paf, lens, cov, chem_cov, chem_flank)
-    ma_hit_cut(paf, lens, cov, min_ovlp)
-    ma_hit_flt(paf, cov, max_hang, int_frac, min_ovlp)
-    r_to_u = ma_hit_contained(paf, cov, max_hang, int_frac, min_ovlp)
-    g = ma_sg_gen(paf, cov, max_hang, int_frac, min_ovlp)
+    # flatten ONCE for the whole cut/flt/contained/sg_gen chain; the
+    # stages update the shared flat columns in place and the records
+    # are re-sliced from them at the end (one scatter)
+    qn, cols = paf.flatten()
+    off = _paf_offsets(paf)
+    flat = (qn, cols, off)
+    ma_hit_cut(paf, lens, cov, min_ovlp, flat=flat)
+    ma_hit_flt(paf, cov, max_hang, int_frac, min_ovlp, flat=flat)
+    r_to_u = ma_hit_contained(paf, cov, max_hang, int_frac, min_ovlp,
+                              flat=flat)
+    g = ma_sg_gen(paf, cov, max_hang, int_frac, min_ovlp, flat=flat)
+    for i in range(len(paf)):
+        rec = paf[i]
+        if len(rec) == 0:
+            continue
+        sl = slice(int(off[i]), int(off[i + 1]))
+        rec.qs, rec.qe = cols["qs"][sl], cols["qe"][sl]
+        rec.ts, rec.te = cols["ts"][sl], cols["te"][sl]
+        rec.del_ = cols["del_"][sl]
     asg_arc_del_trans(g, gap_fuzz)
     return g, cov, r_to_u
