@@ -698,6 +698,159 @@ static int64_t ec_read_one(
     int64_t* n_edits_out, int64_t* ed_pos, int64_t* ed_delta,
     int64_t ed_cap, int64_t* ed_n);
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+// 4-lane SIMD Myers bit-vector DP over windows of IDENTICAL length tl
+// (the dominant case: every non-tail EC window is exactly wl bases).
+// Per-lane pl (target extent) may differ. Produces the same per-row
+// traceback state as win_align_one, stored lane-interleaved.
+struct WinScratch4 {
+    std::vector<uint64_t> vp, d0, hp;   // rows lane-interleaved [i*4 + l]
+    std::vector<uint8_t> ybuf;          // 4 lanes x ystride, 4-padded
+    int64_t ystride = 0;
+    void init(int64_t XL, int64_t e) {
+        vp.resize((XL + 1) * 4);
+        d0.resize((XL + 1) * 4);
+        hp.resize((XL + 1) * 4);
+        // the per-step Eq gather reads 64 bytes at yb + i (i < XL):
+        // stride covers XL + 64 regardless of e; tail bytes are 4-filled
+        // (code 4 matches nothing, so they contribute 0 bits)
+        ystride = XL + 2 * e + 64;
+        ybuf.resize(4 * ystride);
+    }
+};
+
+// Band-match mask for one step: bit k = (y[k] == c), 64 positions.
+static inline uint64_t eq_mask64(const uint8_t* y, uint8_t c) {
+    const __m256i cv = _mm256_set1_epi8((char)c);
+    const __m256i a = _mm256_loadu_si256((const __m256i*)y);
+    const __m256i b = _mm256_loadu_si256((const __m256i*)(y + 32));
+    const uint32_t m0 =
+        (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(a, cv));
+    const uint32_t m1 =
+        (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(b, cv));
+    return (uint64_t)m0 | ((uint64_t)m1 << 32);
+}
+
+static void win_dp_avx4(
+    const uint8_t* const xb[4], int64_t tl,
+    const uint8_t* const yb[4], const int64_t pl[4],
+    int64_t e, WinScratch4& S,
+    uint64_t VPf[4], uint64_t VNf[4], int64_t errf[4]) {
+    (void)pl;    // positions >= pl are 4-filled in ybuf (never match)
+    const int W = int(2 * e + 1);
+    const uint64_t mask = (W >= 64) ? ~0ULL : ((1ULL << W) - 1);
+    __m256i VP = _mm256_setzero_si256(), VN = _mm256_setzero_si256();
+    __m256i errv = _mm256_setzero_si256();   // accumulates (D0 & 1)
+    const __m256i maskv = _mm256_set1_epi64x((long long)mask);
+    const __m256i ones = _mm256_set1_epi64x(1);
+    for (int64_t i = 0; i < tl; ++i) {
+        // Eq per lane: direct band compare (no peq state, no
+        // loop-carried memory dependency); band at step i covers
+        // y[i .. i+W).  Built with register inserts — a stack
+        // round-trip here stalls on store-forwarding every step.
+        const uint8_t c0 = xb[0][i], c1 = xb[1][i];
+        const uint8_t c2 = xb[2][i], c3 = xb[3][i];
+        const uint64_t e0 = c0 < 4 ? eq_mask64(yb[0] + i, c0) : 0;
+        const uint64_t e1 = c1 < 4 ? eq_mask64(yb[1] + i, c1) : 0;
+        const uint64_t e2 = c2 < 4 ? eq_mask64(yb[2] + i, c2) : 0;
+        const uint64_t e3 = c3 < 4 ? eq_mask64(yb[3] + i, c3) : 0;
+        const __m256i Eq = _mm256_and_si256(
+            _mm256_set_epi64x((long long)e3, (long long)e2,
+                              (long long)e1, (long long)e0), maskv);
+        const __m256i X = _mm256_or_si256(Eq, VN);
+        const __m256i XVP = _mm256_and_si256(X, VP);
+        const __m256i sum = _mm256_add_epi64(VP, XVP);
+        const __m256i D0 = _mm256_or_si256(
+            _mm256_xor_si256(_mm256_and_si256(sum, maskv), VP), X);
+        const __m256i HN = _mm256_and_si256(VP, D0);
+        const __m256i HP = _mm256_or_si256(
+            VN, _mm256_andnot_si256(_mm256_or_si256(VP, D0), maskv));
+        const __m256i X2 = _mm256_srli_epi64(D0, 1);
+        VN = _mm256_and_si256(X2, HP);
+        VP = _mm256_and_si256(
+            _mm256_or_si256(HN, _mm256_andnot_si256(
+                _mm256_or_si256(X2, HP), maskv)), maskv);
+        errv = _mm256_add_epi64(errv, _mm256_and_si256(D0, ones));
+        _mm256_storeu_si256((__m256i*)&S.vp[(i + 1) * 4], VP);
+        _mm256_storeu_si256((__m256i*)&S.d0[(i + 1) * 4], D0);
+        _mm256_storeu_si256((__m256i*)&S.hp[(i + 1) * 4], HP);
+    }
+    alignas(32) uint64_t vpf[4], vnf[4], ef[4];
+    _mm256_store_si256((__m256i*)vpf, VP);
+    _mm256_store_si256((__m256i*)vnf, VN);
+    _mm256_store_si256((__m256i*)ef, errv);
+    for (int l = 0; l < 4; ++l) {
+        VPf[l] = vpf[l];
+        VNf[l] = vnf[l];
+        errf[l] = tl - (int64_t)ef[l];
+    }
+}
+
+// Ending-offset scan + traceback for one SIMD lane — the exact tail of
+// win_align_one, reading the lane-interleaved row state.
+static int64_t win_finish_lane(
+    const uint8_t* xb, int64_t tl, const uint8_t* yb, int64_t pl,
+    int64_t e, int64_t acc_thre, const WinScratch4& S, int lane,
+    uint64_t VP, uint64_t VN, int64_t err,
+    uint8_t* tbp, uint8_t* icp, uint8_t* ibp,
+    int64_t* ys_out, int64_t* yn_out) {
+    int64_t best_err = err, best_n = tl, e2 = err, e3 = err;
+    const int64_t nb_max = (2 * e < pl - tl) ? 2 * e : (pl - tl);
+    for (int64_t b0 = 0; b0 < 2 * e; ++b0) {
+        e2 += (int64_t)((VP >> b0) & 1) - (int64_t)((VN >> b0) & 1);
+        if (b0 < nb_max && e2 < best_err) {
+            best_err = e2;
+            best_n = tl + b0 + 1;
+        }
+        if (b0 < e)
+            e3 += (int64_t)((VP >> b0) & 1) - (int64_t)((VN >> b0) & 1);
+    }
+    if (pl - tl >= e && e3 == best_err) best_n = tl + e;
+    if (best_err > e || best_err > acc_thre) {
+        *ys_out = -1;
+        *yn_out = best_n;
+        return -1;
+    }
+    *yn_out = best_n;
+    int64_t i = tl, j = best_n;
+    while (i > 0) {
+        const int64_t bb = j - i;
+        const uint64_t d0 = S.d0[i * 4 + lane], hp = S.hp[i * 4 + lane];
+        bool diag_ok = false, horiz_ok = false, vert_ok = false;
+        if (j >= 1 && bb >= 0 && bb <= 2 * e && j - 1 >= i - 1) {
+            const bool match = (xb[i - 1] < 4) && (j - 1 < pl) &&
+                               (xb[i - 1] == yb[j - 1]);
+            const bool d0bit = (d0 >> bb) & 1;
+            diag_ok = (match && d0bit) || (!match && !d0bit);
+        }
+        if (j - 1 >= i && bb - 1 >= 0)
+            horiz_ok = (S.vp[i * 4 + lane] >> (bb - 1)) & 1;
+        if (bb >= 0 && bb <= 2 * e && j <= (i - 1) + 2 * e)
+            vert_ok = (hp >> bb) & 1;
+        if (diag_ok) { tbp[i - 1] = yb[j - 1]; --i; --j; }
+        else if (horiz_ok) {
+            if (icp[i - 1] < 255) ++icp[i - 1];
+            ibp[i - 1] = yb[j - 1];
+            --j;
+        } else if (vert_ok) { tbp[i - 1] = 4; --i; }
+        else { return -2; }
+    }
+    *ys_out = j;
+    return best_err;
+}
+#endif  // __AVX2__
+
+// One planned window job inside ht_ec_batch (lane groups cross a
+// read's overlaps; all queued jobs share tl == wl).
+struct EcWinJob {
+    const uint8_t* xb;
+    const uint8_t* t;
+    int64_t tl_full, t_ws, acc, dst, gw, o;
+    int rev;
+};
+
 extern "C" int64_t ht_ec_batch(
     int64_t R,
     const int64_t* q_off, const uint8_t* qcat,
@@ -727,33 +880,157 @@ extern "C" int64_t ht_ec_batch(
     {
     WinScratch S;
     S.init(wl, e, 1);
+#if defined(__AVX2__)
+    WinScratch4 S4;
+    S4.init(wl, e);
+#endif
     std::vector<uint8_t> usable;
-    std::vector<int64_t> werr, wys, wyn, wtws;
+    std::vector<int64_t> werr, wys, wyn, wtws, ov_w0;
+    EcWinJob Q[4];
+    int nq = 0;
+
+    // resolve one job's result bookkeeping (shared by both engines)
+    auto settle = [&](const EcWinJob& jb, int64_t err, int64_t ys,
+                      int64_t yn) {
+        if (err < 0)
+            std::memset(tb_arena + jb.dst, 5, (size_t)wl);
+        if (err == -2) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+            stuck = jb.o + 1;
+            werr[jb.gw] = -2;
+            return;
+        }
+        werr[jb.gw] = err;
+        wys[jb.gw] = ys;
+        wyn[jb.gw] = yn;
+    };
+
+    auto flush = [&]() {
+        if (nq == 0) return;
+#if defined(__AVX2__)
+        // per-lane prep: clamp + exact fast path (same decisions as
+        // win_align_one); survivors run the 4-lane DP
+        const uint8_t* xbs[4];
+        const uint8_t* ybs[4];
+        int64_t pls[4];
+        int real_j[4];
+        int k = 0;
+        for (int b = 0; b < nq; ++b) {
+            const EcWinJob& jb = Q[b];
+            const int64_t y0 = jb.t_ws - e;
+            int64_t pl = wl + 2 * e;
+            if (jb.tl_full - y0 < pl) pl = jb.tl_full - y0;
+            if (pl < 0) pl = 0;
+            // queued jobs are never is_last, so tl stays wl (> 0)
+            if (pl - wl >= e && jb.t_ws >= 0) {
+                bool eq = true;
+                if (!jb.rev) {
+                    const uint8_t* yc = jb.t + jb.t_ws;
+                    for (int64_t i2 = 0; i2 < wl; ++i2)
+                        if (jb.xb[i2] >= 4 || jb.xb[i2] != yc[i2]) {
+                            eq = false;
+                            break;
+                        }
+                } else {
+                    for (int64_t i2 = 0; i2 < wl; ++i2)
+                        if (jb.xb[i2] >= 4 ||
+                            jb.xb[i2] !=
+                                tgt_at(jb.t, jb.tl_full, 1,
+                                       jb.t_ws + i2)) {
+                            eq = false;
+                            break;
+                        }
+                }
+                if (eq) {
+                    std::memcpy(tb_arena + jb.dst, jb.xb, (size_t)wl);
+                    settle(jb, 0, e, wl + e);
+                    continue;
+                }
+            }
+            uint8_t* yb = S4.ybuf.data() + k * S4.ystride;
+            std::memset(yb + pl, 4, (size_t)(S4.ystride - pl));
+            for (int64_t j = 0; j < pl; ++j) {
+                const int64_t p = y0 + j;
+                yb[j] = (p >= 0 && p < jb.tl_full)
+                            ? tgt_at(jb.t, jb.tl_full, jb.rev, p)
+                            : (uint8_t)4;
+            }
+            xbs[k] = jb.xb;
+            ybs[k] = yb;
+            pls[k] = pl;
+            real_j[k] = b;
+            ++k;
+        }
+        if (k > 0) {
+            for (int l = k; l < 4; ++l) {   // pad with lane-0 copies
+                xbs[l] = xbs[0];
+                ybs[l] = ybs[0];
+                pls[l] = pls[0];
+            }
+            uint64_t VPf[4], VNf[4];
+            int64_t errf[4];
+            win_dp_avx4(xbs, wl, ybs, pls, e, S4, VPf, VNf, errf);
+            for (int l = 0; l < k; ++l) {
+                const EcWinJob& jb = Q[real_j[l]];
+                int64_t ys = -1, yn = 0;
+                const int64_t err = win_finish_lane(
+                    xbs[l], wl, ybs[l], pls[l], e, jb.acc, S4, l,
+                    VPf[l], VNf[l], errf[l],
+                    tb_arena + jb.dst, ic_arena + jb.dst,
+                    ib_arena + jb.dst, &ys, &yn);
+                settle(jb, err, ys, yn);
+            }
+        }
+#else
+        for (int b = 0; b < nq; ++b) {
+            const EcWinJob& jb = Q[b];
+            int64_t ys = -1, yn = 0, tl_eff = 0;
+            const int64_t err = win_align_one(
+                jb.xb, wl, jb.t, jb.tl_full, jb.rev, jb.t_ws, 0, e,
+                jb.acc, 1, tb_arena + jb.dst, ic_arena + jb.dst,
+                ib_arena + jb.dst, S, &ys, &yn, &tl_eff);
+            settle(jb, err, ys, yn);
+        }
+#endif
+        nq = 0;
+    };
+
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 2)
 #endif
     for (int64_t r = 0; r < R; ++r) {
         const int64_t o0 = r_ov_off[r], o1 = r_ov_off[r + 1];
         const uint8_t* q = qcat + q_off[r];
-        usable.assign(o1 - o0, 0);
+        const int64_t n_ov_r = o1 - o0;
+        usable.assign(n_ov_r, 0);
+        // flat per-read window bookkeeping so SIMD lane groups can
+        // cross overlap boundaries
+        ov_w0.assign(n_ov_r + 1, 0);
+        for (int64_t o = o0; o < o1; ++o) {
+            const int64_t span = x_e[o] - x_s[o] + 1;
+            ov_w0[o - o0 + 1] = ov_w0[o - o0] + (span + wl - 1) / wl;
+        }
+        const int64_t nw_r = ov_w0[n_ov_r];
+        werr.assign(nw_r, -1);
+        wys.assign(nw_r, -1);
+        wyn.assign(nw_r, 0);
+        wtws.assign(nw_r, 0);
         for (int64_t o = o0; o < o1; ++o) {
             const int64_t tid = y_id[o];
             const int rev = rev_arr[o];
             const uint8_t* t = bank + bank_off[tid];
             const int64_t tl_full = bank_off[tid + 1] - bank_off[tid];
             const int64_t xs = x_s[o], xe = x_e[o];
-            const int64_t span = xe - xs + 1;
-            const int64_t nw = (span + wl - 1) / wl;
+            const int64_t nw = ov_w0[o - o0 + 1] - ov_w0[o - o0];
             win_tot[o] = (int32_t)nw;
             win_ok[o] = 0;
             err_sum[o] = 0;
             const int64_t hs0 = hit_off[o], hn = n_hits[o];
             int64_t hi = 0;
-            werr.assign(nw, -1);
-            wys.assign(nw, -1);
-            wyn.assign(nw, 0);
-            wtws.assign(nw, 0);
             for (int64_t wi = 0; wi < nw; ++wi) {
+                const int64_t gw = ov_w0[o - o0] + wi;
                 const int64_t ws = xs + wi * wl;
                 const int64_t wlen = (wl < xe - ws + 1) ? wl : xe - ws + 1;
                 const int is_last = (ws + wlen > xe) ? 1 : 0;
@@ -768,12 +1045,26 @@ extern "C" int64_t ht_ec_batch(
                 if (thre > thre_cap) thre = thre_cap;
                 int64_t acc = thre * 2 < thre_cap ? thre * 2 : thre_cap;
                 const int64_t dst = arena_off[o] + (ws - xs);
-                int64_t ys = -1, yn = 0, tl_eff = 0;
                 // arenas arrive UNinitialised: zero the insert tracks up
                 // front (the traceback only writes insertion columns);
-                // tb gets its 5-fill below for rejected/clamped spans
+                // tb gets its 5-fill on reject/clamp
                 std::memset(ic_arena + dst, 0, (size_t)wlen);
                 std::memset(ib_arena + dst, 0, (size_t)wlen);
+                wtws[gw] = t_ws;
+                if (wlen == wl && !is_last) {
+                    Q[nq].xb = q + ws;
+                    Q[nq].t = t;
+                    Q[nq].tl_full = tl_full;
+                    Q[nq].t_ws = t_ws;
+                    Q[nq].acc = acc;
+                    Q[nq].dst = dst;
+                    Q[nq].gw = gw;
+                    Q[nq].o = o;
+                    Q[nq].rev = rev;
+                    if (++nq == 4) flush();
+                    continue;
+                }
+                int64_t ys = -1, yn = 0, tl_eff = 0;
                 const int64_t err = win_align_one(
                     q + ws, wlen, t, tl_full, rev, t_ws, is_last, e, acc,
                     1, tb_arena + dst, ic_arena + dst, ib_arena + dst,
@@ -788,14 +1079,25 @@ extern "C" int64_t ht_ec_batch(
 #pragma omp atomic write
 #endif
                     stuck = o + 1;
-                    werr[wi] = -2;
+                    werr[gw] = -2;
                     continue;
                 }
-                werr[wi] = err;
-                wys[wi] = ys;
-                wyn[wi] = yn;
-                wtws[wi] = t_ws;
+                werr[gw] = err;
+                wys[gw] = ys;
+                wyn[gw] = yn;
             }
+        }
+        flush();                      // drain the partial lane group
+        // pass-1 snapshot: retry eligibility reads ONLY pass-1 results
+        const std::vector<int64_t> werr0(werr);
+        for (int64_t o = o0; o < o1; ++o) {
+            const int64_t tid = y_id[o];
+            const int rev = rev_arr[o];
+            const uint8_t* t = bank + bank_off[tid];
+            const int64_t tl_full = bank_off[tid + 1] - bank_off[tid];
+            const int64_t xs = x_s[o], xe = x_e[o];
+            const int64_t w0g = ov_w0[o - o0];
+            const int64_t nw = ov_w0[o - o0 + 1] - w0g;
             // window-boundary retry (~recalcate_window_advance,
             // Correct.cpp:10935): a rejected window realigns at the
             // offset CHAINED from a pass-1-accepted neighbor — the
@@ -804,19 +1106,19 @@ extern "C" int64_t ht_ec_batch(
             // (backward) — instead of the minimizer-hit projection that
             // missed.  The plan reads ONLY pass-1 results (one batched
             // retry round; keeps host/device engines bit-identical).
-            const std::vector<int64_t> werr0(werr);
             for (int64_t wi = 0; wi < nw; ++wi) {
-                if (werr0[wi] != -1) continue;
+                const int64_t gw = w0g + wi;
+                if (werr0[gw] != -1) continue;
                 const int64_t ws = xs + wi * wl;
                 const int64_t wlen = (wl < xe - ws + 1) ? wl : xe - ws + 1;
                 int64_t t2 = -(int64_t)1 << 62;
-                if (wi > 0 && werr0[wi - 1] >= 0) {
-                    t2 = (wtws[wi - 1] - e) + wyn[wi - 1];
-                } else if (wi + 1 < nw && werr0[wi + 1] >= 0 &&
-                           wys[wi + 1] >= 0) {
-                    t2 = (wtws[wi + 1] - e) + wys[wi + 1] - wlen;
+                if (wi > 0 && werr0[gw - 1] >= 0) {
+                    t2 = (wtws[gw - 1] - e) + wyn[gw - 1];
+                } else if (wi + 1 < nw && werr0[gw + 1] >= 0 &&
+                           wys[gw + 1] >= 0) {
+                    t2 = (wtws[gw + 1] - e) + wys[gw + 1] - wlen;
                 }
-                if (t2 == (-(int64_t)1 << 62) || t2 == wtws[wi]) continue;
+                if (t2 == (-(int64_t)1 << 62) || t2 == wtws[gw]) continue;
                 const int is_last = (ws + wlen > xe) ? 1 : 0;
                 int64_t thre = (int64_t)std::ceil((double)wlen * e_rate);
                 if (thre < 2) thre = 2;
@@ -837,20 +1139,21 @@ extern "C" int64_t ht_ec_batch(
                 if (tl_eff < wlen)
                     std::memset(tb_arena + dst + tl_eff, 5,
                                 (size_t)(wlen - tl_eff));
-                werr[wi] = err;
-                wys[wi] = ys;
-                wyn[wi] = yn;
-                wtws[wi] = t2;
+                werr[gw] = err;
+                wys[gw] = ys;
+                wyn[gw] = yn;
+                wtws[gw] = t2;
             }
             int64_t first_ts = -1, last_te = -1;
             for (int64_t wi = 0; wi < nw; ++wi) {
-                if (werr[wi] < 0) continue;
+                const int64_t gw = w0g + wi;
+                if (werr[gw] < 0) continue;
                 win_ok[o]++;
-                err_sum[o] += werr[wi];
-                const int64_t y0 = wtws[wi] - e;
+                err_sum[o] += werr[gw];
+                const int64_t y0 = wtws[gw] - e;
                 if (first_ts < 0)
-                    first_ts = y0 + wys[wi] > 0 ? y0 + wys[wi] : 0;
-                last_te = y0 + wyn[wi] - 1;
+                    first_ts = y0 + wys[gw] > 0 ? y0 + wys[gw] : 0;
+                last_te = y0 + wyn[gw] - 1;
             }
             // precise target range from first/last accepted window;
             // chain-projected estimate when nothing aligned (the unfused
