@@ -417,11 +417,16 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
     if not primary_mode and cfg.polyploidy > 2:
         # polyploid: k-hap labeling (~output_poly_trio, Overlaps.cpp:14682)
         from hifiasm_tpu.graph.hap_output import phase_unitigs_k
+        from hifiasm_tpu.graph.gfa import _useq
         groups = phase_unitigs_k(res.ug, res.ec.reverse_paf,
                                  res.store.n_reads, cfg.polyploidy,
                                  n_perturb=cfg.n_perturb,
                                  f_perturb=cfg.f_perturb, seed=cfg.seed,
-                                 hic_links=hic_links)
+                                 hic_links=hic_links,
+                                 utg_seqs=[
+                                     _useq(u, res.store, res.cov,
+                                           seq_cache)
+                                     for u in res.ug.utgs])
         for h, ids in enumerate(groups):
             _gfa(f"{prefix}.{mode}.hap{h + 1}.p_ctg.gfa",
                  _sub_ug(res.ug, ids), f"h{h + 1}tg",

@@ -132,20 +132,40 @@ def phase_unitigs_k(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
                     k_hap: int, n_perturb: int = 1000,
                     f_perturb: float = 0.1, seed: int = 11,
                     min_link: int = 2,
-                    hic_links: Optional[dict] = None) -> List[List[int]]:
+                    hic_links: Optional[dict] = None,
+                    utg_seqs=None) -> List[List[int]]:
     """Polyploid phasing: k-label max-cut over the trans-link graph
     (~output_poly_trio + mc_solve_general, Overlaps.cpp:14682 /
     rcut.cpp:4586). Unlinked (hom) unitigs appear in every haplotype.
 
     With ``hic_links``, Hi-C contact weights fold into the edge weights
     (the polyploid Hi-C mode, ~hic_short_align_mmhap hic.cpp:17657:
-    PE contacts drive the k-label partition)."""
+    PE contacts drive the k-label partition).  With ``utg_seqs``,
+    read-level trans links are SUPPLEMENTED by unitig minimizer-
+    similarity overlaps gated by the graph-proximity filter — the
+    ``pt_pdist``/``get_utg_ovlp`` channel the reference's polyploid
+    labeling runs on (Overlaps.cpp:32566, tovlp.cpp:1922)."""
     from hifiasm_tpu.phasing.mc_solve import mc_solve_k
 
     n = len(ug.utgs)
     if n == 0:
         return [[] for _ in range(k_hap)]
     links = unitig_trans_links(ug, rev_paf, n_reads)
+    if utg_seqs is not None and 1 < n <= 256:   # O(n^2) sim pre-filter
+        from hifiasm_tpu.graph.tovlp import (
+            drop_graph_close_pairs, unitig_similarity,
+        )
+        cand = {}
+        for a in range(n):
+            for b in range(a + 1, n):
+                sim = unitig_similarity(utg_seqs[a], utg_seqs[b])
+                if sim >= 0.35:          # ~purge_simi_thres ballpark
+                    cand[(a, b)] = sim
+        for (a, b), sim in sorted(
+                drop_graph_close_pairs(ug, cand).items()):
+            w = int(round(sim * 10))     # similarity-scaled trans weight
+            links.setdefault(a, {})
+            links[a][b] = links[a].get(b, 0) + w
     if hic_links:
         # trans overlaps push apart (w > 0), Hi-C cis contacts pull
         # together (w < 0) — the same signed weighting as the diploid

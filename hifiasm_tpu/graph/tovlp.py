@@ -131,14 +131,26 @@ def hap_align_pair(a: np.ndarray, b: np.ndarray,
 
 def confirm_purge_pairs(utg_seqs: List[np.ndarray], pairs,
                         simi_rate: float, k: int = TOVLP_K,
-                        min_identity: float = 0.85):
+                        min_identity: float = 0.85, ug=None):
     """Filter (purged, kept, frac) purge pairs by coordinate-level
     re-alignment (~hap_alignment_advance_worker, Purge_Dups.cpp:5610):
     the purged unitig must chain onto its partner over >= simi_rate of
     its length at haplotype-level identity. The k-mer similarity acts as
-    a cheap pre-filter before the alignment."""
+    a cheap pre-filter before the alignment.  With ``ug`` given, pairs
+    that are graph-reachable within the query's length fail confirmation
+    up front (~clean_mz_ovlp's pdist gate) — assembly-adjacent unitigs
+    are one haplotype's continuation, not homologs."""
+    live = pairs
+    if ug is not None and pairs:
+        keep = drop_graph_close_pairs(
+            ug, {(a, b): frac for a, b, frac in pairs})
+        live = [(a, b, frac) for a, b, frac in pairs if (a, b) in keep]
+        if len(live) < len(pairs):
+            log("confirm_purge_pairs",
+                f"{len(pairs) - len(live)} pairs rejected as "
+                f"graph-adjacent")
     out = []
-    for a, b, frac in pairs:
+    for a, b, frac in live:
         sim = unitig_similarity(utg_seqs[a], utg_seqs[b], k)
         if sim < simi_rate * 0.25:     # clearly unrelated: skip alignment
             continue
@@ -147,4 +159,47 @@ def confirm_purge_pairs(utg_seqs: List[np.ndarray], pairs,
             out.append((a, b, afrac, ident, span))
     log("confirm_purge_pairs",
         f"{len(out)}/{len(pairs)} purge pairs alignment-confirmed")
+    return out
+
+
+def drop_graph_close_pairs(ug, cand: dict) -> dict:
+    """Drop trans-overlap candidates whose partner is graph-REACHABLE
+    from the query unitig within the query's own length
+    (~clean_mz_ovlp + set_utg_by_dis, tovlp.cpp:1793 / hic.cpp:3694):
+    a pair connected by assembly arcs is one haplotype's continuation
+    (an adjacent repeat), not a homolog pair.  The walk is directed on
+    oriented unitig ends, so parallel bubble branches (true homologs)
+    stay unreachable and are kept."""
+    from hifiasm_tpu.ul import _reach_starts, _utg_adj
+
+    if not cand:
+        return cand
+    adj = _utg_adj(ug)
+    lens = np.array([u.len for u in ug.utgs], np.int64)
+    reach_cache: dict = {}
+
+    def reached(a: int) -> set:
+        got = reach_cache.get(a)
+        if got is not None:
+            return got
+        cap = int(lens[a])
+        got = set()
+        for end in (a << 1, a << 1 | 1):
+            for v, (ds, _) in _reach_starts(adj, lens, end, cap).items():
+                got.add(v >> 1)
+        got.discard(a)
+        reach_cache[a] = got
+        return got
+
+    out = {}
+    n_drop = 0
+    for key in sorted(cand):
+        a, b = key
+        if b in reached(a) or a in reached(b):
+            n_drop += 1
+            continue
+        out[key] = cand[key]
+    if n_drop:
+        log("drop_graph_close_pairs",
+            f"dropped {n_drop} graph-adjacent trans pairs")
     return out

@@ -276,9 +276,23 @@ def hic_phase_loop(n: int, trans_links: dict, hic_links: dict,
             ew.append(t - hic_scale * h * scale.get((a, b), 1.0))
         if not ex:
             return np.zeros(n, np.int8)
-        s = mc_solve(n, np.array(ex, np.int64), np.array(ey, np.int64),
-                     np.array(ew, np.float64), n_perturb=n_perturb,
-                     f_perturb=f_perturb, seed=seed, init_s=s)
+        if s is None and n > 64:
+            # big tangles: round 0 solves block-coarsened first (~the
+            # mb_* path of mc_solve, rcut.cpp:641) — blocks are the
+            # connected components of the trans-overlap set
+            from hifiasm_tpu.phasing.mc_solve import mc_solve_blocks
+            tb = [(a, b) for (a, b), t in sorted(pairs.items()) if t > 0]
+            s = mc_solve_blocks(
+                n, np.array(ex, np.int64), np.array(ey, np.int64),
+                np.array(ew, np.float64),
+                np.array([a for a, _ in tb], np.int64),
+                np.array([b for _, b in tb], np.int64),
+                n_perturb=n_perturb, f_perturb=f_perturb, seed=seed)
+        else:
+            s = mc_solve(n, np.array(ex, np.int64),
+                         np.array(ey, np.int64),
+                         np.array(ew, np.float64), n_perturb=n_perturb,
+                         f_perturb=f_perturb, seed=seed, init_s=s)
     return s
 
 

@@ -181,6 +181,69 @@ def mc_solve_k(n: int, ex: np.ndarray, ey: np.ndarray, ew: np.ndarray,
     return best_lab
 
 
+def mc_solve_blocks(n: int, ex: np.ndarray, ey: np.ndarray,
+                    ew: np.ndarray, bx: np.ndarray, by: np.ndarray,
+                    n_perturb: int = 10000, f_perturb: float = 0.1,
+                    seed: int = 11) -> np.ndarray:
+    """Block-coarsened max-cut (~the ``mb_*`` machinery, rcut.cpp:611-
+    1841 ``init_mb_g_t``/``mb_optimize_local``/``mb_perturb``).
+
+    ``(bx, by)`` are block-DEFINING edges (the reference groups nodes by
+    connectivity of the raw ``kv_u_trans`` set, ``mb_nodes_core``
+    rcut.cpp:362): connected nodes flip as one block.  The weighted
+    graph ``(ex, ey, ew)`` is collapsed onto blocks (inter-block weights
+    summed), solved at block level, and the block spins warm-start a
+    node-level refinement — the coarse flips escape local optima that
+    defeat single-node sweeps on large tangles.
+    """
+    blk = np.arange(n, dtype=np.int64)
+
+    def find(a):
+        while blk[a] != a:
+            blk[a] = blk[blk[a]]
+            a = blk[a]
+        return a
+
+    for a, b in zip(np.asarray(bx, np.int64), np.asarray(by, np.int64)):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            blk[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(n)], np.int64)
+    uniq, blk_of = np.unique(roots, return_inverse=True)
+    nb = len(uniq)
+    # collapse weights onto block pairs (intra-block edges drop out of
+    # the coarse solve; they return in the node-level refinement)
+    ex = np.asarray(ex, np.int64)
+    ey = np.asarray(ey, np.int64)
+    ew = np.asarray(ew, np.float64)
+    bxe, bye = blk_of[ex], blk_of[ey]
+    inter = bxe != bye
+    if inter.any():
+        lo = np.minimum(bxe[inter], bye[inter])
+        hi = np.maximum(bxe[inter], bye[inter])
+        key = lo * nb + hi
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        w_s = ew[inter][order]
+        new = np.empty(len(key_s), bool)
+        if len(key_s):
+            new[0] = True
+            np.not_equal(key_s[1:], key_s[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        wsum = np.add.reduceat(w_s, starts) if len(starts) else \
+            np.zeros(0)
+        kk = key_s[starts] if len(starts) else np.zeros(0, np.int64)
+        s_blk = mc_solve(nb, kk // nb, kk % nb, wsum,
+                         n_perturb=n_perturb, f_perturb=f_perturb,
+                         seed=seed)
+    else:
+        s_blk = np.ones(nb, np.int8)
+    init = s_blk[blk_of].astype(np.int8)
+    # node-level refinement from the block warm start
+    return mc_solve(n, ex, ey, ew, n_perturb=n_perturb,
+                    f_perturb=f_perturb, seed=seed, init_s=init)
+
+
 def mc_solve(n: int, ex: np.ndarray, ey: np.ndarray, ew: np.ndarray,
              n_perturb: int = 10000, f_perturb: float = 0.1,
              seed: int = 11, max_sweeps: int = 1000,

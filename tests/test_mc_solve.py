@@ -69,3 +69,40 @@ def test_polyploid_k3(rng):
                 assert lab[a] == lab[b]
             else:
                 assert lab[a] != lab[b]
+
+
+def test_block_solve_flips_chains_together(rng):
+    """Two homolog chains (A=0..9, B=10..19) with strong intra-chain
+    cohesion (negative weights) and planted cross-chain repulsion; block
+    edges tie each chain so the coarse solve flips chains as units
+    (~mb_optimize_local, rcut.cpp:1728)."""
+    from hifiasm_tpu.phasing.mc_solve import mc_solve_blocks
+
+    n = 20
+    ex, ey, ew, bx, by = [], [], [], [], []
+    for c0 in (0, 10):                  # intra-chain cohesion + blocks
+        for i in range(c0, c0 + 9):
+            ex.append(i); ey.append(i + 1); ew.append(-2.0)
+            bx.append(i); by.append(i + 1)
+    for i in range(10):                 # planted cross-chain repulsion
+        ex.append(i); ey.append(10 + i); ew.append(3.0)
+    s = mc_solve_blocks(n, np.array(ex), np.array(ey), np.array(ew),
+                        np.array(bx), np.array(by), n_perturb=20)
+    assert (s[:10] == s[0]).all()
+    assert (s[10:] == -s[0]).all()
+
+
+def test_block_solve_matches_node_solve_without_blocks(rng):
+    from hifiasm_tpu.phasing.mc_solve import mc_solve, mc_solve_blocks
+
+    n = 8
+    ex = np.array([0, 1, 2, 3, 4, 5, 6])
+    ey = np.array([1, 2, 3, 4, 5, 6, 7])
+    ew = np.array([1.0, -1.0, 2.0, 1.5, -0.5, 1.0, 2.0])
+    s_plain = mc_solve(n, ex, ey, ew, n_perturb=50, seed=11)
+    s_blk = mc_solve_blocks(n, ex, ey, ew, np.zeros(0, np.int64),
+                            np.zeros(0, np.int64), n_perturb=50, seed=11)
+    # singleton blocks: same cut quality as the plain solver
+    def score(s):
+        return float(-(ew * s[ex] * s[ey]).sum())
+    assert abs(score(s_blk) - score(s_plain)) < 1e-9

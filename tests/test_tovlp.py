@@ -54,3 +54,34 @@ def test_confirm_purge_pairs_filters(rng):
     kept = {(a, b) for a, b, _, _, _ in out}
     assert (0, 1) in kept
     assert (2, 1) not in kept
+
+
+def test_drop_graph_close_pairs():
+    """Arc-connected (adjacent) unitig pairs are dropped; parallel
+    bubble branches (true homologs) survive (~clean_mz_ovlp)."""
+    import numpy as np
+
+    from hifiasm_tpu.graph.tovlp import drop_graph_close_pairs
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph
+
+    def mk(n):
+        return Unitig(np.array([0], np.uint32),
+                      np.array([n], np.int64), n, False, 0, 1)
+
+    # bubble: S(0) -> A(1), S -> B(2), A -> T(3), B -> T
+    ug = UnitigGraph(utgs=[mk(5000) for _ in range(4)])
+    src = [0 << 1, 0 << 1, 1 << 1, 2 << 1]
+    dst = [1 << 1, 2 << 1, 3 << 1, 3 << 1]
+    # + mirrors
+    a_s = src + [d ^ 1 for d in dst]
+    a_d = dst + [s ^ 1 for s in src]
+    ug.a_src = np.array(a_s, np.uint32)
+    ug.a_dst = np.array(a_d, np.uint32)
+    ug.a_ol = np.full(len(a_s), 100, np.int64)
+
+    cand = {(0, 1): (5, 0.9),    # S vs A: graph-adjacent -> drop
+            (1, 2): (7, 0.9),    # A vs B: parallel branches -> keep
+            (0, 3): (4, 0.8)}    # S vs T: reachable through A -> drop
+    out = drop_graph_close_pairs(ug, cand)
+    assert (1, 2) in out
+    assert (0, 1) not in out and (0, 3) not in out
