@@ -204,14 +204,19 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         # UL alignment cache (~write_all_ul_t/load_all_ul_t,
         # inter.cpp:20120/:21705): keyed on unitig + UL input shape
         from hifiasm_tpu.io.binfiles import load_ul_paths, save_ul_paths
-        ul_fp = (f"ul:{len(useqs)}:{sum(len(s) for s in useqs)}:"
+        ul_fp = (f"ul:hpc1:{len(useqs)}:{sum(len(s) for s in useqs)}:"
                  f"{len(ul_codes)}:{sum(len(c) for c in ul_codes)}")
         paths = None if cfg.ignore_bin else \
             load_ul_paths(cfg.output_prefix, ul_fp)
         if paths is None:
-            paths = ul_align(useqs, ul_codes, ug=ug)
+            # HPC mapping (~the all_ul_t HPC UL pipeline): homopolymer-
+            # length ONT noise vanishes in compressed space
+            paths = ul_align(useqs, ul_codes, ug=ug, hpc=True)
             save_ul_paths(cfg.output_prefix, paths, ul_fp)
         integer_correction(paths)
+        # base-precision junction boundaries (~ul_refine_alignment)
+        from hifiasm_tpu.ul import ul_refine_blocks
+        ul_refine_blocks(paths, ul_codes, useqs)
         ul_renew_graph(ug, paths)
         # join bridged pairs, inserting UL gap sequence as pseudo-reads
         from hifiasm_tpu.ul import ul_fill_bridged

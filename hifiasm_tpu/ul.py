@@ -82,6 +82,48 @@ class ULPath:
     blocks: List[Tuple[int, int, int, int]]  # (uid, rev, q_start, q_end)
 
 
+@dataclass
+class ULStore:
+    """HPC-compressed UL read store (~``all_ul_t``, Process_Read.h:169 /
+    inter.cpp's HPC UL pipeline): ONT error is dominated by homopolymer
+    length noise, so mapping runs in compressed space and coordinates
+    convert back to raw via the per-run ``raw_end`` maps."""
+
+    hpc: List[np.ndarray]        # compressed codes per read
+    raw_end: List[np.ndarray]    # raw index of each run's LAST base
+    run_len: List[np.ndarray]
+    raw_len: List[int]
+
+    @classmethod
+    def build(cls, raw_reads: List[np.ndarray]) -> "ULStore":
+        from hifiasm_tpu.io.readstore import hpc_compress
+
+        hpc, ends, runs, lens = [], [], [], []
+        for r in raw_reads:
+            c, e, rl = hpc_compress(r)
+            hpc.append(c)
+            ends.append(e)
+            runs.append(rl)
+            lens.append(len(r))
+        return cls(hpc, ends, runs, lens)
+
+    def raw_start(self, i: int, p: int) -> int:
+        """Raw coordinate of compressed position p's run START."""
+        e, rl = self.raw_end[i], self.run_len[i]
+        if len(e) == 0:
+            return 0
+        p = min(max(p, 0), len(e) - 1)
+        return int(e[p] - rl[p] + 1)
+
+    def raw_stop(self, i: int, p: int) -> int:
+        """Raw coordinate one past compressed position p's run end."""
+        e = self.raw_end[i]
+        if len(e) == 0:
+            return 0
+        p = min(max(p, 0), len(e) - 1)
+        return int(e[p] + 1)
+
+
 def _utg_adj(ug: UnitigGraph) -> Dict[int, List[Tuple[int, int]]]:
     """vertex -> sorted [(dst_vertex, overlap)] (deterministic order)."""
     adj: Dict[int, List[Tuple[int, int]]] = {}
@@ -311,9 +353,78 @@ def graph_chain_paths(ov, ug: UnitigGraph, utg_seqs, utg_lens, ul,
     return blocks
 
 
+def ul_refine_blocks(paths: List[ULPath], ul_reads: List[np.ndarray],
+                     utg_seqs: List[np.ndarray], pad: int = 150,
+                     bw: int = 32) -> int:
+    """Base-precision refinement of UL block boundaries at junctions
+    (~``ul_refine_alignment``, inter.cpp): an affine-gap extension
+    (ops/affine, the ksw2 analog) re-derives the exact read coordinate
+    where the previous unitig's tail ends / the next unitig's head
+    begins, so gap extraction and fills cut precisely.  Mutates blocks
+    in place; returns #boundaries moved."""
+    from hifiasm_tpu.io.readstore import revcomp_codes
+    from hifiasm_tpu.ops.affine import affine_extend
+
+    def _locate(read, lo, hi, pat, min_frac=0.6):
+        """Best start of ``pat`` in read[lo:hi] by sliding match count;
+        (-1, 0.0) when nothing clears min_frac."""
+        lo = max(lo, 0)
+        hi = min(hi, len(read))
+        if hi - lo < len(pat) or len(pat) == 0:
+            return -1, 0.0
+        win = np.lib.stride_tricks.sliding_window_view(
+            read[lo:hi], len(pat))
+        score = (win == pat).sum(1)
+        s = int(np.argmax(score))
+        frac = float(score[s]) / len(pat)
+        return (lo + s, frac) if frac >= min_frac else (-1, 0.0)
+
+    n_ref = 0
+    for p, ul in zip(paths, ul_reads):
+        for bi in range(len(p.blocks) - 1):
+            ua, ra, qs_a, qe_a = p.blocks[bi]
+            ub, rb, qs_b, qe_b = p.blocks[bi + 1]
+            if qs_b <= qe_a:          # overlapping blocks: no junction
+                continue
+            ta = utg_seqs[ua]
+            ta = revcomp_codes(ta) if ra else ta
+            pd = min(pad, max(qe_a - qs_a, 0), len(ta))
+            if pd >= 32:
+                tail = ta[len(ta) - pd:]
+                # coarse: correlation-locate the tail near the claimed
+                # end; fine: affine extension polishes indel drift
+                s, frac = _locate(ul, qe_a - 2 * pad,
+                                  min(qe_a + 2 * pad, qs_b) + pd, tail)
+                if s >= 0:
+                    q_end, t_end, sc = affine_extend(
+                        ul[s: s + pd + bw], tail, bw=bw)
+                    new_qe = s + q_end + (pd - t_end) \
+                        if sc > 0 and t_end >= pd - 8 else s + pd
+                    if qs_a < new_qe <= qs_b:
+                        if new_qe != qe_a:
+                            n_ref += 1
+                        p.blocks[bi] = (ua, ra, qs_a, new_qe)
+                        qe_a = new_qe
+            tb = utg_seqs[ub]
+            tb = revcomp_codes(tb) if rb else tb
+            pd = min(pad, max(qe_b - qs_b, 0), len(tb))
+            if pd >= 32:
+                head = tb[:pd]
+                s, frac = _locate(ul, max(qs_b - 2 * pad, qe_a) - pd,
+                                  qs_b + 2 * pad, head)
+                if s >= 0 and qe_a <= s < qe_b:
+                    if s != qs_b:
+                        n_ref += 1
+                    p.blocks[bi + 1] = (ub, rb, s, qe_b)
+    if n_ref:
+        log("ul_refine_blocks", f"refined {n_ref} block boundaries")
+    return n_ref
+
+
 def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
              k: int = UL_K, w: int = UL_W, min_chain_score: int = 8,
-             hom_cov: int = 20, ug: UnitigGraph = None) -> List[ULPath]:
+             hom_cov: int = 20, ug: UnitigGraph = None,
+             hpc: bool = False) -> List[ULPath]:
     """Map each UL read to a path of oriented unitigs.
 
     Linear chains per unitig come from the shared anchor/chain machinery.
@@ -321,7 +432,44 @@ def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
     (graph_chain_paths ~ gl_chain_refine_advance, inter.cpp:4334): the
     best path may cross unitig junctions, verified at base level, and
     picks one allele through bubbles.  Without a graph the path is the
-    q-sorted sequence of non-overlapping best chains."""
+    q-sorted sequence of non-overlapping best chains.
+
+    ``hpc=True`` maps in homopolymer-compressed space (~the ``all_ul_t``
+    HPC UL store, Process_Read.h:169): ONT homopolymer-length noise
+    vanishes under compression; block coordinates convert back to raw
+    via the run maps."""
+    if hpc:
+        us = ULStore.build(ul_reads)
+        ts = ULStore.build(utg_seqs)
+        ug_c = ug
+        if ug is not None and len(ug.a_src):
+            # arc overlaps re-expressed in compressed coordinates (the
+            # graph DP's distances/splices run in HPC space)
+            ol_c = []
+            for d, ol in zip(ug.a_dst, ug.a_ol):
+                uid, rdir = int(d) >> 1, int(d) & 1
+                ol = int(ol)
+                re_, rl = ts.raw_end[uid], ts.run_len[uid]
+                if ol <= 0 or len(re_) == 0:
+                    ol_c.append(max(ol, 0))
+                elif rdir == 0:
+                    ol_c.append(int(np.searchsorted(re_, ol)))
+                else:
+                    starts = re_ - rl + 1
+                    ol_c.append(len(re_) - int(np.searchsorted(
+                        starts, ts.raw_len[uid] - ol)))
+            ug_c = UnitigGraph(utgs=ug.utgs, a_src=ug.a_src,
+                               a_dst=ug.a_dst,
+                               a_ol=np.array(ol_c, np.int64))
+        paths = ul_align(ts.hpc, us.hpc, k, w, min_chain_score,
+                         hom_cov, ug_c, hpc=False)
+        for i, p in enumerate(paths):
+            p.blocks = [
+                (u, r, us.raw_start(i, qs),
+                 us.raw_stop(i, qe - 1) if qe > qs
+                 else us.raw_start(i, qs))
+                for (u, r, qs, qe) in p.blocks]
+        return paths
     pt, _, _, mzs = build_position_table(
         utg_seqs, k, w, ft=None, keep_min=1)
     utg_lens = np.array([len(s) for s in utg_seqs], np.int64)

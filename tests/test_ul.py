@@ -73,3 +73,40 @@ def test_ul_renew_graph_drops_contradicted_arc():
     pairs = {(int(s), int(d)) for s, d in zip(ug.a_src, ug.a_dst)}
     assert (0 << 1 | 0, 1 << 1 | 0) in pairs       # bridged
     assert (0 << 1 | 0, 3 << 1 | 0) not in pairs   # contradicted, dropped
+
+
+def test_ul_hpc_mapping_tolerates_homopolymer_noise(rng):
+    """ONT-style homopolymer length noise: raw-space windows blow their
+    error budget, HPC-space mapping shrugs (~the all_ul_t HPC store)."""
+    from hifiasm_tpu.ul import ul_align
+
+    g = make_genome(rng, 24000)
+    utgs = [g[:8000], g[8000:16000], g[16000:]]
+    ul = g[2000:22000].copy()
+    # heavy homopolymer noise: duplicate ~8% of bases (run stretching)
+    dup = np.flatnonzero(rng.random(len(ul)) < 0.08)
+    ul = np.insert(ul, dup, ul[dup])
+    # plus some substitutions
+    sub = rng.random(len(ul)) < 0.02
+    ul[sub] = (ul[sub] + rng.integers(1, 4, int(sub.sum()))) & 3
+    paths = ul_align(utgs, [ul], hpc=True)
+    uids = [b[0] for b in paths[0].blocks]
+    assert uids == [0, 1, 2], uids
+    # raw-space coordinates: block ends must be raw positions
+    assert paths[0].blocks[-1][3] <= len(ul)
+    assert paths[0].blocks[-1][3] > len(ul) * 0.7
+
+
+def test_ul_refine_blocks_moves_sloppy_boundary(rng):
+    """A junction boundary off by ~60 bp snaps to the exact unitig end
+    (~ul_refine_alignment via the affine ksw2 analog)."""
+    from hifiasm_tpu.ul import ULPath, ul_refine_blocks
+
+    g = make_genome(rng, 2000)
+    a, gapseq, b = g[:900], g[900:1100], g[1100:]
+    ul = g.copy()                      # read = A + gap + B, error-free
+    paths = [ULPath([(0, 0, 0, 840), (1, 0, 1160, 2000)])]
+    n = ul_refine_blocks(paths, [ul], [a, b])
+    assert n == 2
+    assert paths[0].blocks[0] == (0, 0, 0, 900)
+    assert paths[0].blocks[1] == (1, 0, 1100, 2000)
