@@ -167,7 +167,8 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     if cfg.telo_motif:
         from hifiasm_tpu.graph.telo import find_telo_reads
         telo = find_telo_reads(store, cfg.telo_motif,
-                               min_hits=cfg.telo_min_score)
+                               min_hits=cfg.telo_min_score,
+                               pen=cfg.telo_pen, drop=cfg.telo_drop)
     # raw unitigs before any cleaning (~output r_utg, Overlaps.cpp
     # output_unitig_graph)
     raw_ug = ma_ug_gen(sg)
@@ -218,12 +219,18 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         from hifiasm_tpu.ul import ul_refine_blocks
         ul_refine_blocks(paths, ul_codes, useqs)
         ul_renew_graph(ug, paths)
+        # weak-arc ladder over UL support (--path-min/--path-max)
+        from hifiasm_tpu.ul import ul_path_drop_ladder
+        ul_path_drop_ladder(ug, paths, cfg.path_min, cfg.path_max)
         # join bridged pairs, inserting UL gap sequence as pseudo-reads
         from hifiasm_tpu.ul import ul_fill_bridged
         new_rids = ul_fill_bridged(ug, store, cov, paths, ul_codes)
         if new_rids:
             read_cov = np.concatenate(
                 [read_cov, np.array([c for _, c in new_rids], np.int64)])
+        # UL-graph tip removal (--ul-tip; renumbers unitigs, so last)
+        from hifiasm_tpu.graph.unitig import ug_cut_tips
+        ug_cut_tips(ug, max_reads=cfg.ul_tip)
 
     simi = (cfg.purge_simi_rate_l2 if cfg.purge_level == 2
             else cfg.purge_simi_rate_l3)
@@ -281,6 +288,20 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         spans = [(a, b, sp[0], sp[1], sp[4])
                  for a, b, _, _, sp in confirmed if sp is not None]
         link_purged_chains(ug, spans, purge.alternate)
+
+    if cfg.recover_atg_cov_min >= 0 and purge is not None and \
+            purge.alternate:
+        # --pri-range: recover alternates whose coverage sits in the
+        # duplication range (~recover_atg_cov_*, Overlaps.cpp:18898)
+        rec = [a for a in purge.alternate
+               if cfg.recover_atg_cov_min <= int(utg_cov[a])
+               <= cfg.recover_atg_cov_max]
+        if rec:
+            purge.primary = sorted(purge.primary + rec)
+            purge.alternate = [a for a in purge.alternate
+                               if a not in set(rec)]
+            log("assemble", f"--pri-range recovered {len(rec)} "
+                f"alternate unitigs into primary")
 
     res = AssemblyResult(store, ec, sg, cov, r_to_u, ug, read_cov, purge,
                          raw_ug)

@@ -167,6 +167,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ul-rate", dest="ul_error_rate", type=float,
                    default=0.2)
     p.add_argument("--ul-round", dest="ul_ec_round", type=int, default=3)
+    p.add_argument("--ul-tip", dest="ul_tip", type=int, default=6,
+                   help="remove UL-graph tip unitigs of <=INT reads")
+    p.add_argument("--path-max", dest="path_max", type=float, default=0.6,
+                   help="max UL path drop ratio")
+    p.add_argument("--path-min", dest="path_min", type=float, default=0.2,
+                   help="min UL path drop ratio")
     # misc
     p.add_argument("--telo-m", dest="telo_motif", metavar="MOTIF",
                    help="telomere motif, e.g. CCCTAA")
@@ -191,6 +197,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ignore saved overlaps/corrected reads")
     p.add_argument("--ont", dest="is_ont", action="store_true",
                    help="ONT R10 reads (smaller EC windows, higher e-rate)")
+    p.add_argument("--telo-p", dest="telo_pen", type=int, default=None,
+                   help="non-telomeric penalty (scored end scan)")
+    p.add_argument("--telo-d", dest="telo_drop", type=int, default=None,
+                   help="max telomere score drop")
+    p.add_argument("--rl-cut", dest="rl_cut", type=int, default=1000,
+                   help="filter ONT reads shorter than INT (--ont)")
+    p.add_argument("--sc-cut", dest="sc_cut", type=int, default=10,
+                   help="filter ONT fastq reads with mean qual < INT")
+    p.add_argument("--pri-range", dest="pri_range", metavar="INT1[,INT2]",
+                   help="recover alternate unitigs with coverage in the "
+                        "range back into primary")
+    p.add_argument("--enzyme", dest="hic_enzymes", action="append",
+                   default=None, metavar="STR",
+                   help="Hi-C restriction enzymes (informational: the "
+                        "PE mapper is k-mer based, enzyme-agnostic)")
+    p.add_argument("--sec-in", dest="sec_in", action="append",
+                   default=None, metavar="FILE",
+                   help="extra pre-corrected read files assembled "
+                        "jointly with the main input (one EC round)")
+    p.add_argument("--low-het", dest="low_het", action="store_true",
+                   help="genomes with very low heterozygosity (reserved)")
     p.add_argument("--align-engine", dest="align_engine", default="auto",
                    choices=("auto", "jax", "numpy"))
     p.add_argument("--version", action="version", version="0.1.0")
@@ -215,8 +242,15 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "telo_min_score", "purge_overlap_len", "max_contig_tip",
               "ul_min_base", "misjoin_len", "trio_dual", "b_low_cov",
               "b_high_cov", "m_rate", "chemical_cov", "chemical_flank",
-              "purge_max_cov", "trans_base_rate_sec", "post_join"):
+              "purge_max_cov", "trans_base_rate_sec", "post_join",
+              "ul_tip", "path_max", "path_min", "telo_pen", "telo_drop",
+              "rl_cut", "sc_cut", "sec_in", "hic_enzymes", "low_het"):
         setattr(cfg, f, getattr(ns, f))
+    if ns.pri_range:
+        parts = ns.pri_range.split(",")
+        cfg.recover_atg_cov_min = int(parts[0])
+        if len(parts) > 1:
+            cfg.recover_atg_cov_max = int(parts[1])
     cfg.read_files = ns.reads
     cfg.primary = ns.primary
     cfg.write_paf = ns.write_paf
@@ -247,8 +281,19 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     set_threads(cfg.threads)              # -t bounds the native kernels
 
-    store = ReadStore.from_files(cfg.read_files,
-                                 adapter_len=cfg.adapter_len)
+    store = ReadStore.from_files(
+        cfg.read_files, adapter_len=cfg.adapter_len,
+        min_len=cfg.rl_cut if cfg.is_ont else 0,
+        min_mean_q=cfg.sc_cut if cfg.is_ont else 0)
+    if cfg.sec_in:
+        # --sec-in: extra pre-corrected read sets assembled jointly with
+        # one overlap round (~ha_assemble_pair, Assembly.cpp:2128)
+        sec = ReadStore.from_files(cfg.sec_in)
+        for rid in range(sec.n_reads):
+            store.append_read(sec.names[rid], sec.get_codes(rid).copy())
+        cfg.n_rounds_ec = 1
+        log("main", f"--sec-in: appended {sec.n_reads} corrected reads; "
+            f"single overlap round")
     log("main", f"loaded {store.n_reads} reads, {store.total_bases} bases")
     assemble(store, cfg)
     # closing summary (~main.cpp:69-73)

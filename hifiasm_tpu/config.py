@@ -111,6 +111,8 @@ class HifiasmConfig:
     trio_flag_occ_thres: int = 60         # --t-occ (CommandLines.cpp:321)
     trio_dual: bool = False               # --trio-dual
     telo_min_score: int = 10              # --telo-s
+    telo_pen: Optional[int] = None        # --telo-p (scored end scan)
+    telo_drop: Optional[int] = None       # --telo-d (scored end scan)
 
     # --- scaffolding / BED output ---
     scaf_gap_max: int = 3_000_000         # --scaf-gap (CommandLines.cpp:358)
@@ -127,6 +129,18 @@ class HifiasmConfig:
     dbg_gfa: bool = False                 # --dbg-gfa graph checkpoint
     dbg_ovec: bool = False                # --dbg-ovec: EC overlap dump, stop
     fast: bool = False                    # --fast (N/A: single-pass build)
+    ul_tip: int = 6                       # --ul-tip (CommandLines.cpp:295)
+    path_min: float = 0.2                 # --path-min (UL arc-drop ladder)
+    path_max: float = 0.6                 # --path-max
+    rl_cut: int = 1000                    # --rl-cut (ONT length filter)
+    sc_cut: int = 10                      # --sc-cut (ONT mean-qual filter)
+    recover_atg_cov_min: int = -1         # --pri-range lo (-1 disables)
+    recover_atg_cov_max: int = 1 << 30    # --pri-range hi
+    sec_in: Optional[list] = None         # --sec-in: corrected read files
+    hic_enzymes: Optional[list] = None    # --enzyme (informational: the
+    #   PE mapper is k-mer exact+rescue, enzyme-agnostic by design)
+    low_het: bool = False                 # --low-het (reserved, like the
+    #   reference's commented-out usage, gfa_ut.cpp:15341)
 
     # --- device execution ---
     read_batch: int = 64                  # reads per device batch

@@ -61,3 +61,28 @@ def _iter_fastq(f) -> Iterator[Tuple[str, bytes]]:
         f.readline()  # qual
         name = hdr[1:].rstrip(b"\r\n").split()[0].decode()
         yield name, seq
+
+
+def iter_fastx_q(path: str) -> Iterator[Tuple[str, bytes, bytes]]:
+    """Like iter_fastx but also yields the quality string (b"" for
+    FASTA records) — used by the --sc-cut mean-quality filter."""
+    with _open_maybe_gz(path) as f:
+        first = f.peek(1)[:1]
+        if first == b">":
+            for name, seq in _iter_fasta(f):
+                yield name, seq, b""
+        elif first == b"@":
+            while True:
+                hdr = f.readline()
+                if not hdr:
+                    return
+                seq = f.readline().rstrip(b"\r\n")
+                f.readline()  # '+'
+                qual = f.readline().rstrip(b"\r\n")
+                name = hdr[1:].rstrip(b"\r\n").split()[0].decode()
+                yield name, seq, qual
+        elif first == b"":
+            return
+        else:
+            raise ValueError(
+                f"{path}: not FASTA/FASTQ (starts with {first!r})")

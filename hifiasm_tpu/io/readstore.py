@@ -97,15 +97,26 @@ class ReadStore:
 
     # ---- construction ----
     @classmethod
-    def from_files(cls, paths: Iterable[str],
-                   adapter_len: int = 0) -> "ReadStore":
-        """adapter_len: clip that many bases off both read ends (-z)."""
+    def from_files(cls, paths: Iterable[str], adapter_len: int = 0,
+                   min_len: int = 0, min_mean_q: int = 0) -> "ReadStore":
+        """adapter_len: clip that many bases off both read ends (-z).
+        min_len / min_mean_q: ONT-mode read filters (--rl-cut /
+        --sc-cut; the quality gate applies only to FASTQ records)."""
         rs = cls()
         packed_chunks = []
         offsets = [0]
         total = 0
+        n_flt = 0
         for path in paths:
-            for name, seq in _iter_all(path):
+            for name, seq, qual in _iter_all_q(path):
+                if min_len > 0 and len(seq) < min_len:
+                    n_flt += 1
+                    continue
+                if min_mean_q > 0 and qual:
+                    qv = np.frombuffer(qual, np.uint8)
+                    if len(qv) and float(qv.mean()) - 33.0 < min_mean_q:
+                        n_flt += 1
+                        continue
                 codes = seq_to_codes(seq)
                 if adapter_len > 0 and len(codes) > 2 * adapter_len:
                     codes = codes[adapter_len:-adapter_len]
@@ -121,6 +132,10 @@ class ReadStore:
         rs.lens = np.diff(rs.offsets)
         rs._packed_list = packed_chunks  # per-read packed (4-base aligned)
         rs.trio_flags = np.zeros(len(rs.names), dtype=np.uint8)  # AMBIGU=0
+        if n_flt:
+            from hifiasm_tpu.utils.logging import log
+            log("ReadStore.from_files",
+                f"filtered {n_flt} reads (--rl-cut/--sc-cut)")
         return rs
 
     @classmethod
@@ -235,3 +250,9 @@ def _iter_all(path: str):
     from hifiasm_tpu.io.fastx import iter_fastx
 
     yield from iter_fastx(path)
+
+
+def _iter_all_q(path: str):
+    from hifiasm_tpu.io.fastx import iter_fastx_q
+
+    yield from iter_fastx_q(path)

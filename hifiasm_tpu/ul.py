@@ -612,6 +612,46 @@ def integer_correction(paths: List[ULPath], min_occ: int = 3,
     return n_fix
 
 
+def ul_path_drop_ladder(ug: UnitigGraph, paths: List[ULPath],
+                        r_min: float = 0.2, r_max: float = 0.6,
+                        rounds: int = 3) -> int:
+    """UL-support drop-ratio ladder (--path-min/--path-max, ~the path
+    drop rates of ul_clean_gfa): at each source end, arcs whose UL
+    traversal support falls below ratio x the best-supported sibling
+    are cut with their mirrors; the ratio sweeps r_min -> r_max.
+    Returns total #arcs dropped."""
+    n_drop_tot = 0
+    for step in range(max(rounds, 1)):
+        r = r_min + (r_max - r_min) * step / max(rounds - 1, 1)
+        sup = ul_arc_support(ug, paths)
+        src = ug.a_src.astype(np.int64)
+        dst = ug.a_dst.astype(np.int64)
+        if len(src) == 0:
+            break
+        arc_sup = np.array([sup.get((int(s), int(d)), 0)
+                            for s, d in zip(src, dst)], np.int64)
+        best = {}
+        for s, c in zip(src, arc_sup):
+            best[int(s)] = max(best.get(int(s), 0), int(c))
+        drop = np.array(
+            [0 < c < best.get(int(s), 0) and c < r * best.get(int(s), 0)
+             for s, c in zip(src, arc_sup)], bool)
+        comp = {(int(d) ^ 1, int(s) ^ 1)
+                for s, d in zip(src[drop], dst[drop])}
+        drop |= np.array([(int(s), int(d)) in comp
+                          for s, d in zip(src, dst)], bool)
+        if not drop.any():
+            continue
+        keep = ~drop
+        ug.a_src = ug.a_src[keep]
+        ug.a_dst = ug.a_dst[keep]
+        ug.a_ol = ug.a_ol[keep]
+        n_drop_tot += int(drop.sum())
+    if n_drop_tot:
+        log("ul_path_drop_ladder", f"dropped {n_drop_tot} weak UL arcs")
+    return n_drop_tot
+
+
 def ul_gap_sequences(paths: List[ULPath], ul_reads: List[np.ndarray]
                      ) -> Dict[Tuple[int, int], np.ndarray]:
     """Per bridged unitig-end pair, the UL-derived gap sequence

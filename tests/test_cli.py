@@ -107,3 +107,35 @@ def test_dbg_ovec_stops_before_graph(tmp_path, rng):
     assert not (tmp_path / "x.bp.p_ctg.gfa").exists()
     n_lines = sum(1 for _ in open(tmp_path / "x.ovlp.paf"))
     assert n_lines > 10
+
+
+def test_expert_options_parse_and_wire():
+    from hifiasm_tpu.cli import parse_config
+
+    cfg = parse_config([
+        "reads.fa", "-o", "/tmp/x", "--ul-tip", "4", "--path-max", "0.7",
+        "--path-min", "0.3", "--telo-p", "2", "--telo-d", "1500",
+        "--rl-cut", "2000", "--sc-cut", "12", "--pri-range", "5,40",
+        "--enzyme", "GATC", "--low-het", "--sec-in", "extra.fa"])
+    assert cfg.ul_tip == 4
+    assert cfg.path_max == 0.7 and cfg.path_min == 0.3
+    assert cfg.telo_pen == 2 and cfg.telo_drop == 1500
+    assert cfg.rl_cut == 2000 and cfg.sc_cut == 12
+    assert cfg.recover_atg_cov_min == 5
+    assert cfg.recover_atg_cov_max == 40
+    assert cfg.hic_enzymes == ["GATC"] and cfg.low_het
+    assert cfg.sec_in == ["extra.fa"]
+
+
+def test_ont_read_filters(tmp_path):
+    from hifiasm_tpu.io.readstore import ReadStore
+
+    fq = tmp_path / "r.fq"
+    good_q = chr(33 + 30) * 1500
+    bad_q = chr(33 + 3) * 1500
+    with open(fq, "w") as f:
+        f.write(f"@long_good\n{'ACGT' * 375}\n+\n{good_q}\n")
+        f.write(f"@long_lowq\n{'ACGT' * 375}\n+\n{bad_q}\n")
+        f.write(f"@short\n{'ACGT' * 100}\n+\n{chr(63) * 400}\n")
+    rs = ReadStore.from_files([str(fq)], min_len=1000, min_mean_q=10)
+    assert rs.names == ["long_good"]
