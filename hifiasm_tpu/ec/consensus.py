@@ -178,16 +178,104 @@ def _implied_string(tb: np.ndarray, ic: np.ndarray, ib: np.ndarray) -> bytes:
     return bytes(parts)
 
 
+MSA_MAX_BACKBONE = 64
+MSA_MAX_VOTER = 128
+
+
+def _star_msa_consensus(strs, backbone: bytes, occ_exact: float):
+    """Column-wise consensus after realigning every voter string onto
+    the plurality backbone (the Merge_DAGCon role, Correct.cpp:5031 /
+    POA.cpp: the reference accumulates voters in a partial-order graph
+    and walks the heaviest bundle; the star alignment onto the plurality
+    backbone is the rank-1 version of that graph).  Used when no EXACT
+    string reaches plurality — voters carrying one residual error each
+    still agree column by column.  Deterministic: edit-DP traceback
+    prefers diagonal > up > left; column ties prefer the smallest
+    symbol; insertion ties the smallest string."""
+    n = len(strs)
+    B = len(backbone)
+    if B == 0 or B > MSA_MAX_BACKBONE:
+        return None
+    bb = np.frombuffer(backbone, np.uint8)
+    sub = np.zeros((B, 5), np.int64)            # base 0..3, 4 = deleted
+    ins: list = [dict() for _ in range(B + 1)]  # before backbone pos i
+    for s in strs:
+        if len(s) > MSA_MAX_VOTER:
+            return None
+        if s == backbone:
+            sub[np.arange(B), bb] += 1
+            continue
+        sv = np.frombuffer(s, np.uint8)
+        m = len(sv)
+        dp = np.zeros((B + 1, m + 1), np.int64)
+        dp[0, :] = np.arange(m + 1)
+        dp[:, 0] = np.arange(B + 1)
+        for i in range(1, B + 1):
+            ne = (sv != bb[i - 1]).astype(np.int64)
+            row = dp[i]
+            prev = dp[i - 1]
+            for j in range(1, m + 1):
+                d = prev[j - 1] + ne[j - 1]
+                u = prev[j] + 1
+                l_ = row[j - 1] + 1
+                row[j] = d if d <= u and d <= l_ else \
+                    (u if u <= l_ else l_)
+        i, j = B, m
+
+        def _flush(pend, at):
+            if pend:
+                key = bytes(reversed(pend))
+                ins[at][key] = ins[at].get(key, 0) + 1
+            return []
+
+        pend: list = []                   # reversed insertion collector
+        while i > 0 or j > 0:
+            if i > 0 and j > 0 and \
+                    dp[i][j] == dp[i - 1][j - 1] + (sv[j - 1] != bb[i - 1]):
+                pend = _flush(pend, i)
+                sub[i - 1][sv[j - 1]] += 1
+                i -= 1
+                j -= 1
+            elif i > 0 and dp[i][j] == dp[i - 1][j] + 1:
+                pend = _flush(pend, i)
+                sub[i - 1][4] += 1
+                i -= 1
+            else:
+                pend.append(int(sv[j - 1]))
+                j -= 1
+        _flush(pend, 0)
+    out = []
+    for i in range(B + 1):
+        if ins[i]:
+            s_best, cnt = None, 0
+            for s, c in sorted(ins[i].items()):
+                if c > cnt:
+                    s_best, cnt = s, c
+            if cnt > occ_exact * n:
+                out.extend(s_best)
+        if i < B:
+            col = sub[i]
+            winner = int(np.argmax(col))      # ties -> smallest symbol
+            if col[winner] > occ_exact * n:
+                if winner != 4:
+                    out.append(winner)
+            else:
+                out.append(int(bb[i]))
+    return bytes(out)
+
+
 def dag_cluster_consensus(q: np.ndarray, tbs: OverlapTracebacks,
                           cis_idx: np.ndarray, clusters,
                           het_sites=None,
                           occ_tot: int = 3, occ_exact: float = 0.500001):
-    """Sequence-level plurality over ambiguous clusters (~the reference's
+    """Sequence-level consensus over ambiguous clusters (~the reference's
     DAG consensus, Merge_DAGCon Correct.cpp:5031 / POA.cpp): each cis
     overlap votes with the exact subsequence its traceback implies for
     the cluster; the plurality string wins under the same occ thresholds
-    as the column vote. Resolves interacting nearby indels coherently
-    where column voting smears. Returns [(start, end, replacement)]."""
+    as the column vote.  When no exact string reaches plurality, voters
+    REALIGN onto the plurality backbone and vote column-wise
+    (_star_msa_consensus) — resolving clusters where every voter carries
+    its own residual error.  Returns [(start, end, replacement)]."""
     repl = []
     het = set(int(h) for h in het_sites) if het_sites is not None else set()
     for cs, ce in clusters:
@@ -197,7 +285,7 @@ def dag_cluster_consensus(q: np.ndarray, tbs: OverlapTracebacks,
         if any(p in het for p in range(cs, ce)):
             continue                      # never rewrite het evidence
         counts = {}
-        n_voters = 0
+        strs = []
         for o in cis_idx:
             xs = int(tbs.x_s[o])
             n = int(tbs.off[o + 1] - tbs.off[o])
@@ -210,14 +298,22 @@ def dag_cluster_consensus(q: np.ndarray, tbs: OverlapTracebacks,
             key = _implied_string(tb, tbs.view(o, "ins_cnt")[lo:hi],
                                   tbs.view(o, "ins_base")[lo:hi])
             counts[key] = counts.get(key, 0) + 1
-            n_voters += 1
+            strs.append(key)
         qkey = np.clip(q[cs:ce], 0, 3).astype(np.uint8).tobytes()
         counts[qkey] = counts.get(qkey, 0) + 1
-        n_voters += 1
-        best = max(counts, key=counts.get)
-        if (n_voters >= occ_tot and counts[best] > occ_exact * n_voters
-                and best != qkey):
-            repl.append((cs, ce, np.frombuffer(best, np.uint8)))
+        strs.append(qkey)
+        n_voters = len(strs)
+        if n_voters < occ_tot:
+            continue
+        maxc = max(counts.values())
+        best = min(s for s, c in counts.items() if c == maxc)
+        if counts[best] > occ_exact * n_voters:
+            if best != qkey:
+                repl.append((cs, ce, np.frombuffer(best, np.uint8)))
+            continue
+        cons = _star_msa_consensus(sorted(strs), best, occ_exact)
+        if cons is not None and len(cons) and cons != qkey:
+            repl.append((cs, ce, np.frombuffer(cons, np.uint8)))
     return repl
 
 

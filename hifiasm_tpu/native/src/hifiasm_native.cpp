@@ -11,6 +11,9 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <array>
+#include <map>
+#include <string>
 
 extern "C" {
 
@@ -1188,6 +1191,96 @@ extern "C" int64_t ht_ec_batch(
 // allele counts -> het sites -> cis/trans classification -> windowed
 // majority consensus with het protection -> corrected sequence.
 
+// Star-MSA consensus over sorted cluster voter strings (mirrors
+// ec/consensus.py _star_msa_consensus bit-for-bit: diagonal > up > left
+// traceback; column ties -> smallest symbol; insertion ties -> smallest
+// string).  The Merge_DAGCon role when exact plurality fails.
+static bool star_msa_consensus(const std::vector<std::string>& strs,
+                               const std::string& backbone,
+                               double occ_exact, std::string& out) {
+    const int64_t n = (int64_t)strs.size();
+    const int64_t B = (int64_t)backbone.size();
+    if (B == 0 || B > 64) return false;
+    std::vector<std::array<int64_t, 5>> sub(
+        (size_t)B, std::array<int64_t, 5>{0, 0, 0, 0, 0});
+    std::vector<std::map<std::string, int64_t>> ins((size_t)B + 1);
+    std::vector<int64_t> dp;
+    for (const std::string& s : strs) {
+        if ((int64_t)s.size() > 128) return false;
+        if (s == backbone) {
+            for (int64_t i = 0; i < B; ++i)
+                sub[i][(uint8_t)backbone[i]]++;
+            continue;
+        }
+        const int64_t m = (int64_t)s.size();
+        dp.assign((size_t)((B + 1) * (m + 1)), 0);
+        auto D = [&](int64_t i, int64_t j) -> int64_t& {
+            return dp[i * (m + 1) + j];
+        };
+        for (int64_t j = 0; j <= m; ++j) D(0, j) = j;
+        for (int64_t i = 0; i <= B; ++i) D(i, 0) = i;
+        for (int64_t i = 1; i <= B; ++i)
+            for (int64_t j = 1; j <= m; ++j) {
+                const int64_t d =
+                    D(i - 1, j - 1) + (s[j - 1] != backbone[i - 1]);
+                const int64_t u = D(i - 1, j) + 1;
+                const int64_t l = D(i, j - 1) + 1;
+                D(i, j) = (d <= u && d <= l) ? d : (u <= l ? u : l);
+            }
+        int64_t i = B, j = m;
+        std::string pend;
+        auto flush = [&](int64_t at) {
+            if (!pend.empty()) {
+                std::reverse(pend.begin(), pend.end());
+                ins[at][pend]++;
+                pend.clear();
+            }
+        };
+        while (i > 0 || j > 0) {
+            if (i > 0 && j > 0 &&
+                D(i, j) == D(i - 1, j - 1) +
+                               (s[j - 1] != backbone[i - 1])) {
+                flush(i);
+                sub[i - 1][(uint8_t)s[j - 1]]++;
+                --i;
+                --j;
+            } else if (i > 0 && D(i, j) == D(i - 1, j) + 1) {
+                flush(i);
+                sub[i - 1][4]++;
+                --i;
+            } else {
+                pend.push_back(s[j - 1]);
+                --j;
+            }
+        }
+        flush(0);
+    }
+    out.clear();
+    for (int64_t i = 0; i <= B; ++i) {
+        if (!ins[i].empty()) {
+            const std::string* sb = nullptr;
+            int64_t cnt = 0;
+            for (const auto& kv : ins[i])    // keys ascending
+                if (kv.second > cnt) {
+                    sb = &kv.first;
+                    cnt = kv.second;
+                }
+            if ((double)cnt > occ_exact * n) out += *sb;
+        }
+        if (i < B) {
+            int w = 0;
+            for (int c = 1; c < 5; ++c)
+                if (sub[i][c] > sub[i][w]) w = c;
+            if ((double)sub[i][w] > occ_exact * n) {
+                if (w != 4) out.push_back((char)w);
+            } else {
+                out.push_back(backbone[i]);
+            }
+        }
+    }
+    return true;
+}
+
 static int64_t ec_read_one(
     int64_t n_ov, const int64_t* off, const int64_t* x_s,
     const uint8_t* tb, const uint8_t* icnt, const uint8_t* ibase,
@@ -1318,7 +1411,8 @@ static int64_t ec_read_one(
     }
     // DAG cluster consensus (mirrors dag_cluster_consensus): group
     // ambiguous columns within 8 bp (>= 2 per cluster), extend +-2
-    // context, then exact-string plurality among covering cis overlaps
+    // context, then exact-string plurality among covering cis overlaps;
+    // plurality failure falls back to the star-MSA realignment vote
     struct Repl { int64_t s, e; std::string r; };
     std::vector<Repl> repl;
     {
@@ -1372,10 +1466,20 @@ static int64_t ec_read_one(
                         if (j - i > bc) { bc = j - i; bi = i; }
                         i = j;
                     }
-                    if (n_voters >= occ_tot &&
-                        (double)bc > occ_exact * n_voters &&
-                        strs[bi] != qs)
-                        repl.push_back({cs, ce, strs[bi]});
+                    if (n_voters >= occ_tot) {
+                        if ((double)bc > occ_exact * n_voters) {
+                            if (strs[bi] != qs)
+                                repl.push_back({cs, ce, strs[bi]});
+                        } else {
+                            // plurality failed: realign voters onto the
+                            // plurality backbone and vote column-wise
+                            std::string cons;
+                            if (star_msa_consensus(strs, strs[bi],
+                                                   occ_exact, cons) &&
+                                !cons.empty() && cons != qs)
+                                repl.push_back({cs, ce, cons});
+                        }
+                    }
                 }
             }
             gs = gi;

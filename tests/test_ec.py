@@ -191,3 +191,62 @@ def test_native_dag_consensus_matches_python():
     expect = np.concatenate([q[:10], q[11:]])
     assert np.array_equal(seq, expect), seq[8:14]
     assert n_edits == 1
+
+
+def _smeared_private_error_rows(q, n_ov=8):
+    """A real deletion in the AA homopolymer, but most voters also carry
+    one PRIVATE substitution inside the cluster: no exact string reaches
+    plurality, yet column-wise realignment sees the deletion clearly."""
+    rows = []
+    for i in range(n_ov):
+        row = q.copy()
+        if i < 6:
+            row[10 if i % 2 == 0 else 11] = 4      # the true deletion
+        if i in (1, 2, 3, 4):
+            # private errors AFTER the homopolymer (distinct strings,
+            # no alternative minimal alignment through the run)
+            pos = (13, 13, 12, 12)[i - 1]
+            row[pos] = (q[pos] + 1 + (i & 1)) & 3
+        rows.append(row)
+    return rows
+
+
+def test_star_msa_fallback_resolves_noisy_cluster():
+    from hifiasm_tpu.ec.consensus import windowed_consensus
+    from hifiasm_tpu.ec.phase import PhaseResult
+    from hifiasm_tpu.overlap.anchors import OverlapRegions
+
+    qlen = 30
+    q = np.array([1, 2] * (qlen // 2), np.uint8)
+    q[10] = q[11] = 0
+    rows = _smeared_private_error_rows(q)
+    n_ov = len(rows)
+    tbs = _mk_tracebacks(qlen, rows)
+    ov = OverlapRegions(
+        x_id=0, y_id=np.arange(n_ov, dtype=np.uint32),
+        rev=np.zeros(n_ov, np.uint8),
+        x_s=np.zeros(n_ov, np.int64),
+        x_e=np.full(n_ov, qlen - 1, np.int64),
+        y_s=np.zeros(n_ov, np.int64),
+        y_e=np.full(n_ov, qlen - 1, np.int64),
+        score=np.ones(n_ov, np.int64), n_hits=np.ones(n_ov, np.int64))
+    ph = PhaseResult(np.ones(n_ov, np.uint8), np.zeros(0, np.int64),
+                     np.zeros(0, np.int64))
+    cns = windowed_consensus(q, ov, tbs, ph)
+    expect = np.concatenate([q[:10], q[11:]])      # one A removed
+    assert np.array_equal(cns.seq, expect), (cns.seq[6:16],)
+
+
+def test_star_msa_fallback_native_matches_python():
+    from hifiasm_tpu.native import ec_read_native
+
+    qlen = 30
+    q = np.array([1, 2] * (qlen // 2), np.uint8)
+    q[10] = q[11] = 0
+    rows = _smeared_private_error_rows(q)
+    tbs = _mk_tracebacks(qlen, rows)
+    out = ec_read_native(tbs, q)
+    assert out is not None
+    seq = out[2]
+    expect = np.concatenate([q[:10], q[11:]])
+    assert np.array_equal(seq, expect), seq[6:16]
