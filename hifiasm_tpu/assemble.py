@@ -232,6 +232,13 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         from hifiasm_tpu.graph.unitig import ug_cut_tips
         ug_cut_tips(ug, max_reads=cfg.ul_tip)
 
+    if (cfg.hic_reads_1 and cfg.hic_reads_2) or cfg.fn_bin_yak_pat or \
+            cfg.fn_bin_list_pat:
+        # flatten tiny nested bubbles before Hi-C / trio phasing
+        # (~hic_clean in the output paths, Overlaps.cpp:16250/17544)
+        from hifiasm_tpu.graph.clean import hic_clean_ug
+        hic_clean_ug(ug)
+
     simi = (cfg.purge_simi_rate_l2 if cfg.purge_level == 2
             else cfg.purge_simi_rate_l3)
     utg_cov = np.array([

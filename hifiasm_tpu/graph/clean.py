@@ -776,3 +776,113 @@ def ug_ext_gfa(g: StringGraph, paf, cov, r_to_u: np.ndarray,
     g.cleanup()
     log("ug_ext_gfa", f"revived {n_rev} reads at dead ends")
     return n_rev
+
+
+# ---- nested-bubble flattening on the UNITIG graph (~hic_clean,
+#      Overlaps.cpp:14304): tiny bubbles nested inside larger bubbles are
+#      noise branches that derail Hi-C / trio phasing — pop them first.
+
+def _ug_adjacency(ug):
+    adj: dict = {}
+    for s, d in zip(ug.a_src, ug.a_dst):
+        adj.setdefault(int(s), []).append(int(d))
+    for v in adj:
+        adj[v].sort()
+    return adj
+
+
+def _ug_bubble(adj, v0: int, max_nodes: int = 50):
+    """Superbubble from oriented unitig end ``v0`` (the asg_bub_pop1
+    scheme on the unitig graph): lazy global in-degrees, Kahn walk;
+    returns (sink, interior vertex set) or None."""
+    if len(adj.get(v0, [])) < 2:
+        return None
+    S = [v0]
+    p: dict = {}
+    pending = 0
+    visited = []
+    while S:
+        S.sort()
+        v = S.pop(0)
+        visited.append(v)
+        if len(visited) > max_nodes:
+            return None
+        if v != v0 and not adj.get(v, []):
+            return None                   # tip inside the bubble
+        for w in adj.get(v, []):
+            if w == (v0 ^ 1) or (w >> 1) == (v0 >> 1):
+                return None               # cycles back into the source
+            if w not in p:
+                # global in-degree = out-degree of the mirror end
+                p[w] = len(adj.get(w ^ 1, []))
+                pending += 1
+            p[w] -= 1
+            if p[w] == 0:
+                S.append(w)
+                pending -= 1
+            elif p[w] < 0:
+                return None
+        if len(S) == 1 and pending == 0:
+            sink = S[0]
+            interior = set(visited[1:])
+            if (sink ^ 1) in interior or sink in interior:
+                return None
+            return sink, interior
+    return None
+
+
+def hic_clean_ug(ug, bub_rate: float = 0.1, max_occ: int = 3,
+                 max_utg: int = 2) -> int:
+    """Flatten tiny nested bubbles before Hi-C / trio phasing
+    (~hic_clean, Overlaps.cpp:14304): inside each superbubble, a NESTED
+    bubble opening from an interior unitig whose interior carries
+    < bub_rate x the outer bubble's reads, <= max_occ reads and
+    <= max_utg unitigs is popped — the heaviest branch path stays, the
+    rest move out of the graph.  Mutates ``ug`` (renumbers unitigs);
+    returns #unitigs dropped."""
+    import numpy as np
+
+    adj = _ug_adjacency(ug)
+    occ = [len(u.vs) for u in ug.utgs]
+    drop: set = set()
+    n_vtx = 2 * len(ug.utgs)
+    for v0 in range(n_vtx):
+        got = _ug_bubble(adj, v0)
+        if got is None:
+            continue
+        _, interior = got
+        v_occ = sum(occ[u >> 1] for u in interior)
+        if v_occ == 0:
+            continue
+        for u in sorted(interior):
+            for end in (u, u ^ 1):
+                nest = _ug_bubble(adj, end)
+                if nest is None:
+                    continue
+                _, n_int = nest
+                uids = {x >> 1 for x in n_int}
+                u_occ = sum(occ[i] for i in uids)
+                if u_occ >= v_occ * bub_rate or u_occ > max_occ or \
+                        len(uids) > max_utg:
+                    continue
+                # pop: keep the heaviest branch unitig, drop the rest
+                keep = max(uids, key=lambda i: (occ[i], -i))
+                for i in uids:
+                    if i != keep:
+                        drop.add(i)
+    if not drop:
+        return 0
+    keep_mask = np.ones(len(ug.utgs), bool)
+    keep_mask[list(drop)] = False
+    remap = np.cumsum(keep_mask) - 1
+    ug.utgs = [u for i, u in enumerate(ug.utgs) if keep_mask[i]]
+    src = ug.a_src.astype(np.int64)
+    dst = ug.a_dst.astype(np.int64)
+    ka = keep_mask[src >> 1] & keep_mask[dst >> 1]
+    src, dst = src[ka], dst[ka]
+    ug.a_src = ((remap[src >> 1] << 1) | (src & 1)).astype(np.uint32)
+    ug.a_dst = ((remap[dst >> 1] << 1) | (dst & 1)).astype(np.uint32)
+    ug.a_ol = ug.a_ol[ka]
+    from hifiasm_tpu.utils.logging import log
+    log("hic_clean", f"flattened {len(drop)} nested-bubble unitigs")
+    return len(drop)

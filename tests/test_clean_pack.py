@@ -193,3 +193,62 @@ def test_ug_ext_gfa_revives_dead_end():
     assert n == 1
     assert g.seq_del[1] == 0
     assert (0 << 1, 1 << 1) in _pairs(g)
+
+
+def _mk_ug_with_nested_bubble():
+    """Outer bubble S -> {A(8 reads), B(8)} -> T, where A's interior
+    end opens a nested tiny bubble A -> {x(1), y(1)} -> C -> T."""
+    import numpy as np
+
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph
+
+    def mk(n_reads, ln=5000):
+        return Unitig(np.arange(n_reads, dtype=np.uint32) << 1,
+                      np.full(n_reads, ln // n_reads, np.int64), ln,
+                      False, 0, 1)
+
+    # ids: 0=S 1=A 2=B 3=T 4=x 5=y 6=C
+    ug = UnitigGraph(utgs=[mk(4), mk(8), mk(8), mk(4), mk(1), mk(1),
+                           mk(3)])
+    arcs = [(0, 1), (0, 2), (2, 3),          # outer bubble via B
+            (1, 4), (1, 5), (4, 6), (5, 6),  # nested tiny bubble in A
+            (6, 3)]
+    src = [a << 1 for a, _ in arcs] + [(b << 1) ^ 1 for _, b in arcs]
+    dst = [b << 1 for _, b in arcs] + [(a << 1) ^ 1 for a, _ in arcs]
+    ug.a_src = np.array(src, np.uint32)
+    ug.a_dst = np.array(dst, np.uint32)
+    ug.a_ol = np.full(len(src), 100, np.int64)
+    return ug
+
+
+def test_hic_clean_flattens_nested_bubble():
+    from hifiasm_tpu.graph.clean import hic_clean_ug
+
+    ug = _mk_ug_with_nested_bubble()
+    n = hic_clean_ug(ug)
+    assert n == 1
+    # one of x/y (1 read each) dropped; main structure intact
+    assert len(ug.utgs) == 6
+    assert all(len(u.vs) >= 1 for u in ug.utgs)
+
+
+def test_hic_clean_keeps_plain_bubble():
+    import numpy as np
+
+    from hifiasm_tpu.graph.clean import hic_clean_ug
+    from hifiasm_tpu.graph.unitig import Unitig, UnitigGraph
+
+    def mk(n_reads):
+        return Unitig(np.arange(n_reads, dtype=np.uint32) << 1,
+                      np.full(n_reads, 100, np.int64), 100 * n_reads,
+                      False, 0, 1)
+
+    ug = UnitigGraph(utgs=[mk(4), mk(6), mk(6), mk(4)])
+    arcs = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    src = [a << 1 for a, _ in arcs] + [(b << 1) ^ 1 for _, b in arcs]
+    dst = [b << 1 for _, b in arcs] + [(a << 1) ^ 1 for a, _ in arcs]
+    ug.a_src = np.array(src, np.uint32)
+    ug.a_dst = np.array(dst, np.uint32)
+    ug.a_ol = np.full(len(src), 100, np.int64)
+    assert hic_clean_ug(ug) == 0
+    assert len(ug.utgs) == 4
