@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Validate the bloom-prefiltered k-mer counter + LSM chunk merges at
+>1 Gb input (the ROADMAP '>1 Gb' item): counts must match the plain
+(non-bloom) counter exactly for every k-mer with >=2 occurrences (the
+bloom swallows each k-mer's first occurrence; true singletons are
+intentionally absent), under bounded memory.
+
+Usage: python scripts/validate_bigcount.py [total_bases] [genome_len]
+"""
+
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    total_bases = int(sys.argv[1]) if len(sys.argv) > 1 else 1_100_000_000
+    glen = int(sys.argv[2]) if len(sys.argv) > 2 else 55_000_000
+    read_len = 20_000
+    rng = np.random.default_rng(11)
+    print(f"genome {glen/1e6:.0f} Mb, target {total_bases/1e9:.2f} Gb "
+          f"of reads", flush=True)
+    g = rng.integers(0, 4, glen, dtype=np.uint8)
+    n_reads = total_bases // read_len
+    starts = rng.integers(0, glen - read_len, n_reads)
+    reads = []
+    for s in starts:
+        r = g[s:s + read_len].copy()
+        err = np.flatnonzero(rng.random(read_len) < 0.001)
+        r[err] = (r[err] + rng.integers(1, 4, len(err))) & 3
+        reads.append(r)
+    print(f"built {len(reads)} reads "
+          f"({sum(len(r) for r in reads)/1e9:.2f} Gb)", flush=True)
+
+    from hifiasm_tpu.native import (
+        count_kmers_bloom_native, count_kmers_native,
+    )
+
+    k = 51
+    t0 = time.time()
+    hb, cb = count_kmers_bloom_native(reads, k, bf_bits=33)
+    t_bloom = time.time() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"bloom: {len(hb)/1e6:.1f}M distinct in {t_bloom:.0f}s, "
+          f"peak RSS {rss_gb:.1f} GB", flush=True)
+
+    t0 = time.time()
+    hp, cp = count_kmers_native(reads, k)
+    t_plain = time.time() - t0
+    print(f"plain: {len(hp)/1e6:.1f}M distinct in {t_plain:.0f}s",
+          flush=True)
+
+    multi = cp >= 2
+    hm, cm = hp[multi], cp[multi]
+    idx = np.searchsorted(hb, hm)
+    ok = (idx < len(hb)) & (hb[np.minimum(idx, len(hb) - 1)] == hm)
+    assert ok.all(), f"{(~ok).sum()} multi-occurrence k-mers missing"
+    assert (cb[idx] == cm).all(), \
+        f"{(cb[idx] != cm).sum()} count mismatches"
+    # bloom output must not contain junk k-mers absent from the plain set
+    jdx = np.searchsorted(hp, hb)
+    present = (jdx < len(hp)) & (hp[np.minimum(jdx, len(hp) - 1)] == hb)
+    assert present.all(), f"{(~present).sum()} phantom k-mers"
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"OK: {len(hm)/1e6:.1f}M multi-occurrence k-mers "
+          f"bit-identical; bloom table {len(hb)/1e6:.1f}M entries; "
+          f"peak RSS {rss_gb:.1f} GB", flush=True)
+
+
+if __name__ == "__main__":
+    main()
