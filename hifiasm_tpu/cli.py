@@ -220,6 +220,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="genomes with very low heterozygosity (reserved)")
     p.add_argument("--align-engine", dest="align_engine", default="auto",
                    choices=("auto", "jax", "numpy"))
+    p.add_argument("--profile", dest="profile_dir", metavar="DIR",
+                   help="write a jax.profiler trace of the device "
+                        "phases to DIR (open with xprof/tensorboard)")
     p.add_argument("--version", action="version", version="0.1.0")
     return p
 
@@ -244,7 +247,8 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "b_high_cov", "m_rate", "chemical_cov", "chemical_flank",
               "purge_max_cov", "trans_base_rate_sec", "post_join",
               "ul_tip", "path_max", "path_min", "telo_pen", "telo_drop",
-              "rl_cut", "sc_cut", "sec_in", "hic_enzymes", "low_het"):
+              "rl_cut", "sc_cut", "sec_in", "hic_enzymes", "low_het",
+              "profile_dir"):
         setattr(cfg, f, getattr(ns, f))
     if ns.pri_range:
         parts = ns.pri_range.split(",")

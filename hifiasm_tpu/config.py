@@ -143,6 +143,7 @@ class HifiasmConfig:
     #   reference's commented-out usage, gfa_ut.cpp:15341)
 
     # --- device execution ---
+    profile_dir: Optional[str] = None     # --profile: jax.profiler traces
     read_batch: int = 64                  # reads per device batch
     max_read_len: int = 65536             # padded read length cap
     use_pallas: bool = True               # use Pallas kernels when on TPU

@@ -250,10 +250,19 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
     new_seqs = {}
     n_corr = 0
     if _use_device(cfg, store.total_bases):
+        import contextlib
+
         from hifiasm_tpu.ec.consensus import consensus_from_votes
         from hifiasm_tpu.ec.device_ec import (
             DeviceEC, consensus_inputs_for_read,
         )
+
+        prof = contextlib.nullcontext()
+        if cfg.profile_dir:
+            # device-phase trace (--profile; open with xprof): the
+            # JAX-profiler integration of SURVEY §5's tracing subsystem
+            import jax
+            prof = jax.profiler.trace(cfg.profile_dir)
         from hifiasm_tpu.ec.consensus import (
             _ambiguity_clusters, _ambiguous_mask,
         )
@@ -267,7 +276,8 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
         ov_of = dict(read_ovs)
         get_target = _TargetCache(store)
         n_routed = 0
-        outs, cns_in = dev.process(read_ovs)
+        with prof:
+            outs, cns_in = dev.process(read_ovs)
         for rid, eco in outs.items():
             if collect is not None:
                 _push_records_stats(
