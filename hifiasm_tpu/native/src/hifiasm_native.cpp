@@ -1281,6 +1281,32 @@ static bool star_msa_consensus(const std::vector<std::string>& strs,
     return true;
 }
 
+#if defined(__AVX2__)
+// Byte-plane symbol histogram: planes[a][p0 + t] += (row[t] == a) for
+// a < n_sym — the compare-subtract form turns the per-element scatter
+// of the vote passes into contiguous vector adds (counts must fit
+// uint8; callers guarantee n_ov + 2 < 250).
+static void count_planes_avx2(const uint8_t* row, int64_t n,
+                              uint8_t* planes, int64_t p0, int64_t qlen,
+                              int n_sym) {
+    int64_t t = 0;
+    for (; t + 32 <= n; t += 32) {
+        const __m256i v = _mm256_loadu_si256((const __m256i*)(row + t));
+        for (int a = 0; a < n_sym; ++a) {
+            uint8_t* dst = planes + (int64_t)a * qlen + p0 + t;
+            const __m256i m =
+                _mm256_cmpeq_epi8(v, _mm256_set1_epi8((char)a));
+            const __m256i d = _mm256_loadu_si256((const __m256i*)dst);
+            _mm256_storeu_si256((__m256i*)dst, _mm256_sub_epi8(d, m));
+        }
+    }
+    for (; t < n; ++t) {
+        const uint8_t c = row[t];
+        if (c < n_sym) planes[(int64_t)c * qlen + p0 + t]++;
+    }
+}
+#endif
+
 static int64_t ec_read_one(
     int64_t n_ov, const int64_t* off, const int64_t* x_s,
     const uint8_t* tb, const uint8_t* icnt, const uint8_t* ibase,
@@ -1300,7 +1326,29 @@ static int64_t ec_read_one(
     int64_t* ed_n) {          // [1] out
     std::vector<int32_t> cnt4(qlen * 4, 0);
     std::vector<uint8_t> het(qlen, 0), alt(qlen, 0);
+#if defined(__AVX2__)
+    const bool small_counts = (n_ov + 2) < 250;   // uint8 planes safe
+    std::vector<uint8_t> plane;
+#else
+    const bool small_counts = false;
+#endif
     // pass 1: allele counts over usable overlaps (substitution slots)
+#if defined(__AVX2__)
+    if (small_counts) {
+        plane.assign((size_t)(4 * qlen), 0);
+        for (int64_t o = 0; o < n_ov; ++o) {
+            if (!usable[o]) { is_match[o] = 0; continue; }
+            is_match[o] = 1;
+            count_planes_avx2(tb + off[o], off[o + 1] - off[o],
+                              plane.data(), x_s[o], qlen, 4);
+        }
+        for (int a = 0; a < 4; ++a) {
+            const uint8_t* pl = plane.data() + (int64_t)a * qlen;
+            for (int64_t p = 0; p < qlen; ++p)
+                cnt4[p * 4 + a] = pl[p];
+        }
+    } else
+#endif
     for (int64_t o = 0; o < n_ov; ++o) {
         if (!usable[o]) { is_match[o] = 0; continue; }
         is_match[o] = 1;
@@ -1364,6 +1412,56 @@ static int64_t ec_read_one(
     // pass 3: cis-only votes (+ query) and insertion aggregates
     std::vector<int32_t> votes(qlen * 5, 0), ins_tot(qlen, 0),
         ins_bc(qlen * 4, 0), ins_lc(qlen * 9, 0);
+#if defined(__AVX2__)
+    if (small_counts) {
+        plane.assign((size_t)(5 * qlen), 0);
+        const __m256i zero = _mm256_setzero_si256();
+        for (int64_t o = 0; o < n_ov; ++o) {
+            if (is_match[o] != 1) continue;
+            const int64_t s = off[o], e = off[o + 1];
+            const int64_t p0 = x_s[o];
+            count_planes_avx2(tb + s, e - s, plane.data(), p0, qlen, 5);
+            // insertion events are sparse: SIMD-scan icnt for nonzero
+            // bytes, handle hits scalar (only aligned slots count)
+            int64_t t = s;
+            for (; t + 32 <= e; t += 32) {
+                const __m256i ic = _mm256_loadu_si256(
+                    (const __m256i*)(icnt + t));
+                uint32_t bits = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(ic, zero)) ^ 0xFFFFFFFFu;
+                while (bits) {
+                    const int b = __builtin_ctz(bits);
+                    bits &= bits - 1;
+                    const int64_t tt = t + b;
+                    const uint8_t v = tb[tt];
+                    if (v > 4) continue;
+                    const int64_t p = p0 + (tt - s);
+                    ins_tot[p]++;
+                    const int ib = ibase[tt] <= 3 ? ibase[tt] : 3;
+                    ins_bc[p * 4 + ib]++;
+                    const int il = icnt[tt] <= 8 ? icnt[tt] : 8;
+                    ins_lc[p * 9 + il]++;
+                }
+            }
+            for (; t < e; ++t) {
+                if (icnt[t] == 0) continue;
+                const uint8_t v = tb[t];
+                if (v > 4) continue;
+                const int64_t p = p0 + (t - s);
+                ins_tot[p]++;
+                const int ib = ibase[t] <= 3 ? ibase[t] : 3;
+                ins_bc[p * 4 + ib]++;
+                const int il = icnt[t] <= 8 ? icnt[t] : 8;
+                ins_lc[p * 9 + il]++;
+            }
+        }
+        for (int a = 0; a < 5; ++a) {
+            const uint8_t* pl = plane.data() + (int64_t)a * qlen;
+            for (int64_t p = 0; p < qlen; ++p)
+                votes[p * 5 + a] = pl[p];
+        }
+    } else
+#endif
     for (int64_t o = 0; o < n_ov; ++o) {
         if (is_match[o] != 1) continue;
         const int64_t s = off[o], e = off[o + 1];
