@@ -515,8 +515,9 @@ def collect_anchors_native(mzs, pt, rids, tlens, hom_cov: int):
         if n else np.zeros(0, np.int64)
     # per-read capacity = sum of posting counts of its minimizers
     cnts = pt.cnt(mh).astype(np.int64)
-    caps = np.zeros(n, np.int64)
-    np.add.at(caps, np.repeat(np.arange(n), np.diff(mz_off)), cnts)
+    cs = np.zeros(len(cnts) + 1, np.int64)
+    np.cumsum(cnts, out=cs[1:])
+    caps = cs[mz_off[1:]] - cs[mz_off[:-1]]
     out_off = np.zeros(n + 1, np.int64)
     np.cumsum(caps, out=out_off[1:])
     tot = int(out_off[-1])

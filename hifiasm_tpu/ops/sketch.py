@@ -16,8 +16,9 @@ vectorized array programs instead of a scalar rolling loop:
   (sketch.cpp:193-216 hf_select), approximating select_mz_h.
 
 This module is the host (numpy) implementation; ops/sketch_jax.py is the
-batched device version used by the TPU pipeline. Both share semantics and
-are cross-validated in tests.
+batched device version (fixed-shape [R, L] planes, u32-pair hashes).  Both
+share semantics and are cross-validated byte-identical in
+tests/test_sketch_jax.py.
 
 Known deviations from the reference (documented, affect only edge cases):
 - tie emission differs slightly mid-sequence (reference suppresses some tie
