@@ -108,6 +108,25 @@ def _run_reference(exe, fasta) -> float:
     return wall
 
 
+def _bench_device_frontend():
+    """Device front-end (sketch + table + anchors) throughput, in its own
+    subprocess so a long compile can never cost the main metrics."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_device_frontend.py")
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    try:
+        r = subprocess.run(
+            [sys.executable, script, "512"],
+            capture_output=True, timeout=900, env=env, text=True)
+        for line in reversed(r.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
 def _bench_device_kernel():
     """Device-EC hot-kernel throughput on the real accelerator, run as a
     subprocess so the main measurement stays on the pinned-CPU host path
@@ -165,6 +184,11 @@ def main():
         out["host_native_windows_per_s"] = dev.get(
             "host_native_windows_per_s")
         out["device_vs_host_kernel"] = dev.get("device_vs_host")
+    fe = _bench_device_frontend()
+    if fe is not None:
+        out["device_frontend_bases_per_s"] = fe.get("value")
+        out["host_frontend_bases_per_s"] = fe.get("host_bases_per_s")
+        out["device_vs_host_frontend"] = fe.get("device_vs_host")
     print(json.dumps(out))
 
 

@@ -155,6 +155,10 @@ class HifiasmConfig:
     # below this input size the device path cannot amortize its launch
     # costs; route EC to the native host engine instead (auto mode only)
     device_min_bases: int = 50_000_000
+    # HBM-resident front end on the device path (single device): sketch,
+    # position table, and anchor gather on the accelerator
+    # (ops/sketch_jax.py + index/pos_table_jax.py)
+    device_frontend: bool = True
 
     def update_cov(self, hom_cov: int, het_cov: int = -1024) -> None:
         """Coverage-derived config update (~ha_opt_update_cov)."""

@@ -191,12 +191,15 @@ def _active_mesh(cfg: HifiasmConfig):
     return make_mesh(n)
 
 
-def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov, mesh=None):
+def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov, mesh=None,
+                     dev_table=None):
     """Anchor collection + batched chain DP for every read.
 
     With a mesh, the posting lookups route through the bucket-sharded
     device index (parallel/ec_shard.py) — byte-identical anchors, the
-    multi-chip ha_pt_get (htab.cpp:518)."""
+    multi-chip ha_pt_get (htab.cpp:518).  With ``dev_table`` (single
+    device), anchors gather from the HBM-resident index
+    (index/pos_table_jax.collect_anchors_device) — also byte-identical."""
     from hifiasm_tpu.overlap.anchors import chain_many, collect_anchors_many
 
     cp = ChainParams.for_k(cfg.k)
@@ -207,6 +210,10 @@ def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov, mesh=None):
         )
         gather = MeshAnchorGather(pt, mesh)
         ans = collect_anchors_mesh(mzs, gather, rids, store.lens, hom_cov)
+    elif dev_table is not None:
+        from hifiasm_tpu.index.pos_table_jax import collect_anchors_device
+        ans = collect_anchors_device(mzs, dev_table, rids, store.lens,
+                                     hom_cov)
     else:
         ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
     reads = [(rid, an, len(codes[rid])) for rid, an in zip(rids, ans)]
@@ -236,12 +243,35 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
     if cfg.dbg_gfa and not cfg.ignore_bin and cfg.output_prefix:
         from hifiasm_tpu.io.binfiles import load_pt_index
         loaded = load_pt_index(cfg.output_prefix, pt_fp)
+    use_dev = _use_device(cfg, store.total_bases)
+    mesh = _active_mesh(cfg) if use_dev else None
+    dev_tbl = None
     if loaded is not None:
         _ft, pt, mzs, peak_hom, peak_het = loaded
     else:
-        pt, peak_hom, peak_het, mzs = build_position_table(
-            codes, cfg.k, cfg.w, ft=ft, min_hist_cnt=cfg.min_hist_kmer_cnt,
-            keep_max=min(cfg.max_kmer_cnt, 4095))
+        if use_dev and mesh is None and cfg.device_frontend:
+            # HBM-resident front end: sketch + position table + (later)
+            # anchor gather on device (byte-identical with the host path,
+            # tests/test_sketch_jax.py + tests/test_pos_table_jax.py)
+            from hifiasm_tpu.index.pos_table_jax import (
+                build_position_table_device,
+            )
+            try:
+                dev_tbl, peak_hom, peak_het, mzs = \
+                    build_position_table_device(
+                        codes, cfg.k, cfg.w, ft=ft,
+                        min_hist_cnt=cfg.min_hist_kmer_cnt,
+                        keep_max=min(cfg.max_kmer_cnt, 4095))
+                pt = dev_tbl.to_host()
+            except Exception as ex:      # device OOM etc: host fallback
+                log("ec_round", f"device frontend unavailable ({ex!r}); "
+                    "falling back to the host index")
+                dev_tbl = None
+        if dev_tbl is None:
+            pt, peak_hom, peak_het, mzs = build_position_table(
+                codes, cfg.k, cfg.w, ft=ft,
+                min_hist_cnt=cfg.min_hist_kmer_cnt,
+                keep_max=min(cfg.max_kmer_cnt, 4095))
         if cfg.dbg_gfa and cfg.output_prefix:
             from hifiasm_tpu.io.binfiles import save_pt_index
             save_pt_index(cfg.output_prefix, ft, pt, mzs, pt_fp,
@@ -249,7 +279,7 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
     hom_cov = peak_hom if peak_hom > 0 else cfg.hom_cov
     new_seqs = {}
     n_corr = 0
-    if _use_device(cfg, store.total_bases):
+    if use_dev:
         import contextlib
 
         from hifiasm_tpu.ec.consensus import consensus_from_votes
@@ -268,11 +298,10 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
         )
         from hifiasm_tpu.ec.window_align import align_overlaps
 
-        mesh = _active_mesh(cfg)
         dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_ec,
                        mesh=mesh)
         read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov,
-                                    mesh=mesh)
+                                    mesh=mesh, dev_table=dev_tbl)
         ov_of = dict(read_ovs)
         get_target = _TargetCache(store)
         n_routed = 0

@@ -198,6 +198,20 @@ def build_position_table_jax(mz_per_read: Sequence, keep_min: int = 2,
     return table, peak_hom, peak_het
 
 
+def build_position_table_device(read_codes, k: int, w: int, ft=None,
+                                min_hist_cnt: int = 5, keep_min: int = 2,
+                                keep_max: int = YAK_MAX_COUNT - 1):
+    """Device-frontend analog of index/pos_table.build_position_table:
+    sketch on device (ops/sketch_jax) then build the HBM table.  Returns
+    (DevicePositionTable, peak_hom, peak_het, mz_per_read)."""
+    from hifiasm_tpu.ops.sketch_jax import sketch_many_jax
+    mzs = sketch_many_jax(list(read_codes), k, w, ft=ft)
+    table, peak_hom, peak_het = build_position_table_jax(
+        mzs, keep_min=keep_min, keep_max=keep_max,
+        min_hist_cnt=min_hist_cnt)
+    return table, peak_hom, peak_het, mzs
+
+
 # ---------------------------------------------------------------------------
 # lookup + anchor gather
 

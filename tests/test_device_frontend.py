@@ -1,0 +1,62 @@
+"""Device-frontend assembly == host assembly, byte-identical GFA.
+
+With align_engine="jax" and mesh_devices=1 the EC pipeline routes the
+index front end (sketch + position table + anchor gather) through the
+HBM-resident device path (ops/sketch_jax.py + index/pos_table_jax.py)
+instead of the host numpy/native path.  The reference keeps this index
+in ha_pt_t (htab.cpp:1232-1287) and queries it with ha_pt_get
+(htab.cpp:518); our contract is byte-identical outputs either way."""
+
+import os
+
+import numpy as np
+
+from hifiasm_tpu.assemble import assemble
+from hifiasm_tpu.config import HifiasmConfig
+from hifiasm_tpu.io.readstore import ReadStore
+from tests.synth import make_genome, sample_reads
+
+
+def _mk_store(rng):
+    g = make_genome(rng, 12000)
+    reads, _, _ = sample_reads(rng, g, depth=12, read_len=1800,
+                               err_rate=0.004)
+    return ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                 reads)
+
+
+def _run(tmp_path, tag, engine):
+    store = _mk_store(np.random.default_rng(11))
+    pfx = str(tmp_path / tag)
+    cfg = HifiasmConfig(output_prefix=pfx, n_rounds_ec=1, ignore_bin=True,
+                        align_engine=engine, mesh_devices=1)
+    assemble(store, cfg)
+    return pfx
+
+def test_device_frontend_assembly_matches_host(tmp_path):
+    ph = _run(tmp_path, "host", "native")
+    pd = _run(tmp_path, "devfe", "jax")
+    compared = 0
+    for suffix in ("bp.p_ctg.gfa", "bp.r_utg.gfa", "bp.p_utg.gfa",
+                   "p_ctg.fa"):
+        fh, fd = f"{ph}.{suffix}", f"{pd}.{suffix}"
+        assert os.path.exists(fh) and os.path.exists(fd), suffix
+        with open(fh, "rb") as a, open(fd, "rb") as b:
+            assert a.read() == b.read(), f"{suffix} differs"
+        compared += 1
+    assert compared == 4
+
+
+def test_device_frontend_falls_back_when_disabled(tmp_path):
+    """device_frontend=False on the device path must still assemble (host
+    index + device EC) and stay byte-identical."""
+    store = _mk_store(np.random.default_rng(11))
+    pfx = str(tmp_path / "nofe")
+    cfg = HifiasmConfig(output_prefix=pfx, n_rounds_ec=1, ignore_bin=True,
+                        align_engine="jax", mesh_devices=1,
+                        device_frontend=False)
+    assemble(store, cfg)
+    ph = _run(tmp_path, "host2", "native")
+    with open(f"{pfx}.bp.p_ctg.gfa", "rb") as a, \
+            open(f"{ph}.bp.p_ctg.gfa", "rb") as b:
+        assert a.read() == b.read()
