@@ -34,6 +34,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from hifiasm_tpu.config import THRESHOLD_MAX_SIZE, WINDOW_HC
 from hifiasm_tpu.ec.window_align import plan_read_windows
@@ -69,10 +70,10 @@ def build_bank(store: ReadStore, l_bucket: int = 2048) -> DeviceBank:
                       jnp.asarray(store.lens.astype(np.int32)), L, R)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _align_chunk(XL: int, e: int, fwd, rc, lens,
-                 q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
-    """Gather windows from the banks and align; tb/ic/ib stay on device."""
+def _gather_align(XL: int, e: int, fwd, rc, lens,
+                  q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
+    """Gather one chunk of windows from the banks and align (jit-free
+    body; composed into the scan megakernel below)."""
     B = q_rid.shape[0]
     YL = XL + 2 * e
     offs = jnp.arange(XL, dtype=jnp.int32)
@@ -91,12 +92,26 @@ def _align_chunk(XL: int, e: int, fwd, rc, lens,
     ylen = jnp.clip(lens[t_rid] - y0, 0, XL + 2 * e)
     xlen_eff = jnp.where(last & (ylen < xlen), ylen, xlen)
     err, ys, yn, tb, ic, ib = banded_core(x, xlen_eff, y, ylen, e, True)
-    return err, ys, yn, xlen_eff, tb, ic, ib
+    return err, ys, yn, tb, ic, ib
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(9,))
-def _raw_counts(XL: int, L: int, tb_flat, q_rid, q_row, q_ws, xlen, w_ok,
-                qlen, cnt):
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _align_scan(XL: int, e: int, fwd, rc, lens,
+                q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
+    """ONE launch for a whole batch: lax.scan over [C, chunk] window
+    chunks.  Each launch round-trip costs ~1.4 s through the dev tunnel,
+    so the per-chunk python dispatch loop (28 chunks x 4 stages in the
+    120 Mb run) was latency-bound; the scan keeps the loop on device."""
+    def body(c, xs):
+        return c, _gather_align(XL, e, fwd, rc, lens, *xs)
+
+    _, outs = lax.scan(
+        body, 0, (q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last))
+    return outs          # (err, ys, yn, tb, ic, ib), leading axis C
+
+
+def _raw_counts_body(XL: int, L: int, tb_flat, q_rid, q_row, q_ws, xlen,
+                     w_ok, qlen, cnt):
     """Scatter tb alleles into cnt [R_batch*L*5] (dels kept for later).
 
     q_rid indexes the whole-store bank (lens); q_row is the BATCH-LOCAL
@@ -115,9 +130,18 @@ def _raw_counts(XL: int, L: int, tb_flat, q_rid, q_row, q_ws, xlen, w_ok,
     return cnt.at[idx.reshape(-1)].add(1, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(10, 11))
-def _het_agree(XL: int, tb_flat, q_rid, q_row, q_ws, xlen, w_ok, ov_id,
-               fwd, alt_plane, het_plane, n_same, n_flip):
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+def _raw_counts_scan(XL: int, L: int, cnt, qlen, tb, q_rid, q_row, q_ws,
+                     xlen, w_ok):
+    def body(cnt, xs):
+        return _raw_counts_body(XL, L, *xs, qlen, cnt), None
+
+    cnt, _ = lax.scan(body, cnt, (tb, q_rid, q_row, q_ws, xlen, w_ok))
+    return cnt
+
+
+def _het_agree_body(XL: int, tb_flat, q_rid, q_row, q_ws, xlen, w_ok,
+                    ov_id, fwd, alt_plane, het_plane, n_same, n_flip):
     B = q_rid.shape[0]
     tb = tb_flat.reshape(B, XL)
     i = jnp.arange(XL, dtype=jnp.int32)[None, :]
@@ -136,11 +160,22 @@ def _het_agree(XL: int, tb_flat, q_rid, q_row, q_ws, xlen, w_ok, ov_id,
     return n_same, n_flip
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1),
-                   donate_argnums=(9, 10, 11, 12))
-def _cis_votes(XL: int, L: int, tb_flat, ic_flat, ib_flat, q_rid, q_row,
-               q_ws, xlen, votes, ins_tot, ins_base_cnt, ins_len_cnt,
-               w_cis, qlen):
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+def _het_agree_scan(XL: int, n_same, n_flip, fwd, alt_plane, het_plane,
+                    tb, q_rid, q_row, q_ws, xlen, w_ok, ov_id):
+    def body(carry, xs):
+        return _het_agree_body(XL, *xs, fwd, alt_plane, het_plane,
+                               *carry), None
+
+    (n_same, n_flip), _ = lax.scan(
+        body, (n_same, n_flip),
+        (tb, q_rid, q_row, q_ws, xlen, w_ok, ov_id))
+    return n_same, n_flip
+
+
+def _cis_votes_body(XL: int, L: int, tb_flat, ic_flat, ib_flat, q_rid,
+                    q_row, q_ws, xlen, votes, ins_tot, ins_base_cnt,
+                    ins_len_cnt, w_cis, qlen):
     B = q_rid.shape[0]
     tb = tb_flat.reshape(B, XL)
     ic = ic_flat.reshape(B, XL)
@@ -167,6 +202,28 @@ def _cis_votes(XL: int, L: int, tb_flat, ic_flat, ib_flat, q_rid, q_row,
         jnp.int32), oob9)
     ins_len_cnt = ins_len_cnt.at[lidx.reshape(-1)].add(1, mode="drop")
     return votes, ins_tot, ins_base_cnt, ins_len_cnt
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1),
+                   donate_argnums=(2, 3, 4, 5))
+def _cis_votes_scan(XL: int, L: int, votes, ins_tot, ins_base_cnt,
+                    ins_len_cnt, qlen, tb, ic, ib, q_rid, q_row, q_ws,
+                    xlen, w_cis):
+    def body(carry, xs):
+        tb_c, ic_c, ib_c, qr, qs, qw, xl_, cis = xs
+        return _cis_votes_body(XL, L, tb_c, ic_c, ib_c, qr, qs, qw, xl_,
+                               *carry, cis, qlen), None
+
+    carry, _ = lax.scan(
+        body, (votes, ins_tot, ins_base_cnt, ins_len_cnt),
+        (tb, ic, ib, q_rid, q_row, q_ws, xlen, w_cis))
+    return carry
+
+
+@jax.jit
+def _to_u8(a):
+    """Clamp an int32 vote/count plane to its uint8 transfer form."""
+    return jnp.minimum(a, 255).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -208,7 +265,7 @@ class DeviceEC:
             chunk = CHUNK if jax.default_backend() == "cpu" else CHUNK * 4
         self.chunk = chunk
         self.bank = build_bank(store)
-        self._shard_b = self._repl = None
+        self._shard_b = self._shard_b2 = self._repl = None
         if mesh is not None:
             # multi-chip: the read bank replicates onto every chip; each
             # window chunk shards on the batch axis, so the banded scans
@@ -220,6 +277,7 @@ class DeviceEC:
             n_dev = len(mesh.devices)
             self.chunk = max(chunk // n_dev, 1) * n_dev
             self._shard_b = NamedSharding(mesh, P("data"))
+            self._shard_b2 = NamedSharding(mesh, P(None, "data"))
             self._repl = NamedSharding(mesh, P())
             self.bank = DeviceBank(
                 jax.device_put(self.bank.fwd, self._repl),
@@ -233,6 +291,30 @@ class DeviceEC:
         if self._shard_b is not None:
             return jax.device_put(a, self._shard_b)
         return jnp.asarray(a)
+
+    def _put_b2(self, a: np.ndarray):
+        """[C, chunk] stack -> device, chunk axis mesh-sharded."""
+        import jax
+        if self._shard_b2 is not None:
+            return jax.device_put(a, self._shard_b2)
+        return jnp.asarray(a)
+
+    def _n_chunks(self, n: int) -> int:
+        """Pow2-bucketed chunk count, to bound the compiled shape set."""
+        need = max(-(-n // self.chunk), 1)
+        c = 1
+        while c < need:
+            c *= 2
+        return c
+
+    def _stack_put(self, arrs, n: int, C: int):
+        """1-D [n] host arrays -> [C, chunk] device stacks (zero pad)."""
+        out = []
+        for a in arrs:
+            b = np.zeros(C * self.chunk, a.dtype)
+            b[:n] = a
+            out.append(self._put_b2(b.reshape(C, self.chunk)))
+        return out
 
     def _zeros(self, n: int):
         """Accumulator (mesh-replicated when sharded)."""
@@ -319,35 +401,18 @@ class DeviceEC:
             return ({rid: ReadECOut(ov, np.zeros(0, np.uint8), z, z, z, z,
                                     z, z) for rid, ov in read_ovs}, {})
 
-        # ---- L1: align all chunks; keep tracebacks device-resident.
-        # Dispatch every chunk asynchronously FIRST (the tunnel round-trip
-        # dominates), then pull the small stats in one sync pass.
-        chunks = []
-        pend = []
-        for c0 in range(0, W, self.chunk):
-            sel = slice(c0, min(c0 + self.chunk, W))
-            n = sel.stop - sel.start
-            pad = self.chunk - n
-            args = [np.concatenate([a[sel], np.zeros(pad, a.dtype)])
-                    if pad else a[sel]
-                    for a in (j_qrid, j_ws, j_xlen, j_trid, j_trev, j_tws)]
-            lastp = np.concatenate([j_last[sel], np.zeros(pad, bool)]) \
-                if pad else j_last[sel]
-            err, ys, yn, xle, tb, ic, ib = _align_chunk(
-                self.wl, e, bank.fwd, bank.rc, bank.lens,
-                *[self._put_b(a) for a in args], self._put_b(lastp))
-            chunks.append((tb, ic, ib, sel, pad))
-            pend.append((sel, n, err, ys, yn, xle))
-        _mark(f"L1 dispatched ({len(chunks)} chunks, {W} windows)")
-        err_all = np.zeros(W, np.int32)
-        ys_all = np.zeros(W, np.int32)
-        yn_all = np.zeros(W, np.int32)
-        xle_all = np.zeros(W, np.int32)
-        for sel, n, err, ys, yn, xle in pend:
-            err_all[sel] = np.asarray(err)[:n]
-            ys_all[sel] = np.asarray(ys)[:n]
-            yn_all[sel] = np.asarray(yn)[:n]
-            xle_all[sel] = np.asarray(xle)[:n]
+        # ---- L1: ONE scan launch aligns every chunk; tracebacks stay
+        # device-resident in [C, chunk, ...] stacks.  (The old per-chunk
+        # dispatch loop paid one ~1.4 s tunnel round-trip per chunk.)
+        C1 = self._n_chunks(W)
+        st1 = self._stack_put(
+            (j_qrid, j_ws, j_xlen, j_trid, j_trev, j_tws, j_last), W, C1)
+        err1, ys1, yn1, tb1, ic1, ib1 = _align_scan(
+            self.wl, e, bank.fwd, bank.rc, bank.lens, *st1)
+        _mark(f"L1 dispatched ({C1} chunks, {W} windows)")
+        err_all = np.asarray(err1).reshape(-1)[:W].copy()
+        ys_all = np.asarray(ys1).reshape(-1)[:W].copy()
+        yn_all = np.asarray(yn1).reshape(-1)[:W].copy()
 
         # window acceptance: doubled per-window budget, capped at the band
         accept = np.minimum(j_thre * 2, E_BAND)
@@ -368,43 +433,26 @@ class DeviceEC:
         j_qrid_s, j_ws_s, j_xlen_s, j_ovid_s = j_qrid, j_ws, j_xlen, j_ovid
         j_qrow_s = j_qrow
         n_r = len(ridx)
+        bufs = [(tb1, ic1, ib1, C1, W)]    # device tb stacks per pass
         if n_r:
             r_qrid = j_qrid[ridx]
             r_ws = j_ws[ridx]
             r_xlen = j_xlen[ridx]
-            r_trid = j_trid[ridx]
-            r_trev = j_trev[ridx]
-            r_tws = t2.astype(np.int32)
-            r_last = j_last[ridx]
-            pend2 = []
-            for c0 in range(0, n_r, self.chunk):
-                sel2 = slice(c0, min(c0 + self.chunk, n_r))
-                n2 = sel2.stop - sel2.start
-                pad = self.chunk - n2
-                args = [np.concatenate([a[sel2], np.zeros(pad, a.dtype)])
-                        if pad else a[sel2]
-                        for a in (r_qrid, r_ws, r_xlen, r_trid, r_trev,
-                                  r_tws)]
-                lastp = np.concatenate([r_last[sel2],
-                                        np.zeros(pad, bool)]) \
-                    if pad else r_last[sel2]
-                err, ys, yn, xle, tb, ic, ib = _align_chunk(
-                    self.wl, e, bank.fwd, bank.rc, bank.lens,
-                    *[self._put_b(a) for a in args], self._put_b(lastp))
-                chunks.append((tb, ic, ib, slice(W + c0, W + sel2.stop),
-                               pad))
-                pend2.append((sel2, n2, err, ys, yn))
-            acc2 = np.zeros(n_r, bool)
-            for sel2, n2, err, ys, yn in pend2:
-                e2 = np.asarray(err)[:n2]
-                a2 = (e2 >= 0) & (e2 <= accept[ridx[sel2]])
-                acc2[sel2] = a2
-                upd = ridx[sel2][a2]
-                err_all[upd] = e2[a2]
-                ys_all[upd] = np.asarray(ys)[:n2][a2]
-                yn_all[upd] = np.asarray(yn)[:n2][a2]
-                tws_fin[upd] = t2[sel2][a2]
-                w_ok[upd] = True
+            C2 = self._n_chunks(n_r)
+            st2 = self._stack_put(
+                (r_qrid, r_ws, r_xlen, j_trid[ridx], j_trev[ridx],
+                 t2.astype(np.int32), j_last[ridx]), n_r, C2)
+            err2, ys2, yn2, tb2, ic2, ib2 = _align_scan(
+                self.wl, e, bank.fwd, bank.rc, bank.lens, *st2)
+            bufs.append((tb2, ic2, ib2, C2, n_r))
+            e2 = np.asarray(err2).reshape(-1)[:n_r]
+            acc2 = (e2 >= 0) & (e2 <= accept[ridx])
+            upd = ridx[acc2]
+            err_all[upd] = e2[acc2]
+            ys_all[upd] = np.asarray(ys2).reshape(-1)[:n_r][acc2]
+            yn_all[upd] = np.asarray(yn2).reshape(-1)[:n_r][acc2]
+            tws_fin[upd] = t2[acc2]
+            w_ok[upd] = True
             ok_slot = np.concatenate([ok_slot, acc2])
             j_qrid_s = np.concatenate([j_qrid, r_qrid])
             j_qrow_s = np.concatenate([j_qrow, j_qrow[ridx]])
@@ -444,22 +492,34 @@ class DeviceEC:
 
         _mark("L1 synced")
         qlen_d = bank.lens
+        # [C, chunk] stacks of the slot-space q columns: put ONCE per
+        # pass buffer, reused by L2/L3/L4 (one scan launch per stage per
+        # buffer instead of one launch per chunk per stage)
+        segs = []
+        off = 0
+        for tb, ic, ib, Cb, nb in bufs:
+            sl = slice(off, off + nb)
+            qa = self._stack_put((j_qrid_s[sl], j_qrow_s[sl], j_ws_s[sl],
+                                  j_xlen_s[sl]), nb, Cb)
+            segs.append((tb, ic, ib, Cb, sl, nb, qa))
+            off += nb
+        # plane rows and overlap-accumulator sizes bucket up so the
+        # compiled shape set stays bounded across batches
+        Rp = -(-R // 256) * 256
+        n_ov_pad = -(-max(n_ov_tot, 1) // 4096) * 4096
+
         # ---- L2: raw allele counts ----
-        cnt = self._zeros(R * L * 5)
-        for tb, ic, ib, sel, pad in chunks:
-            args = self._chunk_args((j_qrid_s, j_qrow_s, j_ws_s, j_xlen_s),
-                                    sel, pad)
-            okp = self._pad_bool(w_use[sel], pad)
-            cnt = _raw_counts(self.wl, L, tb, *args, self._put_b(okp),
-                              qlen_d, cnt)
-        cnt_host = np.asarray(jnp.minimum(cnt, 255).astype(jnp.uint8)
-                              ).reshape(R, L, 5)
+        cnt = self._zeros(Rp * L * 5)
+        for tb, ic, ib, Cb, sl, nb, qa in segs:
+            okp, = self._stack_put((w_use[sl],), nb, Cb)
+            cnt = _raw_counts_scan(self.wl, L, cnt, qlen_d, tb, *qa, okp)
+        cnt_host = np.asarray(_to_u8(cnt).reshape(Rp, L, 5)[:R])
 
         _mark("L2 raw counts")
         # het sites per read (query vote added host-side)
         from hifiasm_tpu.ec.phase import het_from_counts
-        het_plane = np.zeros((R, L), np.uint8)
-        alt_plane = np.zeros((R, L), np.uint8)
+        het_plane = np.zeros((Rp, L), np.uint8)
+        alt_plane = np.zeros((Rp, L), np.uint8)
         het_per_read = {}
         for rid, ov in read_ovs:
             row = row_of[rid]
@@ -474,8 +534,8 @@ class DeviceEC:
             alt_plane[row, hs] = alt[hs]
 
         # ---- L3: per-overlap het agreement -> cis/trans ----
-        n_same = self._zeros(n_ov_tot)
-        n_flip = self._zeros(n_ov_tot)
+        n_same = self._zeros(n_ov_pad)
+        n_flip = self._zeros(n_ov_pad)
         if self._repl is not None:
             import jax
             alt_d = jax.device_put(alt_plane, self._repl)
@@ -483,16 +543,13 @@ class DeviceEC:
         else:
             alt_d = jnp.asarray(alt_plane)
             het_d = jnp.asarray(het_plane)
-        for tb, ic, ib, sel, pad in chunks:
-            args = self._chunk_args((j_qrid_s, j_qrow_s, j_ws_s, j_xlen_s),
-                                    sel, pad)
-            okp = self._pad_bool(w_use[sel], pad)
-            ovp = self._pad_arr(j_ovid_s[sel], pad)
-            n_same, n_flip = _het_agree(
-                self.wl, tb, *args, self._put_b(okp), self._put_b(ovp),
-                bank.fwd, alt_d, het_d, n_same, n_flip)
-        n_same_h = np.asarray(n_same)
-        n_flip_h = np.asarray(n_flip)
+        for tb, ic, ib, Cb, sl, nb, qa in segs:
+            okp, ovp = self._stack_put((w_use[sl], j_ovid_s[sl]), nb, Cb)
+            n_same, n_flip = _het_agree_scan(
+                self.wl, n_same, n_flip, bank.fwd, alt_d, het_d,
+                tb, *qa, okp, ovp)
+        n_same_h = np.asarray(n_same)[:n_ov_tot]
+        n_flip_h = np.asarray(n_flip)[:n_ov_tot]
         _mark("L3 het agree")
         from hifiasm_tpu.ec.phase import classify_overlaps
         is_match_all = np.zeros(n_ov_tot, np.uint8)
@@ -504,25 +561,21 @@ class DeviceEC:
                 len(het_per_read[rid][0]))
 
         # ---- L4: cis-only votes + insertion aggregates ----
-        votes = self._zeros(R * L * 5)
-        ins_tot = self._zeros(R * L)
-        ins_bc = self._zeros(R * L * 4)
-        ins_lc = self._zeros(R * L * 9)
+        votes = self._zeros(Rp * L * 5)
+        ins_tot = self._zeros(Rp * L)
+        ins_bc = self._zeros(Rp * L * 4)
+        ins_lc = self._zeros(Rp * L * 9)
         cis_w = w_use & (is_match_all[j_ovid_s] == 1)
-        for tb, ic, ib, sel, pad in chunks:
-            args = self._chunk_args((j_qrid_s, j_qrow_s, j_ws_s, j_xlen_s),
-                                    sel, pad)
-            cisp = self._pad_bool(cis_w[sel], pad)
-            votes, ins_tot, ins_bc, ins_lc = _cis_votes(
-                self.wl, L, tb, ic, ib, *args, votes, ins_tot, ins_bc,
-                ins_lc, self._put_b(cisp), qlen_d)
+        for tb, ic, ib, Cb, sl, nb, qa in segs:
+            cisp, = self._stack_put((cis_w[sl],), nb, Cb)
+            votes, ins_tot, ins_bc, ins_lc = _cis_votes_scan(
+                self.wl, L, votes, ins_tot, ins_bc, ins_lc, qlen_d,
+                tb, ic, ib, *qa, cisp)
         ins_base, ins_len = _finalize_ins(ins_bc, ins_lc)
-        votes_h = np.asarray(jnp.minimum(votes, 255).astype(jnp.uint8)
-                             ).reshape(R, L, 5)
-        ins_tot_h = np.asarray(jnp.minimum(ins_tot, 255).astype(jnp.uint8)
-                               ).reshape(R, L)
-        ins_base_h = np.asarray(ins_base).reshape(R, L)
-        ins_len_h = np.asarray(ins_len).reshape(R, L)
+        votes_h = np.asarray(_to_u8(votes).reshape(Rp, L, 5)[:R])
+        ins_tot_h = np.asarray(_to_u8(ins_tot).reshape(Rp, L)[:R])
+        ins_base_h = np.asarray(ins_base.reshape(Rp, L)[:R])
+        ins_len_h = np.asarray(ins_len.reshape(Rp, L)[:R])
         _mark("L4 cis votes")
 
         # ---- package per read ----
@@ -540,17 +593,6 @@ class DeviceEC:
             cns_in[rid] = (votes_h[row], ins_tot_h[row], ins_base_h[row],
                            ins_len_h[row])
         return out, cns_in
-
-    def _chunk_args(self, arrays, sel, pad):
-        return [self._put_b(np.concatenate([a[sel], np.zeros(pad, a.dtype)])
-                            if pad else a[sel]) for a in arrays]
-
-    def _pad_bool(self, a, pad):
-        return np.concatenate([a, np.zeros(pad, bool)]) if pad else a
-
-    def _pad_arr(self, a, pad):
-        return np.concatenate([a, np.zeros(pad, a.dtype)]) if pad else a
-
 
 def consensus_inputs_for_read(store: ReadStore, rid: int, cns_in: tuple):
     """Slice per-read device aggregates into consensus_from_votes args

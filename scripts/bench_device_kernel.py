@@ -44,7 +44,7 @@ def main():
     # synth window jobs: query windows at random offsets vs random targets
     # with the true genomic shift (realistic acceptance profile)
     from hifiasm_tpu.config import WINDOW_HC
-    from hifiasm_tpu.ec.device_ec import E_BAND, build_bank, _align_chunk
+    from hifiasm_tpu.ec.device_ec import E_BAND, build_bank, _align_scan
 
     wl = WINDOW_HC
     R = store.n_reads
@@ -74,24 +74,19 @@ def main():
     print(f"[bench] bank upload {t_up:.2f}s "
           f"({bank.R}x{bank.L} x2 planes)", file=sys.stderr)
 
+    C = -(-n_windows // chunk)
+
     def run_once():
-        outs = []
-        for c0 in range(0, n_windows, chunk):
-            sel = slice(c0, min(c0 + chunk, n_windows))
-            n = sel.stop - sel.start
-            pad = chunk - n
-            a = [np.concatenate([v[sel], np.zeros(pad, v.dtype)])
-                 if pad else v[sel]
-                 for v in (q_rid, q_ws, xlen, t_rid, t_rev, t_ws)]
-            lastp = np.concatenate([last[sel], np.zeros(pad, bool)]) \
-                if pad else last[sel]
-            err, ys, yn, xle, tb, ic, ib = _align_chunk(
-                wl, E_BAND, bank.fwd, bank.rc, bank.lens,
-                *[jnp.asarray(x) for x in a], jnp.asarray(lastp))
-            outs.append(err)
-        for e_ in outs:
-            jax.block_until_ready(e_)
-        return outs
+        # one scan launch over [C, chunk] stacks (the production form)
+        st = []
+        for v in (q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
+            b = np.zeros(C * chunk, v.dtype)
+            b[:n_windows] = v
+            st.append(jnp.asarray(b.reshape(C, chunk)))
+        err, ys, yn, tb, ic, ib = _align_scan(
+            wl, E_BAND, bank.fwd, bank.rc, bank.lens, *st)
+        jax.block_until_ready(err)
+        return err
 
     t0 = time.time()
     run_once()                     # warmup + compile
