@@ -112,7 +112,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, i64p, i64p, i64p, i64p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i64p]
     lib.ht_banded_jobs.restype = ctypes.c_int64
     lib.ht_banded_jobs.argtypes = [
@@ -177,8 +177,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ht_chain_groups.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i64p, i64p, i64p]
     _lib = lib
     return _lib
@@ -268,7 +268,7 @@ def chain_dp_native(self_off, t_off, span, weight, xl: int, yl: int, p):
         np.ascontiguousarray(weight, np.int64),
         xl, yl, p.max_iter, p.max_skip, p.max_dis,
         1 if p.quick_check else 0,
-        p.bw_rate, p.chn_pen_gap, p.chn_pen_skip,
+        p.bw_q16, p.pg_q16, p.pskip_q16, p.invbw_q4,
         f, pre, t)
     return f, pre, bool(quick)
 
@@ -299,8 +299,8 @@ def chain_groups_native(off, self_off, t_off, span, weight, xl_g, yl_g, p):
         np.ascontiguousarray(xl_g, np.int64),
         np.ascontiguousarray(yl_g, np.int64),
         p.max_iter, p.max_skip, p.max_dis, 1 if p.quick_check else 0,
-        p.bw_rate, p.chn_pen_gap, p.chn_pen_skip,
-        m, p.mcopy_rate, p.mcopy_khit_cut,
+        p.bw_q16, p.pg_q16, p.pskip_q16, p.invbw_q4,
+        m, p.mcopy_q16, p.mcopy_khit_cut,
         cnt, score, start, hits, hit_idx)
     return (cnt, score.reshape(G, m), start.reshape(G, m),
             hits.reshape(G, m), hit_idx)

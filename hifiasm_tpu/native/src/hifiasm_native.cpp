@@ -206,8 +206,9 @@ extern "C" int64_t ht_banded_batch(
 
 // ---------------------------------------------------------------------------
 // Anchor-chain DP, one group at a time (scalar port of
-// ops/chain.chain_scores_batch_np — identical scoring, incl. the float64
-// penalty math, so results are bit-compatible with the numpy mirror).
+// ops/chain.chain_scores_batch_np — identical scoring, incl. the integer
+// Q16/Q4 fixed-point penalty, so results are bit-compatible with the
+// numpy mirror AND the int32 TPU kernel; see ops/chain._pen_int_np).
 
 #include <cmath>
 #include <string>
@@ -226,38 +227,37 @@ extern "C" int64_t ht_banded_batch(
 static const int64_t CHAIN_NEG = -(1LL << 62);
 
 static inline int64_t chain_bw(int64_t sj, int64_t oj, int64_t si,
-                               int64_t oi, double bw_rate, int64_t xl,
+                               int64_t oi, int64_t bw_q16, int64_t xl,
                                int64_t yl) {
     int64_t sf_s = sj, sf_e = si + 1;
     const int64_t sf_r = xl - sf_e, ot_r = yl - (oi + 1);
     sf_s = (sf_s <= oj) ? 0 : sf_s - oj;
     if (sf_r > ot_r) sf_e += ot_r; else sf_e = xl;
-    return (int64_t)((double)(sf_e - sf_s) * bw_rate);
+    return ((sf_e - sf_s) * bw_q16) >> 16;
 }
 
 static inline int64_t chain_pair_sc(int64_t si, int64_t oi, int64_t spi,
                                     int64_t wi, int64_t sj, int64_t oj,
-                                    double bw_rate, double pen_gap,
-                                    double pen_skip, int64_t xl,
-                                    int64_t yl) {
+                                    int64_t bw_q16, int64_t pg_q16,
+                                    int64_t pskip_q16, int64_t invbw_q4,
+                                    int64_t xl, int64_t yl) {
     const int64_t dq = si - sj;
     if (dq <= 0) return CHAIN_NEG;
     const int64_t dr = oi - oj;
     if (dr <= 0) return CHAIN_NEG;
     const int64_t dd = dr > dq ? dr - dq : dq - dr;
-    if (dd > 16 && dd > chain_bw(sj, oj, si, oi, bw_rate, xl, yl))
+    if (dd > 16 && dd > chain_bw(sj, oj, si, oi, bw_q16, xl, yl))
         return CHAIN_NEG;
     const int64_t dg = dr < dq ? dr : dq;
     int64_t sc = spi < dg ? spi : dg;
     sc = (sc >= wi) ? sc / (wi > 1 ? wi : 1) : 1;
     if (dd || (dg > spi && dg > 0)) {
-        double lin = pen_gap * (double)dd;
-        const double a_pen =
-            (double)sc * (((double)dd / (double)dg) / bw_rate);
-        lin = (dd < 4) ? (lin < a_pen ? lin : a_pen)
-                       : (lin > a_pen ? lin : a_pen);
-        lin += pen_skip * (double)dg;
-        sc -= (int64_t)lin;
+        const int64_t lin_q4 = (pg_q16 * dd) >> 12;
+        const int64_t apen_q4 = (sc * dd * invbw_q4) / (dg > 1 ? dg : 1);
+        const int64_t cho = (dd < 4)
+            ? (lin_q4 < apen_q4 ? lin_q4 : apen_q4)
+            : (lin_q4 > apen_q4 ? lin_q4 : apen_q4);
+        sc -= (cho + ((pskip_q16 * dg) >> 12)) >> 4;
     }
     return sc;
 }
@@ -269,7 +269,7 @@ extern "C" int64_t ht_chain_dp(
     const int64_t* span, const int64_t* weight,
     int64_t xl, int64_t yl, int64_t max_iter, int64_t max_skip,
     int64_t max_dis, int64_t quick_check,
-    double bw_rate, double chn_pen_gap, double chn_pen_skip,
+    int64_t bw_q16, int64_t pg_q16, int64_t pskip_q16, int64_t invbw_q4,
     int64_t* f, int64_t* pre, int64_t* t) {
     if (n <= 0) return 1;
     // --- quick pre-pass: consecutive-link chain (quick_ck_lchain) ---
@@ -284,13 +284,13 @@ extern "C" int64_t ht_chain_dp(
             if (dr <= 0) break;
             const int64_t dd = dr > dq ? dr - dq : dq - dr;
             if (dd > 16 && dd > chain_bw(self_off[z - 1], t_off[z - 1],
-                                         self_off[z], t_off[z], bw_rate,
+                                         self_off[z], t_off[z], bw_q16,
                                          xl, yl))
                 break;
             int64_t sc = chain_pair_sc(self_off[z], t_off[z], span[z],
                                        weight[z], self_off[z - 1],
-                                       t_off[z - 1], bw_rate, chn_pen_gap,
-                                       chn_pen_skip, xl, yl);
+                                       t_off[z - 1], bw_q16, pg_q16,
+                                       pskip_q16, invbw_q4, xl, yl);
             sc += f[z - 1];
             if (sc < span[z]) break;
             pre[z] = z - 1; f[z] = sc; ddt += dd;
@@ -299,7 +299,7 @@ extern "C" int64_t ht_chain_dp(
         if (z >= n && msc_i0 == n - 1) {
             if (n >= 2 && ddt > 16 &&
                 ddt > chain_bw(self_off[0], t_off[0], self_off[n - 1],
-                               t_off[n - 1], bw_rate, xl, yl))
+                               t_off[n - 1], bw_q16, xl, yl))
                 msc_i0 = -1;
             if (msc_i0 == n - 1) return 1;
         }
@@ -314,8 +314,8 @@ extern "C" int64_t ht_chain_dp(
         if (i - st > max_iter) st = i - max_iter;
         for (j = i - 1; j >= st; --j) {
             int64_t sc = chain_pair_sc(si, oi, spi, wi, self_off[j],
-                                       t_off[j], bw_rate, chn_pen_gap,
-                                       chn_pen_skip, xl, yl);
+                                       t_off[j], bw_q16, pg_q16,
+                                       pskip_q16, invbw_q4, xl, yl);
             if (sc != CHAIN_NEG) {
                 sc += f[j];
                 if (sc > max_f) {
@@ -336,8 +336,8 @@ extern "C" int64_t ht_chain_dp(
         }
         if (max_ii >= 0 && max_ii < end_j) {
             const int64_t tmp = chain_pair_sc(
-                si, oi, spi, wi, self_off[max_ii], t_off[max_ii], bw_rate,
-                chn_pen_gap, chn_pen_skip, xl, yl);
+                si, oi, spi, wi, self_off[max_ii], t_off[max_ii], bw_q16,
+                pg_q16, pskip_q16, invbw_q4, xl, yl);
             if (tmp != CHAIN_NEG && max_f < tmp + f[max_ii]) {
                 max_f = tmp + f[max_ii]; max_j = max_ii;
             }
@@ -372,8 +372,9 @@ extern "C" int64_t ht_chain_groups(
     const int64_t* xl_g, const int64_t* yl_g,
     int64_t max_iter, int64_t max_skip, int64_t max_dis,
     int64_t quick_check,
-    double bw_rate, double chn_pen_gap,
-    double chn_pen_skip, int64_t mcopy_num, double mcopy_rate,
+    int64_t bw_q16, int64_t pg_q16,
+    int64_t pskip_q16, int64_t invbw_q4,
+    int64_t mcopy_num, int64_t mcopy_q16,
     int64_t mcopy_khit_cut,
     int64_t* chain_cnt,      // [G]
     int64_t* chain_score,    // [G * mcopy_num]
@@ -402,7 +403,7 @@ extern "C" int64_t ht_chain_groups(
         const int64_t quick = ht_chain_dp(
             n, self_off + s, t_off + s, span + s, weight + s,
             xl, yl, max_iter, max_skip, max_dis, quick_check,
-            bw_rate, chn_pen_gap, chn_pen_skip,
+            bw_q16, pg_q16, pskip_q16, invbw_q4,
             f.data(), pre.data(), tbuf.data());
         int64_t msc = NEG, fmin = f[0];
         for (int64_t i = 0; i < n; ++i) {
@@ -447,8 +448,7 @@ extern "C" int64_t ht_chain_groups(
         const int64_t n_hits0 = (int64_t)seg.size();
         if (mcopy_num > 1 && n_hits0 >= mcopy_khit_cut) {
             const int64_t plus = fmin < 0 ? fmin : 0;
-            const int64_t min_sc = (int64_t)((double)(msc - plus)
-                                             * mcopy_rate);
+            const int64_t min_sc = ((msc - plus) * mcopy_q16) >> 16;
             cand.clear();
             for (int64_t i = 0; i < n; ++i)
                 if (!used[i] && f[i] - plus >= min_sc) cand.push_back(i);

@@ -45,6 +45,32 @@ class ChainParams:
     mcopy_rate: float = 0.7
     mcopy_khit_cut: int = 32
 
+    # Fixed-point penalty constants.  The reference computes chain
+    # penalties in double (comput_sc_ch_ec, Hash_Table.cpp:1515); this
+    # framework defines them in INTEGER Q16/Q4 fixed point instead so
+    # every engine — scalar oracle, numpy batch, native C++, and the
+    # int32-only TPU kernel — produces bit-identical scores with no
+    # float-rounding divergence across backends (see _pen_int).
+    @property
+    def pg_q16(self) -> int:
+        return int(round(self.chn_pen_gap * 65536.0))
+
+    @property
+    def pskip_q16(self) -> int:
+        return int(round(self.chn_pen_skip * 65536.0))
+
+    @property
+    def bw_q16(self) -> int:
+        return int(round(self.bw_rate * 65536.0))
+
+    @property
+    def invbw_q4(self) -> int:
+        return int(round(16.0 / self.bw_rate))
+
+    @property
+    def mcopy_q16(self) -> int:
+        return int(round(self.mcopy_rate * 65536.0))
+
     @classmethod
     def for_k(cls, k: int, is_accurate: bool = True, bw_rate: float = 0.02,
               **kw) -> "ChainParams":
@@ -68,19 +94,30 @@ def _pair_scores(self_i, off_i, span_i, w_i, self_j, off_j,
     sf_r = xl - (self_i + 1)
     ot_r = yl - (off_i + 1)
     sf_e = np.where(sf_r <= ot_r, xl, self_i + 1 + ot_r)
-    bw = ((sf_e - sf_s) * p.bw_rate).astype(np.int64)
+    bw = (np.asarray(sf_e - sf_s, np.int64) * np.int64(p.bw_q16)) >> 16
     ok &= (dd <= 16) | (dd <= bw)
 
     sc = np.minimum(span_i, dg)
     sc = np.where(sc >= w_i, sc // np.maximum(w_i, 1), 1)  # normal_w
-    with np.errstate(divide="ignore", invalid="ignore"):
-        lin = p.chn_pen_gap * dd
-        a_pen = sc * (dd / np.maximum(dg, 1)) / p.bw_rate
-        lin = np.where(dd < 4, np.minimum(lin, a_pen), np.maximum(lin, a_pen))
-        lin = lin + p.chn_pen_skip * dg
-    pen = np.where((dd != 0) | (dg > span_i), lin.astype(np.int64), 0)
+    pen = np.where((dd != 0) | (dg > span_i),
+                   _pen_int_np(dd, dg, sc, p), 0)
     sc = sc - pen
     return np.where(ok, sc, NEG_INF)
+
+
+def _pen_int_np(dd, dg, sc, p: ChainParams):
+    """Integer Q4 fixed-point chain penalty, shared semantics of every
+    engine (the reference's double math at Hash_Table.cpp:1552-1560
+    re-defined for cross-backend bit-identity; see ChainParams)."""
+    dd = np.asarray(dd, np.int64)
+    dgc = np.maximum(np.asarray(dg, np.int64), 1)
+    sc = np.asarray(sc, np.int64)
+    lin_q4 = (np.int64(p.pg_q16) * dd) >> 12
+    apen_q4 = (sc * dd * np.int64(p.invbw_q4)) // dgc
+    cho = np.where(dd < 4, np.minimum(lin_q4, apen_q4),
+                   np.maximum(lin_q4, apen_q4))
+    skip_q4 = (np.int64(p.pskip_q16) * np.asarray(dg, np.int64)) >> 12
+    return (cho + skip_q4) >> 4
 
 
 def chain_scores_batch_np(self_off: np.ndarray, t_off: np.ndarray,
@@ -120,17 +157,12 @@ def chain_scores_batch_np(self_off: np.ndarray, t_off: np.ndarray,
         sf_r = xl - (si + 1)
         ot_r = yl - (oi + 1)
         sf_e = np.where(sf_r <= ot_r, xl, si + 1 + ot_r)
-        bw = ((sf_e - sf_s) * p.bw_rate).astype(np.int64)
+        bw = (np.asarray(sf_e - sf_s, np.int64) * np.int64(p.bw_q16)) >> 16
         ok &= (dd <= 16) | (dd <= bw)
         sc = np.minimum(spi, dg)
         sc = np.where(sc >= wi, sc // np.maximum(wi, 1), 1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            lin = p.chn_pen_gap * dd
-            a_pen = sc * (dd / np.maximum(dg, 1)) / p.bw_rate
-            lin = np.where(dd < 4, np.minimum(lin, a_pen),
-                           np.maximum(lin, a_pen))
-            lin = lin + p.chn_pen_skip * dg
-        pen = np.where((dd != 0) | (dg > spi), lin.astype(np.int64), 0)
+        pen = np.where((dd != 0) | (dg > spi),
+                       _pen_int_np(dd, dg, sc, p), 0)
         pair = np.where(ok, sc - pen, NEG_INF)
         tot = np.where(pair == NEG_INF, NEG_INF, pair + f)
         bj = np.argmax(tot, axis=1)
@@ -143,13 +175,13 @@ def chain_scores_batch_np(self_off: np.ndarray, t_off: np.ndarray,
     return f, pre
 
 
-def _chain_bw(sj, oj, si, oi, bw_rate, xl, yl):
-    """~cal_bw (Hash_Table.cpp:1475)."""
+def _chain_bw(sj, oj, si, oi, bw_q16, xl, yl):
+    """~cal_bw (Hash_Table.cpp:1475), integer Q16 band rate."""
     sf_s, sf_e = sj, si + 1
     sf_r, ot_r = xl - sf_e, yl - (oi + 1)
     sf_s = 0 if sf_s <= oj else sf_s - oj
     sf_e = sf_e + ot_r if sf_r > ot_r else xl
-    return int((sf_e - sf_s) * bw_rate)
+    return int((sf_e - sf_s) * bw_q16) >> 16
 
 
 def _chain_pair_sc(si, oi, spi, wi, sj, oj, p: ChainParams, xl, yl):
@@ -161,17 +193,16 @@ def _chain_pair_sc(si, oi, spi, wi, sj, oj, p: ChainParams, xl, yl):
     if dr <= 0:
         return None
     dd = abs(dr - dq)
-    if dd > 16 and dd > _chain_bw(sj, oj, si, oi, p.bw_rate, xl, yl):
+    if dd > 16 and dd > _chain_bw(sj, oj, si, oi, p.bw_q16, xl, yl):
         return None
     dg = min(dr, dq)
     sc = min(spi, dg)
     sc = sc // max(wi, 1) if sc >= wi else 1
     if dd or (dg > spi and dg > 0):
-        lin = p.chn_pen_gap * dd
-        a_pen = sc * ((dd / dg) / p.bw_rate)
-        lin = min(lin, a_pen) if dd < 4 else max(lin, a_pen)
-        lin += p.chn_pen_skip * dg
-        sc -= int(lin)
+        lin_q4 = (p.pg_q16 * dd) >> 12
+        apen_q4 = (sc * dd * p.invbw_q4) // max(dg, 1)
+        cho = min(lin_q4, apen_q4) if dd < 4 else max(lin_q4, apen_q4)
+        sc -= (cho + ((p.pskip_q16 * dg) >> 12)) >> 4
     return sc
 
 
@@ -203,7 +234,7 @@ def chain_dp_ref(self_off, t_off, span, weight, xl: int, yl: int,
             dd = abs(dr - dq)
             if dd > 16 and dd > _chain_bw(self_off[z - 1], t_off[z - 1],
                                           self_off[z], t_off[z],
-                                          p.bw_rate, xl, yl):
+                                          p.bw_q16, xl, yl):
                 break
             sc = _chain_pair_sc(self_off[z], t_off[z], span[z], weight[z],
                                 self_off[z - 1], t_off[z - 1], p, xl, yl)
@@ -219,7 +250,7 @@ def chain_dp_ref(self_off, t_off, span, weight, xl: int, yl: int,
         if z >= n and msc_i0 == n - 1:
             if n >= 2 and ddt > 16 and \
                     ddt > _chain_bw(self_off[0], t_off[0], self_off[n - 1],
-                                    t_off[n - 1], p.bw_rate, xl, yl):
+                                    t_off[n - 1], p.bw_q16, xl, yl):
                 msc_i0 = -1
             if msc_i0 == n - 1:
                 return f, pre, True
@@ -314,7 +345,7 @@ def extract_chains(f: np.ndarray, pre: np.ndarray, self_off: np.ndarray,
     if p.mcopy_num > 1 and len(hits) >= p.mcopy_khit_cut:
         plus = min(0, int(f.min()))
         msc_pos = msc - plus
-        min_sc = int(msc_pos * p.mcopy_rate)
+        min_sc = int(msc_pos * p.mcopy_q16) >> 16
         fpos = f - plus
         cand = np.flatnonzero(~used & (fpos >= min_sc))
         order = cand[np.argsort(-fpos[cand], kind="stable")]

@@ -22,17 +22,24 @@ from jax import lax
 
 NEG_INF32 = jnp.int32(-(1 << 30))
 
-# ChainParams.for_k(51) defaults (set_lchain_dp_op, anchor.cpp:2272)
-_BW_RATE = 0.02
-_CHN_PEN_GAP = 0.5 * float(np.exp(-0.01 * 51))
-_CHN_PEN_SKIP = 0.0005 * float(np.exp(-0.01 * 51))
+# ChainParams.for_k(51) integer Q16/Q4 defaults (ops/chain.ChainParams);
+# i32-safe on TPU because sketch spans are < 256 and max_dis = 5000
+from hifiasm_tpu.ops.chain import ChainParams as _CP
+_D = _CP.for_k(51)
+_PG_Q16, _PSKIP_Q16 = _D.pg_q16, _D.pskip_q16
+_BW_Q16, _INVBW_Q4 = _D.bw_q16, _D.invbw_q4
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
+@functools.partial(jax.jit, static_argnames=(
+    "max_iter", "pg_q16", "pskip_q16", "bw_q16", "invbw_q4"))
 def chain_scores_batch(self_off, t_off, span, weight, n, xl, yl,
-                       max_iter: int = 5000):
+                       max_iter: int = 5000, pg_q16: int = _PG_Q16,
+                       pskip_q16: int = _PSKIP_Q16, bw_q16: int = _BW_Q16,
+                       invbw_q4: int = _INVBW_Q4):
     """[B, N] anchor columns -> (f, pre): best chain score ending at each
-    anchor and its predecessor (-1 if chain starts there)."""
+    anchor and its predecessor (-1 if chain starts there).  Penalties use
+    the integer fixed-point semantics shared by every engine
+    (ops/chain._pen_int_np)."""
     B, N = self_off.shape
     self_off = self_off.astype(jnp.int32)
     t_off = t_off.astype(jnp.int32)
@@ -61,19 +68,22 @@ def chain_scores_batch(self_off, t_off, span, weight, n, xl, yl,
         sf_r = xl - (si + 1)
         ot_r = yl - (oi + 1)
         sf_e = jnp.where(sf_r <= ot_r, xl, si + 1 + ot_r)
-        bw = ((sf_e - sf_s).astype(jnp.float32) * _BW_RATE).astype(jnp.int32)
+        bw = (jnp.maximum(sf_e - sf_s, 0) * jnp.int32(bw_q16)) >> 16
         valid &= (dd <= 16) | (dd <= bw)
 
         sc = jnp.minimum(spi, dg)
         sc = jnp.where(sc >= wi, sc // jnp.maximum(wi, 1), 1)
-        ddf = dd.astype(jnp.float32)
-        dgf = jnp.maximum(dg, 1).astype(jnp.float32)
-        lin = _CHN_PEN_GAP * ddf
-        a_pen = sc.astype(jnp.float32) * (ddf / dgf) / _BW_RATE
-        lin = jnp.where(dd < 4, jnp.minimum(lin, a_pen),
-                        jnp.maximum(lin, a_pen))
-        lin = lin + _CHN_PEN_SKIP * dg.astype(jnp.float32)
-        pen = jnp.where((dd != 0) | (dg > spi), lin.astype(jnp.int32), 0)
+        # i32-safe operand clips: on invalid lanes dd/dg/sc are garbage
+        # (discarded by the mask) but must not overflow the products
+        ddc = jnp.clip(dd, 0, 8191)
+        scc = jnp.clip(sc, 0, 1023)
+        dgc = jnp.maximum(dg, 1)
+        lin_q4 = (jnp.int32(pg_q16) * ddc) >> 12
+        apen_q4 = (scc * ddc * jnp.int32(invbw_q4)) // dgc
+        cho = jnp.where(dd < 4, jnp.minimum(lin_q4, apen_q4),
+                        jnp.maximum(lin_q4, apen_q4))
+        skip_q4 = (jnp.int32(pskip_q16) * jnp.clip(dg, 0, 262143)) >> 12
+        pen = jnp.where((dd != 0) | (dg > spi), (cho + skip_q4) >> 4, 0)
         pair = jnp.where(valid, sc - pen, NEG_INF32)
 
         tot = jnp.where(pair == NEG_INF32, NEG_INF32, pair + f_prev)

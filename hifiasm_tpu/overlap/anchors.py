@@ -288,11 +288,7 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
     if device_threshold is not None:
         try:
             import jax
-            from hifiasm_tpu.ops import chain_jax as _cj
-            use_device = (jax.default_backend() != "cpu"
-                          and abs(params.bw_rate - _cj._BW_RATE) < 1e-12
-                          and abs(params.chn_pen_gap - _cj._CHN_PEN_GAP)
-                          < 1e-12)
+            use_device = jax.default_backend() != "cpu"
         except Exception:
             pass
 
@@ -426,7 +422,9 @@ def chain_many(reads, tlens: np.ndarray, params: ChainParams,
                 cols[0].astype(np.int32), cols[1].astype(np.int32),
                 cols[2].astype(np.int32), cols[3].astype(np.int32),
                 narr_p.astype(np.int32), xl_p.astype(np.int32),
-                yl_p.astype(np.int32))
+                yl_p.astype(np.int32), pg_q16=params.pg_q16,
+                pskip_q16=params.pskip_q16, bw_q16=params.bw_q16,
+                invbw_q4=params.invbw_q4)
             f = np.asarray(fd)[:G].astype(np.int64)
             pre = np.asarray(pd)[:G].astype(np.int64)
         else:
