@@ -102,3 +102,190 @@ def chain_scores_batch(self_off, t_off, span, weight, n, xl, yl,
     f0 = jnp.full((B, N), NEG_INF32)
     f_fin, (f_cols, pre_cols) = lax.scan(step, f0, jidx)
     return f_cols.T, pre_cols.T
+
+
+# ---------------------------------------------------------------------------
+# exact-semantics batch DP: bit-identical with the scalar/native engine
+
+def _pair_sc_vec(si, oi, spi, wi, so, to, xl, yl,
+                 pg_q16, pskip_q16, bw_q16, invbw_q4):
+    """comput_sc_ch_ec for anchor i vs a j-vector, integer penalties.
+    Returns (sc, valid); sc is garbage where ~valid."""
+    dq = si - so
+    dr = oi - to
+    ok = (dq > 0) & (dr > 0)
+    dd = jnp.abs(dr - dq)
+    dg = jnp.minimum(dr, dq)
+    sf_s = jnp.maximum(so - to, 0)
+    sf_r = xl - (si + 1)
+    ot_r = yl - (oi + 1)
+    sf_e = jnp.where(sf_r <= ot_r, xl, si + 1 + ot_r)
+    bw = (jnp.maximum(sf_e - sf_s, 0) * jnp.int32(bw_q16)) >> 16
+    ok &= (dd <= 16) | (dd <= bw)
+    sc = jnp.minimum(spi, dg)
+    sc = jnp.where(sc >= wi, sc // jnp.maximum(wi, 1), 1)
+    ddc = jnp.clip(dd, 0, 8191)
+    scc = jnp.clip(sc, 0, 1023)
+    dgc = jnp.maximum(dg, 1)
+    lin_q4 = (jnp.int32(pg_q16) * ddc) >> 12
+    apen_q4 = (scc * ddc * jnp.int32(invbw_q4)) // dgc
+    cho = jnp.where(dd < 4, jnp.minimum(lin_q4, apen_q4),
+                    jnp.maximum(lin_q4, apen_q4))
+    skip_q4 = (jnp.int32(pskip_q16) * jnp.clip(dg, 0, 262143)) >> 12
+    pen = jnp.where((dd != 0) | (dg > spi), (cho + skip_q4) >> 4, 0)
+    return sc - pen, ok
+
+
+def _rev_cum(x, op):
+    """Reversed (suffix) cumulative op along the last axis."""
+    ax = x.ndim - 1
+    return jnp.flip(op(jnp.flip(x, ax), axis=ax), ax)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_iter", "max_skip", "max_dis", "pg_q16", "pskip_q16", "bw_q16",
+    "invbw_q4", "quick_check"))
+def chain_exact_batch(so, to, span, weight, n, xl, yl,
+                      max_iter: int = 5000, max_skip: int = 25,
+                      max_dis: int = 5000, quick_check: bool = True,
+                      pg_q16: int = _PG_Q16, pskip_q16: int = _PSKIP_Q16,
+                      bw_q16: int = _BW_Q16, invbw_q4: int = _INVBW_Q4):
+    """Batched chain DP with the scalar engine's EXACT control flow —
+    quick_ck_lchain pre-pass, backward-scan max_skip break (via a
+    clamped-counter suffix scan), and the max_ii long-range fallback
+    carried across steps — so (f, pre, quick) match ht_chain_dp /
+    ops/chain.chain_dp_ref bit for bit (cross-validated in
+    tests/test_chain_exact_jax.py).  [B, N] padded groups, int32.
+
+    Reference control flow: lchain_qdp_mcopy_fast Hash_Table.cpp:2097,
+    quick_ck_lchain :2007, the minimap2-style t[]/n_skip break, and the
+    max_ii fallback."""
+    B, N = so.shape
+    so = so.astype(jnp.int32)
+    to = to.astype(jnp.int32)
+    span = span.astype(jnp.int32)
+    weight = weight.astype(jnp.int32)
+    n = n.astype(jnp.int32)
+    xl = xl.astype(jnp.int32)[:, None]
+    yl = yl.astype(jnp.int32)[:, None]
+    jidx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(B)
+    consts = (pg_q16, pskip_q16, bw_q16, invbw_q4)
+
+    # ---- quick pre-pass (vector form of the z-loop) ----
+    so_p = jnp.concatenate([so[:, :1], so[:, :-1]], axis=1)   # z-1
+    to_p = jnp.concatenate([to[:, :1], to[:, :-1]], axis=1)
+    link_sc, link_ok = _pair_sc_vec(so, to, span, weight, so_p, to_p,
+                                    xl, yl, *consts)
+    dd_l = jnp.abs((to - to_p) - (so - so_p))
+    in_g = jidx < n[:, None]
+    fq = span[:, :1] + jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(
+            jnp.where(in_g, link_sc, 0)[:, 1:], axis=1)], axis=1)
+    cond = link_ok & (fq >= span) & in_g
+    cond = cond.at[:, 0].set(in_g[:, 0])
+    unbroken = jnp.cumprod(cond.astype(jnp.int32), axis=1) > 0
+    quick_complete = jnp.sum(unbroken.astype(jnp.int32), axis=1) == n
+    fqm = jnp.where(in_g, fq, NEG_INF32)
+    mx_q = jnp.max(fqm, axis=1, keepdims=True)
+    msc_i0 = jnp.max(jnp.where(fqm == mx_q, jidx, -1), axis=1)  # LAST >=
+    ddt = jnp.sum(jnp.where(in_g, dd_l, 0)[:, 1:] *
+                  unbroken[:, 1:].astype(jnp.int32), axis=1)
+    last = jnp.maximum(n - 1, 0)
+    so0, to0 = so[:, 0], to[:, 0]
+    soL = so[rows, last]
+    toL = to[rows, last]
+    sf_s0 = jnp.maximum(so0 - to0, 0)
+    sf_r0 = xl[:, 0] - (soL + 1)
+    ot_r0 = yl[:, 0] - (toL + 1)
+    sf_e0 = jnp.where(sf_r0 <= ot_r0, xl[:, 0], soL + 1 + ot_r0)
+    bw_g = (jnp.maximum(sf_e0 - sf_s0, 0) * jnp.int32(bw_q16)) >> 16
+    ddt_bad = (n >= 2) & (ddt > 16) & (ddt > bw_g)
+    quick = quick_check & quick_complete & (msc_i0 == n - 1) & \
+        ~ddt_bad & (n > 0)
+    pre_q = jnp.where(in_g & (jidx > 0), jidx - 1, -1)
+
+    # ---- full DP scan over i ----
+    def step(carry, i):
+        f, pre, max_ii = carry
+        si = so[rows, i][:, None]
+        oi = to[rows, i][:, None]
+        spi = span[rows, i][:, None]
+        wi = weight[rows, i][:, None]
+        sc_j, ok = _pair_sc_vec(si, oi, spi, wi, so, to, xl, yl, *consts)
+        st = jnp.maximum(i - max_iter, 0)
+        window = (jidx >= st) & (jidx < i) & in_g
+        valid = ok & window
+        tot = jnp.where(valid, sc_j + f, NEG_INF32)
+        # t[] marks: j was recorded as a predecessor by a valid j' > j
+        midx = jnp.where(valid & (pre >= 0), pre, N)
+        mark = jnp.zeros((B, N + 1), bool).at[rows[:, None], midx] \
+            .set(True)[:, :N]
+        # improvement / skip deltas in visit order (descending j)
+        suf_inc = _rev_cum(tot, jax.lax.cummax)            # max tot[j..]
+        m_after = jnp.concatenate(
+            [suf_inc[:, 1:], jnp.full((B, 1), NEG_INF32)], axis=1)
+        m_after = jnp.maximum(m_after, spi)
+        imp = valid & (tot > m_after)
+        d = jnp.where(imp, -1, jnp.where(valid & mark, 1, 0)) \
+            .astype(jnp.int32)
+        P = _rev_cum(d, jnp.cumsum)                        # sum d[j..i-1]
+        p_after = jnp.concatenate(
+            [P[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+        min_after = jnp.minimum(_rev_cum(p_after, jax.lax.cummin), 0)
+        s_cnt = P - min_after
+        bad = window & (s_cnt > max_skip)
+        stopped_above = jnp.concatenate(
+            [(_rev_cum(bad.astype(jnp.int32), jax.lax.cummax)[:, 1:] > 0),
+             jnp.zeros((B, 1), bool)], axis=1)
+        visited = window & ~stopped_above
+        contrib = valid & visited & ~bad
+        totc = jnp.where(contrib, tot, NEG_INF32)
+        best = jnp.maximum(jnp.max(totc, axis=1), spi[:, 0])
+        has = best > spi[:, 0]
+        max_j = jnp.where(
+            has, jnp.max(jnp.where(totc == best[:, None], jidx, -1),
+                         axis=1), -1)
+        j_b = jnp.max(jnp.where(bad & visited, jidx, -1), axis=1)
+        end_j = jnp.where(j_b >= 0, j_b, st - 1)
+        # max_ii fallback
+        mii_c = jnp.clip(max_ii, 0, N - 1)
+        so_mii = so[rows, mii_c]
+        stale = (max_ii < 0) | (si[:, 0] > so_mii + max_dis)
+        wm = window & (si <= max_dis + so)
+        fwm = jnp.where(wm, f, NEG_INF32)
+        mxw = jnp.max(fwm, axis=1)
+        mii_new = jnp.max(jnp.where(fwm == mxw[:, None], jidx, -1),
+                          axis=1)
+        mii_new = jnp.where(jnp.any(wm, axis=1), mii_new, -1)
+        max_ii = jnp.where(stale, mii_new, max_ii)
+        mii_c = jnp.clip(max_ii, 0, N - 1)
+        tmp, tok = _pair_sc_vec(
+            si[:, 0], oi[:, 0], spi[:, 0], wi[:, 0],
+            so[rows, mii_c], to[rows, mii_c], xl[:, 0], yl[:, 0], *consts)
+        cand = tmp + f[rows, mii_c]
+        use_fb = (max_ii >= 0) & (max_ii < end_j) & tok & (best < cand)
+        f_i = jnp.where(use_fb, cand, best)
+        pre_i = jnp.where(use_fb, max_ii, max_j)
+        in_r = i < n
+        f_i = jnp.where(in_r, f_i, NEG_INF32)
+        pre_i = jnp.where(in_r, pre_i, -1)
+        f = f.at[rows, i].set(f_i)
+        pre = pre.at[rows, i].set(pre_i)
+        # maintenance
+        mii_c = jnp.clip(max_ii, 0, N - 1)
+        keep = (max_ii < 0) | ((si[:, 0] <= max_dis + so[rows, mii_c]) &
+                               (f[rows, mii_c] < f_i))
+        max_ii = jnp.where(in_r & keep, i, max_ii)
+        return (f, pre, max_ii), None
+
+    f0 = jnp.full((B, N), NEG_INF32)
+    pre0 = jnp.full((B, N), -1, jnp.int32)
+    mii0 = jnp.full(B, -1, jnp.int32)
+    (f_full, pre_full, _), _ = lax.scan(
+        step, (f0, pre0, mii0), jnp.arange(N, dtype=jnp.int32))
+
+    fq_out = jnp.where(in_g, fq, NEG_INF32)
+    f_out = jnp.where(quick[:, None], fq_out, f_full)
+    pre_out = jnp.where(quick[:, None], pre_q, pre_full)
+    return f_out, pre_out, quick
