@@ -181,84 +181,122 @@ def banded_core(x, xlen, y, ylen, e: int, traceback: bool):
 
     st_d0hi, st_d0lo, st_hphi, st_hplo, st_vphi, st_vplo = stored  # [XL, B]
 
-    # light traceback: carry only (ii, jj), emit a per-step MOVE code;
-    # the per-position tb/ins arrays are decoded host-side in one
-    # vectorized pass (no [B, XL] scatters inside the loop)
-    def tb_step(carry, _):
-        ii, jj = carry
-        act = ii > 0
-        i_s = jnp.maximum(ii, 1)
-        gidx = (i_s - 1)[None, :]
-        d0hi = jnp.take_along_axis(st_d0hi, gidx, axis=0)[0]
-        d0lo = jnp.take_along_axis(st_d0lo, gidx, axis=0)[0]
-        hphi = jnp.take_along_axis(st_hphi, gidx, axis=0)[0]
-        hplo = jnp.take_along_axis(st_hplo, gidx, axis=0)[0]
-        vphi = jnp.take_along_axis(st_vphi, gidx, axis=0)[0]
-        vplo = jnp.take_along_axis(st_vplo, gidx, axis=0)[0]
-        bb = jj - ii
-        in_band = (bb >= 0) & (bb <= 2 * e)
-        xc = jnp.take_along_axis(
-            x, jnp.clip(i_s - 1, 0, XL - 1)[:, None], axis=1)[:, 0]
-        jc = jnp.clip(jj - 1, 0, YL - 1)
-        yc = jnp.take_along_axis(y, jc[:, None], axis=1)[:, 0]
-        matches = (xc == yc) & (xc < 4) & (jj - 1 < ylen) & (jj >= 1)
-        d0bit = _getbit(d0hi, d0lo, jnp.clip(bb, 0, 2 * e)).astype(bool)
-        diag_ok = act & in_band & (jj >= 1) & (jj - 1 >= ii - 1) & \
-            ((matches & d0bit) | (~matches & ~d0bit))
-        vp_bit = _getbit(vphi, vplo, jnp.clip(bb - 1, 0, 2 * e)).astype(bool)
-        horiz_ok = act & (jj - 1 >= ii) & (bb - 1 >= 0) & vp_bit
-        hp_bit = _getbit(hphi, hplo, jnp.clip(bb, 0, 2 * e)).astype(bool)
-        vert_ok = act & in_band & (jj <= ii - 1 + 2 * e) & hp_bit
-        do_diag = diag_ok
-        do_horiz = ~do_diag & horiz_ok
-        do_vert = ~do_diag & ~do_horiz & vert_ok
-        move = (do_diag.astype(jnp.uint8) + 2 * do_horiz.astype(jnp.uint8)
-                + 3 * do_vert.astype(jnp.uint8))
-        ii = ii - do_diag.astype(jnp.int32) - do_vert.astype(jnp.int32)
-        jj = jj - do_diag.astype(jnp.int32) - do_horiz.astype(jnp.int32)
-        return (ii, jj), move
+    # ---- row-sweep traceback: one scan step per x row, NO gathers ----
+    # The naive per-move pointer chase needs a dynamic row gather per
+    # step (per-lane ii differs), which XLA lowers to catastrophically
+    # slow TPU gathers (~100x the forward scan).  Instead sweep rows
+    # i = XL-1 .. 0 with STATIC indexing: at row ii = i+1 every lane
+    # consumes its run of horizontal moves plus one diag/vert move in
+    # CLOSED FORM — the move choice is a find-highest-set-bit over the
+    # packed per-row move masks:
+    #   HORIZ = vp << 1 (bit b: vp_bit(b-1) and b>=1)
+    #   DIAG  = matches XNOR d0   (band bits only)
+    #   b*    = msb(( DIAG | ~HORIZ ) & bits[0..bb]);  t = bb - b*
+    # which emits ic[i] = t horizontal moves, tb[i] from the final
+    # diag/vert, and bb' = b* (diag) or b*+1 (vert).  Every step output
+    # is the [B] column at static position i, so tb/ic/ib assemble as
+    # plain scan stacks (no scatters).  Bit-identical with the host
+    # decode (tests/test_banded_align_jax.py, tests/test_device_ec.py).
+    W2 = 2 * e
+    WIN = 64
+    y_pad = jnp.concatenate(
+        [y.astype(jnp.uint8), jnp.full((B, WIN), 4, jnp.uint8)], axis=1)
+    bb0 = jnp.where(ok, best_n - xlen, 0).astype(jnp.int32)
+    band_mask_lo, band_mask_hi = _u64_mask(W2 + 1)     # bits 0..2e
+    vert_mask_lo, vert_mask_hi = _u64_mask(W2) if W2 > 0 else (0, 0)
 
-    ii0 = jnp.where(ok, xlen, 0).astype(jnp.int32)
-    jj0 = jnp.where(ok, best_n, 0).astype(jnp.int32)
-    S = XL + 2 * e + 1
-    (ii, jj), moves = lax.scan(tb_step, (ii0, jj0), None, length=S)
-    y_start = jnp.where(ok, jj, -1).astype(jnp.int32)
+    bit_w_lo = (_ONE << jnp.arange(32, dtype=U32))     # [32]
+    pos_b = jnp.arange(WIN, dtype=jnp.int32)           # [WIN]
 
-    # decode the move-log into per-position traceback arrays ON DEVICE with
-    # three one-shot scatters (host transfer of the move-log is fragmented
-    # and slow; flat [B*XL] uint8 outputs stream back contiguously)
-    diag = moves == 1
-    horiz = moves == 2
-    vert = moves == 3
-    adv_i = (diag | vert).astype(jnp.int32)
-    adv_j = (diag | horiz).astype(jnp.int32)
-    ii_b = xlen[None, :].astype(jnp.int32) - (jnp.cumsum(adv_i, axis=0)
-                                              - adv_i)
-    jj_b = best_n[None, :].astype(jnp.int32) - (jnp.cumsum(adv_j, axis=0)
-                                                - adv_j)
-    p = ii_b - 1                                  # x position of each move
-    yj = jj_b - 1
-    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :],
-                             (S, B))
-    ych = jnp.take_along_axis(
-        y, jnp.clip(yj, 0, YL - 1).T, axis=1).T.astype(jnp.uint8)
+    def _msb_pair(hi, lo):
+        """Highest set bit of a (hi, lo) pair (undefined when 0)."""
+        use_hi = hi != 0
+        v = jnp.where(use_hi, hi, lo)
+        p = jnp.zeros_like(v, dtype=jnp.int32)
+        for s in (16, 8, 4, 2, 1):
+            m = v >> np.uint32(s)
+            take = m != 0
+            v = jnp.where(take, m, v)
+            p = p + s * take.astype(jnp.int32)
+        return p + jnp.where(use_hi, 32, 0)
 
-    flat_idx = b_idx * XL + jnp.clip(p, 0, XL - 1)
-    oob = jnp.int32(B * XL)                       # dropped via mode="drop"
-    tbv = jnp.where(diag, ych, jnp.uint8(4))
-    tb_idx = jnp.where(diag | vert, flat_idx, oob).reshape(-1)
-    tb = jnp.full(B * XL, 5, jnp.uint8).at[tb_idx].set(
-        tbv.reshape(-1), mode="drop")
-    ic_idx = jnp.where(horiz, flat_idx, oob).reshape(-1)
-    ic = jnp.zeros(B * XL, jnp.int32).at[ic_idx].add(1, mode="drop")
-    ic = jnp.minimum(ic, 255).astype(jnp.uint8)
-    # the sequential traceback overwrites ins_base on every horiz move, so
-    # the LAST-executed (largest k) wins: scatter-max of (k << 8 | base)
-    kk = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, B))
-    ibv = jnp.where(horiz, (kk << 8) | ych.astype(jnp.int32), -1)
-    ib_enc = jnp.full(B * XL, -1, jnp.int32).at[ic_idx].max(
-        ibv.reshape(-1), mode="drop")
-    ib = jnp.where(ib_enc >= 0, ib_enc & 0xFF, 0).astype(jnp.uint8)
+    def _sel_win(w, idx):
+        """w [B, WIN] uint8, idx [B] in [0, WIN): per-lane select via
+        6-level binary mux (cheap on TPU; avoids a gather)."""
+        cur = w
+        width = WIN
+        while width > 1:
+            half = width // 2
+            bitv = (idx >= half)
+            lo_h = cur[:, :half]
+            hi_h = cur[:, half:half * 2]
+            cur = jnp.where(bitv[:, None], hi_h, lo_h)
+            idx = jnp.where(bitv, idx - half, idx)
+            width = half
+        return cur[:, 0]
+
+    def row_step(carry, xs):
+        bb, jdone, i = carry
+        xc, d0hi, d0lo, hphi, hplo, vphi, vplo = xs
+        active = (i < xlen) & ok & ~jdone
+        ysl = lax.dynamic_slice(y_pad, (jnp.int32(0), i), (B, WIN))
+        # matches window (exact tb_step semantics, jj-1 = i + b)
+        mt = (ysl.astype(jnp.int32) == xc[:, None]) & \
+            (xc[:, None] < 4) & ((i + pos_b)[None, :] < ylen[:, None])
+        m_lo = jnp.sum(jnp.where(mt[:, :32], bit_w_lo[None, :],
+                                 np.uint32(0)), axis=1, dtype=U32)
+        m_hi = jnp.sum(jnp.where(mt[:, 32:64], bit_w_lo[None, :],
+                                 np.uint32(0)), axis=1, dtype=U32)
+        diag_hi = (~(m_hi ^ d0hi)) & band_mask_hi
+        diag_lo = (~(m_lo ^ d0lo)) & band_mask_lo
+        horiz_hi = (vphi << _ONE) | (vplo >> np.uint32(31))
+        horiz_lo = vplo << _ONE
+        stop_hi = diag_hi | (~horiz_hi)
+        stop_lo = diag_lo | (~horiz_lo) | _ONE     # b=0 never horiz
+        # bits 0..bb only
+        bbc = jnp.clip(bb, 0, 63)
+        keep_lo = jnp.where(
+            bbc >= 31, np.uint32(0xFFFFFFFF),
+            (_ONE << (bbc + 1).astype(U32)) - _ONE)
+        keep_hi = jnp.where(
+            bbc < 32, np.uint32(0),
+            jnp.where(bbc >= 63, np.uint32(0xFFFFFFFF),
+                      (_ONE << jnp.clip(bbc - 31, 0, 31).astype(U32))
+                      - _ONE))
+        bs = _msb_pair(stop_hi & keep_hi, stop_lo & keep_lo)
+        t = bb - bs
+        diag_take = _getbit(diag_hi, diag_lo, bs).astype(bool)
+        vert_bit = _getbit(hphi & vert_mask_hi, hplo & vert_mask_lo,
+                           bs).astype(bool)
+        vert_take = ~diag_take & vert_bit
+        ych = _sel_win(ysl, jnp.clip(bs, 0, WIN - 1))
+        ych_ins = _sel_win(ysl, jnp.clip(bs + 1, 0, WIN - 1))
+        tb_col = jnp.where(
+            active & diag_take, ych,
+            jnp.where(active & vert_take, jnp.uint8(4), jnp.uint8(5)))
+        ic_col = jnp.where(active, jnp.clip(t, 0, 255), 0).astype(
+            jnp.uint8)
+        ib_col = jnp.where(active & (t > 0), ych_ins, jnp.uint8(0))
+        stall = active & ~diag_take & ~vert_take & (t == 0)
+        bb_new = jnp.where(
+            active & ~stall,
+            jnp.where(diag_take, bs, jnp.where(vert_take, bs + 1, bb)),
+            bb)
+        jdone = jnp.where(active & stall, True, jdone)
+        return (bb_new, jdone, i - 1), (tb_col, ic_col, ib_col)
+
+    carry0 = (bb0, jnp.zeros(B, bool), jnp.int32(XL - 1))
+    xs_rows = (jnp.flip(x.T.astype(jnp.int32), 0),
+               jnp.flip(st_d0hi, 0), jnp.flip(st_d0lo, 0),
+               jnp.flip(st_hphi, 0), jnp.flip(st_hplo, 0),
+               jnp.flip(st_vphi, 0), jnp.flip(st_vplo, 0))
+    (bb_fin, _, _), (tb_rows, ic_rows, ib_rows) = lax.scan(
+        row_step, carry0, xs_rows)
+    # rows were emitted i = XL-1 .. 0; un-flip then transpose to [B, XL]
+    tb = jnp.flip(tb_rows, 0).T.reshape(-1)
+    ic = jnp.flip(ic_rows, 0).T.reshape(-1)
+    ib = jnp.flip(ib_rows, 0).T.reshape(-1)
+    y_start = jnp.where(ok, bb_fin, -1).astype(jnp.int32)
     return (out_err, y_start, best_n.astype(jnp.int32), tb, ic, ib)
 
 
