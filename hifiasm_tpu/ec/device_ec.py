@@ -110,98 +110,140 @@ def _align_scan(XL: int, e: int, fwd, rc, lens,
     return outs          # (err, ys, yn, tb, ic, ib), leading axis C
 
 
-def _raw_counts_body(XL: int, L: int, tb_flat, q_rid, q_row, q_ws, xlen,
-                     w_ok, qlen, cnt):
-    """Scatter tb alleles into cnt [R_batch*L*5] (dels kept for later).
+# ---------------------------------------------------------------------------
+# Vote aggregation WITHOUT scatters.  Measured on the target chip,
+# XLA scatter-add runs at ~1 M elements/s while dense reductions and
+# matmuls run at 100s of M/s — so the original per-element scatter
+# formulation (200 M+ scattered votes per batch) was 100x too slow.
+# Instead each window's traceback strip is ROLLED to its absolute read
+# position (log-step binary shifts), and the per-read-row aggregation
+# becomes an MXU matmul: onehot(q_row)^T [Rp, A] @ class-plane [A, L].
+# Sums of 0/1 in f32 are exact below 2^24, so counts are bit-identical
+# with the scatter/host semantics.
 
-    q_rid indexes the whole-store bank (lens); q_row is the BATCH-LOCAL
-    plane row — vote planes are sized to the read batch, not the store,
-    so HBM stays bounded at any input size."""
-    B = q_rid.shape[0]
-    tb = tb_flat.reshape(B, XL)
+_AGG_A = 8192          # aggregation sub-chunk rows (bounds plane memory)
+
+
+def _agg_a(total: int) -> int:
+    a = min(_AGG_A, total)
+    while total % a:
+        a -= 1
+    return a
+
+
+def _roll_rows(plane, sh, fill):
+    """plane [A, L] shifted right per row by sh (fill on the left)."""
+    A, L = plane.shape
+    k = 1
+    while k < L:
+        shifted = jnp.concatenate(
+            [jnp.full((A, k), fill, plane.dtype), plane[:, :-k]], axis=1)
+        plane = jnp.where(((sh & k) != 0)[:, None], shifted, plane)
+        k *= 2
+    return plane
+
+
+def _abs_plane(XL: int, L: int, flat, q_ws, xlen, okm, qlen_row, fill):
+    """Window-frame strips [A, XL] -> absolute-position rows [A, L]:
+    `fill` outside [ws, ws+xlen), on failed windows, and beyond qlen."""
+    A = q_ws.shape[0]
+    w = flat.reshape(A, XL)
     i = jnp.arange(XL, dtype=jnp.int32)[None, :]
-    pos = q_ws[:, None] + i
-    valid = w_ok[:, None] & (i < xlen[:, None]) & (tb <= 4) & \
-        (pos < qlen[q_rid][:, None])
-    idx = (q_row[:, None] * L + pos) * 5 + jnp.minimum(tb, 4).astype(
-        jnp.int32)
-    oob = jnp.int32(cnt.shape[0])
-    idx = jnp.where(valid, idx, oob)
-    return cnt.at[idx.reshape(-1)].add(1, mode="drop")
+    w = jnp.where(okm[:, None] & (i < xlen[:, None]), w, fill)
+    plane = jnp.concatenate(
+        [w, jnp.full((A, L - XL), fill, w.dtype)], axis=1)
+    plane = _roll_rows(plane, q_ws, fill)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return jnp.where(pos < qlen_row[:, None], plane, fill)
+
+
+def _row_sel(q_row, Rp: int):
+    """One-hot row selector [Rp, A] (bf16: exact 0/1)."""
+    sel = q_row[None, :] == jnp.arange(Rp, dtype=jnp.int32)[:, None]
+    return sel.astype(jnp.bfloat16)
+
+
+def _mm(selT, cls):
+    return jax.lax.dot(selT, cls.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+
+def _sub_chunks(XL: int, arrs, strips):
+    """[C, chunk(*XL)] stacks -> [C2, A(,XL)] aggregation sub-chunks."""
+    total = arrs[0].shape[0] * arrs[0].shape[1]
+    A = _agg_a(total)
+    out = [a.reshape(-1, A) for a in arrs]
+    out += [s.reshape(-1, A * XL) for s in strips]
+    return A, out
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
-def _raw_counts_scan(XL: int, L: int, cnt, qlen, tb, q_rid, q_row, q_ws,
+def _raw_counts_scan(XL: int, L: int, acc, qlen, tb, q_rid, q_row, q_ws,
                      xlen, w_ok):
-    def body(cnt, xs):
-        return _raw_counts_body(XL, L, *xs, qlen, cnt), None
+    """acc [5, Rp, L] f32 += per-allele counts of this buffer's windows.
 
-    cnt, _ = lax.scan(body, cnt, (tb, q_rid, q_row, q_ws, xlen, w_ok))
-    return cnt
+    q_rid indexes the whole-store bank (qlen); q_row is the BATCH-LOCAL
+    plane row — planes are sized to the read batch, so HBM stays
+    bounded at any input size."""
+    Rp = acc.shape[1]
+    A, (q_rid2, q_row2, q_ws2, xlen2, ok2, tb2) = _sub_chunks(
+        XL, (q_rid, q_row, q_ws, xlen, w_ok), (tb,))
 
+    def body(acc, xs):
+        tb_c, qr, qs, qw, xl_c, okm = xs
+        plane = _abs_plane(XL, L, tb_c, qw, xl_c, okm, qlen[qr],
+                           jnp.uint8(5))
+        selT = _row_sel(qs, Rp)
+        for c in range(5):
+            acc = acc.at[c].add(_mm(selT, plane == c))
+        return acc, None
 
-def _het_agree_body(XL: int, tb_flat, q_rid, q_row, q_ws, xlen, w_ok,
-                    ov_id, fwd, alt_plane, het_plane, n_same, n_flip):
-    B = q_rid.shape[0]
-    tb = tb_flat.reshape(B, XL)
-    i = jnp.arange(XL, dtype=jnp.int32)[None, :]
-    pos = q_ws[:, None] + i
-    posc = jnp.clip(pos, 0, fwd.shape[1] - 1)
-    qa = fwd[q_rid[:, None], posc]
-    alt = alt_plane[q_row[:, None], posc]
-    ish = het_plane[q_row[:, None], posc] > 0
-    valid = w_ok[:, None] & (i < xlen[:, None]) & (tb <= 3) & ish
-    oob = jnp.int32(n_same.shape[0])
-    ovb = jnp.broadcast_to(ov_id[:, None], (B, XL))
-    same_idx = jnp.where(valid & (tb == qa), ovb, oob)
-    flip_idx = jnp.where(valid & (tb == alt), ovb, oob)
-    n_same = n_same.at[same_idx.reshape(-1)].add(1, mode="drop")
-    n_flip = n_flip.at[flip_idx.reshape(-1)].add(1, mode="drop")
-    return n_same, n_flip
+    acc, _ = lax.scan(body, acc,
+                      (tb2, q_rid2, q_row2, q_ws2, xlen2, ok2))
+    return acc
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
-def _het_agree_scan(XL: int, n_same, n_flip, fwd, alt_plane, het_plane,
-                    tb, q_rid, q_row, q_ws, xlen, w_ok, ov_id):
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
+def _het_agree_scan(XL: int, L: int, n_same, n_flip, bankb, alt_plane,
+                    het_plane, qlen, tb, q_rid, q_row, q_ws, xlen, w_ok,
+                    ov_id):
+    """Per-overlap cis/trans agreement counts.  The per-window partial
+    sums are dense row reductions (the query/alt/het rows come from
+    one-hot matmuls against the batch planes); only the tiny [A]
+    per-window partials scatter into the overlap accumulators."""
+    Rp = bankb.shape[0]
+    A, (q_rid2, q_row2, q_ws2, xlen2, ok2, ov2, tb2) = _sub_chunks(
+        XL, (q_rid, q_row, q_ws, xlen, w_ok, ov_id), (tb,))
+    bb16 = bankb.astype(jnp.bfloat16)
+    ab16 = alt_plane.astype(jnp.bfloat16)
+    hb16 = het_plane.astype(jnp.bfloat16)
+
     def body(carry, xs):
-        return _het_agree_body(XL, *xs, fwd, alt_plane, het_plane,
-                               *carry), None
+        n_same, n_flip = carry
+        tb_c, qr, qs, qw, xl_c, okm, ov_c = xs
+        plane = _abs_plane(XL, L, tb_c, qw, xl_c, okm, qlen[qr],
+                           jnp.uint8(5)).astype(jnp.bfloat16)
+        sel = _row_sel(qs, Rp).T                      # [A, Rp]
+        qa = jax.lax.dot(sel, bb16,
+                         preferred_element_type=jnp.bfloat16)
+        alt = jax.lax.dot(sel, ab16,
+                          preferred_element_type=jnp.bfloat16)
+        het = jax.lax.dot(sel, hb16,
+                          preferred_element_type=jnp.bfloat16)
+        validp = (plane <= 3) & (het > 0)
+        same_p = jnp.sum(validp & (plane == qa), axis=1,
+                         dtype=jnp.int32)
+        flip_p = jnp.sum(validp & (plane == alt), axis=1,
+                         dtype=jnp.int32)
+        idx = jnp.where(okm, ov_c, n_same.shape[0])
+        n_same = n_same.at[idx].add(same_p, mode="drop")
+        n_flip = n_flip.at[idx].add(flip_p, mode="drop")
+        return (n_same, n_flip), None
 
     (n_same, n_flip), _ = lax.scan(
         body, (n_same, n_flip),
-        (tb, q_rid, q_row, q_ws, xlen, w_ok, ov_id))
+        (tb2, q_rid2, q_row2, q_ws2, xlen2, ok2, ov2))
     return n_same, n_flip
-
-
-def _cis_votes_body(XL: int, L: int, tb_flat, ic_flat, ib_flat, q_rid,
-                    q_row, q_ws, xlen, votes, ins_tot, ins_base_cnt,
-                    ins_len_cnt, w_cis, qlen):
-    B = q_rid.shape[0]
-    tb = tb_flat.reshape(B, XL)
-    ic = ic_flat.reshape(B, XL)
-    ib = ib_flat.reshape(B, XL)
-    i = jnp.arange(XL, dtype=jnp.int32)[None, :]
-    pos = q_ws[:, None] + i
-    valid = w_cis[:, None] & (i < xlen[:, None]) & (tb <= 4) & \
-        (pos < qlen[q_rid][:, None])
-    flat_pos = q_row[:, None] * L + pos
-    oob5 = jnp.int32(votes.shape[0])
-    vidx = jnp.where(valid, flat_pos * 5 + jnp.minimum(tb, 4).astype(
-        jnp.int32), oob5)
-    votes = votes.at[vidx.reshape(-1)].add(1, mode="drop")
-    has_ins = valid & (ic > 0)
-    oob1 = jnp.int32(ins_tot.shape[0])
-    tidx = jnp.where(has_ins, flat_pos, oob1)
-    ins_tot = ins_tot.at[tidx.reshape(-1)].add(1, mode="drop")
-    oob4 = jnp.int32(ins_base_cnt.shape[0])
-    bidx = jnp.where(has_ins, flat_pos * 4 + jnp.minimum(ib, 3).astype(
-        jnp.int32), oob4)
-    ins_base_cnt = ins_base_cnt.at[bidx.reshape(-1)].add(1, mode="drop")
-    oob9 = jnp.int32(ins_len_cnt.shape[0])
-    lidx = jnp.where(has_ins, flat_pos * 9 + jnp.clip(ic, 0, 8).astype(
-        jnp.int32), oob9)
-    ins_len_cnt = ins_len_cnt.at[lidx.reshape(-1)].add(1, mode="drop")
-    return votes, ins_tot, ins_base_cnt, ins_len_cnt
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1),
@@ -209,28 +251,56 @@ def _cis_votes_body(XL: int, L: int, tb_flat, ic_flat, ib_flat, q_rid,
 def _cis_votes_scan(XL: int, L: int, votes, ins_tot, ins_base_cnt,
                     ins_len_cnt, qlen, tb, ic, ib, q_rid, q_row, q_ws,
                     xlen, w_cis):
+    """votes [5, Rp, L], ins_tot [Rp, L], ins_base_cnt [4, Rp, L],
+    ins_len_cnt [9, Rp, L] — all f32 matmul accumulators."""
+    Rp = votes.shape[1]
+    A, (q_rid2, q_row2, q_ws2, xlen2, cis2, tb2, ic2, ib2) = _sub_chunks(
+        XL, (q_rid, q_row, q_ws, xlen, w_cis), (tb, ic, ib))
+
     def body(carry, xs):
-        tb_c, ic_c, ib_c, qr, qs, qw, xl_, cis = xs
-        return _cis_votes_body(XL, L, tb_c, ic_c, ib_c, qr, qs, qw, xl_,
-                               *carry, cis, qlen), None
+        votes, ins_tot, ins_bc, ins_lc = carry
+        tb_c, ic_c, ib_c, qr, qs, qw, xl_c, cis = xs
+        qrow_len = qlen[qr]
+        planeT = _abs_plane(XL, L, tb_c, qw, xl_c, cis, qrow_len,
+                            jnp.uint8(5))
+        planeC = _abs_plane(XL, L, ic_c, qw, xl_c, cis, qrow_len,
+                            jnp.uint8(0))
+        planeB = _abs_plane(XL, L, ib_c, qw, xl_c, cis, qrow_len,
+                            jnp.uint8(0))
+        selT = _row_sel(qs, Rp)
+        for c in range(5):
+            votes = votes.at[c].add(_mm(selT, planeT == c))
+        has = planeC > 0
+        ins_tot = ins_tot + _mm(selT, has)
+        for c in range(4):
+            ins_bc = ins_bc.at[c].add(_mm(selT, has & (planeB == c)))
+        capped = jnp.minimum(planeC, 8)
+        for c in range(1, 9):
+            ins_lc = ins_lc.at[c].add(_mm(selT, has & (capped == c)))
+        return (votes, ins_tot, ins_bc, ins_lc), None
 
     carry, _ = lax.scan(
         body, (votes, ins_tot, ins_base_cnt, ins_len_cnt),
-        (tb, ic, ib, q_rid, q_row, q_ws, xlen, w_cis))
+        (tb2, ic2, ib2, q_rid2, q_row2, q_ws2, xlen2, cis2))
     return carry
 
 
 @jax.jit
 def _to_u8(a):
-    """Clamp an int32 vote/count plane to its uint8 transfer form."""
+    """Clamp a [K, Rp, L] f32 count stack to its [Rp, L, K] uint8 form."""
+    return jnp.minimum(a, 255).astype(jnp.uint8).transpose(1, 2, 0)
+
+
+@jax.jit
+def _to_u8_flat(a):
+    """Clamp a [Rp, L] f32 plane to uint8."""
     return jnp.minimum(a, 255).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnums=())
 def _finalize_ins(ins_base_cnt, ins_len_cnt):
-    b = jnp.argmax(ins_base_cnt.reshape(-1, 4), axis=1).astype(jnp.uint8)
-    ln = (jnp.argmax(ins_len_cnt.reshape(-1, 9)[:, 1:], axis=1) + 1
-          ).astype(jnp.uint8)
+    b = jnp.argmax(ins_base_cnt, axis=0).astype(jnp.uint8)     # [Rp, L]
+    ln = (jnp.argmax(ins_len_cnt[1:], axis=0) + 1).astype(jnp.uint8)
     return b, ln
 
 
@@ -317,9 +387,17 @@ class DeviceEC:
         return out
 
     def _zeros(self, n: int):
-        """Accumulator (mesh-replicated when sharded)."""
+        """int32 accumulator (mesh-replicated when sharded)."""
         import jax
         z = jnp.zeros(n, jnp.int32)
+        if self._repl is not None:
+            return jax.device_put(z, self._repl)
+        return z
+
+    def _fzeros(self, shape):
+        """f32 matmul-accumulator plane (mesh-replicated when sharded)."""
+        import jax
+        z = jnp.zeros(shape, jnp.float32)
         if self._repl is not None:
             return jax.device_put(z, self._repl)
         return z
@@ -509,11 +587,11 @@ class DeviceEC:
         n_ov_pad = -(-max(n_ov_tot, 1) // 4096) * 4096
 
         # ---- L2: raw allele counts ----
-        cnt = self._zeros(Rp * L * 5)
+        cnt = self._fzeros((5, Rp, L))
         for tb, ic, ib, Cb, sl, nb, qa in segs:
             okp, = self._stack_put((w_use[sl],), nb, Cb)
             cnt = _raw_counts_scan(self.wl, L, cnt, qlen_d, tb, *qa, okp)
-        cnt_host = np.asarray(_to_u8(cnt).reshape(Rp, L, 5)[:R])
+        cnt_host = np.asarray(_to_u8(cnt)[:R])
 
         _mark("L2 raw counts")
         # het sites per read (query vote added host-side)
@@ -536,6 +614,12 @@ class DeviceEC:
         # ---- L3: per-overlap het agreement -> cis/trans ----
         n_same = self._zeros(n_ov_pad)
         n_flip = self._zeros(n_ov_pad)
+        rid_rows = np.zeros(Rp, np.int64)
+        rid_rows[:R] = [rid for rid, _ in read_ovs]
+        bank_rows = jnp.take(bank.fwd, jnp.asarray(rid_rows), axis=0)
+        if self._repl is not None:
+            import jax
+            bank_rows = jax.device_put(bank_rows, self._repl)
         if self._repl is not None:
             import jax
             alt_d = jax.device_put(alt_plane, self._repl)
@@ -546,8 +630,8 @@ class DeviceEC:
         for tb, ic, ib, Cb, sl, nb, qa in segs:
             okp, ovp = self._stack_put((w_use[sl], j_ovid_s[sl]), nb, Cb)
             n_same, n_flip = _het_agree_scan(
-                self.wl, n_same, n_flip, bank.fwd, alt_d, het_d,
-                tb, *qa, okp, ovp)
+                self.wl, L, n_same, n_flip, bank_rows, alt_d, het_d,
+                qlen_d, tb, *qa, okp, ovp)
         n_same_h = np.asarray(n_same)[:n_ov_tot]
         n_flip_h = np.asarray(n_flip)[:n_ov_tot]
         _mark("L3 het agree")
@@ -561,10 +645,10 @@ class DeviceEC:
                 len(het_per_read[rid][0]))
 
         # ---- L4: cis-only votes + insertion aggregates ----
-        votes = self._zeros(Rp * L * 5)
-        ins_tot = self._zeros(Rp * L)
-        ins_bc = self._zeros(Rp * L * 4)
-        ins_lc = self._zeros(Rp * L * 9)
+        votes = self._fzeros((5, Rp, L))
+        ins_tot = self._fzeros((Rp, L))
+        ins_bc = self._fzeros((4, Rp, L))
+        ins_lc = self._fzeros((9, Rp, L))
         cis_w = w_use & (is_match_all[j_ovid_s] == 1)
         for tb, ic, ib, Cb, sl, nb, qa in segs:
             cisp, = self._stack_put((cis_w[sl],), nb, Cb)
@@ -572,10 +656,10 @@ class DeviceEC:
                 self.wl, L, votes, ins_tot, ins_bc, ins_lc, qlen_d,
                 tb, ic, ib, *qa, cisp)
         ins_base, ins_len = _finalize_ins(ins_bc, ins_lc)
-        votes_h = np.asarray(_to_u8(votes).reshape(Rp, L, 5)[:R])
-        ins_tot_h = np.asarray(_to_u8(ins_tot).reshape(Rp, L)[:R])
-        ins_base_h = np.asarray(ins_base.reshape(Rp, L)[:R])
-        ins_len_h = np.asarray(ins_len.reshape(Rp, L)[:R])
+        votes_h = np.asarray(_to_u8(votes)[:R])
+        ins_tot_h = np.asarray(_to_u8_flat(ins_tot)[:R])
+        ins_base_h = np.asarray(ins_base[:R])
+        ins_len_h = np.asarray(ins_len[:R])
         _mark("L4 cis votes")
 
         # ---- package per read ----

@@ -85,8 +85,11 @@ def main():
             st.append(jnp.asarray(b.reshape(C, chunk)))
         err, ys, yn, tb, ic, ib = _align_scan(
             wl, E_BAND, bank.fwd, bank.rc, bank.lens, *st)
-        jax.block_until_ready(err)
-        return err
+        # NB: jax.block_until_ready does NOT reliably block through the
+        # axon tunnel (it returned instantly in measurements, which
+        # produced a bogus 6-7 M win/s figure in an earlier round);
+        # np.asarray of a small output is the only trustworthy sync.
+        return int(np.asarray(err)[0, 0])
 
     t0 = time.time()
     run_once()                     # warmup + compile
