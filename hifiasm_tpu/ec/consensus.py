@@ -65,6 +65,17 @@ def consensus_from_votes(q: np.ndarray, votes: np.ndarray,
     column edits inside those ranges are suppressed.
     This half is shared by the host CSR path and the device-aggregated path.
     """
+    pass_sub, pass_ins, winner = consensus_decide(
+        q, votes, ins_tot, het_sites, occ_tot, occ_exact)
+    return consensus_apply(q, pass_sub, pass_ins, winner, ins_base,
+                           ins_len, repl)
+
+
+def consensus_decide(q: np.ndarray, votes: np.ndarray, ins_tot: np.ndarray,
+                     het_sites: np.ndarray, occ_tot: int = 3,
+                     occ_exact: float = 0.500001):
+    """Per-column edit decisions (host reference; the device finalize in
+    ec/device_ec.py computes the identical integer form)."""
     qlen = len(q)
     qa = np.clip(q, 0, 3)
     cov = votes.sum(axis=1)
@@ -76,6 +87,17 @@ def consensus_from_votes(q: np.ndarray, votes: np.ndarray,
     if len(het_sites):
         pass_sub[het_sites] = False
         pass_ins[het_sites] = False
+    return pass_sub, pass_ins, winner
+
+
+def consensus_apply(q: np.ndarray, pass_sub: np.ndarray,
+                    pass_ins: np.ndarray, winner: np.ndarray,
+                    ins_base: np.ndarray, ins_len: np.ndarray,
+                    repl=None) -> ConsensusResult:
+    """Assemble the corrected sequence from per-column decisions (shared
+    by the host vote path and the device-decided path)."""
+    pass_sub = pass_sub.copy()
+    pass_ins = pass_ins.copy()
     repl = sorted(repl) if repl else []
     for s, e, _ in repl:
         pass_sub[s:e] = False

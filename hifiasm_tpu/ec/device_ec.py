@@ -8,17 +8,22 @@ device programs per chunk of 4096 windows:
 
   L1 align     — gather windows from the banks, run the banded Myers scan
                  (ops/banded_align_jax.banded_core), KEEP tb/ins on device
-  L2 rawcnt    — scatter-add allele counts per (read, pos)  -> het sites
+  L2 rawcnt    — matmul-aggregated allele counts per (read, pos)
+  het          — het sites + alternate alleles (het_from_counts integer
+                 form), planes stay in HBM for L3
   L3 hetagree  — per-overlap agreement with query vs alternate allele at
                  het sites -> cis/trans classification (rphase_hc analog)
-  L4 cisvotes  — scatter-add consensus votes + insertion majorities over
-                 cis overlaps only (wcns_gen analog)
+  L4 cisvotes  — consensus votes + insertion majorities over cis
+                 overlaps only (wcns_gen analog)
+  L5 decide    — consensus_decide + ambiguity-mask integer forms; only
+                 PACKED bit/nibble decision planes cross the link
 
-Only small per-window stats (L1) and per-read vote planes (L2/L4) cross
-the host boundary; window sequences and tracebacks never do.  Downstream
-decisions (het rule, classification, corrections) reuse the SAME host
-helpers as the CPU path (ec/phase.py, ec/consensus.py), so both paths stay
-semantically identical.
+Aggregations are scatter-free (windows roll to absolute positions, a
+one-hot matmul sums per read row) and every decision threshold is the
+integer-exact form of the host rule, so both paths stay bit-identical
+(ec/phase.py, ec/consensus.py).  Per batch, the host receives only
+per-window stats, per-overlap counters, and ~L/2 bytes/read of packed
+decisions — raw counts, votes, and tracebacks never leave the device.
 
 Reference scope covered: gen_hc_r_alin_ea (ecovlp.cpp:2810), rphase_hc
 (:3301), wcns_gen (:2293) — re-architected for HBM residency.
@@ -302,6 +307,115 @@ def _finalize_ins(ins_base_cnt, ins_len_cnt):
     b = jnp.argmax(ins_base_cnt, axis=0).astype(jnp.uint8)     # [Rp, L]
     ln = (jnp.argmax(ins_len_cnt[1:], axis=0) + 1).astype(jnp.uint8)
     return b, ln
+
+
+# ---------------------------------------------------------------------------
+# device finalize: het detection + consensus decisions + ambiguity mask
+# computed ON DEVICE, transferred as packed bit planes (~25 MB/batch
+# instead of ~200 MB of raw count/vote planes through the ~20 MB/s link).
+# All thresholds are integer-exact forms of the host rules:
+#   x > 0.500001*cov  <=>  2x > cov     (integer counts)
+#   x > 0.25*cov      <=>  4x > cov
+# so decisions are bit-identical with ec/phase.het_from_counts and
+# ec/consensus.consensus_decide / _ambiguous_mask at their pipeline
+# defaults (min_het_occ=2, occ_tot=3, occ_exact=0.500001).
+
+def _pack_bits(b):
+    """[Rp, L] bool -> [Rp, L//8] u8 (little bit order)."""
+    Rp, L = b.shape
+    w = b.reshape(Rp, L // 8, 8).astype(jnp.uint8)
+    return jnp.sum(w << jnp.arange(8, dtype=jnp.uint8)[None, None, :],
+                   axis=2, dtype=jnp.uint8)
+
+
+def _pack2(v):
+    """[Rp, L] 2-bit values -> [Rp, L//4] u8."""
+    Rp, L = v.shape
+    w = v.reshape(Rp, L // 4, 4).astype(jnp.uint8)
+    return jnp.sum(w << jnp.arange(0, 8, 2, dtype=jnp.uint8)[None, None],
+                   axis=2, dtype=jnp.uint8)
+
+
+def _pack4(v):
+    """[Rp, L] 4-bit values -> [Rp, L//2] u8."""
+    Rp, L = v.shape
+    w = v.reshape(Rp, L // 2, 2).astype(jnp.uint8)
+    return w[:, :, 0] | (w[:, :, 1] << jnp.uint8(4))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _het_planes(L: int, cnt, bank_rows, qlen_rows):
+    """Device het_from_counts over the whole batch.
+
+    Returns (het_u8 [Rp, L], alt_u8 [Rp, L]) for the L3 matmuls (stay
+    device-resident) plus the packed het/alt transfer planes."""
+    Rp = bank_rows.shape[0]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_r = pos < qlen_rows[:, None]
+    q = bank_rows
+    qa = jnp.minimum(q, 3).astype(jnp.int32)
+    c = cnt.astype(jnp.int32)                              # [5, Rp, L]
+    qsel = [(qa == k) & in_r for k in range(4)]
+    c4 = jnp.stack([c[k] + qsel[k] for k in range(4)])     # + query vote
+    occ0 = jnp.take_along_axis(c4, qa[None], axis=0)[0]
+    altc = jnp.stack([jnp.where(qa == k, 0, c4[k]) for k in range(4)])
+    site_alt = jnp.argmax(altc, axis=0).astype(jnp.int32)  # first max
+    occ1 = jnp.max(altc, axis=0)
+    minor = jnp.minimum(occ0, occ1)
+    het = (occ0 >= 2) & (occ1 >= 2) & (q <= 3) & \
+        (4 * minor >= occ0 + occ1) & in_r
+    alt = jnp.where(het, site_alt, 0).astype(jnp.uint8)
+    het_u8 = het.astype(jnp.uint8)
+    return (het_u8, alt, _pack_bits(het), _pack2(alt),
+            jnp.sum(het, axis=1).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _decide_planes(L: int, votes, ins_tot, ins_bc, ins_lc, het_u8,
+                   bank_rows, qlen_rows):
+    """Device consensus_decide + _ambiguous_mask; packed outputs."""
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_r = pos < qlen_rows[:, None]
+    q = bank_rows
+    qa = jnp.minimum(q, 3).astype(jnp.int32)
+    v = votes.astype(jnp.int32)                            # [5, Rp, L]
+    v = jnp.stack([v[k] + ((qa == k) & in_r) for k in range(4)]
+                  + [v[4]])
+    cov = jnp.sum(v, axis=0)
+    winner = jnp.argmax(v, axis=0).astype(jnp.int32)       # first max
+    wv = jnp.max(v, axis=0)
+    it = ins_tot.astype(jnp.int32)
+    het = het_u8 > 0
+    pass_sub = (cov >= 3) & (2 * wv > cov) & (winner != qa) & in_r & \
+        ~het
+    pass_ins = (cov >= 3) & (2 * it > cov) & in_r & ~het
+    dels = v[4]
+    amb = (cov >= 3) & ((2 * wv <= cov) |
+                        ((4 * dels > cov) & (2 * dels <= cov)) |
+                        ((4 * it > cov) & (2 * it <= cov))) & in_r & ~het
+    ib, il = _finalize_ins(ins_bc, ins_lc)
+    subw = jnp.where(pass_sub, winner.astype(jnp.uint8), jnp.uint8(15))
+    return (_pack4(subw), _pack_bits(pass_ins), _pack2(ib),
+            _pack4(il - 1), _pack_bits(amb))
+
+
+def _unpack_bits(a: np.ndarray, L: int) -> np.ndarray:
+    return np.unpackbits(a, axis=1, bitorder="little")[:, :L] \
+        .astype(bool)
+
+
+def _unpack2(a: np.ndarray, L: int) -> np.ndarray:
+    out = np.zeros((a.shape[0], L), np.uint8)
+    for k in range(4):
+        out[:, k::4] = (a >> (2 * k)) & 3
+    return out
+
+
+def _unpack4(a: np.ndarray, L: int) -> np.ndarray:
+    out = np.zeros((a.shape[0], L), np.uint8)
+    out[:, 0::2] = a & 15
+    out[:, 1::2] = a >> 4
+    return out
 
 
 @dataclass
@@ -591,42 +705,36 @@ class DeviceEC:
         for tb, ic, ib, Cb, sl, nb, qa in segs:
             okp, = self._stack_put((w_use[sl],), nb, Cb)
             cnt = _raw_counts_scan(self.wl, L, cnt, qlen_d, tb, *qa, okp)
-        cnt_host = np.asarray(_to_u8(cnt)[:R])
-
         _mark("L2 raw counts")
-        # het sites per read (query vote added host-side)
-        from hifiasm_tpu.ec.phase import het_from_counts
-        het_plane = np.zeros((Rp, L), np.uint8)
-        alt_plane = np.zeros((Rp, L), np.uint8)
+
+        # het detection ON DEVICE (ec/phase.het_from_counts, integer
+        # form): the het/alt planes feed L3 without leaving HBM; only
+        # packed het bits + 2-bit alts transfer (L/8 + L/4 bytes/row)
+        rid_rows = np.zeros(Rp, np.int64)
+        rid_rows[:R] = [rid for rid, _ in read_ovs]
+        bank_rows = jnp.take(bank.fwd, jnp.asarray(rid_rows), axis=0)
+        qlen_rows = jnp.asarray(
+            np.where(np.arange(Rp) < R,
+                     self.store.lens[rid_rows], 0).astype(np.int32))
+        if self._repl is not None:
+            import jax
+            bank_rows = jax.device_put(bank_rows, self._repl)
+            qlen_rows = jax.device_put(qlen_rows, self._repl)
+        het_d, alt_d, het_pk, alt_pk, het_cnt = _het_planes(
+            L, cnt, bank_rows, qlen_rows)
+        het_bits = _unpack_bits(np.asarray(het_pk)[:R], L)
+        alt_all = _unpack2(np.asarray(alt_pk)[:R], L)
+        n_het_row = np.asarray(het_cnt)[:R]
         het_per_read = {}
         for rid, ov in read_ovs:
             row = row_of[rid]
-            qlen = int(self.store.lens[rid])
-            q = self.store.get_codes(rid)
-            c4 = cnt_host[row, :qlen, :4].astype(np.int32)
-            c4[np.arange(qlen), np.clip(q, 0, 3)] += 1
-            hs, alt = het_from_counts(q, c4)
-            het_per_read[rid] = (hs, alt[hs] if len(hs) else
-                                 np.zeros(0, np.uint8))
-            het_plane[row, hs] = 1
-            alt_plane[row, hs] = alt[hs]
+            hs = np.flatnonzero(het_bits[row])
+            het_per_read[rid] = (hs, alt_all[row][hs].astype(np.uint8))
+        _mark("het planes")
 
         # ---- L3: per-overlap het agreement -> cis/trans ----
         n_same = self._zeros(n_ov_pad)
         n_flip = self._zeros(n_ov_pad)
-        rid_rows = np.zeros(Rp, np.int64)
-        rid_rows[:R] = [rid for rid, _ in read_ovs]
-        bank_rows = jnp.take(bank.fwd, jnp.asarray(rid_rows), axis=0)
-        if self._repl is not None:
-            import jax
-            bank_rows = jax.device_put(bank_rows, self._repl)
-        if self._repl is not None:
-            import jax
-            alt_d = jax.device_put(alt_plane, self._repl)
-            het_d = jax.device_put(het_plane, self._repl)
-        else:
-            alt_d = jnp.asarray(alt_plane)
-            het_d = jnp.asarray(het_plane)
         for tb, ic, ib, Cb, sl, nb, qa in segs:
             okp, ovp = self._stack_put((w_use[sl], j_ovid_s[sl]), nb, Cb)
             n_same, n_flip = _het_agree_scan(
@@ -655,12 +763,18 @@ class DeviceEC:
             votes, ins_tot, ins_bc, ins_lc = _cis_votes_scan(
                 self.wl, L, votes, ins_tot, ins_bc, ins_lc, qlen_d,
                 tb, ic, ib, *qa, cisp)
-        ins_base, ins_len = _finalize_ins(ins_bc, ins_lc)
-        votes_h = np.asarray(_to_u8(votes)[:R])
-        ins_tot_h = np.asarray(_to_u8_flat(ins_tot)[:R])
-        ins_base_h = np.asarray(ins_base[:R])
-        ins_len_h = np.asarray(ins_len[:R])
-        _mark("L4 cis votes")
+        # ---- L5: consensus decisions + ambiguity mask ON DEVICE ----
+        # (consensus_decide / _ambiguous_mask integer forms); only packed
+        # decision planes transfer (~L bytes/row vs 8L for raw votes)
+        subw_pk, ins_pk, ib_pk, il_pk, amb_pk = _decide_planes(
+            L, votes, ins_tot, ins_bc, ins_lc, het_d, bank_rows,
+            qlen_rows)
+        subw_all = _unpack4(np.asarray(subw_pk)[:R], L)
+        ins_all = _unpack_bits(np.asarray(ins_pk)[:R], L)
+        ib_all = _unpack2(np.asarray(ib_pk)[:R], L)
+        il_all = _unpack4(np.asarray(il_pk)[:R], L)
+        amb_all = _unpack_bits(np.asarray(amb_pk)[:R], L)
+        _mark("L4 cis votes + decisions")
 
         # ---- package per read ----
         out: Dict[int, ReadECOut] = {}
@@ -674,17 +788,8 @@ class DeviceEC:
             out[rid] = ReadECOut(
                 ov, is_match_all[sl], win_tot[sl], win_ok[sl], ov_err[sl],
                 ts_ov[sl], te_ov[sl], hs)
-            cns_in[rid] = (votes_h[row], ins_tot_h[row], ins_base_h[row],
-                           ins_len_h[row])
+            qlen = int(self.store.lens[rid])
+            cns_in[rid] = (subw_all[row, :qlen], ins_all[row, :qlen],
+                           ib_all[row, :qlen], il_all[row, :qlen],
+                           amb_all[row, :qlen])
         return out, cns_in
-
-def consensus_inputs_for_read(store: ReadStore, rid: int, cns_in: tuple):
-    """Slice per-read device aggregates into consensus_from_votes args
-    (adds the query's own vote, mirroring the host path)."""
-    votes, ins_tot, ins_base, ins_len = cns_in
-    qlen = int(store.lens[rid])
-    q = store.get_codes(rid)
-    v = votes[:qlen].astype(np.int32).copy()
-    v[np.arange(qlen), np.clip(q, 0, 3)] += 1
-    return q, v, ins_tot[:qlen].astype(np.int32), ins_base[:qlen], \
-        ins_len[:qlen].astype(np.int64)

@@ -282,10 +282,8 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
     if use_dev:
         import contextlib
 
-        from hifiasm_tpu.ec.consensus import consensus_from_votes
-        from hifiasm_tpu.ec.device_ec import (
-            DeviceEC, consensus_inputs_for_read,
-        )
+        from hifiasm_tpu.ec.consensus import consensus_apply
+        from hifiasm_tpu.ec.device_ec import DeviceEC
 
         prof = contextlib.nullcontext()
         if cfg.profile_dir:
@@ -293,9 +291,7 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
             # JAX-profiler integration of SURVEY §5's tracing subsystem
             import jax
             prof = jax.profiler.trace(cfg.profile_dir)
-        from hifiasm_tpu.ec.consensus import (
-            _ambiguity_clusters, _ambiguous_mask,
-        )
+        from hifiasm_tpu.ec.consensus import _ambiguity_clusters
         from hifiasm_tpu.ec.window_align import align_overlaps
 
         dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_ec,
@@ -316,12 +312,13 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
                     cfg.max_ov_diff_final)
             if rid not in cns_in:
                 continue
-            q, v, it, ib_, il = consensus_inputs_for_read(
-                store, rid, cns_in[rid])
+            # per-column decisions were made ON DEVICE (packed planes;
+            # device_ec._decide_planes == consensus_decide bit for bit)
+            subw, ins_p, ib_, il, amb = cns_in[rid]
+            q = store.get_codes(rid)
             # votes can't carry the cluster strings: reads whose vote
             # matrix shows an ambiguity cluster re-run on the host path
             # (traceback strings -> DAG plurality, ec/consensus.py)
-            amb = _ambiguous_mask(q, v, it, eco.het_sites, 3, 0.500001)
             if _ambiguity_clusters(amb):
                 tbs = align_overlaps(q, ov_of[rid], get_target,
                                      wl=cfg.ec_window,
@@ -330,8 +327,9 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
                 cns = windowed_consensus(q, ov_of[rid], tbs, ph)
                 n_routed += 1
             else:
-                cns = consensus_from_votes(q, v, it, ib_, il,
-                                           eco.het_sites)
+                cns = consensus_apply(q, subw != 15, ins_p,
+                                      subw.astype(np.int64), ib_,
+                                      il.astype(np.int64) + 1)
             if cns.n_corrected:
                 new_seqs[rid] = cns.seq
                 n_corr += cns.n_corrected
