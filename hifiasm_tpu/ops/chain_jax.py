@@ -289,3 +289,165 @@ def chain_exact_batch(so, to, span, weight, n, xl, yl,
     f_out = jnp.where(quick[:, None], fq_out, f_full)
     pre_out = jnp.where(quick[:, None], pre_q, pre_full)
     return f_out, pre_out, quick
+
+
+# ---------------------------------------------------------------------------
+# exact-semantics batch extraction: best chain + mcopy secondaries
+
+_BIG32 = jnp.int32(1 << 30)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mcopy_num", "mcopy_khit_cut", "mcopy_q16"))
+def extract_chains_batch(f, pre, quick, so, to, n, xl, yl,
+                         mcopy_num: int = 3, mcopy_khit_cut: int = 32,
+                         mcopy_q16: int = 45875):
+    """Batched chain extraction matching ops/chain.extract_chains (and
+    the native ht_chain_groups traceback) BIT FOR BIT: best-chain
+    selection with the quick/full tie-breaks, pointer-chase traceback,
+    and the sequential multi-copy peeling (candidates in descending
+    fpos, ascending index; failed segments un-used; scores
+    fpos[e] - f[stop]).  Returns per-anchor chain labels [B, N] int32
+    (-1 = unused) plus per-chain (count, score, first, last) — the
+    label order is discovery order, so hits of chain k are the label-k
+    anchors in ascending index.
+
+    Reference: lchain_qdp_mcopy_fast traceback + mcopy
+    (Hash_Table.cpp:2097-2284)."""
+    B, N = f.shape
+    f = f.astype(jnp.int32)
+    pre = pre.astype(jnp.int32)
+    so = so.astype(jnp.int32)
+    to = to.astype(jnp.int32)
+    n = n.astype(jnp.int32)
+    xl = xl.astype(jnp.int32)
+    yl = yl.astype(jnp.int32)
+    jidx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(B)
+    in_g = jidx < n[:, None]
+    has = n > 0
+
+    fm = jnp.where(in_g, f, NEG_INF32)
+    msc = jnp.max(fm, axis=1)
+    is_max = fm == msc[:, None]
+    last_max = jnp.max(jnp.where(is_max, jidx, -1), axis=1)
+    # full-DP tie: smallest projected overlap length, first index
+    xb = jnp.where(so <= to, 0, so - to)
+    xr = xl[:, None] - so - 1
+    yr = yl[:, None] - to - 1
+    xe2 = jnp.where(xr <= yr, xl[:, None] - 1, so + yr)
+    ovl = xe2 - xb + 1
+    ovl_c = jnp.where(is_max, ovl, _BIG32)
+    movl = jnp.min(ovl_c, axis=1)
+    first_minovl = jnp.min(
+        jnp.where(is_max & (ovl_c == movl[:, None]), jidx, _BIG32),
+        axis=1)
+    msc_i = jnp.where(quick, last_max, first_minovl).astype(jnp.int32)
+    msc_i = jnp.where(has, msc_i, -1)
+
+    # ---- trace the best chain (label 0) ----
+    label = jnp.full((B, N), -1, jnp.int32)
+
+    def trace_cond(st):
+        cur, label = st
+        return jnp.any(cur >= 0)
+
+    def trace_body(st):
+        cur, label = st
+        act = cur >= 0
+        curc = jnp.clip(cur, 0, N - 1)
+        label = label.at[rows, curc].set(
+            jnp.where(act, 0, label[rows, curc]))
+        nxt = pre[rows, curc]
+        return (jnp.where(act, nxt, -1), label)
+
+    _, label = lax.while_loop(trace_cond, trace_body, (msc_i, label))
+
+    cnt = jnp.ones(B, jnp.int32) * has
+    sc_out = jnp.full((B, mcopy_num), NEG_INF32)
+    sc_out = sc_out.at[:, 0].set(jnp.where(has, msc, NEG_INF32))
+
+    if mcopy_num > 1:
+        # ---- multi-copy peeling ----
+        n_hits0 = jnp.sum((label == 0).astype(jnp.int32), axis=1)
+        # min over IN-GROUP f only (padded lanes are NEG_INF32 and would
+        # overflow the fixed-point min_sc product)
+        plus = jnp.minimum(
+            jnp.min(jnp.where(in_g, f, _BIG32), axis=1), 0)
+        plus = jnp.where(has, plus, 0)
+        min_sc = ((msc - plus) * jnp.int32(mcopy_q16)) >> 16
+        fpos = f - plus[:, None]
+        cand0 = in_g & (label < 0) & (fpos >= min_sc[:, None]) & \
+            (n_hits0 >= mcopy_khit_cut)[:, None] & has[:, None]
+
+        def peel_cond(st):
+            cand, label, cnt, sc_out = st
+            return jnp.any(jnp.any(cand, axis=1) & (cnt < mcopy_num))
+
+        def peel_body(st):
+            cand, label, cnt, sc_out = st
+            grp = jnp.any(cand, axis=1) & (cnt < mcopy_num)
+            fp_c = jnp.where(cand & (label < 0), fpos, NEG_INF32)
+            mx = jnp.max(fp_c, axis=1)
+            e = jnp.min(jnp.where(fp_c == mx[:, None], jidx, _BIG32),
+                        axis=1).astype(jnp.int32)
+            pickable = grp & (mx > NEG_INF32)
+            e = jnp.where(pickable, e, -1)
+            # already-used candidates are just dropped (host: continue)
+            ec = jnp.clip(e, 0, N - 1)
+            # inner trace with stop_at_used, temporary label = cnt
+            def t_cond(s):
+                cur, lab, head = s
+                return jnp.any(cur >= 0)
+
+            def t_body(s):
+                cur, lab, head = s
+                act = cur >= 0
+                cc = jnp.clip(cur, 0, N - 1)
+                lab = lab.at[rows, cc].set(
+                    jnp.where(act, -2, lab[rows, cc]))   # tmp mark
+                head = jnp.where(act, cur, head)
+                nxt = pre[rows, cc]
+                stop = (nxt < 0) | \
+                    (jnp.where(act, label[rows, jnp.clip(nxt, 0, N - 1)],
+                               -1) >= 0)
+                return (jnp.where(act & ~stop, nxt, -1), lab, head)
+
+            start = jnp.where(pickable, e, -1)
+            (_, lab2, head) = lax.while_loop(
+                t_cond, t_body, (start, label, jnp.full(B, -1, jnp.int32)))
+            seg_len = jnp.sum((lab2 == -2).astype(jnp.int32), axis=1)
+            headc = jnp.clip(head, 0, N - 1)
+            stopj = jnp.where(head >= 0, pre[rows, headc], -1)
+            sc = jnp.where(
+                stopj < 0, fpos[rows, ec],
+                fpos[rows, ec] - f[rows, jnp.clip(stopj, 0, N - 1)])
+            commit = pickable & (sc >= min_sc) & (seg_len > 1)
+            newlab = jnp.where(
+                lab2 == -2,
+                jnp.where(commit[:, None], cnt[:, None], -1), lab2)
+            sc_out = sc_out.at[rows, jnp.clip(cnt, 0, mcopy_num - 1)].set(
+                jnp.where(commit, sc + plus,
+                          sc_out[rows, jnp.clip(cnt, 0, mcopy_num - 1)]))
+            cnt = cnt + commit.astype(jnp.int32)
+            # drop e (tried) and anything now used from the candidate
+            # set — otherwise a group whose remaining candidates all
+            # became used would spin forever
+            cand = cand & (jidx != e[:, None]) & (newlab < 0)
+            return (cand, newlab, cnt, sc_out)
+
+        (cand, label, cnt, sc_out) = lax.while_loop(
+            peel_cond, peel_body, (cand0, label, cnt, sc_out))
+
+    # per-chain endpoints
+    firsts = []
+    lasts = []
+    for k in range(mcopy_num):
+        mk = label == k
+        firsts.append(jnp.min(jnp.where(mk, jidx, _BIG32), axis=1))
+        lasts.append(jnp.max(jnp.where(mk, jidx, -1), axis=1))
+    first = jnp.stack(firsts, axis=1)
+    last = jnp.stack(lasts, axis=1)
+    nh = jnp.stack([jnp.sum((label == k).astype(jnp.int32), axis=1)
+                    for k in range(mcopy_num)], axis=1)
+    return label, cnt, sc_out, first, last, nh

@@ -104,3 +104,55 @@ def test_chain_exact_matches_native(rng):
         assert bool(np.asarray(quick)[b]) == qn
         assert (f[b, :n] == fn).all(), f"row {b}"
         assert (pre[b, :n] == pren).all(), f"row {b}"
+
+
+def test_extract_chains_batch_matches_host(rng):
+    """Device traceback + mcopy peeling == ops/chain.extract_chains."""
+    from hifiasm_tpu.ops.chain import extract_chains
+    from hifiasm_tpu.ops.chain_jax import extract_chains_batch
+
+    B, N = 24, 96
+    xl = yl = 3000
+    p = ChainParams.for_k(51, mcopy_num=3, mcopy_khit_cut=6)
+    cols = [np.zeros((B, N), np.int32) for _ in range(4)]
+    n_arr = np.zeros(B, np.int32)
+    groups = []
+    for b in range(B):
+        n = int(rng.integers(6, N + 1))
+        g = _rand_group(rng, n, xl, ("clean", "repeat", "noise")[b % 3])
+        groups.append(g)
+        for c in range(4):
+            cols[c][b, :n] = g[c]
+        n_arr[b] = n
+    f, pre, quick = chain_exact_batch(
+        cols[0], cols[1], cols[2], cols[3], n_arr,
+        np.full(B, xl, np.int32), np.full(B, yl, np.int32))
+    label, cnt, sc, first, last, nh = extract_chains_batch(
+        f, pre, quick, cols[0], cols[1], n_arr,
+        np.full(B, xl, np.int32), np.full(B, yl, np.int32),
+        mcopy_num=p.mcopy_num, mcopy_khit_cut=p.mcopy_khit_cut,
+        mcopy_q16=p.mcopy_q16)
+    label = np.asarray(label)
+    cnt = np.asarray(cnt)
+    sc = np.asarray(sc)
+    first = np.asarray(first)
+    last = np.asarray(last)
+    nh = np.asarray(nh)
+    n_multi = 0
+    for b in range(B):
+        so, to, sp, w = groups[b]
+        n = int(n_arr[b])
+        fh = np.asarray(f[b, :n]).astype(np.int64)
+        ph = np.asarray(pre[b, :n]).astype(np.int64)
+        chains = extract_chains(fh, ph, so.astype(np.int64),
+                                to.astype(np.int64), xl, yl, p,
+                                quick=bool(np.asarray(quick)[b]))
+        assert cnt[b] == len(chains), f"row {b}: chain count"
+        n_multi += len(chains) > 1
+        for k, (sck, idx) in enumerate(chains):
+            assert sc[b, k] == sck, f"row {b} chain {k}: score"
+            mine = np.flatnonzero(label[b, :n] == k)
+            assert (mine == idx).all(), f"row {b} chain {k}: hits"
+            assert first[b, k] == idx[0] and last[b, k] == idx[-1]
+            assert nh[b, k] == len(idx)
+    assert n_multi >= 1          # the repeat style must exercise mcopy
