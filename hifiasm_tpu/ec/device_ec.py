@@ -516,7 +516,8 @@ class DeviceEC:
             return jax.device_put(z, self._repl)
         return z
 
-    def process(self, read_ovs: List[Tuple[int, OverlapRegions]]
+    def process(self, read_ovs: List[Tuple[int, OverlapRegions]],
+                plans: Optional[Dict[int, dict]] = None
                 ) -> Tuple[Dict[int, ReadECOut], Dict[int, tuple]]:
         """read_ovs: [(rid, overlaps)]; returns per-read results plus
         per-read consensus inputs (votes, ins aggregate views).
@@ -527,16 +528,17 @@ class DeviceEC:
         # ~1.5 GB of vote planes per batch: L*(5+5+1+4+9) int32 per row
         rows = max(256, int(1.5e9 // max(self.bank.L * 96, 1)))
         if len(read_ovs) <= rows:
-            return self._process_batch(read_ovs)
+            return self._process_batch(read_ovs, plans)
         outs: Dict[int, ReadECOut] = {}
         cns: Dict[int, tuple] = {}
         for b0 in range(0, len(read_ovs), rows):
-            o, c = self._process_batch(read_ovs[b0:b0 + rows])
+            o, c = self._process_batch(read_ovs[b0:b0 + rows], plans)
             outs.update(o)
             cns.update(c)
         return outs, cns
 
-    def _process_batch(self, read_ovs: List[Tuple[int, OverlapRegions]]
+    def _process_batch(self, read_ovs: List[Tuple[int, OverlapRegions]],
+                       plans: Optional[Dict[int, dict]] = None
                        ) -> Tuple[Dict[int, ReadECOut], Dict[int, tuple]]:
         bank = self.bank
         R, L = len(read_ovs), bank.L
@@ -548,7 +550,8 @@ class DeviceEC:
         n_ov_tot = 0
         win_tot_all = []
         for rid, ov in read_ovs:
-            pl = plan_read_windows(ov, self.wl, self.e_rate)
+            pl = plans[rid] if plans is not None else \
+                plan_read_windows(ov, self.wl, self.e_rate)
             ov_base[rid] = n_ov_tot
             wt = np.zeros(len(ov), np.int32)
             np.add.at(wt, pl["ov_idx"], 1)
@@ -695,10 +698,16 @@ class DeviceEC:
                                   j_xlen_s[sl]), nb, Cb)
             segs.append((tb, ic, ib, Cb, sl, nb, qa))
             off += nb
-        # plane rows and overlap-accumulator sizes bucket up so the
-        # compiled shape set stays bounded across batches
-        Rp = -(-R // 256) * 256
-        n_ov_pad = -(-max(n_ov_tot, 1) // 4096) * 4096
+        # plane rows and overlap-accumulator sizes bucket up to powers
+        # of two: every distinct shape costs minutes of TPU compilation,
+        # so batches must SHARE compiled programs (a 953-read batch and
+        # its 647-read tail both run the Rp=1024 build)
+        Rp = 256
+        while Rp < R:
+            Rp *= 2
+        n_ov_pad = 4096
+        while n_ov_pad < n_ov_tot:
+            n_ov_pad *= 2
 
         # ---- L2: raw allele counts ----
         cnt = self._fzeros((5, Rp, L))

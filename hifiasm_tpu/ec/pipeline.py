@@ -221,6 +221,54 @@ def _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov, mesh=None,
     return [(rid, ov) for (rid, _, _), ov in zip(reads, ovs)]
 
 
+def _chain_all_reads_device(store, mzs, dev_table, cfg, hom_cov):
+    """Fully device-resident anchoring + chaining (single device): the
+    anchors never leave HBM — the chain DP, traceback, mcopy, and the
+    window planner's per-hit searchsorted all run on device
+    (index/pos_table_jax.collect_anchor_groups_device +
+    overlap/chain_device.py).  Returns (read_ovs, plans): regions are
+    field-identical with the host chain_many (hits stay on device),
+    and plans are ready-made plan_read_windows dicts per read."""
+    from hifiasm_tpu.ec.window_align import plan_read_windows
+    from hifiasm_tpu.index.pos_table_jax import (
+        collect_anchor_groups_device,
+    )
+    from hifiasm_tpu.overlap.chain_device import (
+        DeviceChunkChains, regions_from_device_chains,
+    )
+
+    cp = ChainParams.for_k(cfg.k)
+    rids = list(range(store.n_reads))
+    read_ovs = []
+    plans = {}
+    for cols, meta in collect_anchor_groups_device(
+            mzs, dev_table, rids, store.lens, hom_cov):
+        dcc = DeviceChunkChains(cols, meta, store.lens, store.lens, cp)
+        regs = regions_from_device_chains(dcc, store.lens, store.lens,
+                                          cfg.max_n_chain)
+        # window planning: host math for everything except t_ws, then
+        # ONE batched device searchsorted for the whole chunk
+        pls, ws_cat, ci_cat = [], [], []
+        for rr, ov in regs:
+            pl = plan_read_windows(ov, cfg.ec_window, cfg.max_ov_diff_ec,
+                                   with_tws=False)
+            pls.append((rr, ov, pl))
+            if len(pl["ws"]):
+                ws_cat.append(pl["ws"])
+                ci_cat.append(ov.hit_ref[pl["ov_idx"]])
+        if ws_cat:
+            t_all = dcc.tws_for_windows(
+                np.concatenate(ci_cat), np.concatenate(ws_cat))
+        o = 0
+        for rr, ov, pl in pls:
+            nw = len(pl["ws"])
+            pl["t_ws"] = t_all[o:o + nw] if nw else np.zeros(0, np.int64)
+            o += nw
+            plans[rr] = pl
+            read_ovs.append((rr, ov))
+    return read_ovs, plans
+
+
 def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
              round_idx: int, collect=None) -> Tuple[int, int, int]:
     """One correction round; returns (hom_cov, het_cov, n_corrected).
@@ -296,13 +344,19 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
 
         dev = DeviceEC(store, wl=cfg.ec_window, e_rate=cfg.max_ov_diff_ec,
                        mesh=mesh)
-        read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg, hom_cov,
-                                    mesh=mesh, dev_table=dev_tbl)
+        plans = None
+        if dev_tbl is not None and mesh is None:
+            read_ovs, plans = _chain_all_reads_device(
+                store, mzs, dev_tbl, cfg, hom_cov)
+        else:
+            read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg,
+                                        hom_cov, mesh=mesh,
+                                        dev_table=dev_tbl)
         ov_of = dict(read_ovs)
         get_target = _TargetCache(store)
         n_routed = 0
         with prof:
-            outs, cns_in = dev.process(read_ovs)
+            outs, cns_in = dev.process(read_ovs, plans=plans)
         for rid, eco in outs.items():
             if collect is not None:
                 _push_records_stats(
@@ -320,11 +374,25 @@ def ec_round(store: ReadStore, cfg: HifiasmConfig, ft: Optional[FilterTable],
             # matrix shows an ambiguity cluster re-run on the host path
             # (traceback strings -> DAG plurality, ec/consensus.py)
             if _ambiguity_clusters(amb):
-                tbs = align_overlaps(q, ov_of[rid], get_target,
+                ov_full = ov_of[rid]
+                if len(ov_full) and len(ov_full.hit_self) == 0 and \
+                        ov_full.n_hits.max(initial=0) > 0:
+                    # device-resident hits: re-derive this read's
+                    # overlaps on the host (bit-identical chain DP)
+                    from hifiasm_tpu.overlap.anchors import (
+                        chain_many, collect_anchors_many,
+                    )
+                    an1 = collect_anchors_many(mzs, pt, [rid],
+                                               store.lens, hom_cov)[0]
+                    ov_full = chain_many(
+                        [(rid, an1, len(q))], store.lens,
+                        ChainParams.for_k(cfg.k),
+                        max_n_chain=cfg.max_n_chain)[0]
+                tbs = align_overlaps(q, ov_full, get_target,
                                      wl=cfg.ec_window,
                                      e_rate=cfg.max_ov_diff_ec)
-                ph = phase_overlaps(q, ov_of[rid], tbs)
-                cns = windowed_consensus(q, ov_of[rid], tbs, ph)
+                ph = phase_overlaps(q, ov_full, tbs)
+                cns = windowed_consensus(q, ov_full, tbs, ph)
                 n_routed += 1
             else:
                 cns = consensus_apply(q, subw != 15, ins_p,

@@ -92,13 +92,17 @@ def _window_threshold(wlen: int, e_rate: float) -> int:
     return max(2, min(t, THRESHOLD_MAX_SIZE))
 
 
-def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float):
+def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float,
+                      with_tws: bool = True):
     """Window coordinates for every overlap of one read.
 
     Returns dict of arrays: ov_idx, ws (query window start), wlen, t_ws
     (target window nominal start, query frame), thre (per-window error
     budget), last (final window of its overlap).  Shared by the host
-    WindowBatcher and the device-resident EC planner.
+    WindowBatcher and the device-resident EC planner.  With
+    ``with_tws=False`` (device-resident hits) t_ws is left out — the
+    caller fills it from chain_device.tws_for_windows, which computes
+    the identical searchsorted on device.
     """
     n_ov = len(ov)
     if n_ov == 0:
@@ -115,19 +119,22 @@ def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float):
     xe_r = np.repeat(ov.x_e.astype(np.int64), n_win)
     wlen = np.minimum(wl, xe_r - ws + 1)
     last = ws + wlen > xe_r
-    # nearest chain hit at-or-after each window start (anchor offsets are
-    # k-mer ENDS, so a hit >= ws constrains the window best)
-    t_ws = np.empty(tot, np.int64)
-    for o in range(n_ov):
-        hs = ov.hit_self[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
-        ht = ov.hit_t[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
-        sl = slice(int(woff[o]), int(woff[o + 1]))
-        hi = np.minimum(np.searchsorted(hs, ws[sl]), len(hs) - 1)
-        t_ws[sl] = ht[hi] + (ws[sl] - hs[hi])
     thre = np.clip(np.ceil(wlen * e_rate).astype(np.int64), 2,
                    THRESHOLD_MAX_SIZE)
-    return dict(ov_idx=ov_idx, ws=ws, wlen=wlen, t_ws=t_ws, thre=thre,
-                last=last)
+    pl = dict(ov_idx=ov_idx, ws=ws, wlen=wlen, thre=thre, last=last)
+    if with_tws:
+        # nearest chain hit at-or-after each window start (anchor offsets
+        # are k-mer ENDS, so a hit >= ws constrains the window best)
+        t_ws = np.empty(tot, np.int64)
+        for o in range(n_ov):
+            hs = ov.hit_self[ov.hit_start[o]:ov.hit_start[o] +
+                             ov.n_hits[o]]
+            ht = ov.hit_t[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
+            sl = slice(int(woff[o]), int(woff[o + 1]))
+            hi = np.minimum(np.searchsorted(hs, ws[sl]), len(hs) - 1)
+            t_ws[sl] = ht[hi] + (ws[sl] - hs[hi])
+        pl["t_ws"] = t_ws
+    return pl
 
 
 _T2_NONE = np.int64(-(1 << 62))

@@ -356,3 +356,120 @@ def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
     _, o_read, o_tid, o_rev, o_qpos, o_toff, o_span, o_w = srt
     n_keep = jnp.sum(keep.astype(jnp.int32))
     return o_read, o_tid, o_rev, o_qpos, o_toff, o_span, o_w, n_keep
+
+
+# ---------------------------------------------------------------------------
+# device anchor columns + (read, tid, rev) group detection — feeds the
+# device chain DP (overlap/chain_device.py) without anchors ever
+# leaving HBM
+
+@functools.partial(jax.jit, static_argnames=())
+def _group_detect(a_read, a_tid, a_rev, n_keep):
+    """Boundaries of (read, tid, rev) runs over the sorted anchors."""
+    P = a_read.shape[0]
+    i = jnp.arange(P, dtype=jnp.int32)
+    valid = i < n_keep
+    new = valid & ((i == 0) |
+                   (a_read != jnp.roll(a_read, 1)) |
+                   (a_tid != jnp.roll(a_tid, 1)) |
+                   (a_rev != jnp.roll(a_rev, 1)))
+    gid = jnp.cumsum(new.astype(jnp.int32)) - 1
+    n_groups = jnp.sum(new.astype(jnp.int32))
+    gslot = jnp.where(new, gid, P)
+    start = jnp.full(P + 1, 0, jnp.int32).at[gslot].set(i)[:P]
+    return start, n_groups, gid
+
+
+def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
+                                 tlens: np.ndarray, hom_cov: int,
+                                 chunk_mz: int = 2_000_000):
+    """Device-resident anchor collection for the device chain pipeline.
+
+    Yields per chunk: (cols, meta) where ``cols`` are the SORTED device
+    anchor columns (read u32, tid u32, rev u8, qpos i32, t_off i32,
+    span i32, weight i32, plus group_start i32 [P]) and ``meta`` holds
+    the small host arrays (n_keep, group starts/sizes and their
+    (read, tid, rev) keys).  Chunks split on read boundaries, so groups
+    never straddle chunks.  Anchor content and order are byte-identical
+    with collect_anchors_device / collect_anchors_many."""
+    from hifiasm_tpu.overlap.anchors import HA_KMER_GOOD_RATIO
+
+    max_cnt = max(int(hom_cov * (2.0 - HA_KMER_GOOD_RATIO)), 2)
+    min_cnt = max(int(hom_cov * HA_KMER_GOOD_RATIO), 2)
+    occ_ax = np.arange(YAK_N_COUNTS, dtype=np.int64)
+    wl = np.ones(YAK_N_COUNTS, np.int64)
+    wl[occ_ax <= min_cnt] = 2
+    hi_m = occ_ax >= max_cnt
+    wh = 1 + ((occ_ax[hi_m] + (max_cnt << 1) - 1) // (max_cnt << 1))
+    wl[hi_m] = np.floor(np.power(wh.astype(np.float64), 1.1)).astype(
+        np.int64)
+    wlut = jnp.asarray(np.minimum(wl, 0xFFFFFF).astype(np.int32))
+    lens_d = jnp.asarray(np.asarray(tlens, np.int64).astype(np.int32))
+
+    c0 = 0
+    while c0 < len(rids):
+        c1, nm = c0, 0
+        while c1 < len(rids) and (nm == 0 or nm < chunk_mz):
+            nm += len(mzs[rids[c1]])
+            c1 += 1
+        sub = rids[c0:c1]
+        M = max(nm, 1)
+        Mp = _bucket(M)
+        q_h = np.zeros(Mp, np.uint64)
+        q_read = np.zeros(Mp, np.uint32)
+        q_pos = np.zeros(Mp, np.int32)
+        q_rev = np.zeros(Mp, np.uint8)
+        q_span = np.zeros(Mp, np.int32)
+        o = 0
+        for rr in sub:
+            mz = mzs[rr]
+            n = len(mz)
+            q_h[o:o + n] = mz.hash
+            q_read[o:o + n] = rr
+            q_pos[o:o + n] = mz.pos.astype(np.int32)
+            q_rev[o:o + n] = mz.rev
+            q_span[o:o + n] = mz.span.astype(np.int32)
+            o += n
+        qhi, qlo = _split_u64(q_h)
+        slot, found, cnt = _lookup_kernel(
+            jnp.asarray(qhi), jnp.asarray(qlo), table.h_hi, table.h_lo,
+            table.count, jnp.int32(table.n_distinct),
+            n_steps=table.search_steps)
+        mvalid = jnp.arange(Mp) < o
+        cnt = jnp.where(mvalid & found, cnt, 0)
+        cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
+        total = int(cum[-1])
+        if total == 0:
+            yield None, dict(reads=sub, n_keep=0)
+            c0 = c1
+            continue
+        Sp = _bucket(total)
+        flds = _expand_fill(slot, cnt, cum, jnp.asarray(q_read),
+                            jnp.asarray(q_pos), jnp.asarray(q_rev),
+                            jnp.asarray(q_span), table.start, table.rid,
+                            table.pos, table.rev, table.span, lens_d,
+                            wlut, jnp.int32(total), Sp)
+        (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = flds
+        nk = int(n_keep)
+        g_start, n_groups, gid = _group_detect(a_read, a_tid, a_rev,
+                                               n_keep)
+        ng = int(n_groups)
+        gs = np.asarray(g_start[:ng]) if ng else np.zeros(0, np.int32)
+        g_end = np.concatenate([gs[1:], [nk]]).astype(np.int64) if ng \
+            else np.zeros(0, np.int64)
+        # group keys: gather the first anchor of each group (small)
+        gsd = jnp.asarray(gs.astype(np.int32))
+        g_read = np.asarray(jnp.take(a_read, gsd)) if ng else \
+            np.zeros(0, np.uint32)
+        g_tid = np.asarray(jnp.take(a_tid, gsd)) if ng else \
+            np.zeros(0, np.uint32)
+        g_rev = np.asarray(jnp.take(a_rev, gsd)) if ng else \
+            np.zeros(0, np.uint8)
+        cols = dict(read=a_read, tid=a_tid, rev=a_rev, qpos=a_qpos,
+                    toff=a_toff, span=a_span, w=a_w)
+        meta = dict(reads=sub, n_keep=nk, g_start=gs.astype(np.int64),
+                    g_end=g_end, g_read=g_read.astype(np.int64),
+                    g_tid=g_tid.astype(np.int64),
+                    g_rev=g_rev.astype(np.int64))
+        yield cols, meta
+        c0 = c1

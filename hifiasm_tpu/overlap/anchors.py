@@ -56,6 +56,9 @@ class OverlapRegions:
     hit_self: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     hit_t: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     hit_span: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    # device-resident hits: handle into DeviceChunkChains chain rows
+    # (overlap/chain_device.py); host hit arrays stay empty then
+    hit_ref: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
 
     def __len__(self):
         return len(self.y_id)
@@ -68,6 +71,13 @@ class OverlapRegions:
         out.x_s, out.x_e = self.x_s[idx], self.x_e[idx]
         out.y_s, out.y_e = self.y_s[idx], self.y_e[idx]
         out.score, out.n_hits = self.score[idx], self.n_hits[idx]
+        if len(self.hit_ref):
+            out.hit_ref = self.hit_ref[idx]
+        if len(self.hit_self) == 0 and len(self.n_hits) and \
+                self.n_hits.max(initial=0) > 0 and len(self.hit_ref):
+            # device-resident hits: nothing to regather on host
+            out.hit_start = np.zeros(len(idx), np.int64)
+            return out
         # regather hits: one segmented gather (no per-overlap python loop)
         n = self.n_hits[idx].astype(np.int64)
         bounds = np.zeros(len(idx) + 1, np.int64)

@@ -1,0 +1,316 @@
+"""Device-resident anchor chaining for the EC frontend.
+
+The host pipeline moves every anchor to the CPU for chain DP — ~20 B per
+anchor through a ~20 MB/s link at 100 Mb+ scale.  Here anchors stay in
+HBM (index/pos_table_jax.collect_anchor_groups_device), the chain DP and
+traceback run on device with the scalar engine's exact semantics
+(ops/chain_jax.chain_exact_batch + extract_chains_batch), and only
+per-GROUP and per-CHAIN metadata (starts, keys, scores, endpoint
+coordinates — a few bytes per overlap candidate) ever reach the host,
+where the existing region assembly / quota / dedup code runs unchanged.
+Window planning's one per-hit need — the nearest chain hit at-or-after
+each window start (t_ws) — is answered by a device binary search over
+chain-compacted anchor columns (``tws_for_windows``).
+
+Chain results are bit-identical with overlap/anchors.chain_many on the
+native host kernel (tests/test_chain_device.py); regions carry empty
+hit arrays plus a ``hit_ref`` handle into the device chains.
+
+Reference scope: the per-read chaining of ha_get_candidates
+(anchor.cpp:2551) + lchain_qdp_mcopy_fast (Hash_Table.cpp:2097), the
+multi-chip/tpu re-design of SURVEY §5.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hifiasm_tpu.ops.chain import ChainParams
+from hifiasm_tpu.ops.chain_jax import chain_exact_batch, extract_chains_batch
+
+_BUCKETS = (32, 128, 512, 2048)
+
+
+def _bucket_n(size: int) -> int:
+    for b in _BUCKETS:
+        if size <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("Nb",))
+def _gather_groups(so, to, span, w, g_start_d, gids, sizes, Nb: int):
+    """[P] anchor columns -> [Gb, Nb] padded group buckets."""
+    base = jnp.take(g_start_d, gids)                     # [Gb]
+    idx = base[:, None] + jnp.arange(Nb, dtype=jnp.int32)[None, :]
+    idxc = jnp.clip(idx, 0, so.shape[0] - 1)
+    m = jnp.arange(Nb, dtype=jnp.int32)[None, :] < sizes[:, None]
+    z = jnp.int32(0)
+    return (jnp.where(m, jnp.take(so, idxc), z),
+            jnp.where(m, jnp.take(to, idxc), z),
+            jnp.where(m, jnp.take(span, idxc), z),
+            jnp.where(m, jnp.take(w, idxc), z))
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _chain_endpoints(so_b, to_b, first, last, m: int):
+    """Gather (xs, xe, ts, te) of each chain's endpoint anchors."""
+    B, N = so_b.shape
+    fc = jnp.clip(first, 0, N - 1)
+    lc = jnp.clip(last, 0, N - 1)
+    rows = jnp.arange(B)[:, None]
+    return (so_b[rows, fc], so_b[rows, lc],
+            to_b[rows, fc], to_b[rows, lc])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _compact_chains(so_b, to_b, label):
+    """Sort each bucket's anchors into chain-contiguous order
+    ((row, label, index), unlabeled last) -> flat (so, to) columns."""
+    B, N = so_b.shape
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                            (B, N))
+    unl = (label < 0).astype(jnp.int32)
+    labp = jnp.where(label < 0, 0, label)
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
+                           (B, N))
+    srt = lax.sort((rows.reshape(-1), unl.reshape(-1), labp.reshape(-1),
+                    idx.reshape(-1), so_b.reshape(-1), to_b.reshape(-1)),
+                   num_keys=4)
+    return srt[4], srt[5]          # so_c, to_c flat [B*N]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _tws_kernel(so_c, to_c, lo, hi, ws):
+    """Per-window nearest chain hit at-or-after ws within [lo, hi):
+    j = min(first so_c[j] >= ws, hi-1); t_ws = to_c[j] + ws - so_c[j].
+    Mirrors ec/window_align.plan_read_windows' searchsorted."""
+    n_steps = int(np.ceil(np.log2(so_c.shape[0] + 1))) + 1
+    l = lo
+    h = hi
+    for _ in range(n_steps):
+        active = l < h
+        mid = (l + h) >> 1
+        midc = jnp.clip(mid, 0, so_c.shape[0] - 1)
+        less = so_c[midc] < ws
+        l = jnp.where(active & less, mid + 1, l)
+        h = jnp.where(active & ~less, mid, h)
+    j = jnp.clip(jnp.minimum(l, hi - 1), 0, so_c.shape[0] - 1)
+    return to_c[j] + (ws - so_c[j])
+
+
+class DeviceChunkChains:
+    """Chained anchors of one collect chunk, resident on device."""
+
+    def __init__(self, cols, meta, rlens: np.ndarray, tlens: np.ndarray,
+                 params: ChainParams):
+        self.meta = meta
+        self.params = params
+        # per-chain host metadata, in (group, copy) order
+        self.g_of: np.ndarray = np.zeros(0, np.int64)
+        self.score: np.ndarray = np.zeros(0, np.int64)
+        self.n_hits: np.ndarray = np.zeros(0, np.int64)
+        self.xs = self.xe = self.ts = self.te = np.zeros(0, np.int64)
+        # device chain-compacted anchors + host offsets per chain
+        self._parts: List[Tuple] = []      # (so_c, to_c) per bucket
+        self.chain_lo = np.zeros(0, np.int64)   # into virtual concat
+        self._part_of: np.ndarray = np.zeros(0, np.int64)
+        self._part_base: List[int] = []
+        if cols is None or meta["n_keep"] == 0 or not len(meta["g_start"]):
+            return
+        sizes_all = meta["g_end"] - meta["g_start"]
+        ng = len(sizes_all)
+        m = params.mcopy_num
+        g_start_d = jnp.asarray(meta["g_start"].astype(np.int32))
+        # assign groups to pow2 size buckets; groups longer than the top
+        # bucket (rare, heavy repeats) route through the host scalar
+        # kernel — bit-identical, so the split is invisible downstream
+        per_bucket: Dict[int, List[int]] = {}
+        self._host_groups: List[int] = []
+        for g in range(ng):
+            if sizes_all[g] > _BUCKETS[-1]:
+                self._host_groups.append(g)
+            else:
+                per_bucket.setdefault(_bucket_n(int(sizes_all[g])),
+                                      []).append(g)
+        chain_rows = []          # (g, score, nh, xs, xe, ts, te, part, lo)
+        for Nb, glist in sorted(per_bucket.items()):
+            gids = np.asarray(glist, np.int64)
+            Gb = 256
+            while Gb < len(gids):
+                Gb *= 2
+            gpad = np.zeros(Gb, np.int64)
+            gpad[:len(gids)] = gids
+            sz = np.zeros(Gb, np.int32)
+            sz[:len(gids)] = sizes_all[gids]
+            so_b, to_b, sp_b, w_b = _gather_groups(
+                cols["qpos"], cols["toff"], cols["span"], cols["w"],
+                g_start_d, jnp.asarray(gpad.astype(np.int32)),
+                jnp.asarray(sz), Nb)
+            xlb = np.zeros(Gb, np.int32)
+            ylb = np.ones(Gb, np.int32)
+            xlb[:len(gids)] = rlens[meta["g_read"][gids]]
+            ylb[:len(gids)] = tlens[meta["g_tid"][gids]]
+            f, pre, quick = chain_exact_batch(
+                so_b, to_b, sp_b, w_b, jnp.asarray(sz),
+                jnp.asarray(xlb), jnp.asarray(ylb),
+                max_iter=params.max_iter, max_skip=params.max_skip,
+                max_dis=params.max_dis, quick_check=params.quick_check,
+                pg_q16=params.pg_q16, pskip_q16=params.pskip_q16,
+                bw_q16=params.bw_q16, invbw_q4=params.invbw_q4)
+            label, cnt, sc, first, last, nh = extract_chains_batch(
+                f, pre, quick, so_b, to_b, jnp.asarray(sz),
+                jnp.asarray(xlb), jnp.asarray(ylb),
+                mcopy_num=m, mcopy_khit_cut=params.mcopy_khit_cut,
+                mcopy_q16=params.mcopy_q16)
+            exs, exe, ets, ete = _chain_endpoints(so_b, to_b, first,
+                                                  last, m)
+            so_c, to_c = _compact_chains(so_b, to_b, label)
+            part = len(self._parts)
+            self._parts.append((so_c, to_c))
+            cnt_h = np.asarray(cnt)[:len(gids)]
+            sc_h = np.asarray(sc)[:len(gids)]
+            nh_h = np.asarray(nh)[:len(gids)]
+            xs_h = np.asarray(exs)[:len(gids)]
+            xe_h = np.asarray(exe)[:len(gids)]
+            ts_h = np.asarray(ets)[:len(gids)]
+            te_h = np.asarray(ete)[:len(gids)]
+            # chain-compacted offsets: row-major (row, k) prefix of nh
+            nh_pad = np.zeros((Gb, m), np.int64)
+            nh_pad[:len(gids)] = nh_h
+            row_off = np.arange(Gb, dtype=np.int64) * Nb
+            k_off = np.concatenate(
+                [np.zeros((Gb, 1), np.int64),
+                 np.cumsum(nh_pad, axis=1)[:, :-1]], axis=1)
+            lo_all = row_off[:, None] + k_off
+            for bi, g in enumerate(glist):
+                for k in range(int(cnt_h[bi])):
+                    chain_rows.append((
+                        g, int(sc_h[bi, k]), int(nh_h[bi, k]),
+                        int(xs_h[bi, k]), int(xe_h[bi, k]),
+                        int(ts_h[bi, k]), int(te_h[bi, k]),
+                        part, int(lo_all[bi, k])))
+        # host fallback for oversize groups (rare; > top bucket)
+        if self._host_groups:
+            from hifiasm_tpu.ops.chain import chain_dp_group
+            qpos_h = to_h = sp_h = w_h = None
+            for g in self._host_groups:
+                if qpos_h is None:
+                    qpos_h = np.asarray(cols["qpos"])
+                    to_h = np.asarray(cols["toff"])
+                    sp_h = np.asarray(cols["span"])
+                    w_h = np.asarray(cols["w"])
+                s, e = int(meta["g_start"][g]), int(meta["g_end"][g])
+                chains = chain_dp_group(
+                    qpos_h[s:e].astype(np.int64),
+                    to_h[s:e].astype(np.int64),
+                    sp_h[s:e].astype(np.int64),
+                    w_h[s:e].astype(np.int64),
+                    int(rlens[meta["g_read"][g]]),
+                    int(tlens[meta["g_tid"][g]]), params)
+                self._host_hits = getattr(self, "_host_hits", {})
+                for k, (sck, idx) in enumerate(chains):
+                    self._host_hits[(g, k)] = (
+                        qpos_h[s:e][idx].astype(np.int64),
+                        to_h[s:e][idx].astype(np.int64))
+                    chain_rows.append((
+                        g, int(sck), len(idx),
+                        int(qpos_h[s + idx[0]]), int(qpos_h[s + idx[-1]]),
+                        int(to_h[s + idx[0]]), int(to_h[s + idx[-1]]),
+                        -1, (g, k)))
+        # groups in ascending order, chains in copy order — the host
+        # chain_many emits regions in exactly this order
+        chain_rows.sort(key=lambda r: (r[0],))
+        if chain_rows:
+            self.g_of = np.array([r[0] for r in chain_rows], np.int64)
+            self.score = np.array([r[1] for r in chain_rows], np.int64)
+            self.n_hits = np.array([r[2] for r in chain_rows], np.int64)
+            self.xs = np.array([r[3] for r in chain_rows], np.int64)
+            self.xe = np.array([r[4] for r in chain_rows], np.int64)
+            self.ts = np.array([r[5] for r in chain_rows], np.int64)
+            self.te = np.array([r[6] for r in chain_rows], np.int64)
+            self._part_of = np.array([r[7] for r in chain_rows],
+                                     np.int64)
+            self._lo = [r[8] for r in chain_rows]
+
+    def tws_for_windows(self, chain_idx: np.ndarray, ws: np.ndarray
+                        ) -> np.ndarray:
+        """t_ws per window; chain_idx indexes this chunk's chain rows."""
+        out = np.zeros(len(ws), np.int64)
+        if len(ws) == 0:
+            return out
+        parts = self._part_of[chain_idx]
+        for part in np.unique(parts):
+            sel = np.flatnonzero(parts == part)
+            ci = chain_idx[sel]
+            if part < 0:                      # host-fallback groups
+                for i, c in zip(sel, ci):
+                    hs, ht = self._host_hits[self._lo[c]]
+                    hi = min(int(np.searchsorted(hs, ws[i])), len(hs) - 1)
+                    out[i] = ht[hi] + (ws[i] - hs[hi])
+                continue
+            so_c, to_c = self._parts[int(part)]
+            lo = np.array([self._lo[c] for c in ci], np.int64)
+            hi = lo + self.n_hits[ci]
+            t = _tws_kernel(so_c, to_c,
+                            jnp.asarray(lo.astype(np.int32)),
+                            jnp.asarray(hi.astype(np.int32)),
+                            jnp.asarray(ws[sel].astype(np.int32)))
+            out[sel] = np.asarray(t).astype(np.int64)
+        return out
+
+
+def regions_from_device_chains(dcc: DeviceChunkChains, rlens: np.ndarray,
+                               tlens: np.ndarray, max_n_chain: int = 100
+                               ) -> List[Tuple[int, "OverlapRegions"]]:
+    """Per-read OverlapRegions from device chain metadata — the same
+    boundary extension + quota + dedup + order as the host chain_many
+    (overlap/anchors._assemble_regions / _finish_regions), with hits
+    left on device (regions carry hit_ref handles instead)."""
+    from hifiasm_tpu.overlap.anchors import OverlapRegions, _finish_regions
+
+    meta = dcc.meta
+    out = []
+    nch = len(dcc.g_of)
+    if nch:
+        gr = meta["g_read"][dcc.g_of]
+        gt = meta["g_tid"][dcc.g_of]
+        gv = meta["g_rev"][dcc.g_of]
+        xs, xe = dcc.xs.copy(), dcc.xe.copy()
+        ts, te = dcc.ts.copy(), dcc.te.copy()
+        # extend to boundaries (push_ovlp_chain_qgen, Hash_Table.cpp:1752)
+        shift = np.minimum(xs, ts)
+        xs -= shift
+        ts -= shift
+        ext = np.minimum(rlens[gr] - xe - 1, tlens[gt] - te - 1)
+        xe += ext
+        te += ext
+        bnd = np.flatnonzero(np.diff(gr)) + 1
+        seg_s = np.concatenate([[0], bnd])
+        seg_e = np.concatenate([bnd, [nch]])
+        seg_of = {int(gr[s]): (s, e) for s, e in zip(seg_s, seg_e)}
+    else:
+        seg_of = {}
+    for rr in meta["reads"]:
+        ov = OverlapRegions(rr)
+        if rr in seg_of:
+            s, e = seg_of[rr]
+            sel = np.arange(s, e)
+            ov.y_id = gt[sel].astype(np.uint32)
+            ov.rev = gv[sel].astype(np.uint8)
+            ov.x_s, ov.x_e = xs[sel], xe[sel]
+            ov.y_s, ov.y_e = ts[sel], te[sel]
+            ov.score = dcc.score[sel]
+            ov.n_hits = dcc.n_hits[sel]
+            ov.hit_start = np.zeros(len(sel), np.int64)
+            ov.hit_ref = sel
+            ov = _finish_regions(ov, int(rlens[rr]), max_n_chain)
+        out.append((rr, ov))
+    return out

@@ -69,17 +69,18 @@ def test_device_read_batching_identical(rng, monkeypatch):
 
     monkeypatch.setattr(
         D.DeviceEC, "process",
-        lambda self, read_ovs: _merge_batches(self, read_ovs, orig, 7))
+        lambda self, read_ovs, plans=None:
+        _merge_batches(self, read_ovs, orig, 7, plans))
     r2 = ec_round(s2, cfg, None, 0)
     assert r1[2] == r2[2]
     for i in range(s1.n_reads):
         np.testing.assert_array_equal(s1.get_codes(i), s2.get_codes(i))
 
 
-def _merge_batches(dev, read_ovs, orig, rows):
+def _merge_batches(dev, read_ovs, orig, rows, plans=None):
     outs, cns = {}, {}
     for b0 in range(0, len(read_ovs), rows):
-        o, c = orig(dev, read_ovs[b0:b0 + rows])
+        o, c = orig(dev, read_ovs[b0:b0 + rows], plans)
         outs.update(o)
         cns.update(c)
     return outs, cns
