@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""Device vs host throughput on the index front end.
+"""Device vs host throughput on the EC front end (index -> windows).
 
-Measures bases/s for sketch + position-table build + anchor gather:
-- device: ops/sketch_jax + index/pos_table_jax (HBM-resident index);
-- host: the native sketch + numpy table build + native anchor collection
-  (the 4-core production host path).
+Measures bases/s for sketch + position table + anchoring + chain DP +
+window planning:
+- device: ops/sketch_jax + index/pos_table_jax (HBM-resident index) +
+  overlap/chain_device (device chain DP/traceback; anchors never leave
+  HBM, only region metadata + t_ws transfer);
+- host: the native sketch + numpy table + native anchor collection +
+  native chain kernel (the 4-core production host path).
 
 Run WITHOUT JAX_PLATFORMS=cpu to hit the real chip.  Prints a JSON line.
 """
@@ -20,6 +23,8 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 
 import numpy as np
+
+WL, ERATE = 775, 0.04
 
 
 def main():
@@ -43,20 +48,41 @@ def main():
     backend = jax.default_backend()
     print(f"[bench-fe] jax backend: {backend}", file=sys.stderr)
 
+    from hifiasm_tpu.ec.window_align import plan_read_windows
     from hifiasm_tpu.index.pos_table_jax import (
-        build_position_table_device, collect_anchors_device,
+        build_position_table_device, collect_anchor_groups_device,
     )
+    from hifiasm_tpu.ops.chain import ChainParams
+    from hifiasm_tpu.overlap.chain_device import (
+        DeviceChunkChains, regions_from_device_chains,
+    )
+
+    cp = ChainParams.for_k(k)
 
     def dev_once():
         tbl, ph, _, mzs = build_position_table_device(reads, k, w)
         hom = ph if ph > 0 else 12
-        ans = collect_anchors_device(mzs, tbl, rids, lens, hom)
-        return sum(len(a) for a in ans)
+        n_win = 0
+        for cols, meta in collect_anchor_groups_device(
+                mzs, tbl, rids, lens, hom):
+            dcc = DeviceChunkChains(cols, meta, lens, lens, cp)
+            regs = regions_from_device_chains(dcc, lens, lens)
+            ws_cat, ci_cat = [], []
+            for rr, ov in regs:
+                pl = plan_read_windows(ov, WL, ERATE, with_tws=False)
+                if len(pl["ws"]):
+                    ws_cat.append(pl["ws"])
+                    ci_cat.append(ov.hit_ref[pl["ov_idx"]])
+            if ws_cat:
+                t = dcc.tws_for_windows(np.concatenate(ci_cat),
+                                        np.concatenate(ws_cat))
+                n_win += len(t)
+        return n_win
 
     t0 = time.time()
-    n_anchor = dev_once()               # warmup + compile
+    n_win = dev_once()               # warmup + compile
     print(f"[bench-fe] first device pass (compile) "
-          f"{time.time() - t0:.1f}s, {n_anchor} anchors", file=sys.stderr)
+          f"{time.time() - t0:.1f}s, {n_win} windows", file=sys.stderr)
     walls = []
     for _ in range(3):
         t0 = time.time()
@@ -69,14 +95,21 @@ def main():
 
     # ---- host production path on the same reads ----
     from hifiasm_tpu.index.pos_table import build_position_table
-    from hifiasm_tpu.overlap.anchors import collect_anchors_many
+    from hifiasm_tpu.overlap.anchors import chain_many, collect_anchors_many
+
+    def host_once():
+        pt, ph, _, mzs = build_position_table(reads, k, w)
+        hom = ph if ph > 0 else 12
+        ans = collect_anchors_many(mzs, pt, rids, lens, hom)
+        ovs = chain_many([(r, ans[r], len(reads[r])) for r in rids],
+                         lens, cp)
+        for ov in ovs:
+            plan_read_windows(ov, WL, ERATE)
 
     walls = []
     for _ in range(3):
         t0 = time.time()
-        pt, ph, _, mzs = build_position_table(reads, k, w)
-        hom = ph if ph > 0 else 12
-        collect_anchors_many(mzs, pt, rids, lens, hom)
+        host_once()
         walls.append(time.time() - t0)
     host_wall = sorted(walls)[1]
     host_bps = total_bases / host_wall
