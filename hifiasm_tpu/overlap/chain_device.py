@@ -141,11 +141,16 @@ class DeviceChunkChains:
                 per_bucket.setdefault(_bucket_n(int(sizes_all[g])),
                                       []).append(g)
         chain_rows = []          # (g, score, nh, xs, xe, ts, te, part, lo)
+        # one FIXED slab shape per bucket size: every compiled program is
+        # reused forever (each new shape costs minutes of TPU compile)
+        slab_of = {32: 8192, 128: 4096, 512: 1024, 2048: 256}
+        work = []
         for Nb, glist in sorted(per_bucket.items()):
+            slab = slab_of[Nb]
+            for s0 in range(0, len(glist), slab):
+                work.append((Nb, glist[s0:s0 + slab], slab))
+        for Nb, glist, Gb in work:
             gids = np.asarray(glist, np.int64)
-            Gb = 256
-            while Gb < len(gids):
-                Gb *= 2
             gpad = np.zeros(Gb, np.int64)
             gpad[:len(gids)] = gids
             sz = np.zeros(Gb, np.int32)
