@@ -60,3 +60,30 @@ def test_device_frontend_falls_back_when_disabled(tmp_path):
     with open(f"{pfx}.bp.p_ctg.gfa", "rb") as a, \
             open(f"{ph}.bp.p_ctg.gfa", "rb") as b:
         assert a.read() == b.read()
+
+
+def test_device_frontend_repeat_heavy(tmp_path):
+    """Repeat-rich diploid-ish genome: multi-copy chains + quota/dedup
+    must survive the device-resident chain path byte-identically."""
+    rng = np.random.default_rng(7)
+    g = make_genome(rng, 16000, repeat_frac=0.3)
+    reads, _, _ = sample_reads(rng, g, depth=14, read_len=2200,
+                               err_rate=0.004)
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+
+    outs = {}
+    for tag, eng in (("h", "native"), ("d", "jax")):
+        store2 = ReadStore.from_arrays(
+            store.names, [store.get_codes(i)
+                          for i in range(store.n_reads)])
+        pfx = str(tmp_path / tag)
+        cfg = HifiasmConfig(output_prefix=pfx, n_rounds_ec=1,
+                            ignore_bin=True, align_engine=eng,
+                            mesh_devices=1)
+        assemble(store2, cfg)
+        outs[tag] = pfx
+    for suffix in ("bp.p_ctg.gfa", "bp.r_utg.gfa"):
+        with open(f"{outs['h']}.{suffix}", "rb") as a, \
+                open(f"{outs['d']}.{suffix}", "rb") as b:
+            assert a.read() == b.read(), f"{suffix} differs"
