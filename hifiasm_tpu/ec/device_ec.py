@@ -705,9 +705,9 @@ class DeviceEC:
         Rp = 256
         while Rp < R:
             Rp *= 2
-        n_ov_pad = 4096
-        while n_ov_pad < n_ov_tot:
-            n_ov_pad *= 2
+        n_ov_pad = max(Rp * 32, 4096)      # ~overlaps/read ceiling; tied
+        while n_ov_pad < n_ov_tot:         # to Rp so batch tails share
+            n_ov_pad *= 2                  # compiled shapes
 
         # ---- L2: raw allele counts ----
         cnt = self._fzeros((5, Rp, L))
