@@ -194,14 +194,13 @@ class DeviceChunkChains:
             k_off = np.concatenate(
                 [np.zeros((Gb, 1), np.int64),
                  np.cumsum(nh_pad, axis=1)[:, :-1]], axis=1)
-            lo_all = row_off[:, None] + k_off
-            for bi, g in enumerate(glist):
-                for k in range(int(cnt_h[bi])):
-                    chain_rows.append((
-                        g, int(sc_h[bi, k]), int(nh_h[bi, k]),
-                        int(xs_h[bi, k]), int(xe_h[bi, k]),
-                        int(ts_h[bi, k]), int(te_h[bi, k]),
-                        part, int(lo_all[bi, k])))
+            lo_all = (row_off[:, None] + k_off)[:len(gids)]
+            kmask = np.arange(m)[None, :] < cnt_h[:, None]
+            chain_rows.append((
+                np.repeat(gids, cnt_h), sc_h[kmask], nh_h[kmask],
+                xs_h[kmask], xe_h[kmask], ts_h[kmask], te_h[kmask],
+                np.full(int(kmask.sum()), part, np.int64),
+                lo_all[kmask]))
         # host fallback for oversize groups (rare; > top bucket)
         if self._host_groups:
             from hifiasm_tpu.ops.chain import chain_dp_group
@@ -221,29 +220,33 @@ class DeviceChunkChains:
                     int(rlens[meta["g_read"][g]]),
                     int(tlens[meta["g_tid"][g]]), params)
                 self._host_hits = getattr(self, "_host_hits", {})
+                self._host_keys = getattr(self, "_host_keys", [])
                 for k, (sck, idx) in enumerate(chains):
                     self._host_hits[(g, k)] = (
                         qpos_h[s:e][idx].astype(np.int64),
                         to_h[s:e][idx].astype(np.int64))
+                    ref = len(self._host_keys)
+                    self._host_keys.append((g, k))
                     chain_rows.append((
-                        g, int(sck), len(idx),
-                        int(qpos_h[s + idx[0]]), int(qpos_h[s + idx[-1]]),
-                        int(to_h[s + idx[0]]), int(to_h[s + idx[-1]]),
-                        -1, (g, k)))
+                        np.array([g], np.int64),
+                        np.array([int(sck)], np.int64),
+                        np.array([len(idx)], np.int64),
+                        np.array([int(qpos_h[s + idx[0]])], np.int64),
+                        np.array([int(qpos_h[s + idx[-1]])], np.int64),
+                        np.array([int(to_h[s + idx[0]])], np.int64),
+                        np.array([int(to_h[s + idx[-1]])], np.int64),
+                        np.array([-1], np.int64),
+                        np.array([ref], np.int64)))
         # groups in ascending order, chains in copy order — the host
-        # chain_many emits regions in exactly this order
-        chain_rows.sort(key=lambda r: (r[0],))
+        # chain_many emits regions in exactly this order (stable sort
+        # keeps the per-group copy order from each slab block)
         if chain_rows:
-            self.g_of = np.array([r[0] for r in chain_rows], np.int64)
-            self.score = np.array([r[1] for r in chain_rows], np.int64)
-            self.n_hits = np.array([r[2] for r in chain_rows], np.int64)
-            self.xs = np.array([r[3] for r in chain_rows], np.int64)
-            self.xe = np.array([r[4] for r in chain_rows], np.int64)
-            self.ts = np.array([r[5] for r in chain_rows], np.int64)
-            self.te = np.array([r[6] for r in chain_rows], np.int64)
-            self._part_of = np.array([r[7] for r in chain_rows],
-                                     np.int64)
-            self._lo = [r[8] for r in chain_rows]
+            cols9 = [np.concatenate([r[i] for r in chain_rows])
+                     for i in range(9)]
+            order = np.argsort(cols9[0], kind="stable")
+            (self.g_of, self.score, self.n_hits, self.xs, self.xe,
+             self.ts, self.te, self._part_of, self._lo) = \
+                (c[order] for c in cols9)
 
     def tws_for_windows(self, chain_idx: np.ndarray, ws: np.ndarray
                         ) -> np.ndarray:
@@ -257,12 +260,13 @@ class DeviceChunkChains:
             ci = chain_idx[sel]
             if part < 0:                      # host-fallback groups
                 for i, c in zip(sel, ci):
-                    hs, ht = self._host_hits[self._lo[c]]
+                    key = self._host_keys[int(self._lo[c])]
+                    hs, ht = self._host_hits[key]
                     hi = min(int(np.searchsorted(hs, ws[i])), len(hs) - 1)
                     out[i] = ht[hi] + (ws[i] - hs[hi])
                 continue
             so_c, to_c = self._parts[int(part)]
-            lo = np.array([self._lo[c] for c in ci], np.int64)
+            lo = self._lo[ci].astype(np.int64)
             hi = lo + self.n_hits[ci]
             t = _tws_kernel(so_c, to_c,
                             jnp.asarray(lo.astype(np.int32)),
