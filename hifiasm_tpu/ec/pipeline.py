@@ -237,13 +237,17 @@ def _chain_all_reads_device(store, mzs, dev_table, cfg, hom_cov):
         DeviceChunkChains, regions_from_device_chains,
     )
 
+    import time as _t
     cp = ChainParams.for_k(cfg.k)
     rids = list(range(store.n_reads))
     read_ovs = []
     plans = {}
+    _t0 = _t.time()
     for cols, meta in collect_anchor_groups_device(
             mzs, dev_table, rids, store.lens, hom_cov):
+        _t1 = _t.time()
         dcc = DeviceChunkChains(cols, meta, store.lens, store.lens, cp)
+        _t2 = _t.time()
         regs = regions_from_device_chains(dcc, store.lens, store.lens,
                                           cfg.max_n_chain)
         # window planning: host math for everything except t_ws, then
@@ -266,6 +270,10 @@ def _chain_all_reads_device(store, mzs, dev_table, cfg, hom_cov):
             o += nw
             plans[rr] = pl
             read_ovs.append((rr, ov))
+        log("chain_device",
+            f"chunk: anchors {_t1 - _t0:.1f}s chain {_t2 - _t1:.1f}s "
+            f"plan {_t.time() - _t2:.1f}s ({len(meta['reads'])} reads)")
+        _t0 = _t.time()
     return read_ovs, plans
 
 

@@ -361,13 +361,19 @@ def _sketch_kernel(bank, lens, ft_hi, ft_lo, ft_cnt, *, k: int, w: int,
 
 def sketch_many_jax(codes_list, k: int, w: int, ft=None,
                     sample_dist: int = 500, is_unique: bool = False,
-                    row_chunk: int = 128, l_bucket: int = 2048,
+                    row_chunk: int = 0, l_bucket: int = 2048,
                     ) -> List[Minimizers]:
     """Device-batched sketch of many reads; mirrors ops/sketch.sketch_many
     (including the host-side high-occ streak rescue)."""
     n = len(codes_list)
     if n == 0:
         return []
+    if row_chunk <= 0:
+        # accelerator launches + syncs cost ~0.1-1 s each through the
+        # tunnel: take 8x bigger row chunks there; CPU (tests) keeps the
+        # small chunk to bound padded compute
+        import jax
+        row_chunk = 128 if jax.default_backend() == "cpu" else 1024
     ft_lookup = ft.lookup if ft is not None else None
     if ft is not None and len(ft.hashes):
         fh = np.asarray(ft.hashes, np.uint64)
