@@ -370,10 +370,11 @@ def sketch_many_jax(codes_list, k: int, w: int, ft=None,
         return []
     if row_chunk <= 0:
         # accelerator launches + syncs cost ~0.1-1 s each through the
-        # tunnel: take 8x bigger row chunks there; CPU (tests) keeps the
-        # small chunk to bound padded compute
+        # tunnel: take 2x bigger row chunks there (larger R made the XLA
+        # TPU compile of the ladder kernel pathological — 1024 rows never
+        # finished compiling); CPU (tests) keeps the small chunk
         import jax
-        row_chunk = 128 if jax.default_backend() == "cpu" else 1024
+        row_chunk = 128 if jax.default_backend() == "cpu" else 256
     ft_lookup = ft.lookup if ft is not None else None
     if ft is not None and len(ft.hashes):
         fh = np.asarray(ft.hashes, np.uint64)
