@@ -369,12 +369,11 @@ def sketch_many_jax(codes_list, k: int, w: int, ft=None,
     if n == 0:
         return []
     if row_chunk <= 0:
-        # accelerator launches + syncs cost ~0.1-1 s each through the
-        # tunnel: take 2x bigger row chunks there (larger R made the XLA
-        # TPU compile of the ladder kernel pathological — 1024 rows never
-        # finished compiling); CPU (tests) keeps the small chunk
-        import jax
-        row_chunk = 128 if jax.default_backend() == "cpu" else 256
+        # 128 rows everywhere: larger R (256/1024) makes the XLA TPU
+        # compile of the ladder kernel pathological (>15 min, never
+        # finished) — per-launch latency must amortize via the chunked
+        # async dispatch instead
+        row_chunk = 128
     ft_lookup = ft.lookup if ft is not None else None
     if ft is not None and len(ft.hashes):
         fh = np.asarray(ft.hashes, np.uint64)
