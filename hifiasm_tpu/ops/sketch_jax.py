@@ -387,6 +387,10 @@ def sketch_many_jax(codes_list, k: int, w: int, ft=None,
         ft_cnt = jnp.zeros(1, jnp.uint16)
         ft_steps = 0
     out: List[Minimizers] = []
+    # dispatch every chunk first (async), convert afterwards — each
+    # blocking conversion pays a tunnel round-trip, so pipelining the
+    # launches hides the per-chunk latency behind compute
+    pending = []
     for c0 in range(0, n, row_chunk):
         chunk = codes_list[c0:c0 + row_chunk]
         maxlen = max((len(x) for x in chunk), default=1)
@@ -401,6 +405,8 @@ def sketch_many_jax(codes_list, k: int, w: int, ft=None,
         r = _sketch_kernel(jnp.asarray(bank), jnp.asarray(lens),
                            ft_hi, ft_lo, ft_cnt, k=k, w=w, K=K,
                            is_unique=is_unique, ft_steps=ft_steps)
+        pending.append((chunk, r))
+    for chunk, r in pending:
         hh, hl, pos, rv, span, cnt, cnts = (np.asarray(x) for x in r)
         for i in range(len(chunk)):
             m = int(cnts[i])
