@@ -149,6 +149,10 @@ class DeviceChunkChains:
             slab = slab_of[Nb]
             for s0 in range(0, len(glist), slab):
                 work.append((Nb, glist[s0:s0 + slab], slab))
+        # dispatch EVERY slab's kernels first (async), sync afterwards:
+        # each blocking np.asarray pays a tunnel round-trip, so the
+        # launches pipeline behind each other instead of serializing
+        pend = []
         for Nb, glist, Gb in work:
             gids = np.asarray(glist, np.int64)
             gpad = np.zeros(Gb, np.int64)
@@ -180,13 +184,10 @@ class DeviceChunkChains:
             so_c, to_c = _compact_chains(so_b, to_b, label)
             part = len(self._parts)
             self._parts.append((so_c, to_c))
-            cnt_h = np.asarray(cnt)[:len(gids)]
-            sc_h = np.asarray(sc)[:len(gids)]
-            nh_h = np.asarray(nh)[:len(gids)]
-            xs_h = np.asarray(exs)[:len(gids)]
-            xe_h = np.asarray(exe)[:len(gids)]
-            ts_h = np.asarray(ets)[:len(gids)]
-            te_h = np.asarray(ete)[:len(gids)]
+            pend.append((Nb, Gb, gids, part,
+                         (cnt, sc, nh, exs, exe, ets, ete)))
+        for Nb, Gb, gids, part, devs in pend:
+            cnt_h, sc_h, nh_h, xs_h, xe_h, ts_h, te_h =                 (np.asarray(x)[:len(gids)] for x in devs)
             # chain-compacted offsets: row-major (row, k) prefix of nh
             nh_pad = np.zeros((Gb, m), np.int64)
             nh_pad[:len(gids)] = nh_h
@@ -250,11 +251,14 @@ class DeviceChunkChains:
 
     def tws_for_windows(self, chain_idx: np.ndarray, ws: np.ndarray
                         ) -> np.ndarray:
-        """t_ws per window; chain_idx indexes this chunk's chain rows."""
+        """t_ws per window; chain_idx indexes this chunk's chain rows.
+        All per-part searches dispatch async (pow2-padded query lengths
+        bound the compile set) and sync in a second pass."""
         out = np.zeros(len(ws), np.int64)
         if len(ws) == 0:
             return out
         parts = self._part_of[chain_idx]
+        pend = []
         for part in np.unique(parts):
             sel = np.flatnonzero(parts == part)
             ci = chain_idx[sel]
@@ -266,13 +270,21 @@ class DeviceChunkChains:
                     out[i] = ht[hi] + (ws[i] - hs[hi])
                 continue
             so_c, to_c = self._parts[int(part)]
-            lo = self._lo[ci].astype(np.int64)
-            hi = lo + self.n_hits[ci]
-            t = _tws_kernel(so_c, to_c,
-                            jnp.asarray(lo.astype(np.int32)),
-                            jnp.asarray(hi.astype(np.int32)),
-                            jnp.asarray(ws[sel].astype(np.int32)))
-            out[sel] = np.asarray(t).astype(np.int64)
+            n = len(sel)
+            npad = 1024
+            while npad < n:
+                npad *= 2
+            lo = np.zeros(npad, np.int32)
+            hi = np.ones(npad, np.int32)
+            wsq = np.zeros(npad, np.int32)
+            lo[:n] = self._lo[ci]
+            hi[:n] = lo[:n] + self.n_hits[ci].astype(np.int32)
+            wsq[:n] = ws[sel]
+            t = _tws_kernel(so_c, to_c, jnp.asarray(lo),
+                            jnp.asarray(hi), jnp.asarray(wsq))
+            pend.append((sel, n, t))
+        for sel, n, t in pend:
+            out[sel] = np.asarray(t)[:n].astype(np.int64)
         return out
 
 
