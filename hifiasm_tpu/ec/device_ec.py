@@ -51,64 +51,92 @@ from hifiasm_tpu.utils.logging import log
 CHUNK = 8192
 E_BAND = THRESHOLD_MAX_SIZE          # one static band for all windows
 
+_BLK = 128                # bank block width (one TPU lane row)
+_PAD_L = 128              # left pad so y starts (t_ws - e) stay in-row
+_PAD_R = 1024             # right pad: window span + realign slack
+
 
 @dataclass
 class DeviceBank:
-    fwd: jnp.ndarray       # [R, L] uint8, pad 4
-    rc: jnp.ndarray        # [R, L] uint8 (revcomp, left-aligned)
+    blocks: jnp.ndarray    # [R*2*NB, 128] u8 block rows (fwd/rc planes,
+    #                        pad value 4 outside [PAD_L, PAD_L+len))
+    fwd: jnp.ndarray       # [R, L] uint8 (pad 4) — row-take stages
     lens: jnp.ndarray      # [R] int32
     L: int
     R: int
+    NB: int                # blocks per plane row ((PAD_L+L+PAD_R)//128)
 
 
 def build_bank(store: ReadStore, l_bucket: int = 2048) -> DeviceBank:
     R = store.n_reads
     maxlen = int(store.lens.max()) if R else 1
     L = ((maxlen + l_bucket - 1) // l_bucket) * l_bucket
-    fwd = np.full((R, L), 4, np.uint8)
-    rc = np.full((R, L), 4, np.uint8)
+    Lp = _PAD_L + L + _PAD_R
+    arr = np.full((R, 2, Lp), 4, np.uint8)
     for rid in range(R):
         c = store.get_codes(rid)
-        fwd[rid, :len(c)] = c
-        rc[rid, :len(c)] = revcomp_codes(c)
-    return DeviceBank(jnp.asarray(fwd), jnp.asarray(rc),
-                      jnp.asarray(store.lens.astype(np.int32)), L, R)
+        arr[rid, 0, _PAD_L:_PAD_L + len(c)] = c
+        arr[rid, 1, _PAD_L:_PAD_L + len(c)] = revcomp_codes(c)
+    NB = Lp // _BLK
+    blocks = jnp.asarray(arr.reshape(R * 2 * NB, _BLK))
+    fwd = jnp.asarray(arr[:, 0, _PAD_L:_PAD_L + L])
+    return DeviceBank(blocks, fwd,
+                      jnp.asarray(store.lens.astype(np.int32)), L, R, NB)
 
 
-def _gather_align(XL: int, e: int, fwd, rc, lens,
+def _take_windows(blocks, NB: int, rid, plane, start, span: int):
+    """Window slices from the blocked bank WITHOUT an element gather.
+
+    XLA element gathers run ~100x below HBM speed on TPU (measured
+    3.15 s of a 3.47 s align launch was the old fwd[rid, ws+arange]
+    form).  Instead: one embedding-style row gather of 128-byte bank
+    blocks ([N, 128] rows lower to fast DMA gathers), then a 7-step
+    log-shift realign by (start % 128) in VMEM-friendly full-array ops.
+    `start` is the absolute padded-row column (caller adds _PAD_L);
+    rows are padded with 4 outside the read, reproducing the old
+    (index < len) masks bit-for-bit.  Returns [B, span*128 - 128 + 1
+    usable] u8 — caller slices to the window length."""
+    blk0 = start >> 7
+    sh = start & (_BLK - 1)
+    base = (rid * 2 + plane) * NB + blk0
+    rows = base[:, None] + jnp.arange(span, dtype=jnp.int32)[None, :]
+    g = jnp.take(blocks, rows.reshape(-1), axis=0)
+    g = g.reshape(rid.shape[0], span * _BLK)
+    k = 1
+    while k < _BLK:
+        shifted = jnp.concatenate(
+            [g[:, k:], jnp.full((g.shape[0], k), 4, g.dtype)], axis=1)
+        g = jnp.where(((sh & k) != 0)[:, None], shifted, g)
+        k *= 2
+    return g
+
+
+def _gather_align(XL: int, e: int, NB: int, blocks, lens,
                   q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
-    """Gather one chunk of windows from the banks and align (jit-free
-    body; composed into the scan megakernel below)."""
-    B = q_rid.shape[0]
+    """Gather one chunk of windows from the blocked bank and align
+    (jit-free body; composed into the scan megakernel below)."""
     YL = XL + 2 * e
-    offs = jnp.arange(XL, dtype=jnp.int32)
-    xi = q_ws[:, None] + offs[None, :]
-    x = fwd[q_rid[:, None], jnp.clip(xi, 0, fwd.shape[1] - 1)]
-    x = jnp.where(xi < lens[q_rid][:, None], x, jnp.uint8(4))
-
+    span = -(-(max(XL, YL) + _BLK - 1) // _BLK)   # + realign slack
+    x = _take_windows(blocks, NB, q_rid, jnp.int32(0),
+                      _PAD_L + q_ws, span)[:, :XL]
     y0 = t_ws - e
-    yi = y0[:, None] + jnp.arange(YL, dtype=jnp.int32)[None, :]
-    tl = lens[t_rid][:, None]
-    yf = fwd[t_rid[:, None], jnp.clip(yi, 0, fwd.shape[1] - 1)]
-    yr = rc[t_rid[:, None], jnp.clip(yi, 0, rc.shape[1] - 1)]
-    yv = jnp.where(t_rev[:, None] == 1, yr, yf)
-    y = jnp.where((yi >= 0) & (yi < tl), yv, jnp.uint8(4))
-
+    y = _take_windows(blocks, NB, t_rid, t_rev,
+                      _PAD_L + y0, span)[:, :YL]
     ylen = jnp.clip(lens[t_rid] - y0, 0, XL + 2 * e)
     xlen_eff = jnp.where(last & (ylen < xlen), ylen, xlen)
     err, ys, yn, tb, ic, ib = banded_core(x, xlen_eff, y, ylen, e, True)
     return err, ys, yn, tb, ic, ib
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _align_scan(XL: int, e: int, fwd, rc, lens,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _align_scan(XL: int, e: int, NB: int, blocks, lens,
                 q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
     """ONE launch for a whole batch: lax.scan over [C, chunk] window
     chunks.  Each launch round-trip costs ~1.4 s through the dev tunnel,
     so the per-chunk python dispatch loop (28 chunks x 4 stages in the
     120 Mb run) was latency-bound; the scan keeps the loop on device."""
     def body(c, xs):
-        return c, _gather_align(XL, e, fwd, rc, lens, *xs)
+        return c, _gather_align(XL, e, NB, blocks, lens, *xs)
 
     _, outs = lax.scan(
         body, 0, (q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last))
@@ -464,10 +492,10 @@ class DeviceEC:
             self._shard_b2 = NamedSharding(mesh, P(None, "data"))
             self._repl = NamedSharding(mesh, P())
             self.bank = DeviceBank(
+                jax.device_put(self.bank.blocks, self._repl),
                 jax.device_put(self.bank.fwd, self._repl),
-                jax.device_put(self.bank.rc, self._repl),
                 jax.device_put(self.bank.lens, self._repl),
-                self.bank.L, self.bank.R)
+                self.bank.L, self.bank.R, self.bank.NB)
 
     def _put_b(self, a: np.ndarray):
         """Batch-axis array -> device (sharded over the mesh if active)."""
@@ -603,7 +631,7 @@ class DeviceEC:
         st1 = self._stack_put(
             (j_qrid, j_ws, j_xlen, j_trid, j_trev, j_tws, j_last), W, C1)
         err1, ys1, yn1, tb1, ic1, ib1 = _align_scan(
-            self.wl, e, bank.fwd, bank.rc, bank.lens, *st1)
+            self.wl, e, bank.NB, bank.blocks, bank.lens, *st1)
         _mark(f"L1 dispatched ({C1} chunks, {W} windows)")
         err_all = np.asarray(err1).reshape(-1)[:W].copy()
         ys_all = np.asarray(ys1).reshape(-1)[:W].copy()
@@ -638,7 +666,7 @@ class DeviceEC:
                 (r_qrid, r_ws, r_xlen, j_trid[ridx], j_trev[ridx],
                  t2.astype(np.int32), j_last[ridx]), n_r, C2)
             err2, ys2, yn2, tb2, ic2, ib2 = _align_scan(
-                self.wl, e, bank.fwd, bank.rc, bank.lens, *st2)
+                self.wl, e, bank.NB, bank.blocks, bank.lens, *st2)
             bufs.append((tb2, ic2, ib2, C2, n_r))
             e2 = np.asarray(err2).reshape(-1)[:n_r]
             acc2 = (e2 >= 0) & (e2 <= accept[ridx])

@@ -84,7 +84,7 @@ def main():
             b[:n_windows] = v
             st.append(jnp.asarray(b.reshape(C, chunk)))
         err, ys, yn, tb, ic, ib = _align_scan(
-            wl, E_BAND, bank.fwd, bank.rc, bank.lens, *st)
+            wl, E_BAND, bank.NB, bank.blocks, bank.lens, *st)
         # NB: jax.block_until_ready does NOT reliably block through the
         # axon tunnel (it returned instantly in measurements, which
         # produced a bogus 6-7 M win/s figure in an earlier round);
