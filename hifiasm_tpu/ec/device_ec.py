@@ -46,6 +46,7 @@ from hifiasm_tpu.ec.window_align import plan_read_windows
 from hifiasm_tpu.io.readstore import ReadStore, revcomp_codes
 from hifiasm_tpu.ops.banded_align_jax import banded_core
 from hifiasm_tpu.overlap.anchors import OverlapRegions
+from hifiasm_tpu.utils.devsync import fetch_all
 from hifiasm_tpu.utils.logging import log
 
 CHUNK = 8192
@@ -633,9 +634,10 @@ class DeviceEC:
         err1, ys1, yn1, tb1, ic1, ib1 = _align_scan(
             self.wl, e, bank.NB, bank.blocks, bank.lens, *st1)
         _mark(f"L1 dispatched ({C1} chunks, {W} windows)")
-        err_all = np.asarray(err1).reshape(-1)[:W].copy()
-        ys_all = np.asarray(ys1).reshape(-1)[:W].copy()
-        yn_all = np.asarray(yn1).reshape(-1)[:W].copy()
+        err1_h, ys1_h, yn1_h = fetch_all((err1, ys1, yn1))
+        err_all = err1_h.reshape(-1)[:W].copy()
+        ys_all = ys1_h.reshape(-1)[:W].copy()
+        yn_all = yn1_h.reshape(-1)[:W].copy()
 
         # window acceptance: doubled per-window budget, capped at the band
         accept = np.minimum(j_thre * 2, E_BAND)
@@ -668,12 +670,13 @@ class DeviceEC:
             err2, ys2, yn2, tb2, ic2, ib2 = _align_scan(
                 self.wl, e, bank.NB, bank.blocks, bank.lens, *st2)
             bufs.append((tb2, ic2, ib2, C2, n_r))
-            e2 = np.asarray(err2).reshape(-1)[:n_r]
+            err2_h, ys2_h, yn2_h = fetch_all((err2, ys2, yn2))
+            e2 = err2_h.reshape(-1)[:n_r]
             acc2 = (e2 >= 0) & (e2 <= accept[ridx])
             upd = ridx[acc2]
             err_all[upd] = e2[acc2]
-            ys_all[upd] = np.asarray(ys2).reshape(-1)[:n_r][acc2]
-            yn_all[upd] = np.asarray(yn2).reshape(-1)[:n_r][acc2]
+            ys_all[upd] = ys2_h.reshape(-1)[:n_r][acc2]
+            yn_all[upd] = yn2_h.reshape(-1)[:n_r][acc2]
             tws_fin[upd] = t2[acc2]
             w_ok[upd] = True
             ok_slot = np.concatenate([ok_slot, acc2])
@@ -759,9 +762,11 @@ class DeviceEC:
             qlen_rows = jax.device_put(qlen_rows, self._repl)
         het_d, alt_d, het_pk, alt_pk, het_cnt = _het_planes(
             L, cnt, bank_rows, qlen_rows)
-        het_bits = _unpack_bits(np.asarray(het_pk)[:R], L)
-        alt_all = _unpack2(np.asarray(alt_pk)[:R], L)
-        n_het_row = np.asarray(het_cnt)[:R]
+        het_pk_h, alt_pk_h, het_cnt_h = fetch_all((het_pk, alt_pk,
+                                                   het_cnt))
+        het_bits = _unpack_bits(het_pk_h[:R], L)
+        alt_all = _unpack2(alt_pk_h[:R], L)
+        n_het_row = het_cnt_h[:R]
         het_per_read = {}
         for rid, ov in read_ovs:
             row = row_of[rid]
@@ -777,8 +782,9 @@ class DeviceEC:
             n_same, n_flip = _het_agree_scan(
                 self.wl, L, n_same, n_flip, bank_rows, alt_d, het_d,
                 qlen_d, tb, *qa, okp, ovp)
-        n_same_h = np.asarray(n_same)[:n_ov_tot]
-        n_flip_h = np.asarray(n_flip)[:n_ov_tot]
+        n_same_h, n_flip_h = fetch_all((n_same, n_flip))
+        n_same_h = n_same_h[:n_ov_tot]
+        n_flip_h = n_flip_h[:n_ov_tot]
         _mark("L3 het agree")
         from hifiasm_tpu.ec.phase import classify_overlaps
         is_match_all = np.zeros(n_ov_tot, np.uint8)
@@ -806,11 +812,13 @@ class DeviceEC:
         subw_pk, ins_pk, ib_pk, il_pk, amb_pk = _decide_planes(
             L, votes, ins_tot, ins_bc, ins_lc, het_d, bank_rows,
             qlen_rows)
-        subw_all = _unpack4(np.asarray(subw_pk)[:R], L)
-        ins_all = _unpack_bits(np.asarray(ins_pk)[:R], L)
-        ib_all = _unpack2(np.asarray(ib_pk)[:R], L)
-        il_all = _unpack4(np.asarray(il_pk)[:R], L)
-        amb_all = _unpack_bits(np.asarray(amb_pk)[:R], L)
+        subw_h, ins_h, ib_h, il_h, amb_h = fetch_all(
+            (subw_pk, ins_pk, ib_pk, il_pk, amb_pk))
+        subw_all = _unpack4(subw_h[:R], L)
+        ins_all = _unpack_bits(ins_h[:R], L)
+        ib_all = _unpack2(ib_h[:R], L)
+        il_all = _unpack4(il_h[:R], L)
+        amb_all = _unpack_bits(amb_h[:R], L)
         _mark("L4 cis votes + decisions")
 
         # ---- package per read ----

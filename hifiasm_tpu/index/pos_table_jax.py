@@ -39,6 +39,7 @@ from jax import lax
 from hifiasm_tpu.index.count import (
     YAK_MAX_COUNT, YAK_N_COUNTS, analyze_count,
 )
+from hifiasm_tpu.utils.devsync import fetch_all
 from hifiasm_tpu.utils.logging import log
 
 _U32_MAX = np.uint32(0xFFFFFFFF)
@@ -305,7 +306,7 @@ def collect_anchors_device(mzs, table: DevicePositionTable, rids,
                             table.pos, table.rev, table.span, lens_d,
                             wlut, jnp.int32(total), Sp)
         (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = \
-            (np.asarray(x) for x in flds)
+            fetch_all(flds)
         nk = int(n_keep)
         a_read = a_read[:nk]
         bnd = np.flatnonzero(np.diff(a_read)) + 1
@@ -365,7 +366,9 @@ def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
 
 @functools.partial(jax.jit, static_argnames=())
 def _group_detect(a_read, a_tid, a_rev, n_keep):
-    """Boundaries of (read, tid, rev) runs over the sorted anchors."""
+    """Boundaries of (read, tid, rev) runs over the sorted anchors,
+    plus the first-anchor group keys — ONE launch, so the caller pays a
+    single transfer round trip for all of the small host metadata."""
     P = a_read.shape[0]
     i = jnp.arange(P, dtype=jnp.int32)
     valid = i < n_keep
@@ -377,7 +380,9 @@ def _group_detect(a_read, a_tid, a_rev, n_keep):
     n_groups = jnp.sum(new.astype(jnp.int32))
     gslot = jnp.where(new, gid, P)
     start = jnp.full(P + 1, 0, jnp.int32).at[gslot].set(i)[:P]
-    return start, n_groups, gid
+    startc = jnp.clip(start, 0, P - 1)
+    return (start, n_groups, gid, jnp.take(a_read, startc),
+            jnp.take(a_tid, startc), jnp.take(a_rev, startc))
 
 
 def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
@@ -450,21 +455,17 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
                             table.pos, table.rev, table.span, lens_d,
                             wlut, jnp.int32(total), Sp)
         (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = flds
-        nk = int(n_keep)
-        g_start, n_groups, gid = _group_detect(a_read, a_tid, a_rev,
-                                               n_keep)
-        ng = int(n_groups)
-        gs = np.asarray(g_start[:ng]) if ng else np.zeros(0, np.int32)
+        g_start_d, n_groups, gid, g_read_d, g_tid_d, g_rev_d = \
+            _group_detect(a_read, a_tid, a_rev, n_keep)
+        # ONE overlapped transfer pass for every host-side scalar/array
+        # (serial np.asarray fetches each paid a full link round trip)
+        nk_h, ng_h, gs_p, gr_p, gt_p, gv_p = fetch_all(
+            (n_keep, n_groups, g_start_d, g_read_d, g_tid_d, g_rev_d))
+        nk, ng = int(nk_h), int(ng_h)
+        gs = gs_p[:ng]
         g_end = np.concatenate([gs[1:], [nk]]).astype(np.int64) if ng \
             else np.zeros(0, np.int64)
-        # group keys: gather the first anchor of each group (small)
-        gsd = jnp.asarray(gs.astype(np.int32))
-        g_read = np.asarray(jnp.take(a_read, gsd)) if ng else \
-            np.zeros(0, np.uint32)
-        g_tid = np.asarray(jnp.take(a_tid, gsd)) if ng else \
-            np.zeros(0, np.uint32)
-        g_rev = np.asarray(jnp.take(a_rev, gsd)) if ng else \
-            np.zeros(0, np.uint8)
+        g_read, g_tid, g_rev = gr_p[:ng], gt_p[:ng], gv_p[:ng]
         cols = dict(read=a_read, tid=a_tid, rev=a_rev, qpos=a_qpos,
                     toff=a_toff, span=a_span, w=a_w)
         meta = dict(reads=sub, n_keep=nk, g_start=gs.astype(np.int64),

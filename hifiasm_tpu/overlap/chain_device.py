@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from hifiasm_tpu.ops.chain import ChainParams
-from hifiasm_tpu.ops.chain_jax import chain_exact_batch, extract_chains_batch
+from hifiasm_tpu.ops.chain_jax import chain_quick_batch, extract_chains_batch
+from hifiasm_tpu.utils.devsync import prefetch
 
 _BUCKETS = (32, 128, 512, 2048)
 
@@ -85,6 +86,47 @@ def _compact_chains(so_b, to_b, label):
                     idx.reshape(-1), so_b.reshape(-1), to_b.reshape(-1)),
                    num_keys=4)
     return srt[4], srt[5]          # so_c, to_c flat [B*N]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "Nb", "m", "quick_check", "pg_q16", "pskip_q16", "bw_q16",
+    "invbw_q4", "mcopy_khit_cut", "mcopy_q16"))
+def _quick_slab_scan(so, to, span, w, g_start_d, gids, sizes, xlb, ylb,
+                     Nb: int, m: int, quick_check: bool, pg_q16: int,
+                     pskip_q16: int, bw_q16: int, invbw_q4: int,
+                     mcopy_khit_cut: int, mcopy_q16: int):
+    """ONE launch per bucket: lax.scan over [C, Gb] slab stacks running
+    gather -> QUICK chain pass -> extraction -> endpoints -> compaction.
+
+    Two structural lessons are baked in (measured on the chip):
+    - dispatching the five kernels separately per slab paid ~1 s of
+      link RPC per launch (50 launches = ~50 s of the 2 Mb chain
+      stage); the scan keeps the slab loop on device;
+    - the exact full DP costs O(N^2) work per group plus a [B, N+1]
+      scatter per anchor step (~3.4 ms/step measured — 64 s for the
+      2 Mb workload), while ~99.9% of HiFi EC groups complete in the
+      O(N) quick pre-pass.  So the device runs ONLY the quick pass and
+      the caller routes non-quick groups to the bit-identical host
+      scalar DP, exactly the reference's own shortcut structure
+      (quick_ck_lchain, Hash_Table.cpp:2007).
+    Returns per slab: (quick, so_c, to_c, cnt, sc, nh, xs, xe, ts, te)."""
+    def body(c, xs):
+        gi, sz, xl, yl = xs
+        so_b, to_b, sp_b, w_b = _gather_groups(so, to, span, w,
+                                               g_start_d, gi, sz, Nb)
+        fq, pre_q, quick = chain_quick_batch(
+            so_b, to_b, sp_b, w_b, sz, xl, yl, quick_check=quick_check,
+            pg_q16=pg_q16, pskip_q16=pskip_q16, bw_q16=bw_q16,
+            invbw_q4=invbw_q4)
+        label, cnt, sc, first, last, nh = extract_chains_batch(
+            fq, pre_q, quick, so_b, to_b, sz, xl, yl, mcopy_num=m,
+            mcopy_khit_cut=mcopy_khit_cut, mcopy_q16=mcopy_q16)
+        exs, exe, ets, ete = _chain_endpoints(so_b, to_b, first, last, m)
+        so_c, to_c = _compact_chains(so_b, to_b, label)
+        return c, (quick, so_c, to_c, cnt, sc, nh, exs, exe, ets, ete)
+
+    _, outs = lax.scan(body, 0, (gids, sizes, xlb, ylb))
+    return outs
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -142,63 +184,65 @@ class DeviceChunkChains:
                                       []).append(g)
         chain_rows = []          # (g, score, nh, xs, xe, ts, te, part, lo)
         # one FIXED slab shape per bucket size: every compiled program is
-        # reused forever (each new shape costs minutes of TPU compile)
+        # reused forever (each new shape costs minutes of TPU compile);
+        # all slabs of a bucket stack into [C, slab] and run as ONE
+        # _chain_slab_scan launch (C pow2-bucketed)
         slab_of = {32: 8192, 128: 4096, 512: 1024, 2048: 256}
-        work = []
+        pend = []
         for Nb, glist in sorted(per_bucket.items()):
             slab = slab_of[Nb]
-            for s0 in range(0, len(glist), slab):
-                work.append((Nb, glist[s0:s0 + slab], slab))
-        # dispatch EVERY slab's kernels first (async), sync afterwards:
-        # each blocking np.asarray pays a tunnel round-trip, so the
-        # launches pipeline behind each other instead of serializing
-        pend = []
-        for Nb, glist, Gb in work:
             gids = np.asarray(glist, np.int64)
-            gpad = np.zeros(Gb, np.int64)
+            n_slabs = max(-(-len(gids) // slab), 1)
+            C = 1
+            while C < n_slabs:
+                C *= 2
+            gpad = np.zeros(C * slab, np.int64)
             gpad[:len(gids)] = gids
-            sz = np.zeros(Gb, np.int32)
+            sz = np.zeros(C * slab, np.int32)
             sz[:len(gids)] = sizes_all[gids]
-            so_b, to_b, sp_b, w_b = _gather_groups(
-                cols["qpos"], cols["toff"], cols["span"], cols["w"],
-                g_start_d, jnp.asarray(gpad.astype(np.int32)),
-                jnp.asarray(sz), Nb)
-            xlb = np.zeros(Gb, np.int32)
-            ylb = np.ones(Gb, np.int32)
+            xlb = np.zeros(C * slab, np.int32)
+            ylb = np.ones(C * slab, np.int32)
             xlb[:len(gids)] = rlens[meta["g_read"][gids]]
             ylb[:len(gids)] = tlens[meta["g_tid"][gids]]
-            f, pre, quick = chain_exact_batch(
-                so_b, to_b, sp_b, w_b, jnp.asarray(sz),
-                jnp.asarray(xlb), jnp.asarray(ylb),
-                max_iter=params.max_iter, max_skip=params.max_skip,
-                max_dis=params.max_dis, quick_check=params.quick_check,
-                pg_q16=params.pg_q16, pskip_q16=params.pskip_q16,
-                bw_q16=params.bw_q16, invbw_q4=params.invbw_q4)
-            label, cnt, sc, first, last, nh = extract_chains_batch(
-                f, pre, quick, so_b, to_b, jnp.asarray(sz),
-                jnp.asarray(xlb), jnp.asarray(ylb),
-                mcopy_num=m, mcopy_khit_cut=params.mcopy_khit_cut,
-                mcopy_q16=params.mcopy_q16)
-            exs, exe, ets, ete = _chain_endpoints(so_b, to_b, first,
-                                                  last, m)
-            so_c, to_c = _compact_chains(so_b, to_b, label)
+            quick, so_c, to_c, cnt, sc, nh, exs, exe, ets, ete = \
+                _quick_slab_scan(
+                    cols["qpos"], cols["toff"], cols["span"], cols["w"],
+                    g_start_d,
+                    jnp.asarray(gpad.astype(np.int32).reshape(C, slab)),
+                    jnp.asarray(sz.reshape(C, slab)),
+                    jnp.asarray(xlb.reshape(C, slab)),
+                    jnp.asarray(ylb.reshape(C, slab)),
+                    Nb, m, params.quick_check, params.pg_q16,
+                    params.pskip_q16, params.bw_q16, params.invbw_q4,
+                    params.mcopy_khit_cut, params.mcopy_q16)
             part = len(self._parts)
-            self._parts.append((so_c, to_c))
-            pend.append((Nb, Gb, gids, part,
-                         (cnt, sc, nh, exs, exe, ets, ete)))
-        for Nb, Gb, gids, part, devs in pend:
-            cnt_h, sc_h, nh_h, xs_h, xe_h, ts_h, te_h =                 (np.asarray(x)[:len(gids)] for x in devs)
+            self._parts.append((so_c.reshape(-1), to_c.reshape(-1)))
+            pend.append((Nb, C, slab, gids, part,
+                         (quick, cnt, sc, nh, exs, exe, ets, ete)))
+        prefetch(x for _, _, _, _, _, devs in pend for x in devs)
+        for Nb, C, slab, gids, part, devs in pend:
+            G = len(gids)
+            quick_h = np.asarray(devs[0]).reshape(C * slab)[:G]
+            cnt_h = np.asarray(devs[1]).reshape(C * slab)[:G]
+            sc_h, nh_h, xs_h, xe_h, ts_h, te_h = \
+                (np.asarray(x).reshape(C * slab, m)[:G]
+                 for x in devs[2:])
+            # non-quick groups (measured ~0.1%): host scalar DP,
+            # bit-identical with the device full-DP engine
+            self._host_groups.extend(int(g) for g in gids[~quick_h])
             # chain-compacted offsets: row-major (row, k) prefix of nh
-            nh_pad = np.zeros((Gb, m), np.int64)
-            nh_pad[:len(gids)] = nh_h
-            row_off = np.arange(Gb, dtype=np.int64) * Nb
+            nh_pad = np.zeros((C * slab, m), np.int64)
+            nh_pad[:G] = nh_h
+            row_off = np.arange(C * slab, dtype=np.int64) * Nb
             k_off = np.concatenate(
-                [np.zeros((Gb, 1), np.int64),
+                [np.zeros((C * slab, 1), np.int64),
                  np.cumsum(nh_pad, axis=1)[:, :-1]], axis=1)
-            lo_all = (row_off[:, None] + k_off)[:len(gids)]
-            kmask = np.arange(m)[None, :] < cnt_h[:, None]
+            lo_all = (row_off[:, None] + k_off)[:G]
+            kmask = (np.arange(m)[None, :] < cnt_h[:, None]) & \
+                quick_h[:, None]
             chain_rows.append((
-                np.repeat(gids, cnt_h), sc_h[kmask], nh_h[kmask],
+                np.repeat(gids, np.where(quick_h, cnt_h, 0)),
+                sc_h[kmask], nh_h[kmask],
                 xs_h[kmask], xe_h[kmask], ts_h[kmask], te_h[kmask],
                 np.full(int(kmask.sum()), part, np.int64),
                 lo_all[kmask]))
@@ -283,6 +327,7 @@ class DeviceChunkChains:
             t = _tws_kernel(so_c, to_c, jnp.asarray(lo),
                             jnp.asarray(hi), jnp.asarray(wsq))
             pend.append((sel, n, t))
+        prefetch(t for _, _, t in pend)
         for sel, n, t in pend:
             out[sel] = np.asarray(t)[:n].astype(np.int64)
         return out
