@@ -53,8 +53,12 @@ CHUNK = 8192
 E_BAND = THRESHOLD_MAX_SIZE          # one static band for all windows
 
 _BLK = 128                # bank block width (one TPU lane row)
-_PAD_L = 128              # left pad so y starts (t_ws - e) stay in-row
-_PAD_R = 1024             # right pad: window span + realign slack
+# Left pad: y starts go negative down to -(E_BAND + window) through the
+# boundary-retry plan (retry_plan's backward candidate is win_y[next,0]
+# minus the window length), so the pad must absorb ~-806 for the block
+# gather to stay inside the row; right pad covers span + realign slack.
+_PAD_L = 1024
+_PAD_R = 1024
 
 
 @dataclass
@@ -192,14 +196,16 @@ def _abs_plane(XL: int, L: int, flat, q_ws, xlen, okm, qlen_row, fill):
 
 
 def _row_sel(q_row, Rp: int):
-    """One-hot row selector [Rp, A] (bf16: exact 0/1)."""
+    """One-hot row selector [Rp, A] (int8: exact 0/1; the s8 MXU path
+    runs ~2x the bf16 rate and the s32 accumulator is exact at any
+    count, vs f32's 2^24 ceiling)."""
     sel = q_row[None, :] == jnp.arange(Rp, dtype=jnp.int32)[:, None]
-    return sel.astype(jnp.bfloat16)
+    return sel.astype(jnp.int8)
 
 
 def _mm(selT, cls):
-    return jax.lax.dot(selT, cls.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
+    return jax.lax.dot(selT, cls.astype(jnp.int8),
+                       preferred_element_type=jnp.int32)
 
 
 def _sub_chunks(XL: int, arrs, strips):
@@ -248,22 +254,22 @@ def _het_agree_scan(XL: int, L: int, n_same, n_flip, bankb, alt_plane,
     Rp = bankb.shape[0]
     A, (q_rid2, q_row2, q_ws2, xlen2, ok2, ov2, tb2) = _sub_chunks(
         XL, (q_rid, q_row, q_ws, xlen, w_ok, ov_id), (tb,))
-    bb16 = bankb.astype(jnp.bfloat16)
-    ab16 = alt_plane.astype(jnp.bfloat16)
-    hb16 = het_plane.astype(jnp.bfloat16)
+    bb8 = bankb.astype(jnp.int8)
+    ab8 = alt_plane.astype(jnp.int8)
+    hb8 = het_plane.astype(jnp.int8)
 
     def body(carry, xs):
         n_same, n_flip = carry
         tb_c, qr, qs, qw, xl_c, okm, ov_c = xs
         plane = _abs_plane(XL, L, tb_c, qw, xl_c, okm, qlen[qr],
-                           jnp.uint8(5)).astype(jnp.bfloat16)
-        sel = _row_sel(qs, Rp).T                      # [A, Rp]
-        qa = jax.lax.dot(sel, bb16,
-                         preferred_element_type=jnp.bfloat16)
-        alt = jax.lax.dot(sel, ab16,
-                          preferred_element_type=jnp.bfloat16)
-        het = jax.lax.dot(sel, hb16,
-                          preferred_element_type=jnp.bfloat16)
+                           jnp.uint8(5)).astype(jnp.int32)
+        sel = _row_sel(qs, Rp).T                      # [A, Rp] int8
+        qa = jax.lax.dot(sel, bb8,
+                         preferred_element_type=jnp.int32)
+        alt = jax.lax.dot(sel, ab8,
+                          preferred_element_type=jnp.int32)
+        het = jax.lax.dot(sel, hb8,
+                          preferred_element_type=jnp.int32)
         validp = (plane <= 3) & (het > 0)
         same_p = jnp.sum(validp & (plane == qa), axis=1,
                          dtype=jnp.int32)
@@ -538,9 +544,11 @@ class DeviceEC:
         return z
 
     def _fzeros(self, shape):
-        """f32 matmul-accumulator plane (mesh-replicated when sharded)."""
+        """int32 matmul-accumulator plane (mesh-replicated when
+        sharded).  s8 x s8 -> s32 MXU matmuls run ~2x the bf16 rate and
+        the counts are exact at any magnitude (f32 capped at 2^24)."""
         import jax
-        z = jnp.zeros(shape, jnp.float32)
+        z = jnp.zeros(shape, jnp.int32)
         if self._repl is not None:
             return jax.device_put(z, self._repl)
         return z

@@ -50,12 +50,6 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
     visited = np.zeros(n_vtx, bool)
     alen = g.arc_len()
 
-    def single_next(v):
-        ai = g.arcs_of(v)
-        if len(ai) != 1:
-            return None, 0
-        return int(g.v[ai[0]]), int(alen[ai[0]])
-
     # vectorized start detection (same ascending visit order as a full
     # scan): v0 is interior iff its single predecessor also has a single
     # successor; everything else that is live starts a unitig
@@ -63,16 +57,33 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
     u_arr = g.arc_u().astype(np.int64)
     out_live = np.bincount(u_arr[g.del_ == 0], minlength=n_vtx)
     vtx = np.arange(n_vtx)
+    # first-live-arc per vertex (one unique() pass) -> O(1) per-step
+    # successor lookups in the chain walks below (the per-step
+    # g.arcs_of() form cost a searchsorted per vertex, the wall of
+    # ma_ug_gen at >1M-read scale)
+    live_idx = np.flatnonzero(g.del_ == 0)
+    uniq_u, first = np.unique(u_arr[live_idx], return_index=True)
+    first_arc = np.full(n_vtx, -1, np.int64)
+    first_arc[uniq_u] = live_idx[first]
+    single = out_live == 1
+    nxt_w = np.full(n_vtx, -1, np.int64)
+    nxt_l = np.zeros(n_vtx, np.int64)
+    sv = np.flatnonzero(single)
+    nxt_w[sv] = g.v[first_arc[sv]].astype(np.int64)
+    nxt_l[sv] = alen[first_arc[sv]]
+
+    def single_next(v):
+        w = nxt_w[v]
+        if w < 0:
+            return None, 0
+        return int(w), int(nxt_l[v])
+
     starts_mask = live_v.copy()
     one_in = live_v & (out_live[vtx ^ 1] == 1)
     if one_in.any():
         cand = np.flatnonzero(one_in)
         # single live predecessor of v = complement of the only live arc
-        # out of v^1; first-live-arc per vertex via one unique() pass
-        live_idx = np.flatnonzero(g.del_ == 0)
-        uniq_u, first = np.unique(u_arr[live_idx], return_index=True)
-        first_arc = np.full(n_vtx, -1, np.int64)
-        first_arc[uniq_u] = live_idx[first]
+        # out of v^1
         pred = (g.v[first_arc[cand ^ 1]].astype(np.int64)) ^ 1
         starts_mask[cand[out_live[pred] == 1]] = False
     for v0 in np.flatnonzero(starts_mask):
@@ -89,7 +100,7 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
             w, l = single_next(v)
             if w is None:
                 break
-            if len(g.arcs_of(w ^ 1)) != 1:
+            if out_live[w ^ 1] != 1:
                 break
             if w == v0:
                 circ = True
