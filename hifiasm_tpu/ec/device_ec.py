@@ -286,6 +286,25 @@ def _het_agree_scan(XL: int, L: int, n_same, n_flip, bankb, alt_plane,
     return n_same, n_flip
 
 
+@jax.jit
+def _classify_dev(n_same, n_flip, het_cnt, ov_qrow, usable):
+    """Device classify_overlaps (ec/phase.py:77, rphase_hc's cis/trans
+    call): 1 cis, 2 trans (flip wins), 0 unusable.  min_flip is 1 on
+    genuinely heterozygous reads (>= 3 het sites) else 2 — the integer
+    rule is identical to the host path, so both stay bit-compatible."""
+    min_flip = jnp.where(het_cnt[ov_qrow] >= 3, 1, 2).astype(jnp.int32)
+    trans = usable & (n_flip > n_same) & (n_flip >= min_flip)
+    return jnp.where(usable,
+                     jnp.where(trans, jnp.uint8(2), jnp.uint8(1)),
+                     jnp.uint8(0))
+
+
+@jax.jit
+def _cis_mask_dev(okm, ov, is_match):
+    """Per-window cis eligibility from the device is_match vector."""
+    return okm & (is_match[ov] == 1)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1),
                    donate_argnums=(2, 3, 4, 5))
 def _cis_votes_scan(XL: int, L: int, votes, ins_tot, ins_base_cnt,
@@ -770,47 +789,47 @@ class DeviceEC:
             qlen_rows = jax.device_put(qlen_rows, self._repl)
         het_d, alt_d, het_pk, alt_pk, het_cnt = _het_planes(
             L, cnt, bank_rows, qlen_rows)
-        het_pk_h, alt_pk_h, het_cnt_h = fetch_all((het_pk, alt_pk,
-                                                   het_cnt))
-        het_bits = _unpack_bits(het_pk_h[:R], L)
-        alt_all = _unpack2(alt_pk_h[:R], L)
-        n_het_row = het_cnt_h[:R]
-        het_per_read = {}
-        for rid, ov in read_ovs:
-            row = row_of[rid]
-            hs = np.flatnonzero(het_bits[row])
-            het_per_read[rid] = (hs, alt_all[row][hs].astype(np.uint8))
-        _mark("het planes")
+        _mark("het planes dispatched")
 
         # ---- L3: per-overlap het agreement -> cis/trans ----
         n_same = self._zeros(n_ov_pad)
         n_flip = self._zeros(n_ov_pad)
+        seg_masks = []
         for tb, ic, ib, Cb, sl, nb, qa in segs:
             okp, ovp = self._stack_put((w_use[sl], j_ovid_s[sl]), nb, Cb)
+            seg_masks.append((okp, ovp))
             n_same, n_flip = _het_agree_scan(
                 self.wl, L, n_same, n_flip, bank_rows, alt_d, het_d,
                 qlen_d, tb, *qa, okp, ovp)
-        n_same_h, n_flip_h = fetch_all((n_same, n_flip))
-        n_same_h = n_same_h[:n_ov_tot]
-        n_flip_h = n_flip_h[:n_ov_tot]
-        _mark("L3 het agree")
-        from hifiasm_tpu.ec.phase import classify_overlaps
-        is_match_all = np.zeros(n_ov_tot, np.uint8)
+        # classification runs ON DEVICE (ec/phase.classify_overlaps
+        # integer form), so L3 -> L4 needs NO host round-trip: the het
+        # planes, agreement counters and is_match vector never leave HBM
+        # and every stage below is dispatched back-to-back, with ONE
+        # pipelined fetch at the end of the batch.
+        usable_pad = np.zeros(n_ov_pad, bool)
+        usable_pad[:n_ov_tot] = usable_ov
+        ov_qrow = np.zeros(n_ov_pad, np.int32)
         for rid, ov in read_ovs:
             b = ov_base[rid]
-            sl = slice(b, b + len(ov))
-            is_match_all[sl] = classify_overlaps(
-                usable_ov[sl], n_same_h[sl], n_flip_h[sl],
-                len(het_per_read[rid][0]))
+            ov_qrow[b:b + len(ov)] = row_of[rid]
+        usable_d = jnp.asarray(usable_pad)
+        ov_qrow_d = jnp.asarray(ov_qrow)
+        if self._repl is not None:
+            import jax
+            usable_d = jax.device_put(usable_d, self._repl)
+            ov_qrow_d = jax.device_put(ov_qrow_d, self._repl)
+        is_match_d = _classify_dev(n_same, n_flip, het_cnt, ov_qrow_d,
+                                   usable_d)
+        _mark("L3 + classify dispatched")
 
         # ---- L4: cis-only votes + insertion aggregates ----
         votes = self._fzeros((5, Rp, L))
         ins_tot = self._fzeros((Rp, L))
         ins_bc = self._fzeros((4, Rp, L))
         ins_lc = self._fzeros((9, Rp, L))
-        cis_w = w_use & (is_match_all[j_ovid_s] == 1)
-        for tb, ic, ib, Cb, sl, nb, qa in segs:
-            cisp, = self._stack_put((cis_w[sl],), nb, Cb)
+        for (tb, ic, ib, Cb, sl, nb, qa), (okp, ovp) in zip(segs,
+                                                            seg_masks):
+            cisp = _cis_mask_dev(okp, ovp, is_match_d)
             votes, ins_tot, ins_bc, ins_lc = _cis_votes_scan(
                 self.wl, L, votes, ins_tot, ins_bc, ins_lc, qlen_d,
                 tb, ic, ib, *qa, cisp)
@@ -820,14 +839,24 @@ class DeviceEC:
         subw_pk, ins_pk, ib_pk, il_pk, amb_pk = _decide_planes(
             L, votes, ins_tot, ins_bc, ins_lc, het_d, bank_rows,
             qlen_rows)
-        subw_h, ins_h, ib_h, il_h, amb_h = fetch_all(
-            (subw_pk, ins_pk, ib_pk, il_pk, amb_pk))
+        (het_pk_h, alt_pk_h, het_cnt_h, ismatch_h, subw_h, ins_h, ib_h,
+         il_h, amb_h) = fetch_all(
+            (het_pk, alt_pk, het_cnt, is_match_d, subw_pk, ins_pk,
+             ib_pk, il_pk, amb_pk))
+        is_match_all = np.asarray(ismatch_h)[:n_ov_tot]
+        het_bits = _unpack_bits(het_pk_h[:R], L)
+        alt_all = _unpack2(alt_pk_h[:R], L)
+        het_per_read = {}
+        for rid, ov in read_ovs:
+            row = row_of[rid]
+            hs = np.flatnonzero(het_bits[row])
+            het_per_read[rid] = (hs, alt_all[row][hs].astype(np.uint8))
         subw_all = _unpack4(subw_h[:R], L)
         ins_all = _unpack_bits(ins_h[:R], L)
         ib_all = _unpack2(ib_h[:R], L)
         il_all = _unpack4(il_h[:R], L)
         amb_all = _unpack_bits(amb_h[:R], L)
-        _mark("L4 cis votes + decisions")
+        _mark("L4+L5 synced (single batch fetch)")
 
         # ---- package per read ----
         out: Dict[int, ReadECOut] = {}
