@@ -116,7 +116,20 @@ def _take_windows(blocks, NB: int, rid, plane, start, span: int):
     return g
 
 
-def _gather_align(XL: int, e: int, NB: int, blocks, lens,
+def _pick_engine() -> str:
+    """Alignment engine for the device path: the fused Pallas kernel on
+    real TPU backends (ops/pallas_tb.py — full VPU tiles, VMEM-resident
+    move log), the XLA scan engine elsewhere (CPU test meshes; Pallas
+    would need interpret mode there).  Override: HIFIASM_ALIGN_ENGINE."""
+    import os
+    env = os.environ.get("HIFIASM_ALIGN_ENGINE", "")
+    if env in ("pallas", "xla"):
+        return env
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _gather_align(XL: int, e: int, NB: int, engine: str, blocks, lens,
                   q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
     """Gather one chunk of windows from the blocked bank and align
     (jit-free body; composed into the scan megakernel below)."""
@@ -129,19 +142,22 @@ def _gather_align(XL: int, e: int, NB: int, blocks, lens,
                       _PAD_L + y0, span)[:, :YL]
     ylen = jnp.clip(lens[t_rid] - y0, 0, XL + 2 * e)
     xlen_eff = jnp.where(last & (ylen < xlen), ylen, xlen)
+    if engine == "pallas":
+        from hifiasm_tpu.ops.pallas_tb import pallas_tb_core
+        return pallas_tb_core(x, xlen_eff, y, ylen, e)
     err, ys, yn, tb, ic, ib = banded_core(x, xlen_eff, y, ylen, e, True)
     return err, ys, yn, tb, ic, ib
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _align_scan(XL: int, e: int, NB: int, blocks, lens,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _align_scan(XL: int, e: int, NB: int, engine: str, blocks, lens,
                 q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
     """ONE launch for a whole batch: lax.scan over [C, chunk] window
     chunks.  Each launch round-trip costs ~1.4 s through the dev tunnel,
     so the per-chunk python dispatch loop (28 chunks x 4 stages in the
     120 Mb run) was latency-bound; the scan keeps the loop on device."""
     def body(c, xs):
-        return c, _gather_align(XL, e, NB, blocks, lens, *xs)
+        return c, _gather_align(XL, e, NB, engine, blocks, lens, *xs)
 
     _, outs = lax.scan(
         body, 0, (q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last))
@@ -501,6 +517,10 @@ class DeviceEC:
             # small chunk so tests don't pay padded-compute cost
             import jax
             chunk = CHUNK if jax.default_backend() == "cpu" else CHUNK * 4
+        self.engine = _pick_engine()
+        if self.engine == "pallas":
+            # the Pallas kernel blocks 1024 lanes per grid step
+            chunk = -(-chunk // 1024) * 1024
         self.chunk = chunk
         self.bank = build_bank(store)
         self._shard_b = self._shard_b2 = self._repl = None
@@ -659,7 +679,8 @@ class DeviceEC:
         st1 = self._stack_put(
             (j_qrid, j_ws, j_xlen, j_trid, j_trev, j_tws, j_last), W, C1)
         err1, ys1, yn1, tb1, ic1, ib1 = _align_scan(
-            self.wl, e, bank.NB, bank.blocks, bank.lens, *st1)
+            self.wl, e, bank.NB, self.engine, bank.blocks, bank.lens,
+            *st1)
         _mark(f"L1 dispatched ({C1} chunks, {W} windows)")
         err1_h, ys1_h, yn1_h = fetch_all((err1, ys1, yn1))
         err_all = err1_h.reshape(-1)[:W].copy()
@@ -695,7 +716,8 @@ class DeviceEC:
                 (r_qrid, r_ws, r_xlen, j_trid[ridx], j_trev[ridx],
                  t2.astype(np.int32), j_last[ridx]), n_r, C2)
             err2, ys2, yn2, tb2, ic2, ib2 = _align_scan(
-                self.wl, e, bank.NB, bank.blocks, bank.lens, *st2)
+                self.wl, e, bank.NB, self.engine, bank.blocks,
+                bank.lens, *st2)
             bufs.append((tb2, ic2, ib2, C2, n_r))
             err2_h, ys2_h, yn2_h = fetch_all((err2, ys2, yn2))
             e2 = err2_h.reshape(-1)[:n_r]

@@ -44,7 +44,8 @@ def main():
     # synth window jobs: query windows at random offsets vs random targets
     # with the true genomic shift (realistic acceptance profile)
     from hifiasm_tpu.config import WINDOW_HC
-    from hifiasm_tpu.ec.device_ec import E_BAND, build_bank, _align_scan
+    from hifiasm_tpu.ec.device_ec import (E_BAND, build_bank, _align_scan,
+                                          _pick_engine)
 
     wl = WINDOW_HC
     R = store.n_reads
@@ -64,8 +65,9 @@ def main():
     import jax.numpy as jnp
 
     backend = jax.default_backend()
-    print(f"[bench] jax backend: {backend} {jax.devices()}",
-          file=sys.stderr)
+    engine = _pick_engine()
+    print(f"[bench] jax backend: {backend} {jax.devices()} "
+          f"engine={engine}", file=sys.stderr)
 
     t0 = time.time()
     bank = build_bank(store)
@@ -84,7 +86,7 @@ def main():
             b[:n_windows] = v
             st.append(jnp.asarray(b.reshape(C, chunk)))
         err, ys, yn, tb, ic, ib = _align_scan(
-            wl, E_BAND, bank.NB, bank.blocks, bank.lens, *st)
+            wl, E_BAND, bank.NB, engine, bank.blocks, bank.lens, *st)
         # NB: jax.block_until_ready does NOT reliably block through the
         # axon tunnel (it returned instantly in measurements, which
         # produced a bogus 6-7 M win/s figure in an earlier round);
@@ -140,6 +142,7 @@ def main():
         "value": round(dev_wps, 1),
         "unit": "windows/s",
         "backend": backend,
+        "engine": engine,
         "compile_s": round(t_compile, 1),
         "bank_upload_s": round(t_up, 2),
         "host_native_windows_per_s": round(host_wps, 1),
