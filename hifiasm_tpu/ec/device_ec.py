@@ -816,6 +816,10 @@ class DeviceEC:
         # ---- L3: per-overlap het agreement -> cis/trans ----
         n_same = self._zeros(n_ov_pad)
         n_flip = self._zeros(n_ov_pad)
+        # seg_masks keeps every segment's okp/ovp [C, chunk] buffers
+        # device-resident until the L4 loop below (small: 5 bytes per
+        # window slot); if batch segment counts ever grow, free them
+        # after L4 (ADVICE r2)
         seg_masks = []
         for tb, ic, ib, Cb, sl, nb, qa in segs:
             okp, ovp = self._stack_put((w_use[sl], j_ovid_s[sl]), nb, Cb)
@@ -861,9 +865,11 @@ class DeviceEC:
         subw_pk, ins_pk, ib_pk, il_pk, amb_pk = _decide_planes(
             L, votes, ins_tot, ins_bc, ins_lc, het_d, bank_rows,
             qlen_rows)
-        (het_pk_h, alt_pk_h, het_cnt_h, ismatch_h, subw_h, ins_h, ib_h,
+        # het_cnt stays device-resident (_classify_dev consumes it);
+        # fetching it was a dead transfer (ADVICE r2)
+        (het_pk_h, alt_pk_h, ismatch_h, subw_h, ins_h, ib_h,
          il_h, amb_h) = fetch_all(
-            (het_pk, alt_pk, het_cnt, is_match_d, subw_pk, ins_pk,
+            (het_pk, alt_pk, is_match_d, subw_pk, ins_pk,
              ib_pk, il_pk, amb_pk))
         is_match_all = np.asarray(ismatch_h)[:n_ov_tot]
         het_bits = _unpack_bits(het_pk_h[:R], L)

@@ -218,7 +218,8 @@ def _mk_kernel(XL: int, XLR: int, YW: int, e: int, S: int):
             return p + jnp.where(use_hi, 32, 0)
 
         bb0 = jnp.where(ok, best_n - xlen, 0).astype(jnp.int32)
-        done0 = ~ok
+        done0 = (~ok).astype(jnp.int32)   # bool carries fail Mosaic's
+        #                                   scf.for legalization
         # y-code planes for virtual row XLR (bits b = y_pad[XLR + b]);
         # each backward step shift-admits one row so row i's planes are
         # always bits b = y_pad[i + b], b in 0..63.
@@ -269,7 +270,7 @@ def _mk_kernel(XL: int, XLR: int, YW: int, e: int, S: int):
                 hpl = seg_ref[kk, 3]
                 vph = seg_ref[kk, 4]
                 vpl = seg_ref[kk, 5]
-                active = (i < xlen) & ~done
+                active = (i < xlen) & (done == 0)
                 horiz_hi = (vph << one) | (vpl >> _c(31))
                 horiz_lo = vpl << one
                 stop_hi = dgh | (~horiz_hi)
@@ -309,7 +310,7 @@ def _mk_kernel(XL: int, XLR: int, YW: int, e: int, S: int):
                     active & ~stall,
                     jnp.where(diag_take, bs,
                               jnp.where(vert_take, bs + 1, bb)), bb)
-                done = done | stall
+                done = done | stall.astype(jnp.int32)
                 return (bb, done, y0h, y0l, y1h, y1l, y4h, y4l)
 
             return lax.fori_loop(0, RC, bwd_k, carry)

@@ -90,7 +90,7 @@ def test_block_gather_matches_element_masks(seed):
     orig = dev.banded_core
     dev.banded_core = spy
     try:
-        _gather_align(XL, e, bank.NB, bank.blocks, bank.lens,
+        _gather_align(XL, e, bank.NB, "scan", bank.blocks, bank.lens,
                       jnp.asarray(q_rid), jnp.asarray(q_ws),
                       jnp.asarray(xlen), jnp.asarray(t_rid),
                       jnp.asarray(t_rev), jnp.asarray(t_ws),
