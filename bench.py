@@ -122,9 +122,13 @@ def _bench_device_frontend():
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
-    except Exception:
-        pass
-    return None
+        sys.stderr.write(
+            f"[bench] DEVICE FRONTEND BENCH FAILED (rc={r.returncode}): "
+            f"{(r.stderr or '')[-800:]}\n")
+        return {"error": f"device frontend bench failed rc={r.returncode}"}
+    except Exception as ex:
+        sys.stderr.write(f"[bench] DEVICE FRONTEND BENCH FAILED: {ex}\n")
+        return {"error": f"device frontend bench failed: {ex}"}
 
 
 def _bench_device_kernel():
@@ -136,16 +140,24 @@ def _bench_device_kernel():
                           "scripts", "bench_device_kernel.py")
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     try:
+        # 262144 windows / 32768-window chunks: the production launch
+        # geometry at scale (per-launch cost amortized, lanes full)
         r = subprocess.run(
-            [sys.executable, script, "1000", "100000", "8192"],
-            capture_output=True, timeout=900, env=env, text=True)
+            [sys.executable, script, "2000", "262144", "32768"],
+            capture_output=True, timeout=1200, env=env, text=True)
         for line in reversed(r.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
-    except Exception:
-        pass
-    return None
+        # the device subprocess died or printed no JSON: fail LOUDLY —
+        # the device numbers are headline metrics, not side notes
+        sys.stderr.write(
+            f"[bench] DEVICE KERNEL BENCH FAILED (rc={r.returncode}): "
+            f"{(r.stderr or '')[-800:]}\n")
+        return {"error": f"device kernel bench failed rc={r.returncode}"}
+    except Exception as ex:
+        sys.stderr.write(f"[bench] DEVICE KERNEL BENCH FAILED: {ex}\n")
+        return {"error": f"device kernel bench failed: {ex}"}
 
 
 def main():
@@ -179,16 +191,26 @@ def main():
     }
     dev = _bench_device_kernel()
     if dev is not None:
-        out["device_backend"] = dev.get("backend")
-        out["device_ec_windows_per_s"] = dev.get("value")
-        out["host_native_windows_per_s"] = dev.get(
-            "host_native_windows_per_s")
-        out["device_vs_host_kernel"] = dev.get("device_vs_host")
+        if "error" in dev:
+            out["device_kernel_error"] = dev["error"]
+        else:
+            out["device_backend"] = dev.get("backend")
+            out["device_engine"] = dev.get("engine")
+            out["device_ec_windows_per_s"] = dev.get("value")
+            out["host_native_windows_per_s"] = dev.get(
+                "host_native_windows_per_s")
+            out["device_vs_host_kernel"] = dev.get("device_vs_host")
+            out["device_band_cells_per_s"] = dev.get(
+                "device_band_cells_per_s")
+            out["device_vpu_util"] = dev.get("device_vpu_util")
     fe = _bench_device_frontend()
     if fe is not None:
-        out["device_frontend_bases_per_s"] = fe.get("value")
-        out["host_frontend_bases_per_s"] = fe.get("host_bases_per_s")
-        out["device_vs_host_frontend"] = fe.get("device_vs_host")
+        if "error" in fe:
+            out["device_frontend_error"] = fe["error"]
+        else:
+            out["device_frontend_bases_per_s"] = fe.get("value")
+            out["host_frontend_bases_per_s"] = fe.get("host_bases_per_s")
+            out["device_vs_host_frontend"] = fe.get("device_vs_host")
     print(json.dumps(out))
 
 

@@ -368,15 +368,37 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
 
     prim_ids = (res.purge.primary if res.purge is not None
                 else list(range(len(res.ug))))
-    alt_ids = res.purge.alternate if res.purge is not None else []
+    alt_ids = list(res.purge.alternate) if res.purge is not None else []
     prim = _sub_ug(res.ug, prim_ids)
+    # contig-level cleanup + path threading: the reference's p_ctg is a
+    # WALK through the cleaned primary unitig graph, not the unitig set
+    # (~clean_primary_untig_graph + contig-level ma_ug_gen,
+    # Overlaps.cpp:20005/19865) — repeat self-loops drop, primary
+    # bubbles pop, het-linked equal tips move to alternate, then
+    # mutually-unique chains merge into contigs
+    from hifiasm_tpu.graph.clean import clean_primary_ug
+    from hifiasm_tpu.graph.purge import unitig_trans_links
+    from hifiasm_tpu.graph.unitig import ug_post_join
+    links_p = unitig_trans_links(prim, res.ec.reverse_paf,
+                                 res.store.n_reads)
+    moved = clean_primary_ug(
+        prim, ug_cov[prim_ids] if len(prim_ids) else None, links_p)
+    alt_ids += [prim_ids[i] for i in moved]
+    ug_post_join(prim, res.cov)
+
+    def _recov(g: UnitigGraph) -> np.ndarray:
+        return np.array([
+            int(np.round(res.read_cov[(u.vs >> 1)].mean()))
+            if len(u.vs) else 0 for u in g.utgs], np.int64)
+
     _gfa(f"{ctg_pfx}p_ctg.gfa", prim, "ptg",
-         ug_cov[prim_ids] if len(prim_ids) else None)
+         _recov(prim) if len(prim.utgs) else None)
     with open(f"{prefix}.p_ctg.fa", "w") as f:
         write_fasta(f, prim, res.store, res.cov, seq_cache=seq_cache)
     if alt_ids:
-        _gfa(f"{prefix}.a_ctg.gfa", _sub_ug(res.ug, alt_ids), "atg",
-             ug_cov[alt_ids])
+        atg = _sub_ug(res.ug, alt_ids)
+        ug_post_join(atg, res.cov)
+        _gfa(f"{prefix}.a_ctg.gfa", atg, "atg", _recov(atg))
 
     # {mode}.hap1/hap2 (phased) outputs (~output_bp_graph / trio joint /
     # output_hic_graph when Hi-C reads are given)
@@ -461,9 +483,10 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
                                            seq_cache)
                                      for u in res.ug.utgs])
         for h, ids in enumerate(groups):
-            _gfa(f"{prefix}.{mode}.hap{h + 1}.p_ctg.gfa",
-                 _sub_ug(res.ug, ids), f"h{h + 1}tg",
-                 ug_cov[ids] if len(ids) else None)
+            hg = _sub_ug(res.ug, ids)
+            ug_post_join(hg, res.cov)
+            _gfa(f"{prefix}.{mode}.hap{h + 1}.p_ctg.gfa", hg,
+                 f"h{h + 1}tg", _recov(hg) if len(hg.utgs) else None)
         hap1_ids, hap2_ids = groups[0], groups[1]
     elif not primary_mode:
         hap1_ids, hap2_ids = phase_unitigs(
@@ -473,8 +496,10 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             trio_occ_thres=cfg.trio_flag_occ_thres,
             trio_dual=cfg.trio_dual)
         for name, ids in (("hap1", hap1_ids), ("hap2", hap2_ids)):
-            _gfa(f"{prefix}.{mode}.{name}.p_ctg.gfa", _sub_ug(res.ug, ids),
-                 f"h{name[-1]}tg", ug_cov[ids] if len(ids) else None)
+            hg = _sub_ug(res.ug, ids)
+            ug_post_join(hg, res.cov)
+            _gfa(f"{prefix}.{mode}.{name}.p_ctg.gfa", hg,
+                 f"h{name[-1]}tg", _recov(hg) if len(hg.utgs) else None)
         if mode == "hic" and not cfg.dual_scaf:
             # Hi-C scaffolding per haplotype (~ha_aware_order,
             # horder.cpp:4540): positioned PE hits -> end-proximity

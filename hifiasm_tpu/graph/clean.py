@@ -886,3 +886,182 @@ def hic_clean_ug(ug, bub_rate: float = 0.1, max_occ: int = 3,
     from hifiasm_tpu.utils.logging import log
     log("hic_clean", f"flattened {len(drop)} nested-bubble unitigs")
     return len(drop)
+
+
+def _ug_compact(ug, dead: np.ndarray) -> None:
+    """Remove ``dead`` unitigs from ``ug`` in place (renumbers)."""
+    keep_mask = ~dead
+    remap = np.cumsum(keep_mask) - 1
+    ug.utgs = [u for i, u in enumerate(ug.utgs) if keep_mask[i]]
+    if len(ug.a_src):
+        src = ug.a_src.astype(np.int64)
+        dst = ug.a_dst.astype(np.int64)
+        ka = keep_mask[src >> 1] & keep_mask[dst >> 1]
+        src, dst = src[ka], dst[ka]
+        ug.a_src = ((remap[src >> 1] << 1) | (src & 1)).astype(np.uint32)
+        ug.a_dst = ((remap[dst >> 1] << 1) | (dst & 1)).astype(np.uint32)
+        ug.a_ol = ug.a_ol[ka]
+
+
+def ug_drop_self_loops(ug, alive: np.ndarray) -> int:
+    """Drop self-loop arcs at repeat unitigs that also have other
+    connections (~asg_arc_del_simple_circle_untig, Overlaps.cpp:27331:
+    a short circle collapsing a unitig onto itself is a repeat artifact,
+    not a real circular contig)."""
+    if not len(ug.a_src):
+        return 0
+    src = ug.a_src.astype(np.int64)
+    dst = ug.a_dst.astype(np.int64)
+    self_loop = (src >> 1) == (dst >> 1)
+    if not self_loop.any():
+        return 0
+    # only drop when the unitig has at least one non-self arc (else it
+    # may be a genuine circular element, e.g. organelle)
+    has_other = np.zeros(len(ug.utgs), bool)
+    for s, d in zip(src[~self_loop], dst[~self_loop]):
+        if alive[s >> 1] and alive[d >> 1]:
+            has_other[s >> 1] = True
+            has_other[d >> 1] = True
+    drop = self_loop & has_other[src >> 1]
+    if not drop.any():
+        return 0
+    keep = ~drop
+    ug.a_src = ug.a_src[keep]
+    ug.a_dst = ug.a_dst[keep]
+    ug.a_ol = ug.a_ol[keep]
+    return int(drop.sum())
+
+
+def _ug_adj_alive(ug, alive: np.ndarray) -> dict:
+    adj: dict = {}
+    for s, d in zip(ug.a_src, ug.a_dst):
+        s, d = int(s), int(d)
+        if alive[s >> 1] and alive[d >> 1]:
+            adj.setdefault(s, []).append(d)
+    for v in adj:
+        adj[v].sort()
+    return adj
+
+
+def ug_cut_equal_tips(ug, alive: np.ndarray, links: dict) -> int:
+    """At a branching unitig end with >=2 TIP branches that are
+    haplotype-linked to each other (trans read links), keep the longest
+    tip and move the rest to alternate
+    (~asg_arc_cut_trio_long_equal_tips_assembly, Overlaps.cpp:29207:
+    two dead-end branches of one junction covering the same region are
+    haplotype twins; the reference ALTER-labels the weaker one so the
+    primary walk threads through the stronger)."""
+    adj = _ug_adj_alive(ug, alive)
+    lens = np.array([u.len for u in ug.utgs], np.int64)
+    moved = 0
+    for v0 in sorted(adj):
+        outs = adj.get(v0, [])
+        if len(outs) < 2:
+            continue
+        tips = []
+        for d in outs:
+            du = d >> 1
+            if du == (v0 >> 1) or not alive[du]:
+                continue
+            # the branch is a tip if the walk cannot continue past it
+            if not adj.get(d, []):
+                tips.append(du)
+        tips = sorted(set(tips))
+        if len(tips) < 2:
+            continue
+        keep = max(tips, key=lambda i: (int(lens[i]), -i))
+        for t in tips:
+            if t == keep:
+                continue
+            row = links.get(t, {})
+            cnt = row.get(keep, 0) + links.get(keep, {}).get(t, 0)
+            n_reads_t = len(ug.utgs[t].vs)
+            # require most of the weaker tip's reads to be trans-linked
+            # to the kept branch (same-region evidence)
+            if cnt * 2 < n_reads_t:
+                continue
+            alive[t] = False
+            moved += 1
+    return moved
+
+
+def ug_pop_bubble_keep_best(ug, alive: np.ndarray, utg_cov) -> int:
+    """Pop unitig-level superbubbles, keeping the heaviest source->sink
+    path; off-path interior unitigs move to alternate
+    (~asg_pop_bubble_primary_trio, Overlaps.cpp:26816 with DROP
+    labelling).  Weight = unitig length * (1 + coverage)."""
+    adj = _ug_adj_alive(ug, alive)
+    lens = np.array([u.len for u in ug.utgs], np.int64)
+    cov = np.asarray(utg_cov, np.int64) if utg_cov is not None else \
+        np.ones(len(ug.utgs), np.int64)
+    moved = 0
+    for v0 in sorted(adj):
+        if not alive[v0 >> 1]:
+            continue
+        got = _ug_bubble(adj, v0)
+        if got is None:
+            continue
+        sink, interior = got
+        if any(not alive[u >> 1] for u in interior):
+            continue
+        # heaviest path v0 -> sink through the interior (topo DP)
+        best: dict = {v0: (0, None)}
+        order = [v0]
+        seen = {v0}
+        frontier = [v0]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in adj.get(v, []):
+                    if (w in interior or w == sink) and w not in seen:
+                        seen.add(w)
+                        order.append(w)
+                        nxt.append(w)
+            frontier = nxt
+        for v in order:
+            if v == v0:
+                continue
+            cands = []
+            for p in order:
+                if v in adj.get(p, []) and p in best:
+                    wgt = best[p][0] + int(lens[v >> 1]) * \
+                        (1 + int(cov[v >> 1]))
+                    cands.append((wgt, p))
+            if cands:
+                best[v] = max(cands)
+        if sink not in best:
+            continue
+        path = set()
+        v = sink
+        while v is not None and v != v0:
+            path.add(v >> 1)
+            v = best[v][1]
+        for u in sorted({x >> 1 for x in interior}):
+            if u not in path and alive[u]:
+                alive[u] = False
+                moved += 1
+        if moved:
+            adj = _ug_adj_alive(ug, alive)
+    return moved
+
+
+def clean_primary_ug(ug, utg_cov, links: dict, max_rounds: int = 4):
+    """Contig-level cleanup of the primary unitig graph before p_ctg
+    threading (~clean_primary_untig_graph, Overlaps.cpp:20005): drop
+    repeat self-loops, pop primary bubbles, move het-linked equal tips
+    to alternate, to fixpoint.  Mutates ``ug`` (renumbers at the end);
+    returns the ORIGINAL local ids moved to alternate."""
+    n = len(ug.utgs)
+    alive = np.ones(n, bool)
+    for _ in range(max_rounds):
+        ch = ug_drop_self_loops(ug, alive)
+        ch += ug_pop_bubble_keep_best(ug, alive, utg_cov)
+        ch += ug_cut_equal_tips(ug, alive, links)
+        if not ch:
+            break
+    moved = np.flatnonzero(~alive).tolist()
+    if moved:
+        _ug_compact(ug, ~alive)
+        log("clean_primary_ug",
+            f"moved {len(moved)} unitigs to alternate at contig level")
+    return moved

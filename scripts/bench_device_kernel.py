@@ -137,6 +137,17 @@ def main():
     print(f"[bench] host native ({os.cpu_count()} cores): "
           f"{host_wall:.2f}s = {host_wps:,.0f} windows/s", file=sys.stderr)
 
+    # --- roofline / MFU accounting (VERDICT r2 item 3) ---
+    # the bit-parallel Myers kernel advances 775 steps per window, each
+    # step touching the full 63-cell band via ~30 packed-u32 VPU ops on
+    # (hi, lo) word pairs; v5e VPU = 8x128 lanes at ~0.94 GHz
+    VPU_PEAK_OPS = 8 * 128 * 0.94e9          # u32 elementwise ops/s
+    steps = wl
+    band = 2 * E_BAND + 1
+    cells_s = dev_wps * steps * band
+    vpu_ops_s = dev_wps * steps * 30 * 2      # 30 ops on 2 u32 words
+    host_cells_s = host_wps * steps * band
+
     print(json.dumps({
         "metric": "device_ec_windows_per_s",
         "value": round(dev_wps, 1),
@@ -147,6 +158,9 @@ def main():
         "bank_upload_s": round(t_up, 2),
         "host_native_windows_per_s": round(host_wps, 1),
         "device_vs_host": round(dev_wps / host_wps, 3),
+        "device_band_cells_per_s": round(cells_s),
+        "host_band_cells_per_s": round(host_cells_s),
+        "device_vpu_util": round(vpu_ops_s / VPU_PEAK_OPS, 4),
     }))
 
 
