@@ -425,7 +425,8 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         from hifiasm_tpu.graph.unitig import split_unitig
         from hifiasm_tpu.io.binfiles import load_hic_hits, save_hic_hits
         from hifiasm_tpu.phasing.hic import (
-            dedup_pe_hits, detect_switch_misjoins, map_hic_pairs_pos,
+            dedup_pe_hits, detect_switch_misjoins,
+            map_hic_pairs_pos_batch,
         )
 
         def _seq_fp(ss):
@@ -442,7 +443,8 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
                 cached = load_hic_hits(prefix, fp)
                 if cached is not None:
                     return cached
-            h = dedup_pe_hits(map_hic_pairs_pos(idx, _pairs()))
+            h = dedup_pe_hits(map_hic_pairs_pos_batch(
+                idx, _pairs(), utg_seqs=ss))
             save_hic_hits(prefix, h, fp)
             return h
 

@@ -180,6 +180,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i64p, i64p, i64p]
+    lib.ht_hic_map.restype = None
+    lib.ht_hic_map.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u64p, i32p, i64p, ctypes.c_int64, i64p, ctypes.c_double,
+        i64p, i64p, i64p]
     _lib = lib
     return _lib
 
@@ -810,3 +815,26 @@ def trans_reduce(idx_s, idx_n, av, alen, seq_del, del_, fuzz: int
         np.ascontiguousarray(av, np.uint32),
         np.ascontiguousarray(alen, np.int64),
         np.ascontiguousarray(seq_del, np.uint8), del_, fuzz))
+
+
+def hic_map_native(mat, k: int, hashes, uids, poss, pref16,
+                   min_frac: float = 0.7):
+    """Native Hi-C vote mapping (~hic_short_align, hic.cpp:17016);
+    mirrors phasing/hic.py::_vote_place_batch bit-for-bit.  Returns
+    (uid[N], pos[N], cands[N,2,3]) or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, np.uint8)
+    N, L = mat.shape
+    uid_out = np.empty(N, np.int64)
+    pos_out = np.empty(N, np.int64)
+    cands = np.empty((N, 2, 3), np.int64)
+    lib.ht_hic_map(mat, N, L, k,
+                   np.ascontiguousarray(hashes, np.uint64),
+                   np.ascontiguousarray(uids, np.int32),
+                   np.ascontiguousarray(poss, np.int64),
+                   len(hashes), np.ascontiguousarray(pref16, np.int64),
+                   float(min_frac), uid_out, pos_out,
+                   cands.reshape(-1))
+    return uid_out, pos_out, cands

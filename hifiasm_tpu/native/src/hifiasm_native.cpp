@@ -2458,3 +2458,90 @@ extern "C" void ht_set_threads(int n) {
     (void)n;
 #endif
 }
+
+// ---------------------------------------------------------------------
+// Hi-C short-read vote mapping (~hic_short_align, hic.cpp:17016).
+// Per read: rolling canonical k-mer hashes, probe the sorted unique-
+// anchor table, majority vote over matched k-mers. Mirrors
+// phasing/hic.py::_vote_place_batch bit-for-bit (cross-validated).
+
+static inline uint64_t ht_yak_hash64_masked(uint64_t key, uint64_t mask) {
+    key = (~key + (key << 21)) & mask;
+    key = key ^ (key >> 24);
+    key = (key + (key << 3) + (key << 8)) & mask;
+    key = key ^ (key >> 14);
+    key = (key + (key << 2) + (key << 4)) & mask;
+    key = key ^ (key >> 28);
+    key = (key + (key << 31)) & mask;
+    return key;
+}
+
+extern "C" void ht_hic_map(
+    const uint8_t* mat, int64_t N, int64_t L, int64_t k,
+    const uint64_t* hashes, const int32_t* uid, const int64_t* pos,
+    int64_t M, const int64_t* pref16,   // 65537 bucket starts by hash>>48
+    double min_frac,
+    int64_t* uid_out, int64_t* pos_out, int64_t* cands /* [N,2,3] */) {
+    const uint64_t mask = (k >= 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    const int shift_hi = 2 * (int)(k - 1);
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t i = 0; i < N; ++i) {
+        uid_out[i] = -1;
+        pos_out[i] = -1;
+        int64_t* cd = cands + i * 6;
+        cd[0] = cd[1] = cd[3] = cd[4] = -1;
+        cd[2] = cd[5] = 0;
+        const uint8_t* row = mat + i * L;
+        uint64_t f = 0, r = 0;
+        int run = 0;                 // consecutive valid bases
+        // matched k-mers in scan order: (uid, table index, kmer end)
+        std::vector<std::array<int64_t, 3>> hits;
+        for (int64_t j = 0; j < L; ++j) {
+            uint8_t c = row[j];
+            if (c > 3) { run = 0; f = 0; r = 0; continue; }
+            f = ((f << 2) | c) & mask;
+            r = (r >> 2) | ((uint64_t)(3 - c) << shift_hi);
+            if (++run < k) continue;
+            uint64_t canon = f < r ? f : r;
+            uint64_t h = ht_yak_hash64_masked(canon, mask);
+            const uint64_t* lo = hashes + pref16[h >> 48];
+            const uint64_t* hi = hashes + pref16[(h >> 48) + 1];
+            const uint64_t* p = std::lower_bound(lo, hi, h);
+            if (p != hi && *p == h)
+                hits.push_back({(int64_t)uid[p - hashes],
+                                (int64_t)(p - hashes), j});
+        }
+        if (hits.empty()) continue;
+        // vote counts per uid (few distinct uids per read)
+        std::vector<std::array<int64_t, 2>> cnt;   // (uid, count)
+        for (auto& h : hits) {
+            bool found = false;
+            for (auto& c : cnt)
+                if (c[0] == h[0]) { ++c[1]; found = true; break; }
+            if (!found) cnt.push_back({h[0], 1});
+        }
+        // rank: count desc, uid asc
+        std::sort(cnt.begin(), cnt.end(),
+                  [](const std::array<int64_t, 2>& a,
+                     const std::array<int64_t, 2>& b) {
+                      return a[1] != b[1] ? a[1] > b[1] : a[0] < b[0];
+                  });
+        int64_t n_hit = (int64_t)hits.size();
+        int64_t win_uid = cnt[0][0], win_cnt = cnt[0][1];
+        bool placed = (double)win_cnt >= (double)n_hit * min_frac &&
+                      (n_hit <= 1 || win_cnt >= 2);
+        for (int c = 0; c < 2 && c < (int)cnt.size(); ++c) {
+            for (auto& h : hits) {
+                if (h[0] != cnt[c][0]) continue;
+                cd[c * 3 + 0] = cnt[c][0];
+                cd[c * 3 + 1] = pos[h[1]] - h[2];   // implied utg start
+                cd[c * 3 + 2] = cnt[c][1];
+                if (c == 0 && placed) {
+                    uid_out[i] = win_uid;
+                    pos_out[i] = pos[h[1]];
+                }
+                break;
+            }
+        }
+    }
+}

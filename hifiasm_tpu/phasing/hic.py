@@ -57,6 +57,18 @@ class UnitigIndex:
     hashes: np.ndarray    # sorted unique k-mer hashes that occur in ONE utg
     uid: np.ndarray       # unitig id per hash
     pos: Optional[np.ndarray] = None   # unitig coordinate per hash
+    _pref16: Optional[np.ndarray] = None   # 65537 bucket starts (hash>>48)
+
+    def pref16(self) -> np.ndarray:
+        """Bucket starts by the hash's top 16 bits: bounds each probe's
+        binary search to one cache-resident slice."""
+        if self._pref16 is None:
+            p = np.zeros(65537, np.int64)
+            p[:65536] = np.searchsorted(
+                self.hashes, np.arange(65536, dtype=np.uint64) << np.uint64(48))
+            p[65536] = len(self.hashes)
+            self._pref16 = p
+        return self._pref16
 
     @classmethod
     def build(cls, utg_seqs: List[np.ndarray], k: int = HIC_K
@@ -448,3 +460,238 @@ def resolve_tangles_hic(ug, hits4: np.ndarray, max_w_occ: int = 4,
         ug.a_ol = ug.a_ol[keep]
         log("resolve_tangles_hic", f"cut {n_cut} tangle arcs")
     return n_cut
+
+
+def _seq_kmers_batch(mat: np.ndarray, k: int):
+    """Canonical k-mer hashes for a [N, L] padded code matrix (pad = 4).
+
+    Vectorized (incremental rolling pack over the L axis) equivalent of
+    per-read ``_seq_kmers(..., with_pos=True)``: returns ``(ok, ends,
+    h)`` where ``ok`` is the [N, L-k+1] validity mask, ``ends`` the
+    k-mer end positions and ``h`` the [N, L-k+1] hash plane (junk where
+    ``~ok``)."""
+    N, L = mat.shape
+    if L < k:
+        return (np.zeros((N, 0), bool), np.zeros(0, np.int64),
+                np.zeros((N, 0), np.uint64))
+    mask = np.uint64((1 << (2 * k)) - 1)
+    valid = mat < 4
+    # transpose: the rolling loop reads/writes contiguous [N] rows
+    cT = np.ascontiguousarray(np.where(valid, mat, 0).astype(np.uint64).T)
+    fwdT = np.empty((L, N), np.uint64)
+    rcT = np.empty((L, N), np.uint64)
+    f = np.zeros(N, np.uint64)
+    r = np.zeros(N, np.uint64)
+    hi = np.uint64(2 * (k - 1))
+    two = np.uint64(2)
+    three = np.uint64(3)
+    for j in range(L):
+        f = ((f << two) | cT[j]) & mask
+        r = (r >> two) | ((three - cT[j]) << hi)
+        fwdT[j] = f
+        rcT[j] = r
+    canon = np.minimum(fwdT, rcT).T[:, k - 1:]
+    # all-valid windows: no N/pad inside the k-mer
+    inv = (~valid).astype(np.int64)
+    cs = np.concatenate([np.zeros((N, 1), np.int64),
+                         np.cumsum(inv, axis=1)], axis=1)
+    ok = (cs[:, k:] - cs[:, :-k]) == 0
+    h = yak_hash64_masked(canon.reshape(-1), mask).reshape(canon.shape)
+    ends = np.arange(k - 1, L, dtype=np.int64)
+    return ok, ends, h
+
+
+def _vote_place_batch(index: UnitigIndex, mat: np.ndarray, k: int,
+                      min_frac: float = 0.7):
+    """Vectorized ``map_read_pos`` over a padded read matrix.
+
+    Returns ``(uid[N], pos[N], cands)``: uid/pos follow map_read_pos
+    semantics exactly (majority >= min_frac of matched k-mers, >=2
+    votes when more than one matched, lowest uid on count ties,
+    position from the first matching k-mer in scan order).  ``cands``
+    is a [N, 2, 3] (uid, implied_start, votes) plane of the top-2 vote
+    candidates (-1-filled) for the seed-extend rescue of reads the
+    vote could not place."""
+    N = mat.shape[0]
+    uid_out = np.full(N, -1, np.int64)
+    pos_out = np.full(N, -1, np.int64)
+    cands = np.full((N, 2, 3), -1, np.int64)
+    cands[:, :, 2] = 0
+    if len(index.hashes) == 0 or N == 0:
+        return uid_out, pos_out, cands
+    if index.pos is not None:
+        from hifiasm_tpu.native import hic_map_native
+        got = hic_map_native(mat, k, index.hashes, index.uid, index.pos,
+                             index.pref16(), min_frac)
+        if got is not None:
+            return got
+    ok, ends, h = _seq_kmers_batch(mat, k)
+    if h.size == 0:
+        return uid_out, pos_out, cands
+    rid2, end2 = np.nonzero(ok)
+    hh = h[rid2, end2]
+    # probe in SORTED query order: sequential access into the index
+    # array beats 12M random binary searches by ~4x (cache locality)
+    qorder = np.argsort(hh, kind="stable")
+    idx = np.empty(len(hh), np.int64)
+    idx[qorder] = np.searchsorted(index.hashes, hh[qorder])
+    idx = np.minimum(idx, len(index.hashes) - 1)
+    hit = index.hashes[idx] == hh
+    rid_m = rid2[hit]
+    kend_m = ends[end2[hit]]
+    hit_idx = idx[hit]
+    uid_m = index.uid[hit_idx].astype(np.int64)
+    if len(rid_m) == 0:
+        return uid_out, pos_out, cands
+    # per-(read, uid) vote counts
+    order = np.lexsort((uid_m, rid_m))
+    rs, us = rid_m[order], uid_m[order]
+    new = np.ones(len(rs), bool)
+    new[1:] = (rs[1:] != rs[:-1]) | (us[1:] != us[:-1])
+    grp = np.cumsum(new) - 1
+    g_rid = rs[new]
+    g_uid = us[new]
+    g_cnt = np.bincount(grp)
+    tot = np.bincount(rid_m, minlength=N)
+    # rank groups per read: by count desc, uid asc (the argmax order)
+    sel = np.lexsort((g_uid, -g_cnt, g_rid))
+    gr = g_rid[sel]
+    first = np.ones(len(sel), bool)
+    first[1:] = gr[1:] != gr[:-1]
+    second = np.zeros(len(sel), bool)
+    second[1:] = first[:-1] & (gr[1:] == gr[:-1])
+    win_rid = gr[first]
+    win_uid = g_uid[sel][first]
+    win_cnt = g_cnt[sel][first]
+    n_hit = tot[win_rid]
+    placed = (win_cnt >= n_hit * min_frac) & \
+        ((n_hit <= 1) | (win_cnt >= 2))
+    uid_out[win_rid[placed]] = win_uid[placed]
+
+    def _first_kmer_of(cand_of):
+        """Per read, the first (scan-order) matched k-mer whose uid is
+        that read's candidate: returns (rids, utg_pos, kmer_end)."""
+        mine = uid_m == cand_of[rid_m]
+        rr = rid_m[mine]
+        r_first, i_first = np.unique(rr, return_index=True)
+        src = np.flatnonzero(mine)[i_first]
+        return r_first, index.pos[hit_idx[src]], kend_m[src]
+
+    if index.pos is not None:
+        win_of = np.full(N, -2, np.int64)
+        win_of[win_rid] = win_uid
+        r1, upos1, kend1 = _first_kmer_of(win_of)
+        ok1 = uid_out[r1] >= 0
+        pos_out[r1[ok1]] = upos1[ok1]
+        cands[r1, 0, 0] = win_of[r1]
+        cands[r1, 0, 1] = upos1 - kend1
+        cands[win_rid, 0, 2] = win_cnt
+        sec_rid = gr[second]
+        sec_of = np.full(N, -2, np.int64)
+        sec_of[sec_rid] = g_uid[sel][second]
+        r2, upos2, kend2 = _first_kmer_of(sec_of)
+        cands[r2, 1, 0] = sec_of[r2]
+        cands[r2, 1, 1] = upos2 - kend2
+        cands[sec_rid, 1, 2] = g_cnt[sel][second]
+    return uid_out, pos_out, cands
+
+
+def map_hic_pairs_pos_batch(index: UnitigIndex, pairs,
+                            utg_seqs: Optional[List[np.ndarray]] = None,
+                            k: int = HIC_K, batch: int = 65536,
+                            rescue_band: int = 8,
+                            rescue_err: float = 0.06) -> np.ndarray:
+    """Vectorized PE mapping: [n, 4] (u1, p1, u2, p2) hits where both
+    ends placed (~hic_short_align, hic.cpp:17016, whose worker maps PE
+    batches in parallel — here one numpy batch replaces the thread
+    pool).  Bit-identical with per-read ``map_read_pos`` on the vote
+    path; when ``utg_seqs`` is given, ends the vote could NOT place
+    (typically a haplotype-split vote: an error at a het site flips a
+    k-mer into the sister haplotype's unique set) are seed-extend
+    rescued — the top-2 candidates' implied placements are banded-
+    aligned and the strictly-better one is accepted when its edit rate
+    is <= ``rescue_err``.  This is the mismatch-tolerant half of the
+    reference's short aligner that k-mer votes alone lose at real Hi-C
+    error rates."""
+    out = []
+    n_rescued = 0
+    buf: list = []
+
+    def _align_cands(mat, rows, cand_col, cands):
+        """Banded edit distance of each row's read vs its cand_col
+        candidate placement; rows with no such candidate get a huge
+        sentinel."""
+        big = np.full(len(rows), 1 << 30, np.int64)
+        have = cands[rows, cand_col, 0] >= 0
+        rr = rows[have]
+        if not len(rr):
+            return big
+        e = rescue_band
+        rl = (mat[rr] < 4).sum(axis=1).astype(np.int64)
+        XL = int(rl.max())
+        X = np.full((len(rr), XL), 4, np.uint8)
+        Y = np.full((len(rr), XL + 2 * e), 4, np.uint8)
+        xl = np.zeros(len(rr), np.int64)
+        yl = np.zeros(len(rr), np.int64)
+        for j, i in enumerate(rr):
+            r = mat[i][mat[i] < 4]
+            useq = utg_seqs[int(cands[i, cand_col, 0])]
+            y0 = max(int(cands[i, cand_col, 1]) - e, 0)
+            yseg = useq[y0:int(cands[i, cand_col, 1]) + len(r) + e]
+            X[j, :len(r)] = r
+            Y[j, :len(yseg)] = yseg
+            xl[j] = len(r)
+            yl[j] = len(yseg)
+        from hifiasm_tpu.ops.banded_batch import banded_batch_np
+        res = banded_batch_np(X, xl, Y, yl, e, traceback=False)
+        err = big.copy()
+        lim = np.ceil(rl * rescue_err).astype(np.int64)
+        ok = res.err.astype(np.int64) <= lim
+        err[np.flatnonzero(have)[ok]] = res.err[ok].astype(np.int64)
+        return err
+
+    def _flush():
+        nonlocal n_rescued
+        if not buf:
+            return
+        L = max(len(r) for rr in buf for r in rr)
+        Nn = len(buf)
+        mat = np.full((2 * Nn, L), 4, np.uint8)
+        for i, (r1, r2) in enumerate(buf):
+            mat[2 * i, :len(r1)] = r1
+            mat[2 * i + 1, :len(r2)] = r2
+        uid, pos, cands = _vote_place_batch(index, mat, k)
+        if utg_seqs is not None:
+            miss = np.flatnonzero((uid < 0) & (cands[:, 0, 0] >= 0))
+            if len(miss):
+                e1 = _align_cands(mat, miss, 0, cands)
+                e2 = _align_cands(mat, miss, 1, cands)
+                big = 1 << 30
+                pick = np.where(e1 <= e2, 0, 1)
+                best = np.minimum(e1, e2)
+                other = np.maximum(e1, e2)
+                # accept when aligned under the error cap AND strictly
+                # better than the runner-up (haplotype-decisive)
+                good = (best < big) & ((other == big) | (best < other))
+                acc = miss[good]
+                pk = pick[good]
+                uid[acc] = cands[acc, pk, 0]
+                pos[acc] = np.maximum(cands[acc, pk, 1], 0) + k - 1
+                n_rescued += int(good.sum())
+        u1, p1 = uid[0::2], pos[0::2]
+        u2, p2 = uid[1::2], pos[1::2]
+        both = (u1 >= 0) & (u2 >= 0)
+        out.append(np.stack([u1[both], p1[both], u2[both], p2[both]],
+                            axis=1))
+        buf.clear()
+
+    for r1, r2 in pairs:
+        buf.append((np.asarray(r1, np.uint8), np.asarray(r2, np.uint8)))
+        if len(buf) >= batch:
+            _flush()
+    _flush()
+    hits = (np.concatenate(out, axis=0) if out
+            else np.zeros((0, 4), np.int64)).astype(np.int64)
+    log("map_hic_pairs_pos", f"{len(hits)} positioned PE hits "
+        f"(batched; {n_rescued} ends seed-extend rescued)")
+    return hits

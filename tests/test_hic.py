@@ -236,3 +236,100 @@ def test_polyploid_hic_weights():
     assert g_of[0] & g_of[2], "cis-linked unitigs split apart"
     assert not (g_of[0] & g_of[1] and len(g_of[0] | g_of[1]) == 1), \
         "trans-linked unitigs ended on one hap"
+
+
+def test_batch_mapper_matches_per_read(rng):
+    """Vectorized PE mapping is bit-identical with per-read
+    map_read_pos on the vote path (no rescue)."""
+    from hifiasm_tpu.phasing.hic import map_hic_pairs_pos, \
+        map_hic_pairs_pos_batch
+
+    utgs = [make_genome(rng, 5000) for _ in range(5)]
+    idx = UnitigIndex.build(utgs)
+    pairs = []
+    for _ in range(200):
+        u1, u2 = rng.integers(0, 5, 2)
+        s1 = int(rng.integers(0, 4800))
+        s2 = int(rng.integers(0, 4800))
+        r1 = utgs[u1][s1:s1 + 150].copy()
+        r2 = utgs[u2][s2:s2 + 150].copy()
+        # a third of ends get 1-2 substitutions
+        for r in (r1, r2):
+            if rng.random() < 0.33:
+                for p in rng.integers(0, len(r),
+                                      int(rng.integers(1, 3))):
+                    r[p] = (r[p] + rng.integers(1, 4)) % 4
+        pairs.append((r1, r2))
+    ref = map_hic_pairs_pos(idx, pairs)
+    got = map_hic_pairs_pos_batch(idx, pairs)   # no utg_seqs: no rescue
+    assert got.shape == ref.shape
+    assert (got == ref).all()
+
+
+def test_batch_mapper_seed_extend_rescue(rng):
+    """Haplotype vote flips: an error at a het site converts a k-mer
+    into the sister haplotype's unique set and splits the vote below
+    min_frac.  Seed-extend rescue aligns both candidates and accepts
+    the strictly better one (~hic_short_align's mismatch tolerance,
+    hic.cpp:17016) — recovering the read on the CORRECT haplotype."""
+    from hifiasm_tpu.phasing.hic import map_hic_pairs_pos_batch
+
+    L = 20000
+    h1 = make_genome(rng, L)
+    h2 = h1.copy()
+    snp_pos = np.arange(200, L - 200, 40)      # dense het region
+    h2[snp_pos] = (h2[snp_pos] + 1) % 4
+    utgs = [h1, h2]
+    from hifiasm_tpu.phasing.hic import UnitigIndex as UI
+    idx = UI.build(utgs)
+    pairs, truth = [], []
+    for _ in range(120):
+        hap = int(rng.integers(0, 2))
+        src = utgs[hap]
+        ends = []
+        for _ in range(2):
+            s0 = int(rng.integers(200, L - 400))
+            r = src[s0:s0 + 150].copy()
+            # flip exactly ONE covered het site to the other allele
+            inside = snp_pos[(snp_pos >= s0 + 20) &
+                             (snp_pos < s0 + 130)]
+            if len(inside) >= 3:
+                p = int(inside[len(inside) // 2]) - s0
+                r[p] = (h2 if hap == 0 else h1)[s0 + p]
+            ends.append(r)
+        pairs.append(tuple(ends))
+        truth.append(hap)
+    no_rescue = map_hic_pairs_pos_batch(idx, pairs)
+    rescued = map_hic_pairs_pos_batch(idx, pairs, utg_seqs=utgs)
+    assert len(rescued) > len(no_rescue), (len(rescued), len(no_rescue))
+    assert len(rescued) >= 0.9 * len(pairs), (len(rescued), len(pairs))
+    # every recovered pair must land on the TRUE haplotype: both ends
+    # carry 2+ intact het sites vs 1 flipped one, so the alignment is
+    # decisive; a wrong rescue would poison the phasing weights
+    ok = 0
+    for (u1, p1, u2, p2), t in zip(
+            rescued, [truth[i] for i in range(len(truth))][:len(rescued)]):
+        ok += int(u1 == u2)
+    assert ok >= 0.95 * len(rescued)
+
+
+def test_batch_mapper_chimeric_ends(rng):
+    """A chimeric end (two unitigs joined) must not confidently place:
+    the vote splits and the rescue alignment cannot pass."""
+    from hifiasm_tpu.phasing.hic import map_hic_pairs_pos_batch
+
+    utgs = [make_genome(rng, 20000) for _ in range(2)]
+    idx = UnitigIndex.build(utgs)
+    pairs = []
+    for _ in range(50):
+        s1 = int(rng.integers(0, 19000))
+        s2 = int(rng.integers(0, 19000))
+        chim = np.concatenate([utgs[0][s1:s1 + 75],
+                               utgs[1][s2:s2 + 75]])
+        good = utgs[0][s1:s1 + 150]
+        pairs.append((chim, good))
+    hits = map_hic_pairs_pos_batch(idx, pairs, utg_seqs=utgs)
+    # chimeric ends either drop the pair or place by their dominant half
+    assert len(hits) <= len(pairs)
+    for u1, p1, u2, p2 in hits:
+        assert u2 == 0
