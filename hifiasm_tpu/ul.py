@@ -257,14 +257,24 @@ def graph_chain_paths(ov, ug: UnitigGraph, utg_seqs, utg_lens, ul,
         verify_cache[key] = ok
         return ok
 
+    # scale bounds (~the max_skip/max_dist cuts of the reference's
+    # linear chaining, inter.cpp:5785): predecessors further back than
+    # MAX_QGAP on the read can never chain (bridges cap at 50 kb), and
+    # at most MAX_CANDS surviving predecessors are examined per chain —
+    # these turn the O(n^2) DP into O(n * K) at genome-scale UL depth
+    MAX_QGAP = 100_000
+    MAX_CANDS = 64
     for i in range(n):
+        # vectorized predecessor prefilter over the qgap-bounded window
+        # (qe is sorted ascending, so the window is a searchsorted cut)
+        lo = int(np.searchsorted(qe[:i], qs[i] - MAX_QGAP, side="left"))
+        jj = np.arange(lo, i)
+        pre = (qs[jj] < qs[i]) & (qe[jj] <= qe[i]) & \
+            (qs[i] - qe[jj] >= -ol_tol)
+        jwin = jj[pre][::-1][:MAX_CANDS]
         cands = []
-        for j in range(i - 1, -1, -1):
-            if qs[j] >= qs[i] or qe[j] > qe[i]:
-                continue
+        for j in jwin.tolist():
             qgap = int(qs[i] - qe[j])
-            if qgap < -ol_tol:
-                continue
             mids: List[int] = []
             ols: List[int] = []
             if v[j] == v[i]:
@@ -274,12 +284,17 @@ def graph_chain_paths(ov, ug: UnitigGraph, utg_seqs, utg_lens, ul,
             else:
                 tail = int(utg_lens[int(v[j]) >> 1] - re_[j])
                 cap = int(max(qgap, 0) * (1.0 + diff)) + bw
-                ck = (int(v[j]), cap)
+                # quantize the BFS cap so the reach cache hits across
+                # nearby qgaps; exactness is restored by the ds <= cap
+                # check below
+                cap_q = 1 << max(int(cap).bit_length(), 8)
+                ck = (int(v[j]), cap_q)
                 if ck not in reach_cache:
                     reach_cache[ck] = _reach_starts(adj, utg_lens,
-                                                    int(v[j]), cap)
+                                                    int(v[j]), cap_q)
                 reach = reach_cache[ck]
-                if int(v[i]) not in reach:
+                if int(v[i]) not in reach or \
+                        reach[int(v[i])][0] > cap:
                     # graph-disconnected jump (the UL read evidences an
                     # adjacency the HiFi graph lacks): allow a penalized
                     # "bridge" transition — these consecutive blocks are
