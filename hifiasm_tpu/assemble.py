@@ -192,7 +192,7 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         from hifiasm_tpu.graph.unitig import unitig_seq
         from hifiasm_tpu.io.fastx import iter_fastx
         from hifiasm_tpu.io.readstore import seq_to_codes
-        from hifiasm_tpu.ul import integer_correction, ul_align, \
+        from hifiasm_tpu.ul import catalog_correction, ul_align, \
             ul_renew_graph
 
         useqs = [unitig_seq(u, store, cov) for u in ug.utgs]
@@ -214,7 +214,10 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
             # length ONT noise vanishes in compressed space
             paths = ul_align(useqs, ul_codes, ug=ug, hpc=True)
             save_ul_paths(cfg.output_prefix, paths, ul_fp)
-        integer_correction(paths)
+        # UL-vs-UL catalog correction (gfa_ut.cpp:7622 rounds over
+        # real integer-space overlaps; the triple-vote shortcut
+        # mis-corrects repeat-crossing reads)
+        catalog_correction(paths)
         # base-precision junction boundaries (~ul_refine_alignment)
         from hifiasm_tpu.ul import ul_refine_blocks
         ul_refine_blocks(paths, ul_codes, useqs)

@@ -851,3 +851,155 @@ def ul_renew_graph(ug: UnitigGraph, paths: List[ULPath],
                 f"dropped {int(drop.sum())} UL-contradicted arcs")
         if added == 0 and not drop.any():
             break
+
+
+def ul_catalog(paths: List[ULPath], min_anchor: int = 2,
+               max_mm_run: int = 1, min_ident: float = 0.75
+               ) -> Dict[int, list]:
+    """UL-vs-UL overlap catalog in unitig-ID ("integer") space
+    (~ul_resolve's UL<->UL overlap derivation, gfa_ut.cpp:4192 feeding
+    the correction rounds at :7622).
+
+    Each pair of paths sharing an oriented unitig is aligned as two
+    block strings: seed at the shared block, extend both ways allowing
+    isolated mismatches (a mis-mapped block) but stopping after
+    ``max_mm_run`` consecutive misses.  Overlaps with >= ``min_anchor``
+    matching blocks enter the catalog.
+
+    Returns {pid: [(qid, q_dir, p_lo, p_hi, q_at_p_lo, n_match)]}:
+    partner qid aligns blocks p_lo..p_hi (inclusive) of pid, with qid's
+    block index at p_lo being q_at_p_lo (stepping +1 along p when
+    q_dir=0, -1 when q_dir=1 i.e. qid traversed reverse-complement)."""
+    vs_of = [np.array([(u << 1) | r for (u, r, _, _) in p.blocks],
+                      np.int64) for p in paths]
+    # inverted index: oriented uid -> [(pid, block idx)]
+    occ: Dict[int, list] = {}
+    for pid, vs in enumerate(vs_of):
+        for bi, v in enumerate(vs.tolist()):
+            occ.setdefault(v >> 1, []).append((pid, bi))
+
+    def _extend(vp, vq, pi, qi, qdir):
+        """Matched block count + p-range of the seeded co-linear run."""
+        step = 1 if qdir == 0 else -1
+        flip = 0 if qdir == 0 else 1
+        n_match = 1
+        lo = hi = pi
+        # right
+        i, j, mm = pi + 1, qi + step, 0
+        while 0 <= j < len(vq) and i < len(vp) and mm <= max_mm_run:
+            if vp[i] == (vq[j] ^ flip):
+                n_match += 1
+                hi = i
+                mm = 0
+            else:
+                mm += 1
+            i += 1
+            j += step
+        # left
+        i, j, mm = pi - 1, qi - step, 0
+        while 0 <= j < len(vq) and i >= 0 and mm <= max_mm_run:
+            if vp[i] == (vq[j] ^ flip):
+                n_match += 1
+                lo = i
+                mm = 0
+            else:
+                mm += 1
+            i -= 1
+            j -= step
+        return n_match, lo, hi
+
+    cat: Dict[int, list] = {p: [] for p in range(len(paths))}
+    seen: set = set()
+    for pid, vs in enumerate(vs_of):
+        for bi, v in enumerate(vs.tolist()):
+            for qid, qj in occ.get(v >> 1, []):
+                if qid == pid:
+                    continue
+                vq = vs_of[qid]
+                qdir = 0 if vq[qj] == v else 1
+                if vq[qj] != v and vq[qj] != (v ^ 1):
+                    continue
+                key = (pid, qid, bi - (qj if qdir == 0 else -qj), qdir)
+                if key in seen:        # same diagonal already derived
+                    continue
+                seen.add(key)
+                nm, lo, hi = _extend(vs, vq, bi, qj, qdir)
+                span = hi - lo + 1
+                # overlap identity gate: a read crossing a DIFFERENT
+                # genomic copy of a shared repeat matches only the
+                # repeat blocks (low identity) and must not become a
+                # correction partner
+                if nm < min_anchor or nm < min_ident * span:
+                    continue
+                q_at_lo = qj + (lo - bi) * (1 if qdir == 0 else -1)
+                cat[pid].append((qid, qdir, lo, hi, q_at_lo, nm))
+    for pid in cat:
+        cat[pid].sort()
+    n_ov = sum(len(v) for v in cat.values())
+    log("ul_catalog", f"{n_ov} UL-vs-UL integer overlaps over "
+        f"{len(paths)} paths")
+    return cat
+
+
+def catalog_correction(paths: List[ULPath], min_occ: int = 3,
+                       rounds: int = 3, min_anchor: int = 2) -> int:
+    """UL path correction over the UL-vs-UL catalog
+    (~the integer-correction rounds of gfa_ut.cpp:7622 run over REAL
+    UL<->UL overlaps instead of context-free triples).
+
+    A block is rewritten only when catalog-ALIGNED partners (reads
+    whose block strings overlap this read's at high integer-space
+    identity) vote >= min_occ for one alternative and none supports the
+    current block.  Repeat-crossing reads keep their path:
+    reads from a different genomic copy of the repeat do not align
+    across the full flank context, so their votes never reach the
+    block — the failure mode of the triple vote."""
+    n_fix = 0
+    for _ in range(max(rounds, 1)):
+        cat = ul_catalog(paths, min_anchor=min_anchor)
+        vs_of = [[(u << 1) | r for (u, r, _, _) in p.blocks]
+                 for p in paths]
+        changed = 0
+        for pid, p in enumerate(paths):
+            vs = vs_of[pid]
+            if len(vs) < 3 or not cat.get(pid):
+                continue
+            for i in range(1, len(vs) - 1):
+                votes: Dict[int, int] = {}
+                for qid, qdir, lo, hi, q_at_lo, nm in cat[pid]:
+                    if not (lo <= i <= hi):
+                        continue
+                    # require the partner to MATCH on both flanks of i
+                    qi = q_at_lo + (i - lo) * (1 if qdir == 0 else -1)
+                    vq = vs_of[qid]
+                    okl = okr = False
+                    if qdir == 0:
+                        if 0 <= qi - 1 < len(vq):
+                            okl = vq[qi - 1] == vs[i - 1]
+                        if 0 <= qi + 1 < len(vq):
+                            okr = vq[qi + 1] == vs[i + 1]
+                    else:
+                        if 0 <= qi + 1 < len(vq):
+                            okl = (vq[qi + 1] ^ 1) == vs[i - 1]
+                        if 0 <= qi - 1 < len(vq):
+                            okr = (vq[qi - 1] ^ 1) == vs[i + 1]
+                    if not (okl and okr) or not (0 <= qi < len(vq)):
+                        continue
+                    b = vq[qi] if qdir == 0 else (vq[qi] ^ 1)
+                    votes[b] = votes.get(b, 0) + 1
+                own = votes.get(vs[i], 0)
+                if own > 0:
+                    continue
+                alts = sorted(votes.items(),
+                              key=lambda kv: (-kv[1], kv[0]))
+                if alts and alts[0][1] >= min_occ:
+                    b = alts[0][0]
+                    _, _, qs, qe = p.blocks[i]
+                    p.blocks[i] = (b >> 1, b & 1, qs, qe)
+                    vs[i] = b
+                    changed += 1
+        n_fix += changed
+        if changed == 0:
+            break
+    log("catalog_correction", f"rewrote {n_fix} UL path blocks")
+    return n_fix

@@ -110,3 +110,49 @@ def test_ul_refine_blocks_moves_sloppy_boundary(rng):
     assert n == 2
     assert paths[0].blocks[0] == (0, 0, 0, 900)
     assert paths[0].blocks[1] == (1, 0, 1100, 2000)
+
+
+def test_catalog_correction_vs_triple_vote_repeat():
+    """VERDICT r2 item 8: a repeat-crossing UL read is MIS-corrected by
+    the context-free triple vote but preserved by the catalog version
+    (UL-vs-UL overlaps with an integer-space identity gate,
+    ~gfa_ut.cpp:4192/7622)."""
+    import copy
+
+    from hifiasm_tpu.ul import (
+        ULPath, catalog_correction, integer_correction, ul_catalog,
+    )
+
+    G, C, Y, D, H, E, R, F = range(8)     # C, D are two-copy repeats
+
+    def path(uids):
+        return ULPath([(u, 0, 100 * i, 100 * i + 90)
+                       for i, u in enumerate(uids)])
+
+    locus1 = [path([G, C, Y, D, H]) for _ in range(4)]
+    locus2 = [path([E, C, R, D, F])]      # single read from copy #2
+
+    # triple vote: (C,R,D) is own-only, (C,Y,D) has 4 votes -> rewrites
+    p_tri = copy.deepcopy(locus1 + locus2)
+    integer_correction(p_tri, min_occ=3)
+    assert p_tri[4].blocks[2][0] == Y, "expected the triple-vote failure"
+
+    # catalog: locus1 reads share only C,*,D with locus2 (identity 2/3
+    # < 0.75) so they never become partners; the read keeps R
+    p_cat = copy.deepcopy(locus1 + locus2)
+    catalog_correction(p_cat, min_occ=3)
+    assert p_cat[4].blocks[2][0] == R, p_cat[4].blocks
+
+    # and the catalog DOES fix a genuinely mis-mapped block: partners
+    # share the full E..F context
+    X = 9
+    good = [path([E, C, R, D, F]) for _ in range(3)]
+    bad = [path([E, C, X, D, F])]
+    p_fix = copy.deepcopy(good + bad)
+    n = catalog_correction(p_fix, min_occ=3)
+    assert n >= 1
+    assert p_fix[3].blocks[2][0] == R, p_fix[3].blocks
+
+    # catalog sanity: locus1 reads overlap each other end-to-end
+    cat = ul_catalog(copy.deepcopy(locus1))
+    assert all(len(cat[p]) == 3 for p in range(4))
