@@ -86,6 +86,17 @@ def phase_unitigs(ug: UnitigGraph, rev_paf: PafStore, n_reads: int,
         return hap1, hap2
 
     links = unitig_trans_links(ug, rev_paf, n_reads)
+    # bubble-branch het pairs (~the bubble-chain priors of hic.h:33-54):
+    # two branches of a simple/cross bubble are the same locus on
+    # different haplotypes even when trans overlaps are too thin to say
+    # so — inject them as strong trans evidence for the solver
+    from hifiasm_tpu.graph.bubble import identify_bubbles
+    bc = identify_bubbles(ug)
+    for a, b in bc.het_pairs():
+        row = links.setdefault(a, {})
+        row[b] = row.get(b, 0) + 2 * min_link
+        row2 = links.setdefault(b, {})
+        row2[a] = row2.get(a, 0) + 2 * min_link
     if hic_links is not None:
         # the n_weight renew->solve->label loop (hic.cpp:17082-17116)
         from hifiasm_tpu.phasing.hic import (
