@@ -364,11 +364,13 @@ def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
 # device chain DP (overlap/chain_device.py) without anchors ever
 # leaving HBM
 
-@functools.partial(jax.jit, static_argnames=())
-def _group_detect(a_read, a_tid, a_rev, n_keep):
+@functools.partial(jax.jit, static_argnames=("Gcap",))
+def _group_detect(a_read, a_tid, a_rev, n_keep, Gcap: int):
     """Boundaries of (read, tid, rev) runs over the sorted anchors,
-    plus the first-anchor group keys — ONE launch, so the caller pays a
-    single transfer round trip for all of the small host metadata."""
+    plus the first-anchor group keys — ONE launch, COMPACTED to ``Gcap``
+    group slots so the host fetch moves O(groups), not O(anchors)
+    (anchor-padded planes were ~20x the payload through the ~25 MB/s
+    dev link).  rev rides the tid plane's top bit."""
     P = a_read.shape[0]
     i = jnp.arange(P, dtype=jnp.int32)
     valid = i < n_keep
@@ -378,11 +380,12 @@ def _group_detect(a_read, a_tid, a_rev, n_keep):
                    (a_rev != jnp.roll(a_rev, 1)))
     gid = jnp.cumsum(new.astype(jnp.int32)) - 1
     n_groups = jnp.sum(new.astype(jnp.int32))
-    gslot = jnp.where(new, gid, P)
-    start = jnp.full(P + 1, 0, jnp.int32).at[gslot].set(i)[:P]
+    gslot = jnp.where(new, jnp.minimum(gid, Gcap), Gcap)
+    start = jnp.zeros(Gcap + 1, jnp.int32).at[gslot].set(i)[:Gcap]
     startc = jnp.clip(start, 0, P - 1)
-    return (start, n_groups, gid, jnp.take(a_read, startc),
-            jnp.take(a_tid, startc), jnp.take(a_rev, startc))
+    key_rt = (jnp.take(a_tid, startc).astype(jnp.uint32) |
+              (jnp.take(a_rev, startc).astype(jnp.uint32) << 31))
+    return (start, n_groups, jnp.take(a_read, startc), key_rt)
 
 
 def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
@@ -455,17 +458,25 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
                             table.pos, table.rev, table.span, lens_d,
                             wlut, jnp.int32(total), Sp)
         (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = flds
-        g_start_d, n_groups, gid, g_read_d, g_tid_d, g_rev_d = \
-            _group_detect(a_read, a_tid, a_rev, n_keep)
+        Gcap = max(Sp // 4, 4096)
+        g_start_d, n_groups, g_read_d, g_rt_d = \
+            _group_detect(a_read, a_tid, a_rev, n_keep, Gcap=Gcap)
         # ONE overlapped transfer pass for every host-side scalar/array
         # (serial np.asarray fetches each paid a full link round trip)
-        nk_h, ng_h, gs_p, gr_p, gt_p, gv_p = fetch_all(
-            (n_keep, n_groups, g_start_d, g_read_d, g_tid_d, g_rev_d))
+        nk_h, ng_h, gs_p, gr_p, grt_p = fetch_all(
+            (n_keep, n_groups, g_start_d, g_read_d, g_rt_d))
         nk, ng = int(nk_h), int(ng_h)
+        if ng > Gcap:       # dense-group overflow (rare): exact refetch
+            g_start_d, n_groups, g_read_d, g_rt_d = \
+                _group_detect(a_read, a_tid, a_rev, n_keep, Gcap=Sp)
+            _, _, gs_p, gr_p, grt_p = fetch_all(
+                (n_keep, n_groups, g_start_d, g_read_d, g_rt_d))
         gs = gs_p[:ng]
         g_end = np.concatenate([gs[1:], [nk]]).astype(np.int64) if ng \
             else np.zeros(0, np.int64)
-        g_read, g_tid, g_rev = gr_p[:ng], gt_p[:ng], gv_p[:ng]
+        g_read = gr_p[:ng]
+        g_tid = (grt_p[:ng] & np.uint32(0x7FFFFFFF))
+        g_rev = (grt_p[:ng] >> 31).astype(np.uint8)
         cols = dict(read=a_read, tid=a_tid, rev=a_rev, qpos=a_qpos,
                     toff=a_toff, span=a_span, w=a_w)
         meta = dict(reads=sub, n_keep=nk, g_start=gs.astype(np.int64),
