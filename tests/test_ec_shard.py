@@ -60,3 +60,47 @@ def test_mesh_gather_high_occ_fallback(rng):
     for a, b in zip(got, host):
         _anchors_equal(a, b)
     assert gather.n_fallback > 0
+
+
+def test_mesh_gather_bucket_skew_and_highocc():
+    """Worst-case routing: every query hashes to ONE shard (bucket
+    skew) and a hot k-mer exceeds the largest posting class (host
+    fallback) — the all-to-all lanes must carry the full skewed load
+    with no silent drops (VERDICT r2 item 7's overflow concern)."""
+    from hifiasm_tpu.index.pos_table import PositionTable
+
+    S = 8
+    rng = np.random.default_rng(7)
+    H = 256
+    # hashes all congruent to 3 mod 8: one shard owns EVERYTHING
+    hashes = np.sort((rng.integers(1, 1 << 58, H).astype(np.uint64)
+                      << np.uint64(3)) | np.uint64(3))
+    hashes = np.unique(hashes)
+    H = len(hashes)
+    counts = np.full(H, 2, np.int32)
+    counts[0] = 100                       # beyond the largest class (64)
+    start = np.zeros(H, np.int64)
+    start[1:] = np.cumsum(counts[:-1])
+    P = int(counts.sum())
+    pt = PositionTable(
+        hashes=hashes, start=start, count=counts,
+        rid=rng.integers(0, 1000, P).astype(np.uint32),
+        pos=rng.integers(0, 1 << 20, P).astype(np.uint32),
+        rev=rng.integers(0, 2, P).astype(np.uint8),
+        span=np.full(P, 51, np.uint16))
+    mesh = make_mesh(S)
+    g = MeshAnchorGather(pt, mesh, q_chunk=1 << 8)
+    q = np.concatenate([hashes, hashes[::2]])   # duplicates too
+    cnt, tid, tpos, trev, tspan = g.gather(q)
+    # every query answered with its true count: nothing dropped
+    exp = counts[np.searchsorted(hashes, q)]
+    np.testing.assert_array_equal(cnt, exp.astype(np.int64))
+    assert g.n_fallback >= 1                    # hot k-mer went host-side
+    # posting payloads intact for a skewed sample
+    off = 0
+    for i, h in enumerate(q[:16]):
+        j = int(np.searchsorted(hashes, h))
+        a, b = int(start[j]), int(start[j] + counts[j])
+        n = b - a
+        np.testing.assert_array_equal(tid[off:off + n], pt.rid[a:b])
+        off += n
