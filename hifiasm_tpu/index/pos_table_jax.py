@@ -458,7 +458,9 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
                             table.pos, table.rev, table.span, lens_d,
                             wlut, jnp.int32(total), Sp)
         (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = flds
-        Gcap = max(Sp // 4, 4096)
+        # groups run ~100-200 anchors each at HiFi coverage; Sp//32 still
+        # leaves ~5x headroom and the overflow path refetches exactly
+        Gcap = max(Sp // 32, 4096)
         g_start_d, n_groups, g_read_d, g_rt_d = \
             _group_detect(a_read, a_tid, a_rev, n_keep, Gcap=Gcap)
         # ONE overlapped transfer pass for every host-side scalar/array
