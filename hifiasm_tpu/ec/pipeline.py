@@ -250,12 +250,15 @@ def _chain_all_reads_device(store, mzs, dev_table, cfg, hom_cov):
         _t2 = _t.time()
         regs = regions_from_device_chains(dcc, store.lens, store.lens,
                                           cfg.max_n_chain)
-        # window planning: host math for everything except t_ws, then
-        # ONE batched device searchsorted for the whole chunk
+        # window planning: ONE vectorized host pass over the whole
+        # chunk (plan_windows_many), then ONE batched device
+        # searchsorted for t_ws
+        from hifiasm_tpu.ec.window_align import plan_windows_many
+        chunk_plans = plan_windows_many(regs, cfg.ec_window,
+                                        cfg.max_ov_diff_ec)
         pls, ws_cat, ci_cat = [], [], []
         for rr, ov in regs:
-            pl = plan_read_windows(ov, cfg.ec_window, cfg.max_ov_diff_ec,
-                                   with_tws=False)
+            pl = chunk_plans[rr]
             pls.append((rr, ov, pl))
             if len(pl["ws"]):
                 ws_cat.append(pl["ws"])

@@ -137,6 +137,48 @@ def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float,
     return pl
 
 
+def plan_windows_many(items, wl: int, e_rate: float):
+    """Vectorized ``plan_read_windows(..., with_tws=False)`` over a whole
+    chunk: ONE numpy pass over the concatenated overlap columns instead
+    of a per-read Python loop (the loop costs seconds per multi-Mb chunk
+    at genome scale).  ``items``: [(rid, OverlapRegions)] -> {rid: plan}
+    with per-read views into the shared arrays (identical contents)."""
+    z = np.zeros(0, np.int64)
+    rids = [rr for rr, _ in items]
+    n_ovs = np.array([len(ov) for _, ov in items], np.int64)
+    if int(n_ovs.sum()) == 0:
+        return {rr: dict(ov_idx=z, ws=z, wlen=z, t_ws=z, thre=z,
+                         last=np.zeros(0, bool)) for rr in rids}
+    xs = np.concatenate([ov.x_s.astype(np.int64) for _, ov in items
+                         if len(ov)])
+    xe = np.concatenate([ov.x_e.astype(np.int64) for _, ov in items
+                         if len(ov)])
+    ov_read = np.repeat(np.arange(len(items)), n_ovs)
+    ov_base = np.concatenate([[0], np.cumsum(n_ovs)])
+    spans = xe - xs + 1
+    n_win = -(-spans // wl)
+    tot = int(n_win.sum())
+    ov_idx_g = np.repeat(np.arange(len(xs)), n_win)
+    woff = np.concatenate([[0], np.cumsum(n_win)])
+    local = np.arange(tot) - np.repeat(woff[:-1], n_win)
+    ws = np.repeat(xs, n_win) + local * wl
+    xe_r = np.repeat(xe, n_win)
+    wlen = np.minimum(wl, xe_r - ws + 1)
+    last = ws + wlen > xe_r
+    thre = np.clip(np.ceil(wlen * e_rate).astype(np.int64), 2,
+                   THRESHOLD_MAX_SIZE)
+    w_read = ov_read[ov_idx_g]
+    bounds = np.searchsorted(w_read, np.arange(len(items) + 1))
+    out = {}
+    for i, rr in enumerate(rids):
+        sl = slice(int(bounds[i]), int(bounds[i + 1]))
+        out[rr] = dict(ov_idx=ov_idx_g[sl] - ov_base[ov_read[ov_idx_g[sl]]]
+                       if bounds[i + 1] > bounds[i] else z,
+                       ws=ws[sl], wlen=wlen[sl], thre=thre[sl],
+                       last=last[sl])
+    return out
+
+
 _T2_NONE = np.int64(-(1 << 62))
 
 

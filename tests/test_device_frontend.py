@@ -87,3 +87,32 @@ def test_device_frontend_repeat_heavy(tmp_path):
         with open(f"{outs['h']}.{suffix}", "rb") as a, \
                 open(f"{outs['d']}.{suffix}", "rb") as b:
             assert a.read() == b.read(), f"{suffix} differs"
+
+
+def test_plan_windows_many_matches_per_read(rng):
+    """Vectorized chunk planning == per-read plan_read_windows."""
+    from hifiasm_tpu.ec.pipeline import _chain_all_reads
+    from hifiasm_tpu.ec.window_align import (
+        plan_read_windows, plan_windows_many,
+    )
+    from hifiasm_tpu.config import HifiasmConfig
+    from hifiasm_tpu.io.readstore import ReadStore
+    from hifiasm_tpu.index.pos_table import build_position_table
+    from tests.synth import make_genome, sample_reads
+
+    g = make_genome(rng, 30000)
+    reads, _, _ = sample_reads(rng, g, depth=9, read_len=3000,
+                               err_rate=0.003)
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  reads)
+    cfg = HifiasmConfig()
+    pt, hom, _, mzs = build_position_table(reads, cfg.k, cfg.w)
+    codes = [store.get_codes(i) for i in range(store.n_reads)]
+    read_ovs = _chain_all_reads(store, codes, mzs, pt, cfg,
+                                hom if hom > 0 else 9)
+    many = plan_windows_many(read_ovs, cfg.ec_window, cfg.max_ov_diff_ec)
+    for rr, ov in read_ovs:
+        one = plan_read_windows(ov, cfg.ec_window, cfg.max_ov_diff_ec,
+                                with_tws=False)
+        for k in ("ov_idx", "ws", "wlen", "thre", "last"):
+            np.testing.assert_array_equal(many[rr][k], one[k], f"{rr}:{k}")
