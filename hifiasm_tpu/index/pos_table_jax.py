@@ -300,11 +300,15 @@ def collect_anchors_device(mzs, table: DevicePositionTable, rids,
             c0 = c1
             continue
         Sp = _bucket(total)
+        rid_base = int(min(sub))
+        assert int(max(sub)) - rid_base < (1 << 20) - 1, \
+            "chunk read-id span exceeds the 20-bit sort pack"
         flds = _expand_fill(slot, cnt, cum, jnp.asarray(q_read),
                             jnp.asarray(q_pos), jnp.asarray(q_rev),
                             jnp.asarray(q_span), table.start, table.rid,
                             table.pos, table.rev, table.span, lens_d,
-                            wlut, jnp.int32(total), Sp)
+                            wlut, jnp.int32(total),
+                            jnp.uint32(rid_base), Sp)
         (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = \
             fetch_all(flds)
         nk = int(n_keep)
@@ -328,7 +332,7 @@ def collect_anchors_device(mzs, table: DevicePositionTable, rids,
 @functools.partial(jax.jit, static_argnames=("Sp",))
 def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
                  t_start, t_rid, t_pos, t_rev, t_span, lens, wlut,
-                 total, Sp: int):
+                 total, rid_base, Sp: int):
     s = jnp.arange(Sp, dtype=jnp.int32)
     # owner minimizer of each slot: searchsorted(cum, s, 'right')-1
     m = jnp.searchsorted(cum, s, side="right").astype(jnp.int32) - 1
@@ -349,12 +353,31 @@ def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
     occ = cnt[m]
     w = wlut[jnp.minimum(occ, wlut.shape[0] - 1)]
     # sort: invalid last, then (qread, tid, rev, qpos, t_off); stable so
-    # full-key ties keep the expansion order, like the host lexsort
-    inv = (~keep).astype(jnp.uint8)
-    srt = lax.sort((inv, qr, tid, rev, q_pos[m].astype(jnp.int32),
-                    t_off, q_span[m], w),
-                   num_keys=6, is_stable=True)
-    _, o_read, o_tid, o_rev, o_qpos, o_toff, o_span, o_w = srt
+    # full-key ties keep the expansion order, like the host lexsort.
+    # The 6 keys PACK into 3 u32 words + an index payload (4 sort
+    # operands instead of 8): the bitonic sort network moves half the
+    # data, which is the anchor stage's wall at 16M+ rows (measured
+    # 5-7 s per 30 Mb chunk).  Ranges: qread/tid < 2^20 (chunked reads),
+    # qpos < 2^23 (HiFi read length), t_off < 2^31; invalid rows take
+    # the 2^20-1 qread sentinel so they sort last without a key bit.
+    qru = qr.astype(jnp.uint32) - rid_base    # chunk-relative: <2^20
+    tidu = tid.astype(jnp.uint32)
+    qposu = q_pos[m].astype(jnp.uint32)
+    qr_s = jnp.where(keep, qru, jnp.uint32((1 << 20) - 1))
+    k0 = (qr_s << 12) | (tidu >> 8)
+    k1 = ((tidu & 0xFF) << 24) | (rev.astype(jnp.uint32) << 23) | qposu
+    k2 = t_off.astype(jnp.uint32)
+    idx = jnp.arange(Sp, dtype=jnp.uint32)
+    _, _, _, o_idx = lax.sort((k0, k1, k2, idx), num_keys=3,
+                              is_stable=True)
+    oi = o_idx.astype(jnp.int32)
+    o_read = jnp.take(qr, oi)
+    o_tid = jnp.take(tid, oi)
+    o_rev = jnp.take(rev, oi)
+    o_qpos = jnp.take(q_pos[m].astype(jnp.int32), oi)
+    o_toff = jnp.take(t_off, oi)
+    o_span = jnp.take(q_span[m], oi)
+    o_w = jnp.take(w, oi)
     n_keep = jnp.sum(keep.astype(jnp.int32))
     return o_read, o_tid, o_rev, o_qpos, o_toff, o_span, o_w, n_keep
 
@@ -452,11 +475,15 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
             c0 = c1
             continue
         Sp = _bucket(total)
+        rid_base = int(min(sub))
+        assert int(max(sub)) - rid_base < (1 << 20) - 1, \
+            "chunk read-id span exceeds the 20-bit sort pack"
         flds = _expand_fill(slot, cnt, cum, jnp.asarray(q_read),
                             jnp.asarray(q_pos), jnp.asarray(q_rev),
                             jnp.asarray(q_span), table.start, table.rid,
                             table.pos, table.rev, table.span, lens_d,
-                            wlut, jnp.int32(total), Sp)
+                            wlut, jnp.int32(total),
+                            jnp.uint32(rid_base), Sp)
         (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = flds
         # groups run ~100-200 anchors each at HiFi coverage; Sp//32 still
         # leaves ~5x headroom and the overflow path refetches exactly
