@@ -334,9 +334,14 @@ def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
                  t_start, t_rid, t_pos, t_rev, t_span, lens, wlut,
                  total, rid_base, Sp: int):
     s = jnp.arange(Sp, dtype=jnp.int32)
-    # owner minimizer of each slot: searchsorted(cum, s, 'right')-1
-    m = jnp.searchsorted(cum, s, side="right").astype(jnp.int32) - 1
-    m = jnp.clip(m, 0, cnt.shape[0] - 1)
+    # owner minimizer of each slot WITHOUT searchsorted: scatter each
+    # non-empty minimizer's (index, posting_start - cum) pair at its cum
+    # offset and run a tuple max-scan — regular memory traffic instead
+    # of the 21-step binary search's ~350M random gathers at 16M slots
+    mi = jnp.arange(cnt.shape[0], dtype=jnp.int32)
+    pos_at = jnp.where(cnt > 0, cum[:-1], Sp)   # empties never scatter
+    m0 = jnp.full(Sp, -1, jnp.int32).at[pos_at].set(mi, mode="drop")
+    m = jnp.clip(lax.cummax(m0), 0, cnt.shape[0] - 1)
     occ_j = s - cum[m]
     in_range = s < total
     post = t_start[slot[m]] + occ_j
@@ -360,6 +365,11 @@ def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
     # 5-7 s per 30 Mb chunk).  Ranges: qread/tid < 2^20 (chunked reads),
     # qpos < 2^23 (HiFi read length), t_off < 2^31; invalid rows take
     # the 2^20-1 qread sentinel so they sort last without a key bit.
+    # the key words CARRY the fields (k0 = qread:20|tid_hi:12,
+    # k1 = tid_lo:8|rev:1|qpos:23, k2 = t_off, p0 = span:8|w:24), so the
+    # output columns decode bitwise after the sort — no payload columns
+    # ride the bitonic network and no post-sort random gathers (16M
+    # random gathers cost MORE than the saved sort traffic, measured)
     qru = qr.astype(jnp.uint32) - rid_base    # chunk-relative: <2^20
     tidu = tid.astype(jnp.uint32)
     qposu = q_pos[m].astype(jnp.uint32)
@@ -367,17 +377,16 @@ def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
     k0 = (qr_s << 12) | (tidu >> 8)
     k1 = ((tidu & 0xFF) << 24) | (rev.astype(jnp.uint32) << 23) | qposu
     k2 = t_off.astype(jnp.uint32)
-    idx = jnp.arange(Sp, dtype=jnp.uint32)
-    _, _, _, o_idx = lax.sort((k0, k1, k2, idx), num_keys=3,
+    p0 = (q_span[m].astype(jnp.uint32) << 24) | w.astype(jnp.uint32)
+    k0, k1, k2, p0 = lax.sort((k0, k1, k2, p0), num_keys=3,
                               is_stable=True)
-    oi = o_idx.astype(jnp.int32)
-    o_read = jnp.take(qr, oi)
-    o_tid = jnp.take(tid, oi)
-    o_rev = jnp.take(rev, oi)
-    o_qpos = jnp.take(q_pos[m].astype(jnp.int32), oi)
-    o_toff = jnp.take(t_off, oi)
-    o_span = jnp.take(q_span[m], oi)
-    o_w = jnp.take(w, oi)
+    o_read = ((k0 >> 12) + rid_base).astype(qr.dtype)
+    o_tid = (((k0 & 0xFFF) << 8) | (k1 >> 24)).astype(tid.dtype)
+    o_rev = ((k1 >> 23) & 1).astype(jnp.uint8)
+    o_qpos = (k1 & 0x7FFFFF).astype(jnp.int32)
+    o_toff = k2.astype(jnp.int32)
+    o_span = ((p0 >> 24) & 0xFF).astype(jnp.int32)
+    o_w = (p0 & 0xFFFFFF).astype(jnp.int32)
     n_keep = jnp.sum(keep.astype(jnp.int32))
     return o_read, o_tid, o_rev, o_qpos, o_toff, o_span, o_w, n_keep
 
