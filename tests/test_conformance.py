@@ -515,3 +515,89 @@ def test_chr_scale_contig_identity(tmp_path):
     hs = km_hashes(ours[0])[::21]
     ident = sum(1 for h in hs.tolist() if h in rset) / max(len(hs), 1)
     assert ident > 0.98, f"contig 63-mer identity vs reference: {ident}"
+
+
+def test_hic_mapping_and_phasing_matches_reference(rng, tmp_path):
+    """Hi-C conformance on ONE shared realistic library (1% error,
+    long inserts): mapped-hit yield in the reference's regime and
+    haplotype outputs size-matching the reference's
+    (~hic_short_align + the n_weight loop, hic.cpp:17016/17082)."""
+    import re
+
+    L = 120_000
+    h1, h2 = make_genome(rng, L, het_rate=0.002)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def wfa(path, seqs):
+        with open(path, "w") as f:
+            for i, r in enumerate(seqs):
+                f.write(f">s{i}\n{nt[r].tobytes().decode()}\n")
+
+    reads = []
+    for g in (h1, h2):
+        for _ in range(int(11 * L / 12000)):
+            s = int(rng.integers(0, L - 12000))
+            r = g[s:s + 12000].copy()
+            m = rng.random(12000) < 0.003
+            r[m] = (r[m] + rng.integers(1, 4, int(m.sum()))) % 4
+            reads.append(r)
+    r1l, r2l = [], []
+    for _ in range(12000):
+        g = (h1, h2)[int(rng.integers(0, 2))]
+        a = int(rng.integers(0, L - 45000))
+        b = a + int(rng.integers(300, 40000))
+        for lst, s in ((r1l, a), (r2l, b)):
+            seg = g[s:s + 150].copy()
+            m = rng.random(150) < 0.01
+            seg[m] = (seg[m] + rng.integers(1, 4, int(m.sum()))) % 4
+            lst.append(seg)
+    wfa(tmp_path / "reads.fa", reads)
+    wfa(tmp_path / "h1.fa", r1l)
+    wfa(tmp_path / "h2.fa", r2l)
+
+    subprocess.run(
+        [REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r1",
+         "--h1", str(tmp_path / "h1.fa"), "--h2", str(tmp_path / "h2.fa"),
+         str(tmp_path / "reads.fa")],
+        capture_output=True, check=True, timeout=900)
+    # the reference's kept PE-hit count from its hic.lk.bin dump
+    # (write_hc_hits, hic.cpp:5236: u64 n + n * pe_hit)
+    lk = open(tmp_path / "ref.hic.lk.bin", "rb").read()
+    ref_hits = int(np.frombuffer(lk[:8], np.uint64)[0])
+
+    import io
+    from contextlib import redirect_stderr
+
+    from hifiasm_tpu.cli import main as cli_main
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        cli_main(["-o", str(tmp_path / "ours"), "-t4", "-i",
+                  "--h1", str(tmp_path / "h1.fa"),
+                  "--h2", str(tmp_path / "h2.fa"),
+                  str(tmp_path / "reads.fa")])
+    m = re.search(r"(\d+) -> (\d+) PE hits after dedup", buf.getvalue())
+    assert m, "our PE dedup log missing"
+    our_hits = int(m.group(2))
+    # same order of magnitude of informative hits (both tools can only
+    # place the het-informative fraction of the library)
+    assert our_hits >= ref_hits * 0.5, (our_hits, ref_hits)
+
+    def hap_sizes(pfx):
+        out = []
+        for h in (1, 2):
+            tot = sum(len(ln.split("\t")[2]) for ln in
+                      open(f"{pfx}.hic.hap{h}.p_ctg.gfa")
+                      if ln.startswith("S\t"))
+            out.append(tot)
+        return sorted(out)
+
+    ours_h = hap_sizes(str(tmp_path / "ours"))
+    ref_h = hap_sizes(str(tmp_path / "ref"))
+    # each of OUR haps is ~one genome copy (the reference occasionally
+    # overshoots one hap with duplicated het content at this scale —
+    # observed 141.7 kb on a 120 kb genome — so truth anchors the band,
+    # and the tools' matching haps agree within 2%)
+    for a in ours_h:
+        assert 0.9 * L < a < 1.25 * L, (ours_h, ref_h)
+    assert abs(ours_h[0] - ref_h[0]) < 0.02 * max(ref_h[0], 1), \
+        (ours_h, ref_h)
