@@ -48,7 +48,8 @@ def clean_rounds(sg: StringGraph, cfg: HifiasmConfig,
                  read_cov: Optional[np.ndarray],
                  protect: Optional[np.ndarray] = None,
                  paf=None, cov=None, r_to_u=None,
-                 avoid: Optional[np.ndarray] = None) -> None:
+                 avoid: Optional[np.ndarray] = None,
+                 rev_paf=None) -> None:
     """~ul_clean_gfa round schedule (gfa_ut.cpp:3027-3256, HiFi path):
     per round with the drop-ratio ramp — semi-circle cuts, bubble-masked
     chimeric cut, inexact cut, weak-arc cut, bubble-link cuts, small
@@ -85,6 +86,13 @@ def clean_rounds(sg: StringGraph, cfg: HifiasmConfig,
         asg_pop_bubble(sg, small_bub, read_cov, avoid)
     asg_iterative_semi_circ(sg)
     vis = bubble_protect(sg, small_bub, read_cov)
+    if rev_paf is not None:
+        # weak-arc cut preserving haplotype forks (~the final
+        # asg_arc_del_orthology_multiple_way, Overlaps.cpp:39560)
+        from hifiasm_tpu.graph.clean import asg_arc_del_orthology
+        asg_arc_del_orthology(sg, rev_paf, drop_ratio=0.4,
+                              max_ext=max(cfg.max_short_tip, 8), vis=vis)
+        asg_cut_tips(sg, cfg.max_short_tip, protect)
     asg_cut_large_indel(sg, cfg.max_short_tip, min_diff=0, vis=vis)
     asg_cut_tips(sg, cfg.max_short_tip, protect)
     post_rescue(sg, snap)
@@ -173,7 +181,7 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     # output_unitig_graph)
     raw_ug = ma_ug_gen(sg)
     clean_rounds(sg, cfg, read_cov, protect=telo, paf=paf, cov=cov,
-                 r_to_u=r_to_u)
+                 r_to_u=r_to_u, rev_paf=ec.reverse_paf)
     ug = ma_ug_gen(sg)
     from hifiasm_tpu.graph.unitig import break_by_coverage, ug_cut_tips
     n_tip = ug_cut_tips(ug, cfg.max_contig_tip)

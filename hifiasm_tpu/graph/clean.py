@@ -1065,3 +1065,90 @@ def clean_primary_ug(ug, utg_cov, links: dict, max_rounds: int = 4):
         log("clean_primary_ug",
             f"moved {len(moved)} unitigs to alternate at contig level")
     return moved
+
+
+def _path_reads(g: StringGraph, s: int, lim: int) -> list:
+    """Read ids along the unique-successor path from s (<= lim)."""
+    out = [s >> 1]
+    v = s
+    while len(out) < lim:
+        ai = g.arcs_of(v)
+        if len(ai) != 1:
+            break
+        v = int(g.v[ai[0]])
+        if len(g.arcs_of(v ^ 1)) != 1 or (v >> 1) == (s >> 1):
+            break
+        out.append(v >> 1)
+    return out
+
+
+def _check_diploid(g: StringGraph, rev_paf, v1: int, v2: int,
+                   min_edge_length: int, max_walk: int = 64) -> int:
+    """~check_if_diploid (Overlaps.cpp:6108): walk the single paths
+    from v1/v2; -1 = cannot tell (a path too short, or the shorter one
+    has NO trans overlaps), 1 = diploid pair (>30% of the shorter
+    path's trans overlaps land in the other path), 0 = not a pair."""
+    paths = [_path_reads(g, v, max_walk) for v in (v1, v2)]
+    l1, l2 = len(paths[0]), len(paths[1])
+    if l1 <= min_edge_length or l2 <= min_edge_length:
+        return -1
+    b_min, b_max = (paths[0], paths[1]) if l1 <= l2 else \
+        (paths[1], paths[0])
+    smax = set(b_max)
+    min_count = max_count = 0
+    for qn in b_min:
+        for t in rev_paf[qn].tn:
+            tn = int(t)
+            if g.seq_del[tn]:
+                continue
+            min_count += 1
+            if tn in smax:
+                max_count += 1
+    if min_count == 0:
+        return -1
+    if max_count == 0:
+        return 0
+    return 1 if max_count / min_count > 0.3 else 0
+
+
+def asg_arc_del_orthology(g: StringGraph, rev_paf, drop_ratio: float = 0.4,
+                          max_ext: int = 4,
+                          vis: Optional[np.ndarray] = None) -> int:
+    """Weak-arc cut that PRESERVES haplotype forks
+    (~asg_arc_del_orthology_multiple_way, Overlaps.cpp:27072): at a
+    branching vertex, an arc much weaker than the strongest sibling
+    (ol < drop_ratio x max) is deleted only when its branch is NOT the
+    haplotype twin of the strongest branch (no trans overlaps between
+    the two path neighborhoods) — a plain ratio cut there would destroy
+    het bubbles the phasing stages need.  ``vis`` masks bubble interiors
+    (the reference's asg_arc_identify_simple_bubbles_multi gate)."""
+    n_cut = 0
+    for v in range(2 * g.n_seq):
+        if g.seq_del[v >> 1]:
+            continue
+        if vis is not None and vis[v]:
+            continue
+        ai = g.arcs_of(v)
+        if len(ai) < 2:
+            continue
+        ols = g.ol[ai]
+        imax = int(np.argmax(ols))
+        v_max = int(g.v[ai[imax]])
+        max_ol = int(ols[imax])
+        for j in range(len(ai)):
+            if j == imax:
+                continue
+            if int(ols[j]) >= drop_ratio * max_ol:
+                continue
+            # cut ONLY on positive evidence of NON-orthology: -1
+            # (too short / no trans data) keeps the arc, like the
+            # reference's == 0 gate
+            if _check_diploid(g, rev_paf, v_max, int(g.v[ai[j]]),
+                              max_ext) != 0:
+                continue
+            _del_arc_pair(g, int(ai[j]))
+            n_cut += 1
+    if n_cut:
+        log("asg_arc_del_orthology",
+            f"removed {n_cut} non-orthologous weak arcs")
+    return n_cut

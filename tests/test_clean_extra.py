@@ -253,3 +253,46 @@ def test_ug_post_join_respects_branches():
                       np.zeros(3, np.uint8))
     assert ug_post_join(ug, cov) == 0
     assert len(ug) == 3
+
+
+def test_orthology_cut_preserves_hap_forks():
+    """Weak arcs drop at branches UNLESS the branch is the haplotype
+    twin of the strongest sibling (~asg_arc_del_orthology_multiple_way,
+    Overlaps.cpp:27072)."""
+    import numpy as np
+
+    from hifiasm_tpu.graph.clean import asg_arc_del_orthology
+    from hifiasm_tpu.graph.sg import StringGraph
+    from hifiasm_tpu.overlap.paf import PafRecords, PafStore
+
+    # reads: 0 -> {1 (strong), 2 (weak het twin), 3 (weak junk)}
+    g = StringGraph(8, np.full(8, 10000, np.int64))
+    ul, vv, ol = [], [], []
+    for dst, o in ((1, 5000), (2, 1500), (3, 1400)):
+        ul.append(((0 << 1) << 32) | (10000 - o))
+        vv.append(dst << 1)
+        ol.append(o)
+        ul.append(((dst << 1 | 1) << 32) | (10000 - o))
+        vv.append(0 << 1 | 1)
+        ol.append(o)
+    n = len(ol)
+    g.set_arcs(np.array(ul, np.uint64), np.array(vv, np.uint32),
+               np.array(ol, np.int64), np.ones(n, np.uint8),
+               np.ones(n, np.uint8), np.ones(n, np.uint8))
+    rev = PafStore(8)
+    rev[1] = PafRecords.from_columns(tn=np.array([2]))  # het twins
+    # read 3's trans overlaps all land OUTSIDE the strong path:
+    # positive evidence of non-orthology (~check_if_diploid == 0)
+    rev[3] = PafRecords.from_columns(tn=np.array([6, 7]))
+    n = asg_arc_del_orthology(g, rev, drop_ratio=0.4, max_ext=0)
+    assert n == 1
+    dsts = {int(v) >> 1 for v in g.v[g.arcs_of(0)]}
+    assert dsts == {1, 2}, dsts        # het twin kept, junk cut
+    # and NO-EVIDENCE branches are never cut (the reference returns -1)
+    g2 = StringGraph(8, np.full(8, 10000, np.int64))
+    g2.set_arcs(np.array(ul, np.uint64), np.array(vv, np.uint32),
+                np.array(ol, np.int64), np.ones(len(ol), np.uint8),
+                np.ones(len(ol), np.uint8), np.ones(len(ol), np.uint8))
+    rev2 = PafStore(8)          # no trans data anywhere -> -1 -> keep
+    assert asg_arc_del_orthology(g2, rev2, drop_ratio=0.4,
+                                 max_ext=0) == 0
