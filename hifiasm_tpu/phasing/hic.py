@@ -35,14 +35,21 @@ def _seq_kmers(codes: np.ndarray, k: int,
         z = np.zeros(0, np.uint64)
         return (np.zeros(0, np.int64), z) if with_pos else z
     mask = np.uint64((1 << (2 * k)) - 1)
-    c = codes.astype(np.uint64)
     valid = codes < 4
-    win = np.lib.stride_tricks.sliding_window_view(np.where(valid, c, 0), k)
-    shifts = np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
-    fwd = (win << shifts[None, :]).sum(axis=1, dtype=np.uint64) & mask
-    rwin = win[:, ::-1]
-    rc = ((np.uint64(3) - rwin) << shifts[None, :]).sum(
-        axis=1, dtype=np.uint64) & mask
+    c = np.where(valid, codes, 0).astype(np.uint64)
+    # rolling accumulation: k O(n) passes with O(n) memory — the
+    # sliding-window product materialized an [n, k] u64 plane (3.7 GB
+    # for one 15 Mb unitig), the wall of UnitigIndex at genome scale
+    m = n - k + 1
+    two = np.uint64(2)
+    fwd = np.zeros(m, np.uint64)
+    for t in range(k):
+        fwd = ((fwd << two) | c[t:t + m]) & mask
+    d = (np.uint64(3) - c)[::-1]
+    rcr = np.zeros(m, np.uint64)
+    for t in range(k):
+        rcr = ((rcr << two) | d[t:t + m]) & mask
+    rc = rcr[::-1]
     canon = np.minimum(fwd, rc)
     ok = sliding_all(valid, k)
     h = yak_hash64_masked(canon[ok], mask)
