@@ -199,6 +199,36 @@ def build_position_table_jax(mz_per_read: Sequence, keep_min: int = 2,
     return table, peak_hom, peak_het
 
 
+def device_table_from_host(pt) -> "DevicePositionTable":
+    """Upload a host-built PositionTable as the HBM-resident table.
+
+    The host build (native sketch + numpy lexsort) runs ~10x faster
+    than the device sort build through this environment (4.3 s vs 40 s
+    at 120 Mb) and the columns are small (~15 B/posting, h2d at
+    ~80 MB/s) — so the production device frontend BUILDS on host and
+    SERVES from HBM.  Same padded CSR layout as build_position_table_jax
+    (byte-identical lookups)."""
+    H, P = len(pt.hashes), len(pt.rid)
+    Hp, Pp = _bucket(max(H, 1)), _bucket(max(P, 1))
+    hi, lo = _split_u64(pt.hashes)
+
+    def _pad(a, n, fill, dt):
+        out = np.full(n, fill, dt)
+        out[:len(a)] = a
+        return jnp.asarray(out)
+
+    return DevicePositionTable(
+        h_hi=_pad(hi, Hp, 0xFFFFFFFF, np.uint32),
+        h_lo=_pad(lo, Hp, 0xFFFFFFFF, np.uint32),
+        start=_pad(pt.start.astype(np.int32), Hp, 0, np.int32),
+        count=_pad(pt.count.astype(np.int32), Hp, 0, np.int32),
+        rid=_pad(pt.rid, Pp, 0, np.uint32),
+        pos=_pad(pt.pos, Pp, 0, np.uint32),
+        rev=_pad(pt.rev, Pp, 0, np.uint8),
+        span=_pad(pt.span, Pp, 0, np.uint16),
+        n_distinct=H, tot_pos=P)
+
+
 def build_position_table_device(read_codes, k: int, w: int, ft=None,
                                 min_hist_cnt: int = 5, keep_min: int = 2,
                                 keep_max: int = YAK_MAX_COUNT - 1):
