@@ -49,8 +49,9 @@ def main():
     print(f"[bench-fe] jax backend: {backend}", file=sys.stderr)
 
     from hifiasm_tpu.ec.window_align import plan_read_windows
+    from hifiasm_tpu.index.pos_table import build_position_table
     from hifiasm_tpu.index.pos_table_jax import (
-        build_position_table_device, collect_anchor_groups_device,
+        collect_anchor_groups_device, device_table_from_host,
     )
     from hifiasm_tpu.ops.chain import ChainParams
     from hifiasm_tpu.overlap.chain_device import (
@@ -60,7 +61,9 @@ def main():
     cp = ChainParams.for_k(k)
 
     def dev_once():
-        tbl, ph, _, mzs = build_position_table_device(reads, k, w)
+        # production device frontend: host-built table uploaded to HBM
+        pt, ph, _, mzs = build_position_table(reads, k, w)
+        tbl = device_table_from_host(pt)
         hom = ph if ph > 0 else 12
         n_win = 0
         for cols, meta in collect_anchor_groups_device(
