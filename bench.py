@@ -169,10 +169,11 @@ def main():
     exe = _build_reference()
 
     # wall-clock on this host swings up to 3x with background load:
-    # interleave 3 runs of each side and compare MEDIANS
+    # interleave 5 runs of each side and compare MEDIANS (3-run medians
+    # still swung 0.88-1.42 across a day)
     import statistics
     ours_walls, ref_walls = [], []
-    for _ in range(3):
+    for _ in range(5):
         ours_walls.append(_run_ours(reads))
         if exe:
             w = _run_reference(exe, fasta)
