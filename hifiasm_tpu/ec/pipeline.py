@@ -143,15 +143,27 @@ def _ec_pass_fused(store: ReadStore, codes, mzs, pt, cfg: HifiasmConfig,
     from concurrent.futures import ThreadPoolExecutor
 
     bs = max(1, cfg.read_batch)
-    with ThreadPoolExecutor(1) as ex:
+
+    def _prep(b0):
+        rids = list(range(b0, min(b0 + bs, store.n_reads)))
+        ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
+        reads = [(rid, an, len(codes[rid]))
+                 for rid, an in zip(rids, ans)]
+        ov_cols = chain_many(reads, store.lens, cp,
+                             max_n_chain=cfg.max_n_chain, flat=True)
+        return rids, ov_cols
+
+    # 3-stage pipeline (~kt_pipeline): prep(i+1) and ec(i) run in worker
+    # threads (both native, GIL-released, OMP-passive) while the caller
+    # consumes batch i-1 on the main thread — anchors+chain were the
+    # critical path when they ran serially between EC submissions
+    with ThreadPoolExecutor(2) as ex:
+        prep_fut = ex.submit(_prep, 0)
         fut = prev = None
         for b0 in range(0, store.n_reads, bs):
-            rids = list(range(b0, min(b0 + bs, store.n_reads)))
-            ans = collect_anchors_many(mzs, pt, rids, store.lens, hom_cov)
-            reads = [(rid, an, len(codes[rid]))
-                     for rid, an in zip(rids, ans)]
-            ov_cols = chain_many(reads, store.lens, cp,
-                                 max_n_chain=cfg.max_n_chain, flat=True)
+            rids, ov_cols = prep_fut.result()
+            if b0 + bs < store.n_reads:
+                prep_fut = ex.submit(_prep, b0 + bs)
             if fut is not None:
                 yield prev[0], prev[1], fut.result()
             fut = ex.submit(ec_batch_native, [codes[r] for r in rids],
