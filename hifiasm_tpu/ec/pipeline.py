@@ -241,7 +241,6 @@ def _chain_all_reads_device(store, mzs, dev_table, cfg, hom_cov):
     overlap/chain_device.py).  Returns (read_ovs, plans): regions are
     field-identical with the host chain_many (hits stay on device),
     and plans are ready-made plan_read_windows dicts per read."""
-    from hifiasm_tpu.ec.window_align import plan_read_windows
     from hifiasm_tpu.index.pos_table_jax import (
         collect_anchor_groups_device,
     )

@@ -64,7 +64,7 @@ def test_mesh_assembly_10mb_two_rounds():
     from tests.synth import make_genome, sample_reads
 
     rng = np.random.default_rng(11)
-    g = make_genome(rng, 2_000_000, repeat_frac=0.08)
+    g = make_genome(rng, 2_100_000, repeat_frac=0.08)
     reads, _, _ = sample_reads(rng, g, depth=5, read_len=15000,
                                err_rate=0.003)
     assert sum(len(r) for r in reads) >= 10_000_000
