@@ -46,29 +46,36 @@ class BubbleChains:
 
 def _bounded_region(adj, v0: int, max_nodes: int):
     """Unitig set reachable from v0 before every walk dead-ends or the
-    bound trips; returns (uids, open_ends) or None when unbounded."""
+    node bound trips; returns (uids, dead_ends, exits) or None when the
+    walk cycles back into the source.  ``exits`` are frontier vertices
+    OUTSIDE the bounded region (the walk continues past the bound into
+    far vertices) — their presence distinguishes a tangle between chain
+    ends (hic.h tangle_bub) from a broken bubble whose walks all
+    dead-end inside the region."""
     seen = {v0}
     frontier = [v0]
     uids = set()
-    ends = []
+    dead = []
+    exits = []
     while frontier:
         nxt = []
         for v in frontier:
             outs = adj.get(v, [])
             if not outs:
-                ends.append(v)
+                dead.append(v)
                 continue
             for w in outs:
                 if (w >> 1) == (v0 >> 1):
                     return None            # cycles back into the source
                 if w not in seen:
                     seen.add(w)
+                    if len(uids) >= max_nodes:
+                        exits.append(w)    # region stays open past the bound
+                        continue
                     uids.add(w >> 1)
-                    if len(uids) > max_nodes:
-                        return None
                     nxt.append(w)          # walk continues from w's arcs
         frontier = nxt
-    return sorted(uids), ends
+    return sorted(uids), dead, sorted(set(exits))
 
 
 def identify_bubbles(ug, max_nodes: int = 24) -> BubbleChains:
@@ -105,17 +112,17 @@ def identify_bubbles(ug, max_nodes: int = 24) -> BubbleChains:
         reg = _bounded_region(adj, v0, max_nodes)
         if reg is None:
             continue
-        uids, ends = reg
+        uids, dead, exits = reg
         if not uids:
             continue
         key = ("b", v0)
         if key in seen_pairs:
             continue
         seen_pairs.add(key)
-        # every walk dead-ends: broken bubble (b_bub/b_end_bub); some
-        # walks exit into exactly one far vertex: tangle between the
-        # two chain ends (tangle_bub)
-        cls = "broken" if len(set(ends)) <= len(uids) + 1 else "tangle"
+        # every walk dead-ends inside the region: broken bubble
+        # (b_bub/b_end_bub); walks continuing into far vertices past the
+        # bound: tangle between chain ends (tangle_bub, hic.h:33-54)
+        cls = "tangle" if exits else "broken"
         bid = len(bc.bubbles)
         bc.bubbles.append(Bubble(v0, -1, uids, cls))
         for u in uids:

@@ -1004,26 +1004,38 @@ def ug_pop_bubble_keep_best(ug, alive: np.ndarray, utg_cov) -> int:
         sink, interior = got
         if any(not alive[u >> 1] for u in interior):
             continue
-        # heaviest path v0 -> sink through the interior (topo DP)
-        best: dict = {v0: (0, None)}
+        # heaviest path v0 -> sink: relax in KAHN topological order —
+        # BFS discovery order misses edges from deeper vertices back to
+        # earlier-discovered ones, so the kept path could be non-heaviest
+        nodes = {v0, sink} | set(interior)
+        preds: dict = {w: [] for w in nodes}
+        indeg = {w: 0 for w in nodes}
+        for v in sorted(nodes):
+            if v == sink:
+                continue
+            for w in adj.get(v, []):
+                if w in nodes and w != v0:
+                    indeg[w] += 1
+                    preds[w].append(v)
         order = [v0]
-        seen = {v0}
-        frontier = [v0]
-        while frontier:
-            nxt = []
-            for v in frontier:
-                for w in adj.get(v, []):
-                    if (w in interior or w == sink) and w not in seen:
-                        seen.add(w)
+        qpos = 0
+        while qpos < len(order):
+            v = order[qpos]
+            qpos += 1
+            if v == sink:
+                continue
+            for w in adj.get(v, []):
+                if w in nodes and w != v0:
+                    indeg[w] -= 1
+                    if indeg[w] == 0:
                         order.append(w)
-                        nxt.append(w)
-            frontier = nxt
+        best: dict = {v0: (0, None)}
         for v in order:
             if v == v0:
                 continue
             cands = []
-            for p in order:
-                if v in adj.get(p, []) and p in best:
+            for p in sorted(set(preds[v])):
+                if p in best:
                     wgt = best[p][0] + int(lens[v >> 1]) * \
                         (1 + int(cov[v >> 1]))
                     cands.append((wgt, p))

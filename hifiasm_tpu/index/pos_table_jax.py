@@ -333,12 +333,16 @@ def collect_anchors_device(mzs, table: DevicePositionTable, rids,
         rid_base = int(min(sub))
         assert int(max(sub)) - rid_base < (1 << 20) - 1, \
             "chunk read-id span exceeds the 20-bit sort pack"
+        # tid comes from the GLOBAL table: the packed 20-bit tid lane
+        # only holds < 2^20 target reads; fall back to the 4-key sort
+        # beyond that (same order, byte-identical outputs)
+        wide = len(tlens) >= (1 << 20)
         flds = _expand_fill(slot, cnt, cum, jnp.asarray(q_read),
                             jnp.asarray(q_pos), jnp.asarray(q_rev),
                             jnp.asarray(q_span), table.start, table.rid,
                             table.pos, table.rev, table.span, lens_d,
                             wlut, jnp.int32(total),
-                            jnp.uint32(rid_base), Sp)
+                            jnp.uint32(rid_base), Sp, wide=wide)
         (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = \
             fetch_all(flds)
         nk = int(n_keep)
@@ -359,10 +363,10 @@ def collect_anchors_device(mzs, table: DevicePositionTable, rids,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("Sp",))
+@functools.partial(jax.jit, static_argnames=("Sp", "wide"))
 def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
                  t_start, t_rid, t_pos, t_rev, t_span, lens, wlut,
-                 total, rid_base, Sp: int):
+                 total, rid_base, Sp: int, wide: bool = False):
     s = jnp.arange(Sp, dtype=jnp.int32)
     # owner minimizer of each slot WITHOUT searchsorted: scatter each
     # non-empty minimizer's (index, posting_start - cum) pair at its cum
@@ -404,17 +408,34 @@ def _expand_fill(slot, cnt, cum, q_read, q_pos, q_rev, q_span,
     tidu = tid.astype(jnp.uint32)
     qposu = q_pos[m].astype(jnp.uint32)
     qr_s = jnp.where(keep, qru, jnp.uint32((1 << 20) - 1))
-    k0 = (qr_s << 12) | (tidu >> 8)
-    k1 = ((tidu & 0xFF) << 24) | (rev.astype(jnp.uint32) << 23) | qposu
-    k2 = t_off.astype(jnp.uint32)
     p0 = (q_span[m].astype(jnp.uint32) << 24) | w.astype(jnp.uint32)
-    k0, k1, k2, p0 = lax.sort((k0, k1, k2, p0), num_keys=3,
-                              is_stable=True)
-    o_read = ((k0 >> 12) + rid_base).astype(qr.dtype)
-    o_tid = (((k0 & 0xFFF) << 8) | (k1 >> 24)).astype(tid.dtype)
-    o_rev = ((k1 >> 23) & 1).astype(jnp.uint8)
-    o_qpos = (k1 & 0x7FFFFF).astype(jnp.int32)
-    o_toff = k2.astype(jnp.int32)
+    if wide:
+        # >= 2^20 target reads: tid no longer fits the 20-bit packed
+        # lane — give it a full key word (4 keys + payload).  Same sort
+        # order (qread, tid, rev, qpos, t_off), stable, so outputs stay
+        # byte-identical with the packed path.
+        k0 = qr_s
+        k1 = tidu
+        k2 = (rev.astype(jnp.uint32) << 23) | qposu
+        k3 = t_off.astype(jnp.uint32)
+        k0, k1, k2, k3, p0 = lax.sort((k0, k1, k2, k3, p0), num_keys=4,
+                                      is_stable=True)
+        o_read = (k0 + rid_base).astype(qr.dtype)
+        o_tid = k1.astype(tid.dtype)
+        o_rev = ((k2 >> 23) & 1).astype(jnp.uint8)
+        o_qpos = (k2 & 0x7FFFFF).astype(jnp.int32)
+        o_toff = k3.astype(jnp.int32)
+    else:
+        k0 = (qr_s << 12) | (tidu >> 8)
+        k1 = ((tidu & 0xFF) << 24) | (rev.astype(jnp.uint32) << 23) | qposu
+        k2 = t_off.astype(jnp.uint32)
+        k0, k1, k2, p0 = lax.sort((k0, k1, k2, p0), num_keys=3,
+                                  is_stable=True)
+        o_read = ((k0 >> 12) + rid_base).astype(qr.dtype)
+        o_tid = (((k0 & 0xFFF) << 8) | (k1 >> 24)).astype(tid.dtype)
+        o_rev = ((k1 >> 23) & 1).astype(jnp.uint8)
+        o_qpos = (k1 & 0x7FFFFF).astype(jnp.int32)
+        o_toff = k2.astype(jnp.int32)
     o_span = ((p0 >> 24) & 0xFF).astype(jnp.int32)
     o_w = (p0 & 0xFFFFFF).astype(jnp.int32)
     n_keep = jnp.sum(keep.astype(jnp.int32))
@@ -517,12 +538,13 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
         rid_base = int(min(sub))
         assert int(max(sub)) - rid_base < (1 << 20) - 1, \
             "chunk read-id span exceeds the 20-bit sort pack"
+        wide = len(tlens) >= (1 << 20)    # global tid > 20-bit lane
         flds = _expand_fill(slot, cnt, cum, jnp.asarray(q_read),
                             jnp.asarray(q_pos), jnp.asarray(q_rev),
                             jnp.asarray(q_span), table.start, table.rid,
                             table.pos, table.rev, table.span, lens_d,
                             wlut, jnp.int32(total),
-                            jnp.uint32(rid_base), Sp)
+                            jnp.uint32(rid_base), Sp, wide=wide)
         (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = flds
         # groups run ~100-200 anchors each at HiFi coverage; Sp//32 still
         # leaves ~5x headroom and the overflow path refetches exactly

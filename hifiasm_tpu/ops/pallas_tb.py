@@ -339,6 +339,10 @@ def pallas_tb_core(x, xlen, y, ylen, e: int, bb_lanes: int = 1024,
     B, XL = x.shape
     YL = y.shape[1]
     assert B % bb_lanes == 0, (B, bb_lanes)
+    # the two-uint32 band planes and the 64-row y bit-plane shift window
+    # hold W = 2e+1 <= 63 band columns; a larger e would silently produce
+    # garbage masks/traceback (same uint64 Myers-lane bound as ul.py)
+    assert 0 <= e <= 31, f"band half-width e={e} exceeds the 64-bit lanes"
     S = bb_lanes // LANES
     XLR = -(-XL // RC) * RC
     YW = XLR + 64

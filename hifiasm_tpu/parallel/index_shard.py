@@ -130,17 +130,29 @@ def make_sharded_cnt(mesh: Mesh, idx: ShardedIndex, cap: int):
         back = lax.all_to_all(ans.reshape(S, cap), "data", 0, 0).reshape(-1)
         out = jnp.zeros(Qd, jnp.int32)
         got = jnp.where(ok, back[jnp.minimum(slot, S * cap - 1)], 0)
-        return out.at[order].set(got)
+        # a skewed bucket can exceed the fixed lane capacity; count the
+        # dropped queries so callers fail loudly instead of returning
+        # silently-wrong counts (ADVICE r3)
+        ovf = lax.psum(jnp.sum((~ok).astype(jnp.int32)), "data")
+        return out.at[order].set(got), ovf
 
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P("data", None), P("data", None), P("data", None),
                   P("data"), P("data")),
-        out_specs=P("data"))
+        out_specs=(P("data"), P()))
 
     @jax.jit
-    def query(q_hi, q_lo):
+    def _query(q_hi, q_lo):
         return fn(hh_d, hl_d, cn_d, q_hi, q_lo)
+
+    def query(q_hi, q_lo):
+        out, ovf = _query(q_hi, q_lo)
+        if int(ovf) > 0:
+            raise RuntimeError(
+                f"sharded-cnt lane overflow: {int(ovf)} queries past "
+                f"cap={cap}; rebuild the query fn with a larger cap")
+        return out
 
     return query
 
@@ -261,18 +273,27 @@ def make_sharded_postings(mesh: Mesh, sp: ShardedPostings, cap: int,
             jnp.where(ok[:, None], back_rid[slotc], 0))
         out_pos = jnp.zeros((Qd, K), jnp.uint32).at[order].set(
             jnp.where(ok[:, None], back_pos[slotc], 0))
-        return out_n, out_rid, out_pos
+        ovf = lax.psum(jnp.sum((~ok).astype(jnp.int32)), "data")
+        return out_n, out_rid, out_pos, ovf
 
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P("data", None), P("data", None), P("data", None),
                   P("data", None), P("data", None), P("data", None),
                   P("data"), P("data")),
-        out_specs=(P("data"), P("data", None), P("data", None)))
+        out_specs=(P("data"), P("data", None), P("data", None), P()))
 
     @jax.jit
-    def query(q_hi, q_lo):
+    def _query(q_hi, q_lo):
         return fn(hh_d, hl_d, cn_d, st_d, pr_d, pp_d, q_hi, q_lo)
+
+    def query(q_hi, q_lo):
+        n, rid_o, pos_o, ovf = _query(q_hi, q_lo)
+        if int(ovf) > 0:
+            raise RuntimeError(
+                f"sharded-postings lane overflow: {int(ovf)} queries "
+                f"past cap={cap}; rebuild with a larger cap")
+        return n, rid_o, pos_o
 
     return query
 
@@ -333,18 +354,27 @@ def _make_postings_query(mesh: Mesh, hh_d, hl_d, cn_d, st_d, pr_d, pp_d,
             jnp.where(ok[:, None], back_rid[slotc], 0))
         out_pos = jnp.zeros((Qd, K), jnp.uint32).at[order].set(
             jnp.where(ok[:, None], back_pos[slotc], 0))
-        return out_n, out_rid, out_pos
+        ovf = lax.psum(jnp.sum((~ok).astype(jnp.int32)), "data")
+        return out_n, out_rid, out_pos, ovf
 
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P("data", None), P("data", None), P("data", None),
                   P("data", None), P("data", None), P("data", None),
                   P("data"), P("data")),
-        out_specs=(P("data"), P("data", None), P("data", None)))
+        out_specs=(P("data"), P("data", None), P("data", None), P()))
 
     @jax.jit
-    def query(q_hi, q_lo):
+    def _query(q_hi, q_lo):
         return fn(hh_d, hl_d, cn_d, st_d, pr_d, pp_d, q_hi, q_lo)
+
+    def query(q_hi, q_lo):
+        n, rid_o, pos_o, ovf = _query(q_hi, q_lo)
+        if int(ovf) > 0:
+            raise RuntimeError(
+                f"sharded-postings lane overflow: {int(ovf)} queries "
+                f"past cap={cap}; rebuild with a larger cap")
+        return n, rid_o, pos_o
 
     return query
 
@@ -489,16 +519,34 @@ def build_sharded_postings_mesh(mesh: Mesh, mz_per_read,
             (s_rid << 1) | (s_rev & 1), mode="drop")
         pp = jnp.zeros(M, jnp.uint32).at[pslot].set(
             (s_span << 24) | s_pos, mode="drop")
+        # valid postings dropped by the fixed-capacity lanes (skewed
+        # bucket): counted across shards so the host can retry with a
+        # larger cap instead of building a silently-wrong table
+        ovf = lax.psum(jnp.sum(((d_srt < S) & ~ok).astype(jnp.int32)),
+                       "data")
         one = lambda a: a[None]
         return (one(hh), one(hl), one(cn), one(st), one(pr), one(pp),
-                one(h_len.astype(jnp.int32)), hist)
+                one(h_len.astype(jnp.int32)), hist, ovf)
 
-    fn = shard_map(
-        body, mesh=mesh,
-        in_specs=(P("data", None),) * 7,
-        out_specs=((P("data", None),) * 6 + (P("data"), P())))
-    hh, hl, cn, st, pr, pp, h_len, hist = jax.jit(fn)(
-        hi_p, lo_p, rid_p, pos_p, rev_p, span_p, vld_p)
+    def _attempt():
+        # body reads ``cap`` at trace time, so a fresh shard_map+jit per
+        # attempt picks up the doubled capacity
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(P("data", None),) * 7,
+            out_specs=((P("data", None),) * 6 + (P("data"), P(), P())))
+        return jax.jit(fn)(hi_p, lo_p, rid_p, pos_p, rev_p, span_p,
+                           vld_p)
+
+    for _ in range(4):
+        hh, hl, cn, st, pr, pp, h_len, hist, ovf = _attempt()
+        if int(ovf) == 0:
+            break
+        cap *= 2
+    else:
+        raise RuntimeError(
+            f"sharded table build: {int(ovf)} postings still overflow "
+            f"the routing lanes at cap={cap}")
 
     def query_factory(k_post: int, q_cap: Optional[int] = None):
         M = int(hh.shape[1])

@@ -96,6 +96,37 @@ def test_device_anchors_high_occ_weights():
     assert saw_high, "test should exercise the high-occ weight branch"
 
 
+def test_device_anchors_wide_sort_path():
+    """>= 2^20 target reads must route through the 4-key wide sort (the
+    packed 20-bit tid lane would silently corrupt global tids, ADVICE
+    r3); outputs stay byte-identical with the host anchors."""
+    rng = np.random.default_rng(5)
+    reads = _reads_with_overlaps(rng, glen=5000, rlen=700, depth=4)
+    k, w = 17, 11
+    host_pt, _, _, mzs = build_position_table(reads, k, w)
+    dev_tbl, _, _ = build_position_table_jax(mzs)
+    lens = np.array([len(r) for r in reads], np.int64)
+    rids = list(range(len(reads)))
+    host_an = collect_anchors_many(mzs, host_pt, rids, lens, 5)
+    # pad the length table past 2^20 reads: real tids are unaffected,
+    # but the device path must switch to the wide sort
+    lens_wide = np.concatenate(
+        [lens, np.zeros((1 << 20) - len(lens) + 7, np.int64)])
+    dev_an = collect_anchors_device(mzs, dev_tbl, rids, lens_wide, 5,
+                                    chunk_mz=700)
+    for i in rids:
+        h, d = host_an[i], dev_an[i]
+        assert len(h) == len(d), f"read {i}: {len(h)} vs {len(d)}"
+        np.testing.assert_array_equal(d.tid, h.tid, err_msg=f"read {i}")
+        np.testing.assert_array_equal(d.rev, h.rev, err_msg=f"read {i}")
+        np.testing.assert_array_equal(d.self_off, h.self_off,
+                                      err_msg=f"read {i}")
+        np.testing.assert_array_equal(d.t_off, h.t_off,
+                                      err_msg=f"read {i}")
+        np.testing.assert_array_equal(d.weight, h.weight,
+                                      err_msg=f"read {i}")
+
+
 def test_device_table_empty_and_tiny():
     from hifiasm_tpu.ops.sketch import Minimizers
     z = lambda t: np.zeros(0, t)
