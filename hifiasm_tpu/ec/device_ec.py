@@ -233,40 +233,57 @@ def _sub_chunks(XL: int, arrs, strips):
     return A, out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
-def _raw_counts_scan(XL: int, L: int, acc, qlen, tb, q_rid, q_row, q_ws,
-                     xlen, w_ok):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3,))
+def _raw_counts_scan(XL: int, L: int, Rb: int, acc, qlen, row0s, tb,
+                     q_rid, q_row, q_ws, xlen, w_ok):
     """acc [5, Rp, L] f32 += per-allele counts of this buffer's windows.
 
     q_rid indexes the whole-store bank (qlen); q_row is the BATCH-LOCAL
     plane row — planes are sized to the read batch, so HBM stays
-    bounded at any input size."""
+    bounded at any input size.
+
+    ROW-BLOCKED: windows are read-sorted, so each A-sub-chunk touches
+    only a narrow band of plane rows.  ``row0s`` [C2] carries each
+    sub-chunk's first row (host-computed, exact) and Rb the static
+    block height; the one-hot selector shrinks [Rp, A] -> [Rb, A] and
+    the update applies via a dynamic row slice — Rp/Rb fewer MXU FLOPs
+    (the r4 plan vs worker_hap_ec's per-read fan-out, ecovlp.cpp:6078).
+    Rb >= Rp keeps the full-plane matmul (mesh path)."""
     Rp = acc.shape[1]
     A, (q_rid2, q_row2, q_ws2, xlen2, ok2, tb2) = _sub_chunks(
         XL, (q_rid, q_row, q_ws, xlen, w_ok), (tb,))
 
     def body(acc, xs):
-        tb_c, qr, qs, qw, xl_c, okm = xs
+        r0, tb_c, qr, qs, qw, xl_c, okm = xs
         plane = _abs_plane(XL, L, tb_c, qw, xl_c, okm, qlen[qr],
                            jnp.uint8(5))
-        selT = _row_sel(qs, Rp)
-        for c in range(5):
-            acc = acc.at[c].add(_mm(selT, plane == c))
+        if Rb >= Rp:
+            selT = _row_sel(qs, Rp)
+            for c in range(5):
+                acc = acc.at[c].add(_mm(selT, plane == c))
+        else:
+            selT = _row_sel(qs - r0, Rb)      # pads: negative, no match
+            upd = jnp.stack([_mm(selT, plane == c) for c in range(5)])
+            cur = lax.dynamic_slice(acc, (0, r0, 0), (5, Rb, L))
+            acc = lax.dynamic_update_slice(acc, cur + upd, (0, r0, 0))
         return acc, None
 
     acc, _ = lax.scan(body, acc,
-                      (tb2, q_rid2, q_row2, q_ws2, xlen2, ok2))
+                      (row0s, tb2, q_rid2, q_row2, q_ws2, xlen2, ok2))
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
-def _het_agree_scan(XL: int, L: int, n_same, n_flip, bankb, alt_plane,
-                    het_plane, qlen, tb, q_rid, q_row, q_ws, xlen, w_ok,
-                    ov_id):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(3, 4))
+def _het_agree_scan(XL: int, L: int, Rb: int, n_same, n_flip, bankb,
+                    alt_plane, het_plane, qlen, row0s, tb, q_rid, q_row,
+                    q_ws, xlen, w_ok, ov_id):
     """Per-overlap cis/trans agreement counts.  The per-window partial
     sums are dense row reductions (the query/alt/het rows come from
     one-hot matmuls against the batch planes); only the tiny [A]
-    per-window partials scatter into the overlap accumulators."""
+    per-window partials scatter into the overlap accumulators.
+    Row-blocked like _raw_counts_scan: the bank/alt/het operands slice
+    to the sub-chunk's [Rb, L] row band."""
     Rp = bankb.shape[0]
     A, (q_rid2, q_row2, q_ws2, xlen2, ok2, ov2, tb2) = _sub_chunks(
         XL, (q_rid, q_row, q_ws, xlen, w_ok, ov_id), (tb,))
@@ -276,15 +293,22 @@ def _het_agree_scan(XL: int, L: int, n_same, n_flip, bankb, alt_plane,
 
     def body(carry, xs):
         n_same, n_flip = carry
-        tb_c, qr, qs, qw, xl_c, okm, ov_c = xs
+        r0, tb_c, qr, qs, qw, xl_c, okm, ov_c = xs
         plane = _abs_plane(XL, L, tb_c, qw, xl_c, okm, qlen[qr],
                            jnp.uint8(5)).astype(jnp.int32)
-        sel = _row_sel(qs, Rp).T                      # [A, Rp] int8
-        qa = jax.lax.dot(sel, bb8,
+        if Rb >= Rp:
+            sel = _row_sel(qs, Rp).T                  # [A, Rp] int8
+            bbs, abs_, hbs = bb8, ab8, hb8
+        else:
+            sel = _row_sel(qs - r0, Rb).T             # [A, Rb] int8
+            bbs = lax.dynamic_slice(bb8, (r0, 0), (Rb, bb8.shape[1]))
+            abs_ = lax.dynamic_slice(ab8, (r0, 0), (Rb, ab8.shape[1]))
+            hbs = lax.dynamic_slice(hb8, (r0, 0), (Rb, hb8.shape[1]))
+        qa = jax.lax.dot(sel, bbs,
                          preferred_element_type=jnp.int32)
-        alt = jax.lax.dot(sel, ab8,
+        alt = jax.lax.dot(sel, abs_,
                           preferred_element_type=jnp.int32)
-        het = jax.lax.dot(sel, hb8,
+        het = jax.lax.dot(sel, hbs,
                           preferred_element_type=jnp.int32)
         validp = (plane <= 3) & (het > 0)
         same_p = jnp.sum(validp & (plane == qa), axis=1,
@@ -298,7 +322,7 @@ def _het_agree_scan(XL: int, L: int, n_same, n_flip, bankb, alt_plane,
 
     (n_same, n_flip), _ = lax.scan(
         body, (n_same, n_flip),
-        (tb2, q_rid2, q_row2, q_ws2, xlen2, ok2, ov2))
+        (row0s, tb2, q_rid2, q_row2, q_ws2, xlen2, ok2, ov2))
     return n_same, n_flip
 
 
@@ -321,20 +345,23 @@ def _cis_mask_dev(okm, ov, is_match):
     return okm & (is_match[ov] == 1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1),
-                   donate_argnums=(2, 3, 4, 5))
-def _cis_votes_scan(XL: int, L: int, votes, ins_tot, ins_base_cnt,
-                    ins_len_cnt, qlen, tb, ic, ib, q_rid, q_row, q_ws,
-                    xlen, w_cis):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2),
+                   donate_argnums=(3, 4, 5, 6))
+def _cis_votes_scan(XL: int, L: int, Rb: int, votes, ins_tot,
+                    ins_base_cnt, ins_len_cnt, qlen, row0s, tb, ic, ib,
+                    q_rid, q_row, q_ws, xlen, w_cis):
     """votes [5, Rp, L], ins_tot [Rp, L], ins_base_cnt [4, Rp, L],
-    ins_len_cnt [9, Rp, L] — all f32 matmul accumulators."""
+    ins_len_cnt [9, Rp, L] — all int32 matmul accumulators.
+    Row-blocked like _raw_counts_scan (Rb < Rp: [Rb, A] selectors +
+    dynamic row-band updates — this stage carries 18 matmuls, the
+    largest share of the EC vote FLOPs)."""
     Rp = votes.shape[1]
     A, (q_rid2, q_row2, q_ws2, xlen2, cis2, tb2, ic2, ib2) = _sub_chunks(
         XL, (q_rid, q_row, q_ws, xlen, w_cis), (tb, ic, ib))
 
     def body(carry, xs):
         votes, ins_tot, ins_bc, ins_lc = carry
-        tb_c, ic_c, ib_c, qr, qs, qw, xl_c, cis = xs
+        r0, tb_c, ic_c, ib_c, qr, qs, qw, xl_c, cis = xs
         qrow_len = qlen[qr]
         planeT = _abs_plane(XL, L, tb_c, qw, xl_c, cis, qrow_len,
                             jnp.uint8(5))
@@ -342,21 +369,44 @@ def _cis_votes_scan(XL: int, L: int, votes, ins_tot, ins_base_cnt,
                             jnp.uint8(0))
         planeB = _abs_plane(XL, L, ib_c, qw, xl_c, cis, qrow_len,
                             jnp.uint8(0))
-        selT = _row_sel(qs, Rp)
-        for c in range(5):
-            votes = votes.at[c].add(_mm(selT, planeT == c))
         has = planeC > 0
-        ins_tot = ins_tot + _mm(selT, has)
-        for c in range(4):
-            ins_bc = ins_bc.at[c].add(_mm(selT, has & (planeB == c)))
         capped = jnp.minimum(planeC, 8)
-        for c in range(1, 9):
-            ins_lc = ins_lc.at[c].add(_mm(selT, has & (capped == c)))
+        if Rb >= Rp:
+            selT = _row_sel(qs, Rp)
+            for c in range(5):
+                votes = votes.at[c].add(_mm(selT, planeT == c))
+            ins_tot = ins_tot + _mm(selT, has)
+            for c in range(4):
+                ins_bc = ins_bc.at[c].add(_mm(selT, has & (planeB == c)))
+            for c in range(1, 9):
+                ins_lc = ins_lc.at[c].add(_mm(selT, has & (capped == c)))
+        else:
+            selT = _row_sel(qs - r0, Rb)
+
+            def _upd3(acc, upd):
+                K = acc.shape[0]
+                cur = lax.dynamic_slice(
+                    acc, (0, r0, 0), (K, Rb, acc.shape[2]))
+                return lax.dynamic_update_slice(acc, cur + upd,
+                                                (0, r0, 0))
+
+            votes = _upd3(votes, jnp.stack(
+                [_mm(selT, planeT == c) for c in range(5)]))
+            cur_it = lax.dynamic_slice(ins_tot, (r0, 0),
+                                       (Rb, ins_tot.shape[1]))
+            ins_tot = lax.dynamic_update_slice(
+                ins_tot, cur_it + _mm(selT, has), (r0, 0))
+            ins_bc = _upd3(ins_bc, jnp.stack(
+                [_mm(selT, has & (planeB == c)) for c in range(4)]))
+            ins_lc = _upd3(ins_lc, jnp.concatenate([
+                jnp.zeros((1, Rb, L), jnp.int32),
+                jnp.stack([_mm(selT, has & (capped == c))
+                           for c in range(1, 9)])]))
         return (votes, ins_tot, ins_bc, ins_lc), None
 
     carry, _ = lax.scan(
         body, (votes, ins_tot, ins_base_cnt, ins_len_cnt),
-        (tb2, ic2, ib2, q_rid2, q_row2, q_ws2, xlen2, cis2))
+        (row0s, tb2, ic2, ib2, q_rid2, q_row2, q_ws2, xlen2, cis2))
     return carry
 
 
@@ -524,19 +574,29 @@ class DeviceEC:
         self.chunk = chunk
         self.bank = build_bank(store)
         self._shard_b = self._shard_b2 = self._repl = None
+        self._shard_r2 = self._shard_r3 = None
+        self.n_dev = 1
         if mesh is not None:
             # multi-chip: the read bank replicates onto every chip; each
             # window chunk shards on the batch axis, so the banded scans
-            # (the FLOP-heavy stage) run data-parallel over the mesh and
-            # the vote scatters psum into mesh-replicated accumulators —
-            # the SPMD form of the per-read kt_for (ecovlp.cpp:6078)
+            # (the FLOP-heavy stage) run data-parallel over the mesh.
+            # The big int32 count/vote accumulators are SHARDED over the
+            # read-row (Rp) axis — XLA then reduce-scatters the matmul
+            # partials into per-device row blocks instead of all-reducing
+            # 320 MB replicated planes (the r3 CPU-mesh abort + 8x memory
+            # blow-up).  The SPMD form of the per-read kt_for
+            # (ecovlp.cpp:6078) with the 4096-bucket decomposition of
+            # htab.cpp:118 reborn as row blocks.
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             n_dev = len(mesh.devices)
+            self.n_dev = n_dev
             self.chunk = max(chunk // n_dev, 1) * n_dev
             self._shard_b = NamedSharding(mesh, P("data"))
             self._shard_b2 = NamedSharding(mesh, P(None, "data"))
             self._repl = NamedSharding(mesh, P())
+            self._shard_r2 = NamedSharding(mesh, P("data", None))
+            self._shard_r3 = NamedSharding(mesh, P(None, "data", None))
             self.bank = DeviceBank(
                 jax.device_put(self.bank.blocks, self._repl),
                 jax.device_put(self.bank.fwd, self._repl),
@@ -574,6 +634,37 @@ class DeviceEC:
             out.append(self._put_b2(b.reshape(C, self.chunk)))
         return out
 
+    def _row_plan(self, q_row: np.ndarray, nb: int, Cb: int, Rp: int):
+        """Host row-block plan for one segment's scan: per-sub-chunk
+        first plane row [C2] + the static pow2 block height covering the
+        widest sub-chunk's row span.  Windows are read-sorted, so spans
+        run ~40-60 rows per 8192-window sub-chunk — Rb of 64-128 vs
+        Rp=1024 cuts the vote-matmul FLOPs ~8-16x.  Mesh mode keeps the
+        full plane (the accumulators are Rp-sharded; a dynamic row slice
+        would fight the shard layout)."""
+        total = Cb * self.chunk
+        A = _agg_a(total)
+        C2 = total // A
+        row0 = np.zeros(C2, np.int32)
+        Rb = Rp
+        if self._shard_b is None and nb > 0:
+            span = 1
+            for i in range(C2):
+                s = i * A
+                e = min(s + A, nb)
+                if e <= s:
+                    break
+                r0 = int(q_row[s])
+                row0[i] = r0
+                span = max(span, int(q_row[e - 1]) - r0 + 1)
+            Rb = 64
+            while Rb < span:
+                Rb *= 2
+            Rb = min(Rb, Rp)
+            if Rb < Rp:
+                np.minimum(row0, Rp - Rb, out=row0)
+        return jnp.asarray(row0), Rb
+
     def _zeros(self, n: int):
         """int32 accumulator (mesh-replicated when sharded)."""
         import jax
@@ -583,13 +674,16 @@ class DeviceEC:
         return z
 
     def _fzeros(self, shape):
-        """int32 matmul-accumulator plane (mesh-replicated when
-        sharded).  s8 x s8 -> s32 MXU matmuls run ~2x the bf16 rate and
+        """int32 matmul-accumulator plane, SHARDED over the read-row
+        axis on a mesh (each device owns an Rp/n block; the scan-body
+        matmul partials reduce-scatter into it — no replicated 320 MB
+        psums).  s8 x s8 -> s32 MXU matmuls run ~2x the bf16 rate and
         the counts are exact at any magnitude (f32 capped at 2^24)."""
         import jax
         z = jnp.zeros(shape, jnp.int32)
-        if self._repl is not None:
-            return jax.device_put(z, self._repl)
+        if self._shard_r2 is not None:
+            sh = self._shard_r3 if len(shape) == 3 else self._shard_r2
+            return jax.device_put(z, sh)
         return z
 
     def process(self, read_ovs: List[Tuple[int, OverlapRegions]],
@@ -785,15 +879,22 @@ class DeviceEC:
         Rp = 256
         while Rp < R:
             Rp *= 2
+        if self.n_dev > 1:               # Rp-sharded accumulators need
+            Rp = -(-Rp // self.n_dev) * self.n_dev   # even row blocks
         n_ov_pad = max(Rp * 32, 4096)      # ~overlaps/read ceiling; tied
         while n_ov_pad < n_ov_tot:         # to Rp so batch tails share
             n_ov_pad *= 2                  # compiled shapes
 
         # ---- L2: raw allele counts ----
+        # host row-block plans per segment (shared by L2/L3/L4)
+        seg_rows = [self._row_plan(j_qrow_s[sl], nb, Cb, Rp)
+                    for tb, ic, ib, Cb, sl, nb, qa in segs]
         cnt = self._fzeros((5, Rp, L))
-        for tb, ic, ib, Cb, sl, nb, qa in segs:
+        for (tb, ic, ib, Cb, sl, nb, qa), (row0s, Rb) in zip(segs,
+                                                             seg_rows):
             okp, = self._stack_put((w_use[sl],), nb, Cb)
-            cnt = _raw_counts_scan(self.wl, L, cnt, qlen_d, tb, *qa, okp)
+            cnt = _raw_counts_scan(self.wl, L, Rb, cnt, qlen_d, row0s,
+                                   tb, *qa, okp)
         _mark("L2 raw counts")
 
         # het detection ON DEVICE (ec/phase.het_from_counts, integer
@@ -811,6 +912,16 @@ class DeviceEC:
             qlen_rows = jax.device_put(qlen_rows, self._repl)
         het_d, alt_d, het_pk, alt_pk, het_cnt = _het_planes(
             L, cnt, bank_rows, qlen_rows)
+        if self._repl is not None:
+            # the u8 het/alt planes come out Rp-sharded (they inherit
+            # cnt's sharding); REPLICATE them for the L3 agreement
+            # matmuls — they contract over Rp, and a sharded contraction
+            # would force 512 MB [A, L] partial all-reduces.  ~17 MB
+            # each: a cheap all-gather.
+            import jax
+            het_d = jax.device_put(het_d, self._repl)
+            alt_d = jax.device_put(alt_d, self._repl)
+            het_cnt = jax.device_put(het_cnt, self._repl)
         _mark("het planes dispatched")
 
         # ---- L3: per-overlap het agreement -> cis/trans ----
@@ -821,12 +932,13 @@ class DeviceEC:
         # window slot); if batch segment counts ever grow, free them
         # after L4 (ADVICE r2)
         seg_masks = []
-        for tb, ic, ib, Cb, sl, nb, qa in segs:
+        for (tb, ic, ib, Cb, sl, nb, qa), (row0s, Rb) in zip(segs,
+                                                             seg_rows):
             okp, ovp = self._stack_put((w_use[sl], j_ovid_s[sl]), nb, Cb)
             seg_masks.append((okp, ovp))
             n_same, n_flip = _het_agree_scan(
-                self.wl, L, n_same, n_flip, bank_rows, alt_d, het_d,
-                qlen_d, tb, *qa, okp, ovp)
+                self.wl, L, Rb, n_same, n_flip, bank_rows, alt_d, het_d,
+                qlen_d, row0s, tb, *qa, okp, ovp)
         # classification runs ON DEVICE (ec/phase.classify_overlaps
         # integer form), so L3 -> L4 needs NO host round-trip: the het
         # planes, agreement counters and is_match vector never leave HBM
@@ -853,12 +965,12 @@ class DeviceEC:
         ins_tot = self._fzeros((Rp, L))
         ins_bc = self._fzeros((4, Rp, L))
         ins_lc = self._fzeros((9, Rp, L))
-        for (tb, ic, ib, Cb, sl, nb, qa), (okp, ovp) in zip(segs,
-                                                            seg_masks):
+        for (tb, ic, ib, Cb, sl, nb, qa), (okp, ovp), (row0s, Rb) in zip(
+                segs, seg_masks, seg_rows):
             cisp = _cis_mask_dev(okp, ovp, is_match_d)
             votes, ins_tot, ins_bc, ins_lc = _cis_votes_scan(
-                self.wl, L, votes, ins_tot, ins_bc, ins_lc, qlen_d,
-                tb, ic, ib, *qa, cisp)
+                self.wl, L, Rb, votes, ins_tot, ins_bc, ins_lc, qlen_d,
+                row0s, tb, ic, ib, *qa, cisp)
         # ---- L5: consensus decisions + ambiguity mask ON DEVICE ----
         # (consensus_decide / _ambiguous_mask integer forms); only packed
         # decision planes transfer (~L bytes/row vs 8L for raw votes)
