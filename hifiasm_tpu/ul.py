@@ -368,6 +368,82 @@ def graph_chain_paths(ov, ug: UnitigGraph, utg_seqs, utg_lens, ul,
     return blocks
 
 
+def _path_coverage(blocks, rlen: int) -> float:
+    """Fraction of the read covered by the union of block q-intervals."""
+    if not blocks or rlen <= 0:
+        return 0.0
+    iv = sorted((qs, qe) for _, _, qs, qe in blocks if qe > qs)
+    cov, cur_s, cur_e = 0, -1, -1
+    for s, e in iv:
+        if s > cur_e:
+            cov += max(cur_e - cur_s, 0)
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    cov += max(cur_e - cur_s, 0)
+    return cov / rlen
+
+
+def graph_chain_refine(ul: np.ndarray, ov, ok_idx, rej_idx, low_idx,
+                       ug: UnitigGraph, utg_seqs, utg_lens,
+                       min_chain_score: int = 8, rounds: int = 3,
+                       cov_bar: float = 0.7
+                       ) -> List[Tuple[int, int, int, int]]:
+    """Multi-round graph-chain refinement (~``gl_chain_refine_advance``
+    / ``gl_chain_refine``, inter.cpp:4334, :5123): the reference runs
+    the graph DP three times, each round widening the candidate set for
+    read regions the current path leaves uncovered.
+
+    Round 1 chains the strictly-verified candidates.  When path
+    coverage stays under ``cov_bar`` (the ``ff_chain`` acceptance bar,
+    inter.cpp:5123's 0.7 primary-coverage cut), round 2 RESCUES chains
+    that failed the strict base-level screen, re-verifying them at a
+    relaxed pass fraction (repeat-divergent copies fail 0.6 but clear
+    0.35), and re-runs the whole DP so transitions through the rescued
+    chains compete fairly.  Round 3 additionally admits low-score
+    chains (>= half the score floor) under the same relaxed screen —
+    the tangle-crossing fragments the quota-capped chainer down-ranks.
+    """
+    from hifiasm_tpu.io.readstore import revcomp_codes
+
+    def _chains(idx):
+        return ov.take(np.asarray(sorted(idx), np.int64))
+
+    def _rescue(cands, min_pass):
+        out = []
+        for o in cands:
+            tgt = utg_seqs[int(ov.y_id[o])]
+            if ov.rev[o]:
+                tgt = revcomp_codes(tgt)
+            hs = ov.hit_self[ov.hit_start[o]:ov.hit_start[o] +
+                             ov.n_hits[o]]
+            ht = ov.hit_t[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
+            if _verify_block(ul, tgt, hs, ht, min_pass=min_pass):
+                out.append(o)
+        return out
+
+    live = set(ok_idx)
+    if not live and not rej_idx and not low_idx:
+        return []
+    blocks = graph_chain_paths(_chains(live), ug, utg_seqs, utg_lens,
+                               ul, min_chain_score=min_chain_score) \
+        if live else []
+    pools = [(rej_idx, 0.35), (low_idx, 0.35)]
+    for rnd in range(1, min(rounds, len(pools) + 1)):
+        if _path_coverage(blocks, len(ul)) >= cov_bar:
+            break
+        pool, mp = pools[rnd - 1]
+        fresh = _rescue([o for o in pool if o not in live], mp)
+        if not fresh:
+            continue
+        live.update(fresh)
+        blocks = graph_chain_paths(
+            _chains(live), ug, utg_seqs, utg_lens, ul,
+            min_chain_score=min_chain_score if rnd < 2 else
+            max(min_chain_score // 2, 4))
+    return blocks
+
+
 def ul_refine_blocks(paths: List[ULPath], ul_reads: List[np.ndarray],
                      utg_seqs: List[np.ndarray], pad: int = 150,
                      bw: int = 32) -> int:
@@ -439,7 +515,7 @@ def ul_refine_blocks(paths: List[ULPath], ul_reads: List[np.ndarray],
 def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
              k: int = UL_K, w: int = UL_W, min_chain_score: int = 8,
              hom_cov: int = 20, ug: UnitigGraph = None,
-             hpc: bool = False) -> List[ULPath]:
+             hpc: bool = False, refine_rounds: int = 3) -> List[ULPath]:
     """Map each UL read to a path of oriented unitigs.
 
     Linear chains per unitig come from the shared anchor/chain machinery.
@@ -477,7 +553,8 @@ def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
                                a_dst=ug.a_dst,
                                a_ol=np.array(ol_c, np.int64))
         paths = ul_align(ts.hpc, us.hpc, k, w, min_chain_score,
-                         hom_cov, ug_c, hpc=False)
+                         hom_cov, ug_c, hpc=False,
+                         refine_rounds=refine_rounds)
         for i, p in enumerate(paths):
             p.blocks = [
                 (u, r, us.raw_start(i, qs),
@@ -502,10 +579,14 @@ def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
     for (rid, an, rlen), ov in zip(reads, ovs):
         ul = ul_reads[rid - n_utg]
         # base-level screening of every candidate chain (WINDOW_UL spot
-        # checks, scall_ul_pipeline inter.cpp:19992)
-        ok_idx = []
+        # checks, scall_ul_pipeline inter.cpp:19992); the rejected sets
+        # stay live for the refinement rounds' rescue passes
+        low_floor = max(min_chain_score // 2, 4)
+        ok_idx, rej_idx, low_idx = [], [], []
         for o in range(len(ov)):
             if ov.score[o] < min_chain_score:
+                if ov.score[o] >= low_floor:
+                    low_idx.append(o)
                 continue
             tgt = utg_seqs[int(ov.y_id[o])]
             if ov.rev[o]:
@@ -514,14 +595,18 @@ def ul_align(utg_seqs: List[np.ndarray], ul_reads: List[np.ndarray],
             ht = ov.hit_t[ov.hit_start[o]:ov.hit_start[o] + ov.n_hits[o]]
             if _verify_block(ul, tgt, hs, ht):
                 ok_idx.append(o)
+            else:
+                rej_idx.append(o)
+        if ug is not None:
+            blocks = graph_chain_refine(
+                ul, ov, ok_idx, rej_idx, low_idx, ug, utg_seqs,
+                utg_lens, min_chain_score=min_chain_score,
+                rounds=refine_rounds)
+            paths.append(ULPath(blocks))
+            continue
         ovf = ov.take(np.array(ok_idx, np.int64)) if ok_idx else None
         if ovf is None:
             paths.append(ULPath([]))
-            continue
-        if ug is not None:
-            blocks = graph_chain_paths(ovf, ug, utg_seqs, utg_lens, ul,
-                                       min_chain_score=min_chain_score)
-            paths.append(ULPath(blocks))
             continue
         blocks = []
         order = np.argsort(ovf.x_s, kind="stable")

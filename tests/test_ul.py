@@ -156,3 +156,40 @@ def test_catalog_correction_vs_triple_vote_repeat():
     # catalog sanity: locus1 reads overlap each other end-to-end
     cat = ul_catalog(copy.deepcopy(locus1))
     assert all(len(cat[p]) == 3 for p in range(4))
+
+
+def test_ul_refine_rounds_rescue_divergent_repeat(rng):
+    """A diverged repeat copy fails the strict (0.6) base-level screen
+    but clears the relaxed (0.35) rescue; only the multi-round
+    graph_chain_refine recovers it (~gl_chain_refine_advance's 3-round
+    loop, inter.cpp:4334, :5123)."""
+    from hifiasm_tpu.ul import graph_chain_refine  # noqa: F401  (api)
+
+    A = make_genome(rng, 1500)
+    R = make_genome(rng, 1500)
+    B = make_genome(rng, 1500)
+    # read copy of R: alternating 75 bp clean / 75 bp heavily diverged
+    # tiles -> about half of the verify windows blow the e=15 band
+    Rp = R.copy()
+    for t0 in range(75, 1500 - 75, 150):
+        seg = slice(t0, t0 + 75)
+        m = rng.random(75) < 0.5
+        Rp[seg] = np.where(
+            m, (Rp[seg] + rng.integers(1, 4, 75).astype(np.uint8)) % 4,
+            Rp[seg])
+    ul = np.concatenate([A, Rp, B])
+    ug = UnitigGraph([])
+    ug.a_src = np.zeros(0, np.uint32)
+    ug.a_dst = np.zeros(0, np.uint32)
+    ug.a_ol = np.zeros(0, np.int64)
+
+    # round 1 only: strict screen rejects R's chain; path bridges A->B
+    p1 = ul_align([A, R, B], [ul], ug=ug, refine_rounds=1)[0]
+    assert 1 not in [b[0] for b in p1.blocks], p1.blocks
+    # full 3-round refinement rescues the diverged repeat crossing
+    p3 = ul_align([A, R, B], [ul], ug=ug, refine_rounds=3)[0]
+    uids = [b[0] for b in p3.blocks]
+    assert uids == [0, 1, 2], p3.blocks
+    # rescued block carries real read coordinates (not interpolation)
+    rb = [b for b in p3.blocks if b[0] == 1][0]
+    assert 1200 < rb[3] - rb[2] <= 1700, rb
