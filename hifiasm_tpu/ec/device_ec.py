@@ -575,6 +575,7 @@ class DeviceEC:
         self.bank = build_bank(store)
         self._shard_b = self._shard_b2 = self._repl = None
         self._shard_r2 = self._shard_r3 = None
+        self._routed_cache = {}
         self.n_dev = 1
         if mesh is not None:
             # multi-chip: the read bank replicates onto every chip; each
@@ -665,6 +666,190 @@ class DeviceEC:
                 np.minimum(row0, Rp - Rb, out=row0)
         return jnp.asarray(row0), Rb
 
+    # ---- row-routed SPMD layout (mesh path) -------------------------
+    # Each device OWNS a contiguous Rp/n block of plane rows (the
+    # accumulator shard), and every window is routed to the device that
+    # owns its read row.  All vote/count/agreement matmuls then run on
+    # purely LOCAL operands — no replicated psums, no reduce-scattered
+    # matmul partials, n_dev-fold fewer FLOPs than the replicated form.
+    # The SPMD rebirth of worker_hap_ec's per-read fan-out
+    # (ecovlp.cpp:6078): reads are partitioned, votes never cross the
+    # interconnect; only the tiny per-overlap agreement counters psum.
+
+    def _route_windows(self, q_row: np.ndarray, Rp: int):
+        """Owner-routed slot map: returns (wmap, C, rb) where wmap
+        [C*chunk] holds the window index occupying each slot (-1 pad),
+        slots of device d are columns [d*pc, (d+1)*pc) of every chunk
+        row, and rb = Rp // n_dev is the per-device row block."""
+        nd = self.n_dev
+        pc = self.chunk // nd
+        rb = Rp // nd
+        owner = np.minimum(q_row // rb, nd - 1)
+        perm = np.argsort(owner, kind="stable")
+        n_d = np.bincount(owner, minlength=nd)
+        need = max(int(n_d.max()) if len(q_row) else 1, 1)
+        C = 1
+        while C * pc < need:
+            C *= 2
+        wmap = np.full(C * self.chunk, -1, np.int64)
+        off = np.zeros(nd + 1, np.int64)
+        off[1:] = np.cumsum(n_d)
+        for d in range(nd):
+            idx = perm[off[d]:off[d + 1]]
+            j = np.arange(len(idx))
+            slots = (j // pc) * self.chunk + d * pc + (j % pc)
+            wmap[slots] = idx
+        return wmap, C, rb
+
+    def _stack_routed(self, arrs, wmap: np.ndarray, C: int, fills):
+        """Window-order arrays -> [C, chunk] routed device stacks."""
+        sel = wmap >= 0
+        src = wmap[sel]
+        out = []
+        for a, f in zip(arrs, fills):
+            b = np.full(C * self.chunk, f, a.dtype)
+            b[sel] = a[src]
+            out.append(self._put_b2(b.reshape(C, self.chunk)))
+        return out
+
+    def _unroute(self, flat: np.ndarray, wmap: np.ndarray, n: int,
+                 dtype=None):
+        """Slot-space device output -> window-order host array."""
+        sel = wmap >= 0
+        out = np.zeros(n, dtype or flat.dtype)
+        out[wmap[sel]] = flat[sel]
+        return out
+
+    def _routed_fns(self, XL: int, L: int):
+        """shard_map'd L2/L3/L4 scans over LOCAL row blocks; cached per
+        (XL, L) so batches share compiled programs."""
+        key = (XL, L)
+        fn = self._routed_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        mesh = self.mesh
+
+        def raw_body(acc, qlen, tb, q_rid, q_row, q_ws, xlen, w_ok):
+            rb = acc.shape[1]
+            A, (qr2, qs2, qw2, xl2, ok2, tb2) = _sub_chunks(
+                XL, (q_rid, q_row, q_ws, xlen, w_ok), (tb,))
+
+            def body(acc, xs):
+                tb_c, qr, qs, qw, xl_c, okm = xs
+                plane = _abs_plane(XL, L, tb_c, qw, xl_c, okm, qlen[qr],
+                                   jnp.uint8(5))
+                selT = _row_sel(qs, rb)
+                for c in range(5):
+                    acc = acc.at[c].add(_mm(selT, plane == c))
+                return acc, None
+
+            acc, _ = lax.scan(body, acc, (tb2, qr2, qs2, qw2, xl2, ok2))
+            return acc
+
+        def het_body(n_same, n_flip, bankb, alt_p, het_p, qlen, tb,
+                     q_rid, q_row, q_ws, xlen, w_ok, ov_id):
+            rb = bankb.shape[0]
+            A, (qr2, qs2, qw2, xl2, ok2, ov2, tb2) = _sub_chunks(
+                XL, (q_rid, q_row, q_ws, xlen, w_ok, ov_id), (tb,))
+            bb8 = bankb.astype(jnp.int8)
+            ab8 = alt_p.astype(jnp.int8)
+            hb8 = het_p.astype(jnp.int8)
+
+            def body(carry, xs):
+                ls, lf = carry
+                tb_c, qr, qs, qw, xl_c, okm, ov_c = xs
+                plane = _abs_plane(XL, L, tb_c, qw, xl_c, okm, qlen[qr],
+                                   jnp.uint8(5)).astype(jnp.int32)
+                sel = _row_sel(qs, rb).T
+                qa = jax.lax.dot(sel, bb8,
+                                 preferred_element_type=jnp.int32)
+                alt = jax.lax.dot(sel, ab8,
+                                  preferred_element_type=jnp.int32)
+                het = jax.lax.dot(sel, hb8,
+                                  preferred_element_type=jnp.int32)
+                validp = (plane <= 3) & (het > 0)
+                same_p = jnp.sum(validp & (plane == qa), axis=1,
+                                 dtype=jnp.int32)
+                flip_p = jnp.sum(validp & (plane == alt), axis=1,
+                                 dtype=jnp.int32)
+                idx = jnp.where(okm, ov_c, ls.shape[0])
+                ls = ls.at[idx].add(same_p, mode="drop")
+                lf = lf.at[idx].add(flip_p, mode="drop")
+                return (ls, lf), None
+
+            # the local partials VARY over the mesh axis while the
+            # replicated carry-in does not: mark them varying up front
+            # so the scan carry types match (the index_shard.py lesson)
+            loc = (lax.pcast(jnp.zeros_like(n_same), "data",
+                             to="varying"),
+                   lax.pcast(jnp.zeros_like(n_flip), "data",
+                             to="varying"))
+            (ls, lf), _ = lax.scan(
+                body, loc, (tb2, qr2, qs2, qw2, xl2, ok2, ov2))
+            # only the tiny per-overlap counters cross the mesh
+            return (n_same + lax.psum(ls, "data"),
+                    n_flip + lax.psum(lf, "data"))
+
+        def cis_body(votes, ins_tot, ins_bc, ins_lc, qlen, tb, ic, ib,
+                     q_rid, q_row, q_ws, xlen, w_cis):
+            rb = votes.shape[1]
+            A, (qr2, qs2, qw2, xl2, cis2, tb2, ic2, ib2) = _sub_chunks(
+                XL, (q_rid, q_row, q_ws, xlen, w_cis), (tb, ic, ib))
+
+            def body(carry, xs):
+                votes, ins_tot, ins_bc, ins_lc = carry
+                tb_c, ic_c, ib_c, qr, qs, qw, xl_c, cis = xs
+                qrow_len = qlen[qr]
+                planeT = _abs_plane(XL, L, tb_c, qw, xl_c, cis,
+                                    qrow_len, jnp.uint8(5))
+                planeC = _abs_plane(XL, L, ic_c, qw, xl_c, cis,
+                                    qrow_len, jnp.uint8(0))
+                planeB = _abs_plane(XL, L, ib_c, qw, xl_c, cis,
+                                    qrow_len, jnp.uint8(0))
+                has = planeC > 0
+                capped = jnp.minimum(planeC, 8)
+                selT = _row_sel(qs, rb)
+                for c in range(5):
+                    votes = votes.at[c].add(_mm(selT, planeT == c))
+                ins_tot = ins_tot + _mm(selT, has)
+                for c in range(4):
+                    ins_bc = ins_bc.at[c].add(
+                        _mm(selT, has & (planeB == c)))
+                for c in range(1, 9):
+                    ins_lc = ins_lc.at[c].add(
+                        _mm(selT, has & (capped == c)))
+                return (votes, ins_tot, ins_bc, ins_lc), None
+
+            carry, _ = lax.scan(
+                body, (votes, ins_tot, ins_bc, ins_lc),
+                (tb2, ic2, ib2, qr2, qs2, qw2, xl2, cis2))
+            return carry
+
+        r3 = P(None, "data", None)
+        r2 = P("data", None)
+        b2 = P(None, "data")
+        rep = P()
+        raw_fn = jax.jit(shard_map(
+            raw_body, mesh=mesh,
+            in_specs=(r3, rep, b2, b2, b2, b2, b2, b2),
+            out_specs=r3), donate_argnums=(0,))
+        het_fn = jax.jit(shard_map(
+            het_body, mesh=mesh,
+            in_specs=(rep, rep, r2, r2, r2, rep, b2, b2, b2, b2, b2,
+                      b2, b2),
+            out_specs=(rep, rep)), donate_argnums=(0, 1))
+        cis_fn = jax.jit(shard_map(
+            cis_body, mesh=mesh,
+            in_specs=(r3, r2, r3, r3, rep, b2, b2, b2, b2, b2, b2, b2,
+                      b2),
+            out_specs=(r3, r2, r3, r3)), donate_argnums=(0, 1, 2, 3))
+        fn = (raw_fn, het_fn, cis_fn)
+        self._routed_cache[key] = fn
+        return fn
+
     def _zeros(self, n: int):
         """int32 accumulator (mesh-replicated when sharded)."""
         import jax
@@ -712,7 +897,6 @@ class DeviceEC:
                        ) -> Tuple[Dict[int, ReadECOut], Dict[int, tuple]]:
         bank = self.bank
         R, L = len(read_ovs), bank.L
-        row_of = {rid: i for i, (rid, _) in enumerate(read_ovs)}
         e = E_BAND
         # ---- plan all windows ----
         jobs = []
@@ -728,6 +912,33 @@ class DeviceEC:
             win_tot_all.append(wt)
             jobs.append((rid, ov, pl))
             n_ov_tot += len(ov)
+        if self._shard_b is not None and R:
+            # balanced read -> plane-row assignment: row blocks are the
+            # per-device accumulator shards, and each device's align /
+            # vote work is its block's WINDOW count — contiguous rid
+            # order skews blocks up to 2x (pow2 chunk padding then
+            # doubles the whole batch).  LPT: heaviest reads first,
+            # each to the lightest block with row capacity.
+            nd = self.n_dev
+            Rp0 = 256
+            while Rp0 < R:
+                Rp0 *= 2
+            rb0 = (-(-Rp0 // nd) * nd) // nd
+            wc = np.array([len(p["ws"]) for _, _, p in jobs], np.int64)
+            order = np.argsort(-wc, kind="stable")
+            load = np.zeros(nd, np.int64)
+            used = np.zeros(nd, np.int64)
+            next_row = [d * rb0 for d in range(nd)]
+            row_of = {}
+            for i in order:
+                cand = [d for d in range(nd) if used[d] < rb0]
+                d = min(cand, key=lambda d: (load[d], d))
+                row_of[jobs[i][0]] = next_row[d]
+                next_row[d] += 1
+                used[d] += 1
+                load[d] += wc[i]
+        else:
+            row_of = {rid: i for i, (rid, _) in enumerate(read_ovs)}
         j_qrid = np.concatenate([np.full(len(p["ws"]), rid, np.int32)
                                  for rid, _, p in jobs]) if jobs else \
             np.zeros(0, np.int32)
@@ -766,20 +977,42 @@ class DeviceEC:
             return ({rid: ReadECOut(ov, np.zeros(0, np.uint8), z, z, z, z,
                                     z, z) for rid, ov in read_ovs}, {})
 
+        # plane rows bucket to powers of two up front: routing needs the
+        # per-device row block BEFORE the L1 stacks are laid out
+        Rp = 256
+        while Rp < R:
+            Rp *= 2
+        if self.n_dev > 1:               # Rp-sharded accumulators need
+            Rp = -(-Rp // self.n_dev) * self.n_dev   # even row blocks
+        routed = self._shard_b is not None
+
         # ---- L1: ONE scan launch aligns every chunk; tracebacks stay
         # device-resident in [C, chunk, ...] stacks.  (The old per-chunk
         # dispatch loop paid one ~1.4 s tunnel round-trip per chunk.)
-        C1 = self._n_chunks(W)
-        st1 = self._stack_put(
-            (j_qrid, j_ws, j_xlen, j_trid, j_trev, j_tws, j_last), W, C1)
+        if routed:
+            wmap1, C1, rb = self._route_windows(j_qrow, Rp)
+            st1 = self._stack_routed(
+                (j_qrid, j_ws, j_xlen, j_trid, j_trev, j_tws, j_last),
+                wmap1, C1, (0, 0, 0, 0, 0, 0, False))
+        else:
+            wmap1 = None
+            C1 = self._n_chunks(W)
+            st1 = self._stack_put(
+                (j_qrid, j_ws, j_xlen, j_trid, j_trev, j_tws, j_last),
+                W, C1)
         err1, ys1, yn1, tb1, ic1, ib1 = _align_scan(
             self.wl, e, bank.NB, self.engine, bank.blocks, bank.lens,
             *st1)
         _mark(f"L1 dispatched ({C1} chunks, {W} windows)")
         err1_h, ys1_h, yn1_h = fetch_all((err1, ys1, yn1))
-        err_all = err1_h.reshape(-1)[:W].copy()
-        ys_all = ys1_h.reshape(-1)[:W].copy()
-        yn_all = yn1_h.reshape(-1)[:W].copy()
+        if routed:
+            err_all = self._unroute(err1_h.reshape(-1), wmap1, W)
+            ys_all = self._unroute(ys1_h.reshape(-1), wmap1, W)
+            yn_all = self._unroute(yn1_h.reshape(-1), wmap1, W)
+        else:
+            err_all = err1_h.reshape(-1)[:W].copy()
+            ys_all = ys1_h.reshape(-1)[:W].copy()
+            yn_all = yn1_h.reshape(-1)[:W].copy()
 
         # window acceptance: doubled per-window budget, capped at the band
         accept = np.minimum(j_thre * 2, E_BAND)
@@ -800,26 +1033,41 @@ class DeviceEC:
         j_qrid_s, j_ws_s, j_xlen_s, j_ovid_s = j_qrid, j_ws, j_xlen, j_ovid
         j_qrow_s = j_qrow
         n_r = len(ridx)
-        bufs = [(tb1, ic1, ib1, C1, W)]    # device tb stacks per pass
+        bufs = [(tb1, ic1, ib1, C1, W, wmap1)]  # device tb stacks/pass
         if n_r:
             r_qrid = j_qrid[ridx]
             r_ws = j_ws[ridx]
             r_xlen = j_xlen[ridx]
-            C2 = self._n_chunks(n_r)
-            st2 = self._stack_put(
-                (r_qrid, r_ws, r_xlen, j_trid[ridx], j_trev[ridx],
-                 t2.astype(np.int32), j_last[ridx]), n_r, C2)
+            if routed:
+                wmap2, C2, _ = self._route_windows(j_qrow[ridx], Rp)
+                st2 = self._stack_routed(
+                    (r_qrid, r_ws, r_xlen, j_trid[ridx], j_trev[ridx],
+                     t2.astype(np.int32), j_last[ridx]), wmap2, C2,
+                    (0, 0, 0, 0, 0, 0, False))
+            else:
+                wmap2 = None
+                C2 = self._n_chunks(n_r)
+                st2 = self._stack_put(
+                    (r_qrid, r_ws, r_xlen, j_trid[ridx], j_trev[ridx],
+                     t2.astype(np.int32), j_last[ridx]), n_r, C2)
             err2, ys2, yn2, tb2, ic2, ib2 = _align_scan(
                 self.wl, e, bank.NB, self.engine, bank.blocks,
                 bank.lens, *st2)
-            bufs.append((tb2, ic2, ib2, C2, n_r))
+            bufs.append((tb2, ic2, ib2, C2, n_r, wmap2))
             err2_h, ys2_h, yn2_h = fetch_all((err2, ys2, yn2))
-            e2 = err2_h.reshape(-1)[:n_r]
+            if routed:
+                e2 = self._unroute(err2_h.reshape(-1), wmap2, n_r)
+                ys2_f = self._unroute(ys2_h.reshape(-1), wmap2, n_r)
+                yn2_f = self._unroute(yn2_h.reshape(-1), wmap2, n_r)
+            else:
+                e2 = err2_h.reshape(-1)[:n_r]
+                ys2_f = ys2_h.reshape(-1)[:n_r]
+                yn2_f = yn2_h.reshape(-1)[:n_r]
             acc2 = (e2 >= 0) & (e2 <= accept[ridx])
             upd = ridx[acc2]
             err_all[upd] = e2[acc2]
-            ys_all[upd] = ys2_h.reshape(-1)[:n_r][acc2]
-            yn_all[upd] = yn2_h.reshape(-1)[:n_r][acc2]
+            ys_all[upd] = ys2_f[acc2]
+            yn_all[upd] = yn2_f[acc2]
             tws_fin[upd] = t2[acc2]
             w_ok[upd] = True
             ok_slot = np.concatenate([ok_slot, acc2])
@@ -866,61 +1114,80 @@ class DeviceEC:
         # buffer instead of one launch per chunk per stage)
         segs = []
         off = 0
-        for tb, ic, ib, Cb, nb in bufs:
+        for tb, ic, ib, Cb, nb, wmapb in bufs:
             sl = slice(off, off + nb)
-            qa = self._stack_put((j_qrid_s[sl], j_qrow_s[sl], j_ws_s[sl],
-                                  j_xlen_s[sl]), nb, Cb)
-            segs.append((tb, ic, ib, Cb, sl, nb, qa))
+            if routed:
+                rb_ = Rp // self.n_dev
+                qrow_b = j_qrow_s[sl]
+                owner = np.minimum(qrow_b // rb_, self.n_dev - 1)
+                qrow_loc = (qrow_b - owner * rb_).astype(np.int32)
+                qa = self._stack_routed(
+                    (j_qrid_s[sl], qrow_loc, j_ws_s[sl], j_xlen_s[sl]),
+                    wmapb, Cb, (0, -1, 0, 0))
+            else:
+                qa = self._stack_put(
+                    (j_qrid_s[sl], j_qrow_s[sl], j_ws_s[sl],
+                     j_xlen_s[sl]), nb, Cb)
+            segs.append((tb, ic, ib, Cb, sl, nb, qa, wmapb))
             off += nb
-        # plane rows and overlap-accumulator sizes bucket up to powers
-        # of two: every distinct shape costs minutes of TPU compilation,
-        # so batches must SHARE compiled programs (a 953-read batch and
-        # its 647-read tail both run the Rp=1024 build)
-        Rp = 256
-        while Rp < R:
-            Rp *= 2
-        if self.n_dev > 1:               # Rp-sharded accumulators need
-            Rp = -(-Rp // self.n_dev) * self.n_dev   # even row blocks
+        # overlap-accumulator sizes bucket up to powers of two: every
+        # distinct shape costs minutes of TPU compilation, so batches
+        # must SHARE compiled programs (a 953-read batch and its
+        # 647-read tail both run the Rp=1024 build)
         n_ov_pad = max(Rp * 32, 4096)      # ~overlaps/read ceiling; tied
         while n_ov_pad < n_ov_tot:         # to Rp so batch tails share
             n_ov_pad *= 2                  # compiled shapes
 
         # ---- L2: raw allele counts ----
-        # host row-block plans per segment (shared by L2/L3/L4)
-        seg_rows = [self._row_plan(j_qrow_s[sl], nb, Cb, Rp)
-                    for tb, ic, ib, Cb, sl, nb, qa in segs]
+        # host row-block plans per segment (shared by L2/L3/L4);
+        # routed mode needs none (each device's block IS its row band)
+        if routed:
+            raw_fn, het_fn, cis_fn = self._routed_fns(self.wl, L)
+            seg_rows = [(None, Rp)] * len(segs)
+        else:
+            seg_rows = [self._row_plan(j_qrow_s[sl], nb, Cb, Rp)
+                        for tb, ic, ib, Cb, sl, nb, qa, wm in segs]
         cnt = self._fzeros((5, Rp, L))
-        for (tb, ic, ib, Cb, sl, nb, qa), (row0s, Rb) in zip(segs,
-                                                             seg_rows):
-            okp, = self._stack_put((w_use[sl],), nb, Cb)
-            cnt = _raw_counts_scan(self.wl, L, Rb, cnt, qlen_d, row0s,
-                                   tb, *qa, okp)
+        for (tb, ic, ib, Cb, sl, nb, qa, wm), (row0s, Rb) in zip(
+                segs, seg_rows):
+            if routed:
+                okp, = self._stack_routed((w_use[sl],), wm, Cb,
+                                          (False,))
+                cnt = raw_fn(cnt, qlen_d, tb, *qa, okp)
+            else:
+                okp, = self._stack_put((w_use[sl],), nb, Cb)
+                cnt = _raw_counts_scan(self.wl, L, Rb, cnt, qlen_d,
+                                       row0s, tb, *qa, okp)
         _mark("L2 raw counts")
 
         # het detection ON DEVICE (ec/phase.het_from_counts, integer
         # form): the het/alt planes feed L3 without leaving HBM; only
         # packed het bits + 2-bit alts transfer (L/8 + L/4 bytes/row)
         rid_rows = np.zeros(Rp, np.int64)
-        rid_rows[:R] = [rid for rid, _ in read_ovs]
+        row_valid = np.zeros(Rp, bool)
+        for rid, _ in read_ovs:
+            r = row_of[rid]
+            rid_rows[r] = rid
+            row_valid[r] = True
         bank_rows = jnp.take(bank.fwd, jnp.asarray(rid_rows), axis=0)
         qlen_rows = jnp.asarray(
-            np.where(np.arange(Rp) < R,
-                     self.store.lens[rid_rows], 0).astype(np.int32))
+            np.where(row_valid, self.store.lens[rid_rows], 0)
+            .astype(np.int32))
         if self._repl is not None:
+            # bank rows shard like the accumulators (row-routed L3
+            # matmuls consume only the LOCAL row band); qlen stays
+            # replicated (tiny, gathered by batch-local indices)
             import jax
-            bank_rows = jax.device_put(bank_rows, self._repl)
+            bank_rows = jax.device_put(bank_rows, self._shard_r2)
             qlen_rows = jax.device_put(qlen_rows, self._repl)
         het_d, alt_d, het_pk, alt_pk, het_cnt = _het_planes(
             L, cnt, bank_rows, qlen_rows)
         if self._repl is not None:
-            # the u8 het/alt planes come out Rp-sharded (they inherit
-            # cnt's sharding); REPLICATE them for the L3 agreement
-            # matmuls — they contract over Rp, and a sharded contraction
-            # would force 512 MB [A, L] partial all-reduces.  ~17 MB
-            # each: a cheap all-gather.
+            # het/alt planes come out Rp-sharded (inheriting cnt's
+            # sharding) and STAY sharded: the routed L3 contracts each
+            # device's windows against its own row band only.  Just the
+            # [Rp] het counter replicates for the classify step.
             import jax
-            het_d = jax.device_put(het_d, self._repl)
-            alt_d = jax.device_put(alt_d, self._repl)
             het_cnt = jax.device_put(het_cnt, self._repl)
         _mark("het planes dispatched")
 
@@ -932,13 +1199,22 @@ class DeviceEC:
         # window slot); if batch segment counts ever grow, free them
         # after L4 (ADVICE r2)
         seg_masks = []
-        for (tb, ic, ib, Cb, sl, nb, qa), (row0s, Rb) in zip(segs,
-                                                             seg_rows):
-            okp, ovp = self._stack_put((w_use[sl], j_ovid_s[sl]), nb, Cb)
-            seg_masks.append((okp, ovp))
-            n_same, n_flip = _het_agree_scan(
-                self.wl, L, Rb, n_same, n_flip, bank_rows, alt_d, het_d,
-                qlen_d, row0s, tb, *qa, okp, ovp)
+        for (tb, ic, ib, Cb, sl, nb, qa, wm), (row0s, Rb) in zip(
+                segs, seg_rows):
+            if routed:
+                okp, ovp = self._stack_routed(
+                    (w_use[sl], j_ovid_s[sl]), wm, Cb, (False, 0))
+                seg_masks.append((okp, ovp))
+                n_same, n_flip = het_fn(
+                    n_same, n_flip, bank_rows, alt_d, het_d, qlen_d,
+                    tb, *qa, okp, ovp)
+            else:
+                okp, ovp = self._stack_put((w_use[sl], j_ovid_s[sl]),
+                                           nb, Cb)
+                seg_masks.append((okp, ovp))
+                n_same, n_flip = _het_agree_scan(
+                    self.wl, L, Rb, n_same, n_flip, bank_rows, alt_d,
+                    het_d, qlen_d, row0s, tb, *qa, okp, ovp)
         # classification runs ON DEVICE (ec/phase.classify_overlaps
         # integer form), so L3 -> L4 needs NO host round-trip: the het
         # planes, agreement counters and is_match vector never leave HBM
@@ -965,12 +1241,17 @@ class DeviceEC:
         ins_tot = self._fzeros((Rp, L))
         ins_bc = self._fzeros((4, Rp, L))
         ins_lc = self._fzeros((9, Rp, L))
-        for (tb, ic, ib, Cb, sl, nb, qa), (okp, ovp), (row0s, Rb) in zip(
-                segs, seg_masks, seg_rows):
+        for (tb, ic, ib, Cb, sl, nb, qa, wm), (okp, ovp), (row0s, Rb) \
+                in zip(segs, seg_masks, seg_rows):
             cisp = _cis_mask_dev(okp, ovp, is_match_d)
-            votes, ins_tot, ins_bc, ins_lc = _cis_votes_scan(
-                self.wl, L, Rb, votes, ins_tot, ins_bc, ins_lc, qlen_d,
-                row0s, tb, ic, ib, *qa, cisp)
+            if routed:
+                votes, ins_tot, ins_bc, ins_lc = cis_fn(
+                    votes, ins_tot, ins_bc, ins_lc, qlen_d, tb, ic, ib,
+                    *qa, cisp)
+            else:
+                votes, ins_tot, ins_bc, ins_lc = _cis_votes_scan(
+                    self.wl, L, Rb, votes, ins_tot, ins_bc, ins_lc,
+                    qlen_d, row0s, tb, ic, ib, *qa, cisp)
         # ---- L5: consensus decisions + ambiguity mask ON DEVICE ----
         # (consensus_decide / _ambiguous_mask integer forms); only packed
         # decision planes transfer (~L bytes/row vs 8L for raw votes)
@@ -984,18 +1265,21 @@ class DeviceEC:
             (het_pk, alt_pk, is_match_d, subw_pk, ins_pk,
              ib_pk, il_pk, amb_pk))
         is_match_all = np.asarray(ismatch_h)[:n_ov_tot]
-        het_bits = _unpack_bits(het_pk_h[:R], L)
-        alt_all = _unpack2(alt_pk_h[:R], L)
+        # balanced routing scatters used rows across [0, Rp): unpack the
+        # full plane there; identity assignment keeps the [:R] prefix
+        nrows = Rp if routed else R
+        het_bits = _unpack_bits(het_pk_h[:nrows], L)
+        alt_all = _unpack2(alt_pk_h[:nrows], L)
         het_per_read = {}
         for rid, ov in read_ovs:
             row = row_of[rid]
             hs = np.flatnonzero(het_bits[row])
             het_per_read[rid] = (hs, alt_all[row][hs].astype(np.uint8))
-        subw_all = _unpack4(subw_h[:R], L)
-        ins_all = _unpack_bits(ins_h[:R], L)
-        ib_all = _unpack2(ib_h[:R], L)
-        il_all = _unpack4(il_h[:R], L)
-        amb_all = _unpack_bits(amb_h[:R], L)
+        subw_all = _unpack4(subw_h[:nrows], L)
+        ins_all = _unpack_bits(ins_h[:nrows], L)
+        ib_all = _unpack2(ib_h[:nrows], L)
+        il_all = _unpack4(il_h[:nrows], L)
+        amb_all = _unpack_bits(amb_h[:nrows], L)
         _mark("L4+L5 synced (single batch fetch)")
 
         # ---- package per read ----

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from hifiasm_tpu.ops.chain import ChainParams
-from hifiasm_tpu.ops.chain_jax import chain_quick_batch, extract_chains_batch
+from hifiasm_tpu.ops.chain_jax import NEG_INF32, chain_quick_batch
 from hifiasm_tpu.utils.devsync import prefetch
 
 _BUCKETS = (32, 128, 512, 2048)
@@ -60,34 +60,6 @@ def _gather_groups(so, to, span, w, g_start_d, gids, sizes, Nb: int):
             jnp.where(m, jnp.take(w, idxc), z))
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _chain_endpoints(so_b, to_b, first, last, m: int):
-    """Gather (xs, xe, ts, te) of each chain's endpoint anchors."""
-    B, N = so_b.shape
-    fc = jnp.clip(first, 0, N - 1)
-    lc = jnp.clip(last, 0, N - 1)
-    rows = jnp.arange(B)[:, None]
-    return (so_b[rows, fc], so_b[rows, lc],
-            to_b[rows, fc], to_b[rows, lc])
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _compact_chains(so_b, to_b, label):
-    """Sort each bucket's anchors into chain-contiguous order
-    ((row, label, index), unlabeled last) -> flat (so, to) columns."""
-    B, N = so_b.shape
-    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
-                            (B, N))
-    unl = (label < 0).astype(jnp.int32)
-    labp = jnp.where(label < 0, 0, label)
-    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
-                           (B, N))
-    srt = lax.sort((rows.reshape(-1), unl.reshape(-1), labp.reshape(-1),
-                    idx.reshape(-1), so_b.reshape(-1), to_b.reshape(-1)),
-                   num_keys=4)
-    return srt[4], srt[5]          # so_c, to_c flat [B*N]
-
-
 @functools.partial(jax.jit, static_argnames=(
     "Nb", "m", "quick_check", "pg_q16", "pskip_q16", "bw_q16",
     "invbw_q4", "mcopy_khit_cut", "mcopy_q16"))
@@ -96,20 +68,30 @@ def _quick_slab_scan(so, to, span, w, g_start_d, gids, sizes, xlb, ylb,
                      pskip_q16: int, bw_q16: int, invbw_q4: int,
                      mcopy_khit_cut: int, mcopy_q16: int):
     """ONE launch per bucket: lax.scan over [C, Gb] slab stacks running
-    gather -> QUICK chain pass -> extraction -> endpoints -> compaction.
+    gather -> QUICK chain pass -> closed-form extraction.
 
-    Two structural lessons are baked in (measured on the chip):
-    - dispatching the five kernels separately per slab paid ~1 s of
-      link RPC per launch (50 launches = ~50 s of the 2 Mb chain
-      stage); the scan keeps the slab loop on device;
+    Structural lessons baked in (measured on the chip):
+    - dispatching the kernels separately per slab paid ~1 s of link RPC
+      per launch (50 launches = ~50 s of the 2 Mb chain stage); the
+      scan keeps the slab loop on device;
     - the exact full DP costs O(N^2) work per group plus a [B, N+1]
-      scatter per anchor step (~3.4 ms/step measured — 64 s for the
-      2 Mb workload), while ~99.9% of HiFi EC groups complete in the
-      O(N) quick pre-pass.  So the device runs ONLY the quick pass and
-      the caller routes non-quick groups to the bit-identical host
+      scatter per anchor step, while ~99.9% of HiFi EC groups complete
+      in the O(N) quick pre-pass.  The device runs ONLY the quick pass
+      and the caller routes non-quick groups to the bit-identical host
       scalar DP, exactly the reference's own shortcut structure
-      (quick_ck_lchain, Hash_Table.cpp:2007).
-    Returns per slab: (quick, so_c, to_c, cnt, sc, nh, xs, xe, ts, te)."""
+      (quick_ck_lchain, Hash_Table.cpp:2007);
+    - for a QUICK group the optimum is by definition the consecutive
+      chain over ALL its anchors (quick_complete + last-index max), so
+      traceback, mcopy peeling, and chain compaction all have
+      closed forms: label = in-group, cnt = 1, score = fq[n-1],
+      endpoints = anchors 0 and n-1, compacted hits = the gathered
+      rows themselves.  The general extract_chains_batch machinery
+      (pointer-chase while_loop + peel loop + 6-key sort) only ever
+      produced these same values here — non-quick outputs are
+      discarded — and cost the bulk of the 120 Mb chain stage wall.
+    Returns per slab: (quick, so_b, to_b, cnt, sc, nh, xs, xe, ts, te)."""
+    NEG = jnp.int32(NEG_INF32)
+
     def body(c, xs):
         gi, sz, xl, yl = xs
         so_b, to_b, sp_b, w_b = _gather_groups(so, to, span, w,
@@ -118,12 +100,19 @@ def _quick_slab_scan(so, to, span, w, g_start_d, gids, sizes, xlb, ylb,
             so_b, to_b, sp_b, w_b, sz, xl, yl, quick_check=quick_check,
             pg_q16=pg_q16, pskip_q16=pskip_q16, bw_q16=bw_q16,
             invbw_q4=invbw_q4)
-        label, cnt, sc, first, last, nh = extract_chains_batch(
-            fq, pre_q, quick, so_b, to_b, sz, xl, yl, mcopy_num=m,
-            mcopy_khit_cut=mcopy_khit_cut, mcopy_q16=mcopy_q16)
-        exs, exe, ets, ete = _chain_endpoints(so_b, to_b, first, last, m)
-        so_c, to_c = _compact_chains(so_b, to_b, label)
-        return c, (quick, so_c, to_c, cnt, sc, nh, exs, exe, ets, ete)
+        B = so_b.shape[0]
+        rows = jnp.arange(B)
+        lastc = jnp.clip(sz - 1, 0, Nb - 1)
+        z32 = jnp.zeros((B, m), jnp.int32)
+        cnt = jnp.where(quick, 1, 0).astype(jnp.int32)
+        sc = jnp.full((B, m), NEG, jnp.int32).at[:, 0].set(
+            jnp.where(quick, fq[rows, lastc], NEG))
+        nh = z32.at[:, 0].set(jnp.where(quick, sz, 0))
+        exs = z32.at[:, 0].set(so_b[:, 0])
+        exe = z32.at[:, 0].set(so_b[rows, lastc])
+        ets = z32.at[:, 0].set(to_b[:, 0])
+        ete = z32.at[:, 0].set(to_b[rows, lastc])
+        return c, (quick, so_b, to_b, cnt, sc, nh, exs, exe, ets, ete)
 
     _, outs = lax.scan(body, 0, (gids, sizes, xlb, ylb))
     return outs

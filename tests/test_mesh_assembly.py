@@ -68,11 +68,15 @@ def test_mesh_assembly_10mb_two_rounds():
     reads, _, _ = sample_reads(rng, g, depth=5, read_len=15000,
                                err_rate=0.003)
     assert sum(len(r) for r in reads) >= 10_000_000
-    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
-                                  reads)
     with tempfile.TemporaryDirectory() as td:
         outs = {}
         for tag, eng, md in (("one", "auto", 1), ("all", "jax", 8)):
+            # EC mutates the store in place: each config needs a FRESH
+            # store (sharing one corrupted the comparison — the second
+            # run corrected already-corrected reads)
+            store = ReadStore.from_arrays(
+                [f"r{i}" for i in range(len(reads))],
+                [r.copy() for r in reads])
             cfg = HifiasmConfig(output_prefix=os.path.join(td, tag),
                                 n_rounds_ec=2, ignore_bin=True,
                                 align_engine=eng, mesh_devices=md)
