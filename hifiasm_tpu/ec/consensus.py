@@ -175,7 +175,7 @@ def _ambiguous_mask(q: np.ndarray, votes: np.ndarray, ins_tot: np.ndarray,
 
 
 def _ambiguity_clusters(amb: np.ndarray, gap: int = DAG_CLUSTER_GAP,
-                        min_size: int = 2):
+                        min_size: int = 1):
     """Group ambiguous columns within ``gap`` bp; singletons are left to
     the (conservative) column vote. Returns [(start, end)) ranges."""
     pos = np.flatnonzero(amb)
@@ -202,6 +202,37 @@ def _implied_string(tb: np.ndarray, ic: np.ndarray, ib: np.ndarray) -> bytes:
 
 MSA_MAX_BACKBONE = 64
 MSA_MAX_VOTER = 128
+
+
+def _ins_bundle_walk(ins_i: dict, n_voters: int, occ_exact: float
+                     ) -> bytes:
+    """Partial-order bundle walk over an insertion-vote dict
+    {string: count}: emit the longest prefix every additional symbol of
+    which keeps support above ``occ_exact * n_voters``.
+
+    This is the Merge_DAGCon bundle merge (Correct.cpp:5031) for
+    competing/NESTED insertion bundles: homopolymer-length noise yields
+    voters like {'A': 3, 'AA': 3, 'AAA': 2} whose exact-string counts
+    all miss plurality, while the shared first symbol carries weight 8
+    and the second 5 — the graph path, not the string identity, is what
+    the voters agree on.  Deterministic: symbol ties pick the smallest
+    symbol (matching the column rule); the native mirror walks the same
+    order."""
+    out = bytearray()
+    while True:
+        pfx = bytes(out)
+        k = len(pfx)
+        wt: dict = {}
+        for s, c in ins_i.items():
+            if len(s) > k and s[:k] == pfx:
+                wt[s[k]] = wt.get(s[k], 0) + c
+        if not wt:
+            break
+        mx = max(wt.values())
+        if not (mx > occ_exact * n_voters):
+            break
+        out.append(min(b for b, c in wt.items() if c == mx))
+    return bytes(out)
 
 
 def _star_msa_consensus(strs, backbone: bytes, occ_exact: float):
@@ -269,12 +300,7 @@ def _star_msa_consensus(strs, backbone: bytes, occ_exact: float):
     out = []
     for i in range(B + 1):
         if ins[i]:
-            s_best, cnt = None, 0
-            for s, c in sorted(ins[i].items()):
-                if c > cnt:
-                    s_best, cnt = s, c
-            if cnt > occ_exact * n:
-                out.extend(s_best)
+            out.extend(_ins_bundle_walk(ins[i], n, occ_exact))
         if i < B:
             col = sub[i]
             winner = int(np.argmax(col))      # ties -> smallest symbol
@@ -304,6 +330,19 @@ def dag_cluster_consensus(q: np.ndarray, tbs: OverlapTracebacks,
         # small context so flanking agreement anchors the strings
         cs = max(0, cs - 2)
         ce = min(len(q), ce + 2)
+        # extend to homopolymer-run boundaries (capped): an indel's
+        # placement within a run is alignment-ambiguous, so voters that
+        # put the extra/missing base at the run's far end only agree
+        # with the rest if the strings span the WHOLE run (the POA
+        # bundle spans it by construction, Correct.cpp:5031)
+        ext = 0
+        while cs > 0 and q[cs - 1] == q[cs] and ext < 12:
+            cs -= 1
+            ext += 1
+        ext = 0
+        while ce < len(q) and q[ce] == q[ce - 1] and ext < 12:
+            ce += 1
+            ext += 1
         if any(p in het for p in range(cs, ce)):
             continue                      # never rewrite het evidence
         counts = {}

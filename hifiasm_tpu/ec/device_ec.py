@@ -411,6 +411,23 @@ def _cis_votes_scan(XL: int, L: int, Rb: int, votes, ins_tot,
 
 
 @jax.jit
+def _seam_add(ins_tot, ins_bc, ins_lc, rowc, colc, base, glen, ov,
+              is_match):
+    """Scatter window-SEAM insertion votes (WindowBatcher._inject_seams
+    semantics) into the L4 accumulators, cis-masked on device.  The
+    window alignments leave the seam column's ins track empty (trailing
+    target bases are free under the banded end rule), so one unit vote
+    per seam mirrors the host's injected (base, len) column exactly."""
+    okm = is_match[ov] == 1
+    r = jnp.where(okm, rowc, ins_tot.shape[0])          # OOB -> drop
+    ins_tot = ins_tot.at[r, colc].add(1, mode="drop")
+    ins_bc = ins_bc.at[base, r, colc].add(1, mode="drop")
+    ins_lc = ins_lc.at[jnp.minimum(glen, 8), r, colc].add(
+        1, mode="drop")
+    return ins_tot, ins_bc, ins_lc
+
+
+@jax.jit
 def _to_u8(a):
     """Clamp a [K, Rp, L] f32 count stack to its [Rp, L, K] uint8 form."""
     return jnp.minimum(a, 255).astype(jnp.uint8).transpose(1, 2, 0)
@@ -1079,6 +1096,46 @@ class DeviceEC:
             _mark(f"retry round ({n_r} windows, {int(acc2.sum())} "
                   "recovered)")
 
+        # window-SEAM insertion evidence (mirrors WindowBatcher.
+        # _inject_seams; applied to the L4 accumulators after the cis
+        # classification below)
+        seam = None
+        if W >= 2:
+            same = (j_ovid[1:] == j_ovid[:-1]) & \
+                (j_ws[1:] == j_ws[:-1] + self.wl) & w_ok[1:] & w_ok[:-1]
+            cw = np.flatnonzero(same)
+            if len(cw):
+                y0f = tws_fin - e
+                lend = y0f[cw] + yn_all[cw]
+                rstart = y0f[cw + 1] + ys_all[cw + 1]
+                gap = rstart - lend
+                k = (gap >= 1) & (gap <= 8)
+                cw, lend, gap = cw[k], lend[k], gap[k]
+                rows_s, cols_s, base_s, len_s, ov_s = [], [], [], [], []
+                t_or_cache: Dict[Tuple[int, int], np.ndarray] = {}
+                for w, lo, g in zip(cw.tolist(), lend.tolist(),
+                                    gap.tolist()):
+                    key = (int(j_trid[w]), int(j_trev[w]))
+                    t = t_or_cache.get(key)
+                    if t is None:
+                        t = self.store.get_codes(key[0])
+                        if key[1]:
+                            t = revcomp_codes(t)
+                        t_or_cache[key] = t
+                    seg = t[lo:lo + g]
+                    if len(seg) < g or (seg != seg[0]).any() or \
+                            seg[0] > 3:
+                        continue
+                    rows_s.append(int(j_qrow[w]))
+                    cols_s.append(int(j_ws[w]) + self.wl - 1)
+                    base_s.append(int(seg[0]))
+                    len_s.append(int(g))
+                    ov_s.append(int(j_ovid[w]))
+                if rows_s:
+                    seam = tuple(jnp.asarray(np.asarray(a, np.int32))
+                                 for a in (rows_s, cols_s, base_s,
+                                           len_s, ov_s))
+
         # per-overlap stats
         win_tot = np.concatenate(win_tot_all).astype(np.int64)
         win_ok = np.zeros(n_ov_tot, np.int64)
@@ -1252,6 +1309,9 @@ class DeviceEC:
                 votes, ins_tot, ins_bc, ins_lc = _cis_votes_scan(
                     self.wl, L, Rb, votes, ins_tot, ins_bc, ins_lc,
                     qlen_d, row0s, tb, ic, ib, *qa, cisp)
+        if seam is not None:
+            ins_tot, ins_bc, ins_lc = _seam_add(
+                ins_tot, ins_bc, ins_lc, *seam, is_match_d)
         # ---- L5: consensus decisions + ambiguity mask ON DEVICE ----
         # (consensus_decide / _ambiguous_mask integer forms); only packed
         # decision planes transfer (~L bytes/row vs 8L for raw votes)

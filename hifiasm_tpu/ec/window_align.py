@@ -485,6 +485,7 @@ class WindowBatcher:
                                          ).astype(np.int32)
             tbs.err[:] += np.bincount(o, weights=err_all[s:e][acc],
                                       minlength=n_ov).astype(np.int64)
+        self._inject_seams(jobs, acc_all, win_y)
         self._finalize_ranges(jobs, acc_all, win_y)
 
     # ---- legacy engine path (numpy / jax / explicit engines) ----
@@ -546,7 +547,54 @@ class WindowBatcher:
             self._engine_chunk(engine, jobs, ridx[c0:c0 + ck],
                                t2[c0:c0 + ck], accept_thre, acc_all,
                                win_y, e)
+        self._inject_seams(jobs, acc_all, win_y)
         self._finalize_ranges(jobs, acc_all, win_y)
+
+    def seam_sites(self, jobs, acc_all, win_y):
+        """Window-SEAM insertion evidence (~the reference's round-2
+        window repair, ecovlp.cpp's second `cal_ec_r` pass): an
+        insertion straddling the boundary between two windows is
+        invisible to both windows' alignments — window k's optimal path
+        ends before the extra target base and window k+1 starts after
+        it (its t_ws comes from a chain hit past the seam).  The
+        skipped target bases show up as a GAP between consecutive
+        accepted windows' target ranges.  Returns (w, gap) arrays:
+        job index of the LEFT window and the number of skipped target
+        bases (1..MAX_INS_TRACK candidates only)."""
+        read = jobs["read"]
+        ovw = jobs["ov"]
+        ws = jobs["ws"]
+        if len(read) < 2:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        same = (read[1:] == read[:-1]) & (ovw[1:] == ovw[:-1]) & \
+            (ws[1:] == ws[:-1] + self.wl)
+        cand = np.flatnonzero(same & acc_all[1:] & acc_all[:-1])
+        gap = win_y[cand + 1, 0] - win_y[cand, 1]
+        keep = (gap >= 1) & (gap <= 8)
+        return cand[keep], gap[keep]
+
+    def _inject_seams(self, jobs, acc_all, win_y) -> None:
+        """Write homopolymer seam insertions into the traceback arrays
+        at the left window's last column (engine + native-jobs paths
+        share this; the fused native kernel and the device path apply
+        the identical rule in their own vote accumulators)."""
+        cand, gap = self.seam_sites(jobs, acc_all, win_y)
+        for w, g in zip(cand.tolist(), gap.tolist()):
+            q, ov, tbs, pl = self._reads[int(jobs["read"][w])]
+            o = int(jobs["ov"][w])
+            t = self.get_target(int(ov.y_id[o]), int(ov.rev[o]))
+            lo = int(win_y[w, 1])
+            seg = t[lo:lo + int(g)]
+            if len(seg) == 0 or (seg != seg[0]).any() or seg[0] > 3:
+                continue                # mixed-content/N seam: leave it
+            col = int(tbs.off[o] + jobs["ws"][w] + jobs["wlen"][w] - 1
+                      - tbs.x_s[o])
+            if tbs.ins_cnt[col] == 0:
+                tbs.ins_cnt[col] = min(int(g), 255)
+                tbs.ins_base[col] = int(seg[0])
+            elif tbs.ins_base[col] == seg[0]:
+                tbs.ins_cnt[col] = min(int(tbs.ins_cnt[col]) + int(g),
+                                       255)
 
 
 def align_overlaps(q: np.ndarray, ov: OverlapRegions,

@@ -1147,6 +1147,44 @@ extern "C" int64_t ht_ec_batch(
                 wyn[gw] = yn;
                 wtws[gw] = t2;
             }
+            // window-SEAM insertion evidence (mirrors WindowBatcher.
+            // _inject_seams / the reference's round-2 repair pass): an
+            // insertion straddling two windows is invisible to both
+            // alignments; the skipped target bases appear as a gap
+            // between consecutive accepted windows' target ranges.
+            for (int64_t wi = 0; wi + 1 < nw; ++wi) {
+                const int64_t gw = w0g + wi;
+                if (werr[gw] < 0 || werr[gw + 1] < 0) continue;
+                const int64_t ws = xs + wi * wl;
+                const int64_t wlen = (wl < xe - ws + 1) ? wl
+                                                        : xe - ws + 1;
+                if (wlen != wl) continue;          // grid-consecutive
+                const int64_t lend = (wtws[gw] - e) + wyn[gw];
+                const int64_t rstart = (wtws[gw + 1] - e) + wys[gw + 1];
+                const int64_t gap = rstart - lend;
+                if (gap < 1 || gap > 8) continue;
+                uint8_t b0 = 0;
+                bool same_b = true;
+                for (int64_t gg = 0; gg < gap; ++gg) {
+                    const int64_t tp = lend + gg;
+                    if (tp < 0 || tp >= tl_full) { same_b = false; break; }
+                    const uint8_t raw =
+                        rev ? t[tl_full - 1 - tp] : t[tp];
+                    if (raw > 3) { same_b = false; break; }
+                    const uint8_t bb = rev ? (uint8_t)(3 - raw) : raw;
+                    if (gg == 0) b0 = bb;
+                    else if (bb != b0) { same_b = false; break; }
+                }
+                if (!same_b) continue;
+                const int64_t col = arena_off[o] + (ws - xs) + wl - 1;
+                if (ic_arena[col] == 0) {
+                    ic_arena[col] = (uint8_t)(gap < 255 ? gap : 255);
+                    ib_arena[col] = b0;
+                } else if (ib_arena[col] == b0) {
+                    const int64_t nc = (int64_t)ic_arena[col] + gap;
+                    ic_arena[col] = (uint8_t)(nc < 255 ? nc : 255);
+                }
+            }
             int64_t first_ts = -1, last_te = -1;
             for (int64_t wi = 0; wi < nw; ++wi) {
                 const int64_t gw = w0g + wi;
@@ -1191,10 +1229,43 @@ extern "C" int64_t ht_ec_batch(
 // allele counts -> het sites -> cis/trans classification -> windowed
 // majority consensus with het protection -> corrected sequence.
 
+// Partial-order bundle walk over an insertion-vote map (mirrors
+// ec/consensus.py _ins_bundle_walk bit-for-bit): emit the longest
+// prefix every additional symbol of which keeps support above
+// occ_exact * n — the Merge_DAGCon bundle merge (Correct.cpp:5031)
+// for competing/nested insertion bundles.  Ties -> smallest symbol.
+static void ins_bundle_walk(const std::map<std::string, int64_t>& m,
+                            int64_t n, double occ_exact,
+                            std::string& out) {
+    std::string pfx;
+    for (;;) {
+        int64_t wt[256];
+        memset(wt, 0, sizeof(wt));
+        bool any = false;
+        for (const auto& kv : m) {
+            const std::string& s = kv.first;
+            if (s.size() > pfx.size() &&
+                s.compare(0, pfx.size(), pfx) == 0) {
+                wt[(uint8_t)s[pfx.size()]] += kv.second;
+                any = true;
+            }
+        }
+        if (!any) break;
+        int b = 0;
+        int64_t mx = -1;
+        for (int c = 0; c < 256; ++c)
+            if (wt[c] > mx) { mx = wt[c]; b = c; }   // ties: smallest
+        if (!((double)mx > occ_exact * (double)n)) break;
+        pfx.push_back((char)b);
+    }
+    out += pfx;
+}
+
 // Star-MSA consensus over sorted cluster voter strings (mirrors
 // ec/consensus.py _star_msa_consensus bit-for-bit: diagonal > up > left
-// traceback; column ties -> smallest symbol; insertion ties -> smallest
-// string).  The Merge_DAGCon role when exact plurality fails.
+// traceback; column ties -> smallest symbol; insertion bundles merge
+// via the prefix walk above).  The Merge_DAGCon role when exact
+// plurality fails.
 static bool star_msa_consensus(const std::vector<std::string>& strs,
                                const std::string& backbone,
                                double occ_exact, std::string& out) {
@@ -1257,16 +1328,7 @@ static bool star_msa_consensus(const std::vector<std::string>& strs,
     }
     out.clear();
     for (int64_t i = 0; i <= B; ++i) {
-        if (!ins[i].empty()) {
-            const std::string* sb = nullptr;
-            int64_t cnt = 0;
-            for (const auto& kv : ins[i])    // keys ascending
-                if (kv.second > cnt) {
-                    sb = &kv.first;
-                    cnt = kv.second;
-                }
-            if ((double)cnt > occ_exact * n) out += *sb;
-        }
+        if (!ins[i].empty()) ins_bundle_walk(ins[i], n, occ_exact, out);
         if (i < B) {
             int w = 0;
             for (int c = 1; c < 5; ++c)
@@ -1522,9 +1584,18 @@ static int64_t ec_read_one(
             const bool brk = gi == pos.size() ||
                 (gi > gs && pos[gi] - pos[gi - 1] > 8);
             if (!brk) continue;
-            if (gi - gs >= 2) {
+            if (gi - gs >= 1) {
                 int64_t cs = pos[gs] - 2 < 0 ? 0 : pos[gs] - 2;
                 int64_t ce = pos[gi - 1] + 3 > qlen ? qlen : pos[gi - 1] + 3;
+                // extend to homopolymer-run boundaries (capped),
+                // mirroring dag_cluster_consensus: indel placement
+                // within a run is alignment-ambiguous
+                for (int64_t ext = 0;
+                     cs > 0 && q[cs - 1] == q[cs] && ext < 12; ++ext)
+                    --cs;
+                for (int64_t ext = 0;
+                     ce < qlen && q[ce] == q[ce - 1] && ext < 12; ++ext)
+                    ++ce;
                 bool has_het = false;
                 for (int64_t p = cs; p < ce && !has_het; ++p)
                     has_het = het[p];

@@ -250,3 +250,75 @@ def test_star_msa_fallback_native_matches_python():
     seq = out[2]
     expect = np.concatenate([q[:10], q[11:]])
     assert np.array_equal(seq, expect), seq[6:16]
+
+
+def test_ins_bundle_walk_merges_nested_insertions():
+    """Nested homopolymer insertion bundles split the exact-string vote
+    but agree on the shared prefix path (~Merge_DAGCon bundle merge,
+    Correct.cpp:5031)."""
+    from hifiasm_tpu.ec.consensus import _ins_bundle_walk
+
+    ins = {b"\x00": 3, b"\x00\x00": 3, b"\x00\x00\x00": 2}
+    # n=9 voters: first A carries 8 > 4.5, second 5 > 4.5, third 2 < 4.5
+    assert _ins_bundle_walk(ins, 9, 0.500001) == b"\x00\x00"
+    # a dominant exact string behaves as before
+    assert _ins_bundle_walk({b"\x01\x02": 5}, 8, 0.500001) == b"\x01\x02"
+    assert _ins_bundle_walk({b"\x01": 2, b"\x02": 2}, 8, 0.500001) == b""
+
+
+def test_star_msa_nested_insertion_bundles():
+    """Voters carrying 1/2/3 extra homopolymer bases: no exact string
+    reaches plurality, the column-wise star vote misses the second
+    symbol, the bundle walk recovers the true 2-base insertion."""
+    from hifiasm_tpu.ec.consensus import _star_msa_consensus
+
+    base = bytes([1, 2, 1, 2, 0, 3, 1, 3])
+    v1 = base[:5] + b"\x00" + base[5:]            # one extra A
+    v2 = base[:5] + b"\x00\x00" + base[5:]        # two extra (truth)
+    v3 = base[:5] + b"\x00\x00\x00" + base[5:]    # three extra
+    strs = sorted([v1] * 3 + [v2] * 3 + [v3] * 2)
+    # plurality backbone would be v1 (count ties pick the smaller key)
+    cons = _star_msa_consensus(strs, v1, 0.500001)
+    assert cons == v2, (cons, v2)
+
+
+def test_window_seam_insertion_repair(rng):
+    """An insertion error exactly at a 775-bp window boundary is
+    invisible to both windows' alignments (window k's path ends before
+    the extra target base; window k+1 starts past it).  The seam pass
+    (WindowBatcher._inject_seams, ~the reference's round-2 repair)
+    recovers it from the gap between the windows' target ranges."""
+    from hifiasm_tpu.config import WINDOW_HC, HifiasmConfig
+    from hifiasm_tpu.ec.pipeline import _TargetCache, _chain_all_reads
+    from hifiasm_tpu.ec.window_align import align_overlaps
+    from hifiasm_tpu.ec.phase import phase_overlaps
+    from hifiasm_tpu.ec.consensus import windowed_consensus
+    from hifiasm_tpu.index.pos_table import build_position_table
+    from hifiasm_tpu.io.readstore import ReadStore
+    from tests.synth import make_genome
+
+    truth = make_genome(rng, 2400)
+    # homopolymer straddling the window boundary; the read LOST one base
+    b = WINDOW_HC
+    truth[b - 2:b + 2] = truth[b]
+    q = np.concatenate([truth[:b], truth[b + 1:]])
+    reads = [q] + [truth.copy() for _ in range(6)]
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  [r.copy() for r in reads])
+    cfg = HifiasmConfig()
+    codes = [store.get_codes(i) for i in range(store.n_reads)]
+    pt, ph_, _, mzs = build_position_table(codes, cfg.k, cfg.w)
+    hom = ph_ if ph_ > 0 else cfg.hom_cov
+    read_ovs = dict(_chain_all_reads(store, codes, mzs, pt, cfg, hom))
+    gt = _TargetCache(store)
+    tbs = align_overlaps(q, read_ovs[0], gt, cfg.max_ov_diff_ec,
+                         wl=cfg.ec_window)
+    phr = phase_overlaps(q, read_ovs[0], tbs)
+    cns = windowed_consensus(q, read_ovs[0], tbs, phr)
+    assert np.array_equal(cns.seq, truth), (len(cns.seq), len(truth))
+
+    # the fused native kernel applies the identical seam rule
+    from hifiasm_tpu.native import ec_read_native
+    nat = ec_read_native(tbs, q)
+    assert nat is not None
+    assert np.array_equal(nat[2], truth)
