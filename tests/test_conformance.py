@@ -601,3 +601,85 @@ def test_hic_mapping_and_phasing_matches_reference(rng, tmp_path):
         assert 0.9 * L < a < 1.25 * L, (ours_h, ref_h)
     assert abs(ours_h[0] - ref_h[0]) < 0.02 * max(ref_h[0], 1), \
         (ours_h, ref_h)
+
+
+def test_write_ec_parity_homopolymer_indel(tmp_path):
+    """EC residual parity on the HiFi homopolymer-indel profile (~90%
+    indels at runs — the regime the reference's POA bundle machinery
+    absorbs).  r4: seam repair + insertion bundle walk + run-extended
+    DAG clusters bring this below the reference (VERDICT r3 item 10)."""
+    from hifiasm_tpu.io.readstore import revcomp_codes
+    from tests.synth import inject_errors_hifi
+
+    rng = np.random.default_rng(3)
+    L = 25000
+    g = make_genome(rng, L)
+    n_reads, rl = 100, 3000
+    reads, starts, strands = [], [], []
+    for i in range(n_reads):
+        s = int(rng.integers(0, L - rl))
+        st = int(rng.integers(0, 2))
+        seg = g[s:s + rl].copy()
+        if st:
+            seg = revcomp_codes(seg)
+        reads.append(inject_errors_hifi(rng, seg, 0.01))
+        starts.append(s)
+        strands.append(st)
+    nt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "reads.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{nt[r].tobytes().decode()}\n")
+    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
+                                  [r.copy() for r in reads])
+    assemble(store, HifiasmConfig(output_prefix=str(tmp_path / "ours"),
+                                  n_rounds_ec=1, write_ec=True,
+                                  ignore_bin=True))
+    subprocess.run([REF, "-o", str(tmp_path / "ref"), "-t4", "-f0", "-r1",
+                    "--write-ec", str(fa)],
+                   capture_output=True, check=True, timeout=600)
+
+    from hifiasm_tpu.native import banded_batch_native
+
+    def read_fa(path):
+        seqs, name = {}, None
+        for ln in open(path):
+            if ln.startswith(">"):
+                name = ln[1:].split()[0]
+                seqs[name] = ""
+            else:
+                seqs[name] += ln.strip()
+        return seqs
+
+    def residual(seqs):
+        e = 31
+        xs, ys = [], []
+        for i in range(n_reads):
+            seq = seq_to_codes(seqs[f"r{i}"].encode())
+            src = g[starts[i]:starts[i] + rl]
+            if strands[i]:
+                src = revcomp_codes(src)
+            if abs(len(seq) - len(src)) > 100:
+                continue
+            xs.append(seq)
+            ys.append(src)
+        XL = max(len(x) for x in xs)
+        YL = XL + 2 * e
+        xb = np.full((len(xs), XL), 4, np.uint8)
+        yb = np.full((len(xs), YL), 4, np.uint8)
+        xl = np.zeros(len(xs), np.int64)
+        yl = np.zeros(len(xs), np.int64)
+        for j, (x, y) in enumerate(zip(xs, ys)):
+            xb[j, :len(x)] = x
+            yb[j, :min(len(y), YL)] = y[:YL]
+            xl[j] = len(x)
+            yl[j] = min(len(y), YL)
+        out = banded_batch_native(xb, xl, yb, yl, e, traceback=False)
+        ok = out.err >= 0
+        return float(out.err[ok].sum()) / max(int(xl[ok].sum()), 1)
+
+    r_ours = residual(read_fa(str(tmp_path / "ours.ec.fa")))
+    r_ref = residual(read_fa(str(tmp_path / "ref.ec.fa")))
+    # BELOW the reference on this profile (plus an absolute floor for
+    # the case where both residuals are ~0)
+    assert r_ours < max(r_ref, 1e-5), (r_ours, r_ref)
