@@ -101,11 +101,16 @@ def _mk_kernel(XL: int, XLR: int, YW: int, e: int, S: int):
                     peq[2 * c] = jnp.where(
                         m, peq[2 * c] | _c(1 << (b0 - 32)), peq[2 * c])
 
-        def fwd_step(i, st, store_seg, k):
+        def fwd_step(i, st, store_seg, k, xc=None, yc2=None):
             """One Myers step from state st at row i; optionally stores
-            (diag, hp, vp') planes into seg_ref[k]."""
+            (diag, hp, vp') planes into seg_ref[k].  ``xc``/``yc2`` may
+            be pre-extracted by the 4-row unrolled drivers (one aligned
+            word load + static byte shifts per 4 rows, instead of a
+            dynamic-index load and dynamic shift per row — Mosaic
+            pipelines the static form)."""
             (vp_hi, vp_lo, vn_hi, vn_lo, err, *pq) = st
-            xc = xchar(i).astype(jnp.int32)
+            if xc is None:
+                xc = xchar(i).astype(jnp.int32)
             live = i < xlen
             eq_hi = zero
             eq_lo = zero
@@ -148,7 +153,8 @@ def _mk_kernel(XL: int, XLR: int, YW: int, e: int, S: int):
                 seg_ref[k, 4] = vp_hi2
                 seg_ref[k, 5] = vp_lo2
             # Peq shift + admit y[i + W]
-            yc2 = ychar(i + W).astype(jnp.int32)
+            if yc2 is None:
+                yc2 = ychar(i + W).astype(jnp.int32)
             adm = live & ((i + W) < ylen)
             npq = []
             for c in range(4):
@@ -160,19 +166,37 @@ def _mk_kernel(XL: int, XLR: int, YW: int, e: int, S: int):
                 npq.append(jnp.where(m, nlo | top_lo, nlo))
             return (vp_hi2, vp_lo2, vn_hi2, vn_lo2, err2) + tuple(npq)
 
+        def fwd4(wi, st, store_seg, k0):
+            """Four unrolled Myers rows starting at i = 4*wi: ONE
+            aligned x-word load and (at most) two y-word loads with
+            STATIC byte shifts replace the per-row dynamic-index loads
+            and dynamic shifts."""
+            xw = xp_ref[wi]
+            # admit chars y[4*wi + sub + W]: words wi + (sub+W)>>2
+            woffs = sorted({(sub + W) >> 2 for sub in range(4)})
+            ywords = {off: yp_ref[wi + off] for off in woffs}
+            for sub in range(4):
+                xc = ((xw >> _c(8 * sub)) & _U32(0xFF)).astype(jnp.int32)
+                yw = ywords[(sub + W) >> 2]
+                yb = (sub + W) & 3
+                yc2 = ((yw >> _c(8 * yb)) & _U32(0xFF)).astype(jnp.int32)
+                st = fwd_step(4 * wi + sub, st, store_seg,
+                              k0 + sub, xc=xc, yc2=yc2)
+            return st
+
         # ---- pass A: forward with checkpoints every RC rows ----
-        def passA(i, st):
-            @pl.when(i % RC == 0)
+        def passA(wi, st):
+            @pl.when((4 * wi) % RC == 0)
             def _():
-                c = i // RC
+                c = (4 * wi) // RC
                 for p in range(12):
                     ckpt_ref[c, p] = st[(0, 1, 2, 3)[p]] if p < 4 \
                         else st[5 + (p - 4)]
-            return fwd_step(i, st, False, 0)
+            return fwd4(wi, st, False, 0)
 
         st0 = (zero, zero, zero, zero,
                jnp.zeros((S, LANES), jnp.int32)) + tuple(peq)
-        stf = lax.fori_loop(0, XLR, passA, st0)
+        stf = lax.fori_loop(0, XLR // 4, passA, st0)
         vp_hi, vp_lo, vn_hi, vn_lo, err = stf[:5]
 
         # ---- free-end scan over endpoints xlen .. min(xlen+2e, ylen) ----
@@ -247,17 +271,24 @@ def _mk_kernel(XL: int, XLR: int, YW: int, e: int, S: int):
             stc = (cp[0], cp[1], cp[2], cp[3],
                    jnp.zeros((S, LANES), jnp.int32)) + tuple(cp[4:])
 
-            def re_k(k, st):
-                return fwd_step(i0 + k, st, True, k)
+            def re_k(wj, st):
+                return fwd4(i0 // 4 + wj, st, True, 4 * wj)
 
-            lax.fori_loop(0, RC, re_k, stc)
+            lax.fori_loop(0, RC // 4, re_k, stc)
 
-            def bwd_k(k, c2):
+            def bwd4(j, c2):
+                """Four unrolled backward rows kk = RC-1-4j .. RC-4-4j:
+                one aligned y-word load, static byte shifts."""
+                yw = yp_ref[i0 // 4 + (RC // 4 - 1 - j)]
+                for s in range(4):
+                    yc = (yw >> _c(8 * (3 - s))) & _U32(0xFF)
+                    c2 = bwd_row(RC - 1 - 4 * j - s, yc, c2)
+                return c2
+
+            def bwd_row(kk, yc, c2):
                 (bb, done, y0h, y0l, y1h, y1l, y4h, y4l) = c2
-                kk = RC - 1 - k
                 i = i0 + kk
                 # shift-admit y_pad[i] -> planes now describe row i
-                yc = ychar(i)
                 y0h = (y0h << one) | (y0l >> _c(31))
                 y0l = (y0l << one) | (yc & one)
                 y1h = (y1h << one) | (y1l >> _c(31))
@@ -313,7 +344,7 @@ def _mk_kernel(XL: int, XLR: int, YW: int, e: int, S: int):
                 done = done | stall.astype(jnp.int32)
                 return (bb, done, y0h, y0l, y1h, y1l, y4h, y4l)
 
-            return lax.fori_loop(0, RC, bwd_k, carry)
+            return lax.fori_loop(0, RC // 4, bwd4, carry)
 
         carryf = lax.fori_loop(
             0, NC, seg_body,
