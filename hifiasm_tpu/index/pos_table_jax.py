@@ -521,6 +521,8 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
             q_rev[o:o + n] = mz.rev
             q_span[o:o + n] = mz.span.astype(np.int32)
             o += n
+        import time as _time
+        _t0 = _time.time()
         qhi, qlo = _split_u64(q_h)
         slot, found, cnt = _lookup_kernel(
             jnp.asarray(qhi), jnp.asarray(qlo), table.h_hi, table.h_lo,
@@ -530,6 +532,7 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
         cnt = jnp.where(mvalid & found, cnt, 0)
         cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
         total = int(cum[-1])
+        _t1 = _time.time()
         if total == 0:
             yield None, dict(reads=sub, n_keep=0)
             c0 = c1
@@ -546,6 +549,7 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
                             wlut, jnp.int32(total),
                             jnp.uint32(rid_base), Sp, wide=wide)
         (a_read, a_tid, a_rev, a_qpos, a_toff, a_span, a_w, n_keep) = flds
+        _t2 = _time.time()
         # groups run ~100-200 anchors each at HiFi coverage; Sp//32 still
         # leaves ~5x headroom and the overflow path refetches exactly
         Gcap = max(Sp // 32, 4096)
@@ -556,6 +560,10 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
         nk_h, ng_h, gs_p, gr_p, grt_p = fetch_all(
             (n_keep, n_groups, g_start_d, g_read_d, g_rt_d))
         nk, ng = int(nk_h), int(ng_h)
+        log("anchors_device",
+            f"lookup {_t1 - _t0:.1f}s expand+sort {_t2 - _t1:.1f}s "
+            f"groups+fetch {_time.time() - _t2:.1f}s "
+            f"({total} anchors, Sp {Sp})")
         if ng > Gcap:       # dense-group overflow (rare): exact refetch
             g_start_d, n_groups, g_read_d, g_rt_d = \
                 _group_detect(a_read, a_tid, a_rev, n_keep, Gcap=Sp)
