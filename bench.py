@@ -115,9 +115,12 @@ def _bench_device_frontend():
                           "scripts", "bench_device_frontend.py")
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     try:
+        # first run after a kernel change recompiles through the remote
+        # compiler (~15-25 min); the persistent cache makes later runs
+        # ~2-4 min
         r = subprocess.run(
             [sys.executable, script, "512"],
-            capture_output=True, timeout=900, env=env, text=True)
+            capture_output=True, timeout=2400, env=env, text=True)
         for line in reversed(r.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
