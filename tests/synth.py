@@ -66,6 +66,10 @@ def inject_errors(rng, codes: np.ndarray, rate: float) -> np.ndarray:
     out = list(codes)
     sites = sorted(rng.integers(0, n, n_err).tolist(), reverse=True)
     for p in sites:
+        # duplicate tail sites can outrun the shrinking list (deletions
+        # shorten it); clamp — the rng draw sequence is unchanged
+        if p >= len(out):
+            p = len(out) - 1
         kind = rng.random()
         if kind < 0.2:      # substitution
             out[p] = (out[p] + int(rng.integers(1, 4))) % 4
