@@ -501,6 +501,30 @@ def _het_planes(L: int, cnt, bank_rows, qlen_rows):
     minor = jnp.minimum(occ0, occ1)
     het = (occ0 >= 2) & (occ1 >= 2) & (q <= 3) & \
         (4 * minor >= occ0 + occ1) & in_r
+    # alignment-SHIFT veto, integer-identical with the host rule
+    # (ec/phase.het_from_counts): adjacent pseudo-SNP pairs whose alt
+    # alleles are the query shifted by one are indel artifacts
+    Rp_ = het.shape[0]
+    false_col = jnp.zeros((Rp_, 1), bool)
+
+    def sh(a, k, fill=0):
+        """a shifted so result[:, p] = a[:, p+k] (fill outside)."""
+        if k > 0:
+            return jnp.concatenate(
+                [a[:, k:], jnp.full((Rp_, k), fill, a.dtype)], axis=1)
+        return jnp.concatenate(
+            [jnp.full((Rp_, -k), fill, a.dtype), a[:, :k]], axis=1)
+
+    pair = het & sh(het, 1, False)                    # [.., p] & [p+1]
+    posc = jnp.arange(L, dtype=jnp.int32)[None, :]
+    sa32 = site_alt
+    qa_m = jnp.where(in_r, qa, 9)                     # never matches
+    pairL = pair & (posc >= 1) & \
+        (sa32 == sh(qa_m, -1, 9)) & (sh(sa32, 1, -9) == qa_m)
+    pairR = pair & (posc + 2 < qlen_rows[:, None]) & \
+        (sa32 == sh(qa_m, 1, 9)) & (sh(sa32, 1, -9) == sh(qa_m, 2, 9))
+    dp = pairL | pairR
+    het = het & ~(dp | sh(dp, -1, False))
     alt = jnp.where(het, site_alt, 0).astype(jnp.uint8)
     het_u8 = het.astype(jnp.uint8)
     return (het_u8, alt, _pack_bits(het), _pack2(alt),

@@ -71,6 +71,26 @@ def het_from_counts(q: np.ndarray, cnt: np.ndarray, min_het_occ: int = 2
     minor = np.minimum(occ0, occ1)
     het = (occ0 >= min_het_occ) & (occ1 >= min_het_occ) & (q <= 3) & \
         (minor * 4 >= occ0 + occ1)
+    # alignment-SHIFT veto (~the reference's non_homopolymer_errors
+    # discounting, ecovlp.cpp:2849): an uncorrected indel shifts the
+    # voters' columns by one, minting ADJACENT pseudo-SNP pairs whose
+    # alt alleles are the query shifted left/right by one.  Such pairs
+    # flip half the local overlaps to trans and block the correction
+    # forever — drop both sites.
+    if qlen >= 2:
+        sa = site_alt.astype(np.int64)
+        pair = het[:-1] & het[1:]
+        pairL = pair.copy()
+        pairL[0] = False
+        pairL[1:] &= (sa[1:-1] == qa[:-2]) & (sa[2:] == qa[1:-1])
+        pairR = pair.copy()
+        pairR[-1] = False
+        pairR[:-1] &= (sa[:-2] == qa[1:-1]) & (sa[1:-1] == qa[2:])
+        drop = np.zeros(qlen, bool)
+        dp = pairL | pairR
+        drop[:-1] |= dp
+        drop[1:] |= dp
+        het &= ~drop
     return np.flatnonzero(het), site_alt
 
 

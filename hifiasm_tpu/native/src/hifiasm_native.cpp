@@ -1446,6 +1446,26 @@ static int64_t ec_read_one(
             ++n_het;
         }
     }
+    // alignment-SHIFT veto (mirrors ec/phase.het_from_counts): an
+    // uncorrected indel shifts the voters' columns by one, minting
+    // adjacent pseudo-SNP pairs whose alt alleles are the query
+    // shifted left/right by one — drop both sites of such pairs
+    if (qlen >= 2 && n_het >= 2) {
+        auto qcl = [&](int64_t p) -> int {
+            return q[p] <= 3 ? q[p] : 3;
+        };
+        std::vector<uint8_t> drop((size_t)qlen, 0);
+        for (int64_t p = 0; p + 1 < qlen; ++p) {
+            if (!het[p] || !het[p + 1]) continue;
+            const bool pl = p >= 1 && alt[p] == qcl(p - 1) &&
+                            alt[p + 1] == qcl(p);
+            const bool pr = p + 2 < qlen && alt[p] == qcl(p + 1) &&
+                            alt[p + 1] == qcl(p + 2);
+            if (pl || pr) drop[p] = drop[p + 1] = 1;
+        }
+        for (int64_t p = 0; p < qlen; ++p)
+            if (drop[p] && het[p]) { het[p] = 0; --n_het; }
+    }
     *n_het_out = n_het;
     // pass 2: per-overlap het agreement -> trans flips
     const int64_t min_flip = n_het >= 3 ? 1 : 2;
