@@ -84,3 +84,42 @@ def _merge_batches(dev, read_ovs, orig, rows, plans=None):
         outs.update(o)
         cns.update(c)
     return outs, cns
+
+
+def test_route_windows_slot_invariants():
+    """Owner-routed slot layout: every window lands exactly once, in a
+    slot owned by its read-row's device, in stable within-device order;
+    unroute is the exact inverse."""
+    import jax
+    from hifiasm_tpu.ec.device_ec import DeviceEC
+    from hifiasm_tpu.io.readstore import ReadStore
+
+    rng = np.random.default_rng(11)
+    reads = [rng.integers(0, 4, 500).astype(np.uint8) for _ in range(8)]
+    store = ReadStore.from_arrays([f"r{i}" for i in range(8)], reads)
+    from hifiasm_tpu.parallel.mesh import make_mesh
+    dev = DeviceEC(store, mesh=make_mesh(8))
+    nd = dev.n_dev
+    Rp = 256
+    rb = Rp // nd
+    q_row = rng.integers(0, 200, 3000).astype(np.int32)
+    wmap, C, rb_got = dev._route_windows(q_row, Rp)
+    assert rb_got == rb
+    sel = wmap >= 0
+    # exactly once
+    assert sorted(wmap[sel].tolist()) == list(range(3000))
+    # slot ownership matches the row's device
+    pc = dev.chunk // nd
+    slots = np.flatnonzero(sel)
+    dev_of_slot = (slots % dev.chunk) // pc
+    assert np.array_equal(dev_of_slot,
+                          np.minimum(q_row[wmap[sel]] // rb, nd - 1))
+    # stable order within each device
+    for d in range(nd):
+        wd = wmap[slots[dev_of_slot == d]]
+        assert np.all(np.diff(wd) > 0)
+    # unroute inverts
+    flat = np.zeros(C * dev.chunk, np.int64)
+    flat[sel] = wmap[sel] * 7 + 1
+    back = dev._unroute(flat, wmap, 3000)
+    assert np.array_equal(back, np.arange(3000) * 7 + 1)
