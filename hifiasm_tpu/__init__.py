@@ -15,16 +15,42 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _host_fingerprint() -> str:
+    """Short stable hash of this host's CPU features.
+
+    XLA:CPU AOT results embed the compile machine's feature set; loading
+    them on a host with different features warns about (and risks) SIGILL.
+    Keying the persistent cache directory by the feature set means only
+    feature-identical hosts share entries — a new machine recompiles
+    instead of loading a mismatched AOT blob."""
+    import hashlib
+    import platform
+
+    feat = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(feat.encode()).hexdigest()[:10]
+
+
 def _enable_jax_compile_cache() -> None:
     """Persist XLA compilations next to the repo (device kernels take
-    minutes to compile on TPU; the cache makes that a one-time cost)."""
+    minutes to compile on TPU; the cache makes that a one-time cost).
+    Entries live under a per-host-feature subdirectory (see
+    ``_host_fingerprint``)."""
     try:
         import jax
 
-        cache = _os.environ.get(
+        root = _os.environ.get(
             "HIFIASM_TPU_JAX_CACHE",
             _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
                           ".jax_cache"))
+        cache = _os.path.join(root, "host-" + _host_fingerprint())
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

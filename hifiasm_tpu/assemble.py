@@ -134,6 +134,20 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         ec = run_ec(store, cfg, ft if len(ft) else None)
         if write_outputs:
             save_ec_state(cfg.output_prefix, store, ec.paf, ec.reverse_paf)
+    if cfg.bin_only:
+        # --bin-only: the reference exits right after dumping the
+        # checkpoint bins (Overlaps.cpp:23585, inter.cpp:21639)
+        log("assemble", "--bin-only: wrote checkpoint bins, stopping")
+        return AssemblyResult(store, ec, None, None, None, None, None)
+    if cfg.dbg_het_cnt and write_outputs:
+        # --dbg-het-cnt: per-read het-evidence counts on the corrected
+        # reads -> <prefix>.het_cnt.log (~print_het_cnt_log,
+        # Assembly.cpp:968-978; counted on the last round there)
+        from hifiasm_tpu.ec.pipeline import het_cnt_pass
+        hc = het_cnt_pass(store, cfg)
+        with open(f"{cfg.output_prefix}.het_cnt.log", "w") as f:
+            for i in range(store.n_reads):
+                f.write(f">{store.names[i]}\t{int(hc[i])}\n")
     if write_outputs and cfg.write_ec:
         _dump_ec_fasta(store, f"{cfg.output_prefix}.ec.fa")
     if write_outputs and cfg.write_paf:
@@ -147,8 +161,12 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         log("assemble", "--dbg-ovec: wrote EC overlaps, stopping")
         return AssemblyResult(store, ec, None, None, None, None, None)
 
-    # trio binning (~ha_triobin call site, Assembly.cpp:2101)
-    if (cfg.fn_bin_yak_pat and cfg.fn_bin_yak_mat) or \
+    # trio binning (~ha_triobin call site, Assembly.cpp:2101);
+    # --skip-triobin parses the yak/list inputs but skips the binning
+    # (the reference parses HA_F_SKIP_TRIOBIN, CommandLines.cpp:918)
+    if cfg.skip_triobin:
+        log("assemble", "--skip-triobin: trio binning skipped")
+    elif (cfg.fn_bin_yak_pat and cfg.fn_bin_yak_mat) or \
             (cfg.fn_bin_list_pat and cfg.fn_bin_list_mat):
         from hifiasm_tpu.trio import ha_triobin
         ha_triobin(store, cfg.fn_bin_yak_pat, cfg.fn_bin_yak_mat,
@@ -225,7 +243,11 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         # UL-vs-UL catalog correction (gfa_ut.cpp:7622 rounds over
         # real integer-space overlaps; the triple-vote shortcut
         # mis-corrects repeat-crossing reads)
-        catalog_correction(paths)
+        # --integer-correct overrides the round count (the reference
+        # drives ul_re_correct with it, gfa_ut.cpp:17648)
+        catalog_correction(paths,
+                           rounds=cfg.integer_correct_round
+                           if cfg.integer_correct_round > 0 else 3)
         # base-precision junction boundaries (~ul_refine_alignment)
         from hifiasm_tpu.ul import ul_refine_blocks
         ul_refine_blocks(paths, ul_codes, useqs)
@@ -256,6 +278,10 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         int(np.round(read_cov[(u.vs >> 1)].mean())) if len(u.vs) else 0
         for u in ug.utgs], np.int64)
     purge_cov_thr = cfg.purge_max_cov
+    if purge_cov_thr < 0 and cfg.somatic_cov >= 0:
+        # --somatic-cov: a fixed diploid-coverage ceiling replaces the
+        # derived threshold (~flat_soma_v, Overlaps.cpp:39127)
+        purge_cov_thr = cfg.somatic_cov
     if purge_cov_thr < 0 and cfg.purge_level > 0:
         # auto threshold from the measured read-coverage histogram
         # (~get_read_coverage_thres + if_ploid_sample,
@@ -365,17 +391,27 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             int(np.round(res.read_cov[(u.vs >> 1)].mean()))
             if len(u.vs) else 0 for u in res.raw_ug.utgs], np.int64)
         _gfa(f"{ctg_pfx}r_utg.gfa", res.raw_ug, "utg", raw_cov)
+        if cfg.prt_raw:
+            # --prt-raw: extra pre-cleaning debug graph under the
+            # reference's "<prefix>.raw" suffix (prt_dbg_gfa,
+            # Overlaps.cpp:39200,39248)
+            _gfa(f"{prefix}.raw.gfa", res.raw_ug, "utg", raw_cov)
     _gfa(f"{ctg_pfx}p_utg.gfa", res.ug, "utg", ug_cov)
     if cfg.bed_inconsist_rate > 0:        # --lowQ 0 disables the BED
         from hifiasm_tpu.graph.gfa import write_lowq_bed
         with open(f"{ctg_pfx}p_utg.lowQ.bed", "w") as f:
             write_lowq_bed(f, res.ug, res.cov, "utg")
     if cfg.ex_list:
-        from hifiasm_tpu.debug_trace import trace_reads
+        from hifiasm_tpu.debug_trace import extract_print, trace_reads
         with open(cfg.ex_list) as f:
             names = [ln.split()[0] for ln in f if ln.strip()]
         with open(f"{prefix}.trace.tsv", "w") as f:
             trace_reads(res.store, cfg, names, f)
+        if cfg.extract_iter > 0:
+            # --ex-iter: BFS-expanded overlap dump (extract.cpp:165)
+            with open(f"{prefix}.extract.paf", "w") as f:
+                extract_print(res.store, res.ec.paf, res.ec.reverse_paf,
+                              names, cfg.extract_iter, f)
 
     prim_ids = (res.purge.primary if res.purge is not None
                 else list(range(len(res.ug))))
@@ -479,7 +515,10 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
         from hifiasm_tpu.phasing.hic import resolve_tangles_hic
         resolve_tangles_hic(res.ug, hits4)
         seq_cache.clear()             # tangle resolution can rewire paths
-        hic_links = hic_link_matrix(len(res.ug), hits4[:, [0, 2]])
+        hic_links = hic_link_matrix(
+            len(res.ug), hits4,
+            utg_lens=np.array([len(s) for s in seqs], np.int64),
+            sc_weight=not cfg.unskew)
         hic_seqs, hic_hits4 = seqs, hits4
     hap1_ids, hap2_ids = [], []
     if not primary_mode and cfg.polyploidy > 2:
@@ -513,6 +552,31 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             ug_post_join(hg, res.cov)
             _gfa(f"{prefix}.{mode}.{name}.p_ctg.gfa", hg,
                  f"h{name[-1]}tg", _recov(hg) if len(hg.utgs) else None)
+        if mode == "dip" and cfg.kpt_rate > 0:
+            # --kpt-rate: extra ".kdp" graph of unitigs mostly UNUSED by
+            # either haplotype output — a unitig is dropped when its
+            # fraction of hap-used reads reaches the rate
+            # (~filter_set_kug, Overlaps.cpp:21286: flag_occ >=
+            # u.n * f_rate deletes; the remainder prints to "%s.kdp")
+            used_reads = set()
+            for ids in (hap1_ids, hap2_ids):
+                for i in ids:
+                    used_reads.update(
+                        (res.ug.utgs[i].vs >> 1).astype(np.int64).tolist())
+            kdp_ids = []
+            for i, u in enumerate(res.ug.utgs):
+                rs = (u.vs >> 1).astype(np.int64)
+                if len(rs) == 0:
+                    continue
+                occ = sum(1 for r in rs if int(r) in used_reads)
+                if not (occ == len(rs) or occ >= len(rs) * cfg.kpt_rate):
+                    kdp_ids.append(i)
+            kg = _sub_ug(res.ug, kdp_ids)
+            ug_post_join(kg, res.cov)
+            _gfa(f"{prefix}.kdp.p_ctg.gfa", kg, "ptg",
+                 _recov(kg) if len(kg.utgs) else None)
+            log("assemble", f"--kpt-rate: {len(kdp_ids)} unused unitigs "
+                f"-> {prefix}.kdp.p_ctg.gfa")
         if mode == "hic" and not cfg.dual_scaf:
             # Hi-C scaffolding per haplotype (~ha_aware_order,
             # horder.cpp:4540): positioned PE hits -> end-proximity

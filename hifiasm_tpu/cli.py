@@ -218,6 +218,28 @@ def build_parser() -> argparse.ArgumentParser:
                         "jointly with the main input (one EC round)")
     p.add_argument("--low-het", dest="low_het", action="store_true",
                    help="genomes with very low heterozygosity (reserved)")
+    # hidden longopts (absent from the reference --help too;
+    # CommandLines.cpp:18-88)
+    p.add_argument("--skip-triobin", dest="skip_triobin",
+                   action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--bin-only", dest="bin_only", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("--somatic-cov", dest="somatic_cov", type=int,
+                   default=-1, help=argparse.SUPPRESS)
+    p.add_argument("--kpt-rate", dest="kpt_rate", type=float, default=-1.0,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--unskew", dest="unskew", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("--integer-correct", dest="integer_correct_round",
+                   type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--ex-iter", dest="extract_iter", type=int, default=0,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--dp-er", dest="dp_e", type=float, default=0.0025,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--prt-raw", dest="prt_raw", action="store_true",
+                   help=argparse.SUPPRESS)
+    p.add_argument("--dbg-het-cnt", dest="dbg_het_cnt",
+                   action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--align-engine", dest="align_engine", default="auto",
                    choices=("auto", "jax", "numpy"))
     p.add_argument("--profile", dest="profile_dir", metavar="DIR",
@@ -248,7 +270,9 @@ def parse_config(argv: Optional[List[str]] = None) -> HifiasmConfig:
               "purge_max_cov", "trans_base_rate_sec", "post_join",
               "ul_tip", "path_max", "path_min", "telo_pen", "telo_drop",
               "rl_cut", "sc_cut", "sec_in", "hic_enzymes", "low_het",
-              "profile_dir"):
+              "profile_dir", "skip_triobin", "bin_only", "somatic_cov",
+              "kpt_rate", "unskew", "integer_correct_round",
+              "extract_iter", "dp_e", "prt_raw", "dbg_het_cnt"):
         setattr(cfg, f, getattr(ns, f))
     if ns.pri_range:
         parts = ns.pri_range.split(",")

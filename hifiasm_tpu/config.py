@@ -142,6 +142,33 @@ class HifiasmConfig:
     low_het: bool = False                 # --low-het (reserved, like the
     #   reference's commented-out usage, gfa_ut.cpp:15341)
 
+    # --- hidden longopts (CommandLines.cpp:18-88, not in --help) ---
+    skip_triobin: bool = False     # --skip-triobin: parse -1/-2 but skip
+    #   binning (the reference parses HA_F_SKIP_TRIOBIN,
+    #   CommandLines.cpp:918 / CommandLines.h:17)
+    bin_only: bool = False         # --bin-only: stop after writing the
+    #   checkpoint bins (Overlaps.cpp:23585, inter.cpp:21639)
+    somatic_cov: int = -1          # --somatic-cov: fixed diploid-coverage
+    #   ceiling for somatic bubble flattening (Overlaps.cpp:39127)
+    kpt_rate: float = -1.0         # --kpt-rate: trio mode extra .kdp graph
+    #   of unitigs mostly unused by either haplotype
+    #   (filter_set_kug, Overlaps.cpp:21286,21353)
+    unskew: bool = False           # --unskew: disable skew normalization of
+    #   Hi-C trans weights (hic.cpp:16029 weight_kv_u_trans norm arg)
+    integer_correct_round: int = 0 # --integer-correct: extra UL integer-
+    #   space re-correction rounds (gfa_ut.cpp:17648 ul_re_correct)
+    extract_iter: int = 0          # --ex-iter: BFS rounds expanding the
+    #   -e read set over the overlap graph before the PAF-style dump
+    #   (extract.cpp:78 ha_extract_print)
+    dp_e: float = 0.0025           # --dp-er: sketch-refine error rate
+    #   (CommandLines.cpp:330; sketch.cpp:576 refine_sketch)
+    dp_min_len: int = 2000         # dense-region min length for refine
+    prt_raw: bool = False          # --prt-raw: dump the raw string graph
+    #   as <prefix>.raw.gfa before cleaning (Overlaps.cpp:39200,39248)
+    dbg_het_cnt: bool = False      # --dbg-het-cnt: per-read het-evidence
+    #   counts to <prefix>.het_cnt.log on the last EC round
+    #   (Assembly.cpp:1014,968)
+
     # --- device execution ---
     profile_dir: Optional[str] = None     # --profile: jax.profiler traces
     read_batch: int = 64                  # reads per device batch

@@ -52,3 +52,39 @@ def trace_reads(store: ReadStore, cfg: HifiasmConfig, names: List[str],
                       f"rev={int(ov.rev[o])}\tscore={int(ov.score[o])}\t"
                       f"hits={int(ov.n_hits[o])}\n")
     log("trace_reads", f"traced {len(rids)} reads")
+
+
+def extract_print(store: ReadStore, paf, rev_paf, names: List[str],
+                  n_rounds: int, out: IO[str]) -> None:
+    """--ex-iter: expand the -e read set over the overlap graph for
+    ``n_rounds`` BFS rounds, then dump every final-overlap record
+    touching the expanded set as PAF-like lines
+    (~ha_extract_print, extract.cpp:78-160; a read added in round m only
+    recruits neighbours in rounds > m, matching the kh_val(h) < m gate)."""
+    name_to_rid = {n: i for i, n in enumerate(store.names)}
+    added = {name_to_rid[n]: -1 for n in names if n in name_to_rid}
+    stores = (paf, rev_paf)
+    for m in range(n_rounds):
+        frontier = [r for r, rnd in added.items() if rnd < m]
+        for rid in frontier:
+            for st in stores:
+                r = st.recs[rid]
+                for t in np.asarray(r.tn, np.int64):
+                    if int(t) not in added:
+                        added[int(t)] = m
+    for rid in range(store.n_reads):
+        for li, st in enumerate(stores):
+            r = st.recs[rid]
+            for o in range(len(r)):
+                t = int(r.tn[o])
+                if rid not in added and t not in added:
+                    continue
+                out.write(
+                    f"{store.names[rid]}\t{int(store.lens[rid])}\t"
+                    f"{int(r.qs[o])}\t{int(r.qe[o])}\t"
+                    f"{'-' if int(r.rev[o]) else '+'}\t"
+                    f"{store.names[t]}\t{int(store.lens[t])}\t"
+                    f"{int(r.ts[o])}\t{int(r.te[o])}\t"
+                    f"{int(r.ml[o])}\t{int(r.bl[o])}\t{1 - li}\n")
+    log("extract_print",
+        f"dumped overlaps for {len(added)} reads ({n_rounds} rounds)")

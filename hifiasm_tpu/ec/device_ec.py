@@ -176,10 +176,18 @@ def _align_scan(XL: int, e: int, NB: int, engine: str, blocks, lens,
 # with the scatter/host semantics.
 
 _AGG_A = 8192          # aggregation sub-chunk rows (bounds plane memory)
+_AGG_A_HOST = 1024     # CPU/test meshes: the [A, L] class planes are the
+#   dryrun's RSS peak (~128 MB per temporary per device at A=8192);
+#   smaller sub-chunks trade scan steps for an 8x lower footprint.
+#   Counts are int32 adds — exactly associative — so the sub-chunk size
+#   never changes results.
 
 
 def _agg_a(total: int) -> int:
-    a = min(_AGG_A, total)
+    import jax
+
+    cap = _AGG_A if jax.default_backend() == "tpu" else _AGG_A_HOST
+    a = min(cap, total)
     while total % a:
         a -= 1
     return a

@@ -631,6 +631,30 @@ def final_overlap_pass(store: ReadStore, cfg: HifiasmConfig,
     return ECResult(paf, rev_paf, hom_cov, peak_het)
 
 
+def het_cnt_pass(store: ReadStore, cfg: HifiasmConfig) -> np.ndarray:
+    """--dbg-het-cnt: per-read confirmed het-SNP counts over the
+    corrected reads (~get_het_cnt on the last EC round,
+    Assembly.cpp:584,1014; dumped by print_het_cnt_log :968).  Runs the
+    host phase path regardless of engine — it is a debug surface, and
+    the engines are record-identical."""
+    from hifiasm_tpu.ec.window_align import align_overlaps
+
+    codes = [store.get_codes(i) for i in range(store.n_reads)]
+    pt, peak_hom, _, mzs = build_position_table(
+        codes, cfg.k, cfg.w, min_hist_cnt=cfg.min_hist_kmer_cnt,
+        keep_max=min(cfg.max_kmer_cnt, 4095))
+    hom_cov = peak_hom if peak_hom > 0 else cfg.hom_cov
+    out = np.zeros(store.n_reads, np.int64)
+    get_target = _TargetCache(store)
+    for batch in _iter_overlap_batches(
+            store, codes, mzs, pt, cfg, hom_cov, cfg.max_ov_diff_ec,
+            get_target):
+        for rid, q, ov, tbs in batch:
+            out[rid] = len(phase_overlaps(q, ov, tbs).het_sites)
+    log("het_cnt_pass", f"het counts for {store.n_reads} reads")
+    return out
+
+
 def _edit_cum_table(edits_map: dict, n_reads: int):
     """Concatenate per-read (pos, delta) edit traces into one global
     key-sorted table: key = rid << 34 | pos, value = CUMULATIVE delta at

@@ -151,14 +151,46 @@ def map_hic_pairs(index: UnitigIndex, pairs, k: int = HIC_K) -> np.ndarray:
     return hits
 
 
-def hic_link_matrix(n_utg: int, pe_hits: np.ndarray) -> dict:
-    """Symmetric inter-unitig Hi-C contact counts, sparse
-    {(a, b) a<b: count} (dense [n, n] breaks at genome scale)."""
+def hic_link_matrix(n_utg: int, pe_hits: np.ndarray,
+                    utg_lens: np.ndarray = None,
+                    sc_weight: bool = True) -> dict:
+    """Symmetric inter-unitig Hi-C contact weights, sparse
+    {(a, b) a<b: weight} (dense [n, n] breaks at genome scale).
+
+    With positions available (pe_hits [n, 4] = u1, p1, u2, p2 and
+    ``utg_lens``), the default weighting classifies each hit by which
+    HALF of each unitig its ends land in (4 classes) and scores the
+    pair as 2x its strongest class (~hic_sc_type + the sw[] min pass of
+    weight_kv_u_trans, hic.cpp:16029,16090-16109): weight dominated by
+    a single end-pair region — adjacency rather than phasing signal —
+    no longer out-votes spread contacts.  ``sc_weight=False``
+    (--unskew) keeps the plain hit count."""
     m: dict = {}
-    sel = pe_hits[pe_hits[:, 0] != pe_hits[:, 1]]
-    for a, b in zip(sel[:, 0], sel[:, 1]):
-        k = (int(a), int(b)) if a < b else (int(b), int(a))
-        m[k] = m.get(k, 0) + 1
+    has_pos = pe_hits.shape[1] >= 4 and utg_lens is not None
+    if not (sc_weight and has_pos):
+        u1 = pe_hits[:, 0]
+        u2 = pe_hits[:, 2] if pe_hits.shape[1] >= 4 else pe_hits[:, 1]
+        sel = u1 != u2
+        for a, b in zip(u1[sel], u2[sel]):
+            k = (int(a), int(b)) if a < b else (int(b), int(a))
+            m[k] = m.get(k, 0) + 1
+        return m
+    u1, p1, u2, p2 = (pe_hits[:, i] for i in range(4))
+    sel = u1 != u2
+    half1 = (p1[sel] >= utg_lens[u1[sel]] // 2).astype(np.int64)
+    half2 = (p2[sel] >= utg_lens[u2[sel]] // 2).astype(np.int64)
+    cls: dict = {}
+    for a, b, h1, h2 in zip(u1[sel], u2[sel], half1, half2):
+        if a < b:
+            k, c = (int(a), int(b)), int(h1 + 2 * h2)
+        else:
+            k, c = (int(b), int(a)), int(h2 + 2 * h1)
+        v = cls.get(k)
+        if v is None:
+            v = cls[k] = [0, 0, 0, 0]
+        v[c] += 1
+    for k, v in cls.items():
+        m[k] = 2 * max(v)
     return m
 
 
