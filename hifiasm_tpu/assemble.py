@@ -252,6 +252,14 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         from hifiasm_tpu.ul import ul_refine_blocks
         ul_refine_blocks(paths, ul_codes, useqs)
         ul_renew_graph(ug, paths)
+        # re-map against the RENEWED graph and renew once more: junction
+        # decisions change once bridged arcs exist / contradicted arcs
+        # are gone (~the reference's re-alignment cycle after
+        # gradually_renew_g, inter.cpp:20527,20559)
+        from hifiasm_tpu.ul import ul_realign_renewed
+        if ul_realign_renewed(ug, useqs, paths, ul_codes):
+            ul_refine_blocks(paths, ul_codes, useqs)
+            ul_renew_graph(ug, paths)
         # weak-arc ladder over UL support (--path-min/--path-max)
         from hifiasm_tpu.ul import ul_path_drop_ladder
         ul_path_drop_ladder(ug, paths, cfg.path_min, cfg.path_max)

@@ -938,6 +938,40 @@ def ul_renew_graph(ug: UnitigGraph, paths: List[ULPath],
             break
 
 
+def ul_realign_renewed(ug: UnitigGraph, utg_seqs: List[np.ndarray],
+                       paths: List[ULPath], ul_reads: List[np.ndarray],
+                       hpc: bool = True) -> int:
+    """Re-map UL reads against the RENEWED graph and keep the better
+    path per read (~the reference's iterative re-alignment after
+    gradually_renew_g: ul_align/ul_resolve run again on the renewed/
+    final graph, inter.cpp:20527,20559, driven from Overlaps.cpp:39297).
+
+    The unitig sequences are unchanged — what changed are the ARCS
+    (bridged adjacencies added, UL-contradicted arcs dropped), and the
+    graph-chain DP's junction decisions depend on them: a read that
+    previously split at a missing adjacency can now thread through it
+    with base-level splice verification.  A read's re-mapped path
+    replaces the old one only when it covers at least as many query
+    bases (monotone, deterministic).  Returns #reads whose path
+    improved."""
+    new_paths = ul_align(utg_seqs, ul_reads, ug=ug, hpc=hpc)
+
+    def _cov(p: ULPath) -> int:
+        return sum(max(int(qe) - int(qs), 0) for _, _, qs, qe in p.blocks)
+
+    n_better = 0
+    for i, np_ in enumerate(new_paths):
+        oldc, newc = _cov(paths[i]), _cov(np_)
+        if newc >= oldc:
+            if newc > oldc or len(np_.blocks) < len(paths[i].blocks):
+                n_better += 1
+            paths[i].blocks = np_.blocks
+    log("ul_realign_renewed",
+        f"re-mapped {len(ul_reads)} UL reads against the renewed graph; "
+        f"{n_better} paths improved")
+    return n_better
+
+
 def ul_catalog(paths: List[ULPath], min_anchor: int = 2,
                max_mm_run: int = 1, min_ident: float = 0.75
                ) -> Dict[int, list]:

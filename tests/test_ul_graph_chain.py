@@ -84,3 +84,45 @@ def test_ul_renew_drops_false_allele_arc(rng):
     pairs = {(int(s), int(d)) for s, d in zip(ug.a_src, ug.a_dst)}
     assert (0 << 1, 1 << 1) in pairs        # true allele kept
     assert (0 << 1, 2 << 1) not in pairs    # false allele arc dropped
+
+
+def test_ul_realign_after_renewal_confirms_bridged_junction(rng):
+    """The re-alignment cycle (~inter.cpp:20527,20559 after
+    gradually_renew_g): UL reads evidence a u0-u2 adjacency the HiFi
+    graph lacks; renewal bridges the arc; RE-MAPPING against the renewed
+    graph threads the junction as a verified transition (not a penalized
+    bridge), and the second renewal keeps the arc while dropping an
+    unsupported decoy."""
+    from hifiasm_tpu.ul import ul_realign_renewed
+
+    u0 = make_genome(rng, 6000)
+    u2 = make_genome(rng, 6000)
+    decoy = make_genome(rng, 3000)
+    utgs = [u0, u2, decoy]
+    # no u0 -> u2 arc (the HiFi gap); a decoy arc u0 -> decoy exists
+    ug = _mk_ug(utgs, [(0 << 1, 2 << 1, 0)])
+    uls = [inject_errors(
+        rng, np.concatenate([u0[1500:], u2[:3000]]).copy(), 0.04)
+        for _ in range(4)]
+    paths = ul_align(utgs, uls, ug=ug)
+    for p in paths:
+        assert [blk[0] for blk in p.blocks] == [0, 1]
+
+    def cov(p):
+        return sum(qe - qs for _, _, qs, qe in p.blocks)
+
+    cov0 = [cov(p) for p in paths]
+    ul_renew_graph(ug, paths, min_support=2, drop_contradicted=3)
+    pairs = {(int(s), int(d)) for s, d in zip(ug.a_src, ug.a_dst)}
+    assert (0 << 1, 1 << 1) in pairs        # renewal bridged u0 -> u2
+
+    # re-map against the renewed graph: the junction now verifies at
+    # base level; coverage never regresses (monotone keep rule)
+    ul_realign_renewed(ug, utgs, paths, uls, hpc=False)
+    for p, c0 in zip(paths, cov0):
+        assert [blk[0] for blk in p.blocks] == [0, 1]
+        assert cov(p) >= c0
+    ul_renew_graph(ug, paths, min_support=2, drop_contradicted=3)
+    pairs = {(int(s), int(d)) for s, d in zip(ug.a_src, ug.a_dst)}
+    assert (0 << 1, 1 << 1) in pairs        # confirmed by re-mapped paths
+    assert (0 << 1, 2 << 1) not in pairs    # decoy arc UL-contradicted
