@@ -1135,11 +1135,18 @@ def asg_arc_del_orthology(g: StringGraph, rev_paf, drop_ratio: float = 0.4,
     het bubbles the phasing stages need.  ``vis`` masks bubble interiors
     (the reference's asg_arc_identify_simple_bubbles_multi gate)."""
     n_cut = 0
-    for v in range(2 * g.n_seq):
-        if g.seq_del[v >> 1]:
-            continue
-        if vis is not None and vis[v]:
-            continue
+    # vectorized candidate prefilter: only vertices that are live,
+    # outside bubble interiors, and BRANCHING (>= 2 live out-arcs) can
+    # cut anything — the python loop then touches O(#branching) vertices
+    # instead of all 2 * n_seq (the 10^7-scale wall at human depth;
+    # the reference's per-vertex C loop is gfa_ut.cpp:3027)
+    u_all = g.arc_u().astype(np.int64)
+    out_live = np.bincount(u_all[g.del_ == 0], minlength=2 * g.n_seq)
+    cand_m = np.repeat(g.seq_del == 0, 2) & (out_live >= 2)
+    if vis is not None:
+        cand_m &= ~vis.astype(bool)
+    for v in np.flatnonzero(cand_m):
+        v = int(v)
         ai = g.arcs_of(v)
         if len(ai) < 2:
             continue

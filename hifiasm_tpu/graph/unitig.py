@@ -86,43 +86,124 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
         # out of v^1
         pred = (g.v[first_arc[cand ^ 1]].astype(np.int64)) ^ 1
         starts_mask[cand[out_live[pred] == 1]] = False
-    for v0 in np.flatnonzero(starts_mask):
-        v0 = int(v0)
-        if visited[v0] or g.seq_del[v0 >> 1]:
+    # ---- vectorized chain extraction (the r5 scale fix: the per-vertex
+    # python walk was 10^7 python steps per ma_ug_gen call at human
+    # depth; the reference walks in C, Overlaps.h:1078) ----
+    # Chain edges v -> w exist where v has one live out-arc (nxt_w) AND
+    # w has one live in-arc; on a del-SYMMETRIC graph (the production
+    # invariant: _del_arc_pair/symm_del) the edge set is injective on
+    # targets, so chains are vertex-disjoint paths.  Binary lifting on
+    # the predecessor pointers assigns every chain vertex its
+    # (root, rank) in O(n log n) numpy; pure cycles never converge to a
+    # root and fall through to the scalar circle loop.
+    par = np.full(n_vtx, -1, np.int64)
+    e_src = np.flatnonzero(
+        (nxt_w >= 0) & (out_live[np.clip(nxt_w, 0, None) ^ 1] == 1))
+    e_dst = nxt_w[e_src]
+    if len(np.unique(e_dst)) != len(e_dst):
+        # asymmetric deletions broke target-injectivity (a vertex whose
+        # complement-derived in-degree reads 1 but with two live in-
+        # arcs): the scalar walk's first-visitor semantics cannot be
+        # expressed as disjoint chains — take the exact scalar path
+        return _ma_ug_gen_scalar(g, ug, visited, live_v, out_live,
+                                 single_next, starts_mask)
+    par[e_dst] = e_src
+    jump = par.copy()                 # current ancestor (-1 at roots)
+    rank = (par >= 0).astype(np.int64)   # distance to that ancestor
+    active = np.flatnonzero(par >= 0)
+    for _ in range(max(int(n_vtx).bit_length(), 1) + 1):
+        if not len(active):
+            break
+        jj = jump[active]
+        up = jump[jj]
+        sel = up >= 0
+        if not sel.any():
+            break
+        idx = active[sel]
+        rank[idx] += rank[jj[sel]]
+        jump[idx] = up[sel]
+        active = idx
+    chain_root = np.where(jump >= 0, jump, np.arange(n_vtx))
+    # a vertex belongs to an emitted chain iff its root is a start (no
+    # per-vertex liveness filter: the scalar walk appends interior
+    # vertices regardless of seq_del — only the START is gated)
+    mvtx = np.flatnonzero(starts_mask[chain_root])
+    mv = mvtx[np.lexsort((rank[mvtx], chain_root[mvtx]))]
+    uniq_r, first_i = np.unique(chain_root[mv], return_index=True)
+    bounds = np.append(first_i, len(mv))
+    lasts = mv[bounds[1:] - 1]
+    # whole-batch per-chain data (no per-chain numpy calls in the loop:
+    # at ~10^6 short chains the small-array overhead was 2x slower than
+    # the scalar walk it replaced)
+    node_len_all = nxt_l[mv]
+    node_len_all[bounds[1:] - 1] = g.seq_len[(lasts >> 1)]
+    len_all = np.add.reduceat(node_len_all, bounds[:-1]) \
+        if len(mv) else np.zeros(0, np.int64)
+    mv32 = mv.astype(np.uint32)
+    # complement pairing, vectorized: chain c's complement chain is the
+    # one rooted at (last vertex ^ 1); emit the member of each pair with
+    # the SMALLER root — exactly the ascending-start visit order of the
+    # scalar loop.  Chains overlapping their own complement (palindromic
+    # walks, where the scalar rules truncate) re-walk scalar-side.
+    comp_root = chain_root[lasts ^ 1]
+    pal_v = chain_root[mv] == chain_root[mv ^ 1]
+    pal_roots = np.unique(chain_root[mv[pal_v]]) if pal_v.any() else \
+        np.zeros(0, np.int64)
+    pal_set = set(pal_roots.tolist())
+    emit_m = (uniq_r <= comp_root) | ~starts_mask[comp_root]
+    emit_i = np.flatnonzero(emit_m)
+    if not pal_set:
+        # fast path (the overwhelmingly common case): no palindromic
+        # chains -> no truncation interplay, so the per-chain visited
+        # reads/writes batch into two whole-array scatters
+        for ci in emit_i:
+            b0, b1 = bounds[ci], bounds[ci + 1]
+            # disjoint slices: views are safe, no per-chain copies
+            ug.utgs.append(Unitig(
+                vs=mv32[b0:b1], node_len=node_len_all[b0:b1],
+                len=int(len_all[ci]), circ=False,
+                start=int(mv[b0]), end=int(mv[b1 - 1]) ^ 1))
+        em = mv[np.repeat(emit_m, np.diff(bounds))]
+        visited[em] = True
+        visited[em ^ 1] = True
+        emit_i = np.zeros(0, np.int64)
+    for ci in emit_i:
+        v0 = int(uniq_r[ci])
+        if visited[v0]:
             continue
-        # walk forward
-        path = [v0]
-        seen_local = {v0}
-        lens = []
-        v = v0
-        circ = False
-        while True:
-            w, l = single_next(v)
-            if w is None:
-                break
-            if out_live[w ^ 1] != 1:
-                break
-            if w == v0:
-                circ = True
+        b0, b1 = bounds[ci], bounds[ci + 1]
+        if v0 in pal_set:
+            path = [v0]
+            seen_local = {v0}
+            lens = []
+            v = v0
+            while True:
+                w, l = single_next(v)
+                if w is None or out_live[w ^ 1] != 1:
+                    break
+                if w in seen_local or (w ^ 1) in seen_local:
+                    break
+                path.append(int(w))
+                seen_local.add(int(w))
                 lens.append(l)
-                break
-            if w in seen_local or (w ^ 1) in seen_local:
-                break                       # rho-shaped walk: stop cleanly
-            path.append(w)
-            seen_local.add(w)
-            lens.append(l)
-            v = w
-        if not circ:
-            lens.append(int(g.seq_len[path[-1] >> 1]))
-        for p in path:
-            visited[p] = True
-            visited[p ^ 1] = True
-        node_len = np.array(lens, np.int64)
+                v = int(w)
+            vs = np.array(path, np.uint32)
+            node_len = np.array(
+                lens + [int(g.seq_len[path[-1] >> 1])], np.int64)
+            vs64 = np.array(path, np.int64)
+            visited[vs64] = True
+            visited[vs64 ^ 1] = True
+            ug.utgs.append(Unitig(
+                vs=vs, node_len=node_len, len=int(node_len.sum()),
+                circ=False, start=path[0], end=path[-1] ^ 1))
+            continue
+        vs = mv32[b0:b1].copy()
+        visited[mv[b0:b1]] = True
+        visited[mv[b0:b1] ^ 1] = True
         ug.utgs.append(Unitig(
-            vs=np.array(path, np.uint32), node_len=node_len,
-            len=int(node_len.sum()), circ=circ,
-            start=path[0] if not circ else -1,
-            end=(path[-1] ^ 1) if not circ else -1))
+            vs=vs, node_len=node_len_all[b0:b1].copy(),
+            len=int(len_all[ci]), circ=False,
+            start=int(mv[b0]), end=int(mv[b1 - 1]) ^ 1))
 
     # circles fully interior to chains (no start vertex) remain unvisited
     for v0 in np.flatnonzero(~visited & live_v):
@@ -164,48 +245,152 @@ def ma_ug_gen(g: StringGraph) -> UnitigGraph:
     return ug
 
 
+def _ma_ug_gen_scalar(g: StringGraph, ug: UnitigGraph,
+                      visited: np.ndarray, live_v: np.ndarray,
+                      out_live: np.ndarray, single_next,
+                      starts_mask: np.ndarray) -> UnitigGraph:
+    """The r4 per-vertex walk, kept as the exact-semantics fallback for
+    graphs with asymmetric arc deletions (where the vectorized chain
+    decomposition's injectivity precondition fails)."""
+    for v0 in np.flatnonzero(starts_mask):
+        v0 = int(v0)
+        if visited[v0] or g.seq_del[v0 >> 1]:
+            continue
+        path = [v0]
+        seen_local = {v0}
+        lens = []
+        v = v0
+        circ = False
+        while True:
+            w, l = single_next(v)
+            if w is None:
+                break
+            if out_live[w ^ 1] != 1:
+                break
+            if w == v0:
+                circ = True
+                lens.append(l)
+                break
+            if w in seen_local or (w ^ 1) in seen_local:
+                break
+            path.append(w)
+            seen_local.add(w)
+            lens.append(l)
+            v = w
+        if not circ:
+            lens.append(int(g.seq_len[path[-1] >> 1]))
+        for p in path:
+            visited[p] = True
+            visited[p ^ 1] = True
+        node_len = np.array(lens, np.int64)
+        ug.utgs.append(Unitig(
+            vs=np.array(path, np.uint32), node_len=node_len,
+            len=int(node_len.sum()), circ=circ,
+            start=path[0] if not circ else -1,
+            end=(path[-1] ^ 1) if not circ else -1))
+    for v0 in np.flatnonzero(~visited & live_v):
+        v0 = int(v0)
+        if visited[v0] or g.seq_del[v0 >> 1]:
+            continue
+        path = [v0]
+        seen_local = {v0}
+        lens = []
+        v = v0
+        circ = False
+        while True:
+            w, l = single_next(v)
+            if w is None:
+                break
+            if w == v0:
+                circ = True
+                lens.append(l)
+                break
+            if w in seen_local or (w ^ 1) in seen_local:
+                break
+            path.append(w)
+            seen_local.add(w)
+            lens.append(l)
+            v = w
+        if not circ:
+            lens.append(int(g.seq_len[path[-1] >> 1]))
+        for p in path:
+            visited[p] = True
+            visited[p ^ 1] = True
+        node_len = np.array(lens, np.int64)
+        ug.utgs.append(Unitig(
+            np.array(path, np.uint32), node_len, int(node_len.sum()),
+            circ, path[0] if not circ else -1,
+            (path[-1] ^ 1) if not circ else -1))
+    _link_unitig_arcs(g, ug)
+    log("ma_ug_gen", f"{len(ug)} unitigs (scalar fallback)")
+    return ug
+
+
 def _link_unitig_arcs(g: StringGraph, ug: UnitigGraph) -> None:
-    """Arcs between unitig ends from remaining string-graph arcs."""
-    # vertex -> (uid, is_end)
-    head = {}
-    tail = {}
+    """Arcs between unitig ends from remaining string-graph arcs.
+
+    Fully vectorized (the per-unitig ``arcs_of`` form was 2/3 of the
+    whole ma_ug_gen wall at 2M reads); record order reproduces the
+    scalar nested loop exactly via a (uid, end, arc_idx, sub) lexsort,
+    so downstream outputs stay byte-identical."""
+    n_vtx = 2 * g.n_seq
+    firsts, lasts, uids = [], [], []
     for uid, u in enumerate(ug.utgs):
         if u.circ:
             continue
-        head[int(u.vs[0])] = uid
-        tail[int(u.vs[-1])] = uid
-    src, dst, ols = [], [], []
-    for uid, u in enumerate(ug.utgs):
-        if u.circ:
+        firsts.append(int(u.vs[0]))
+        lasts.append(int(u.vs[-1]))
+        uids.append(uid)
+    if not uids or g.n_arcs == 0:
+        ug.a_src = np.zeros(0, np.uint32)
+        ug.a_dst = np.zeros(0, np.uint32)
+        ug.a_ol = np.zeros(0, np.int64)
+        return
+    firsts = np.array(firsts, np.int64)
+    lasts = np.array(lasts, np.int64)
+    uids = np.array(uids, np.int64)
+    head_uid = np.full(n_vtx, -1, np.int64)
+    tail_uid = np.full(n_vtx, -1, np.int64)
+    head_uid[firsts] = uids
+    tail_uid[lasts] = uids
+    live = np.flatnonzero(g.del_ == 0)
+    s_all = g.arc_u()[live].astype(np.int64)
+    w_all = g.v[live].astype(np.int64)
+    # out-arc sets: end 0 = arcs out of last(u), end 1 = arcs out of
+    # first(u)^1 (entering the unitig reversed)
+    src_u = []
+    for which, su in ((0, tail_uid[s_all]),
+                      (1, head_uid[s_all ^ 1])):
+        sel = np.flatnonzero(su >= 0)
+        if not len(sel):
             continue
-        last = int(u.vs[-1])
-        for ai in g.arcs_of(last):
-            w = int(g.v[ai])
-            if w in head:
-                src.append(uid << 1 | 0)
-                dst.append(head[w] << 1 | 0)
-                ols.append(int(g.ol[ai]))
-            # w may be the complemented tail of another unitig (enter  rev)
-            cw = w ^ 1
-            if cw in tail:
-                src.append(uid << 1 | 0)
-                dst.append(tail[cw] << 1 | 1)
-                ols.append(int(g.ol[ai]))
-        first_c = int(u.vs[0]) ^ 1
-        for ai in g.arcs_of(first_c):
-            w = int(g.v[ai])
-            if w in head:
-                src.append(uid << 1 | 1)
-                dst.append(head[w] << 1 | 0)
-                ols.append(int(g.ol[ai]))
-            cw = w ^ 1
-            if cw in tail:
-                src.append(uid << 1 | 1)
-                dst.append(tail[cw] << 1 | 1)
-                ols.append(int(g.ol[ai]))
-    ug.a_src = np.array(src, np.uint32)
-    ug.a_dst = np.array(dst, np.uint32)
-    ug.a_ol = np.array(ols, np.int64)
+        # each arc yields: head-entry of target w, then tail-entry of
+        # w^1 (the scalar append order, sub = 0 then 1)
+        for sub, du, dend in ((0, head_uid[w_all[sel]], 0),
+                              (1, tail_uid[w_all[sel] ^ 1], 1)):
+            ok = np.flatnonzero(du >= 0)
+            if not len(ok):
+                continue
+            k = sel[ok]
+            src_u.append((su[k] * 2 + which, which, live[k], sub,
+                          du[ok] * 2 + dend, g.ol[live[k]]))
+    if not src_u:
+        ug.a_src = np.zeros(0, np.uint32)
+        ug.a_dst = np.zeros(0, np.uint32)
+        ug.a_ol = np.zeros(0, np.int64)
+        return
+    srcv = np.concatenate([r[0] for r in src_u])
+    whichv = np.concatenate([np.full(len(r[0]), r[1], np.int64)
+                             for r in src_u])
+    arcv = np.concatenate([r[2] for r in src_u])
+    subv = np.concatenate([np.full(len(r[0]), r[3], np.int64)
+                           for r in src_u])
+    dstv = np.concatenate([r[4] for r in src_u])
+    olv = np.concatenate([r[5] for r in src_u])
+    order = np.lexsort((subv, arcv, whichv, srcv >> 1))
+    ug.a_src = srcv[order].astype(np.uint32)
+    ug.a_dst = dstv[order].astype(np.uint32)
+    ug.a_ol = olv[order].astype(np.int64)
 
 
 def unitig_seq(u: Unitig, store: ReadStore, cov: CoverageCut) -> np.ndarray:
