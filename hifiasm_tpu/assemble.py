@@ -527,6 +527,27 @@ def write_assembly_outputs(res: AssemblyResult, cfg: HifiasmConfig) -> None:
             len(res.ug), hits4,
             utg_lens=np.array([len(s) for s in seqs], np.int64),
             sc_weight=not cfg.unskew)
+        from hifiasm_tpu.trio import FATHER, MOTHER
+        tf = np.asarray(res.store.trio_flags)
+        if ((tf == FATHER) | (tf == MOTHER)).any():
+            # trio + Hi-C together: the reference switches to the Hi-C
+            # BENCHMARK mode (hic_benchmark, hic.cpp:18383; call gate
+            # Overlaps.cpp:39621) — trio labels ground-truth the Hi-C
+            # signal; we additionally keep the normal hic outputs
+            from hifiasm_tpu.phasing.hic import hic_benchmark_eval
+            hap_of = np.zeros(len(res.ug), np.int8)
+            for uid, u in enumerate(res.ug.utgs):
+                fl = tf[(u.vs >> 1).astype(np.int64)]
+                n_p = int((fl == FATHER).sum())
+                n_m = int((fl == MOTHER).sum())
+                hap_of[uid] = 1 if n_p > n_m else (2 if n_m > n_p else 0)
+            hom: dict = {}
+            if res.purge is not None:
+                for a, b, _f in res.purge.hap_pairs:
+                    hom[int(a)] = int(b)
+                    hom[int(b)] = int(a)
+            with open(f"{prefix}.bench.tsv", "w") as f:
+                hic_benchmark_eval(hits4, hap_of, hom, f)
         hic_seqs, hic_hits4 = seqs, hits4
     hap1_ids, hap2_ids = [], []
     if not primary_mode and cfg.polyploidy > 2:

@@ -217,7 +217,7 @@ def device_table_from_host(pt) -> "DevicePositionTable":
         out[:len(a)] = a
         return jnp.asarray(out)
 
-    return DevicePositionTable(
+    tbl = DevicePositionTable(
         h_hi=_pad(hi, Hp, 0xFFFFFFFF, np.uint32),
         h_lo=_pad(lo, Hp, 0xFFFFFFFF, np.uint32),
         start=_pad(pt.start.astype(np.int32), Hp, 0, np.int32),
@@ -227,6 +227,24 @@ def device_table_from_host(pt) -> "DevicePositionTable":
         rev=_pad(pt.rev, Pp, 0, np.uint8),
         span=_pad(pt.span, Pp, 0, np.uint16),
         n_distinct=H, tot_pos=P)
+    # force the uploads to COMPLETE here: jnp.asarray only enqueues the
+    # h2d, and the first consumer (the chunk-1 anchor lookup) otherwise
+    # blocks on hundreds of MB at whatever rate the tunnel grants that
+    # minute — the r4 "chunk-1 anchor variance" (22-300 s swings) was
+    # exactly this deferred transfer.  A 1-element fetch per array is
+    # the only reliable sync through the tunnel (block_until_ready
+    # returns early there).
+    import time as _time
+    _t0 = _time.time()
+    mb = (Hp * 16 + Pp * 11) / 1e6
+    for a in (tbl.h_hi, tbl.h_lo, tbl.start, tbl.count, tbl.rid,
+              tbl.pos, tbl.rev, tbl.span):
+        np.asarray(a[:1])
+    from hifiasm_tpu.utils.logging import log
+    log("device_table",
+        f"{mb:.0f} MB resident in {_time.time() - _t0:.1f}s "
+        f"({H} keys, {P} postings)")
+    return tbl
 
 
 def build_position_table_device(read_codes, k: int, w: int, ft=None,

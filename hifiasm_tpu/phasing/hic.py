@@ -194,6 +194,41 @@ def hic_link_matrix(n_utg: int, pe_hits: np.ndarray,
     return m
 
 
+def hic_benchmark_eval(hits4: np.ndarray, hap_of: np.ndarray,
+                       homolog: dict, out) -> Tuple[int, int]:
+    """Hi-C phasing-signal benchmark, gated on trio + Hi-C inputs
+    together (~hic_benchmark/evaluate_bench_idx, hic.cpp:18383,18286;
+    call gate Overlaps.cpp:39621): trio labels are the ground truth —
+    every positioned PE hit scores (insert distance, is_trans) where
+    is_trans=1 means the ends land on opposite-haplotype unitigs.
+    Distance: same unitig |p1-p2|; cross-hap hits between PAIRED
+    homolog unitigs use the homolog-aligned coordinates (the bench_idx
+    link distances); anything else has no defined distance and only
+    counts toward the cis/trans totals.  Lines print distance-sorted
+    (the radix_sort_hc64 dump).  Returns (n_cis, n_trans)."""
+    recs = []
+    trans = [0, 0]
+    for u1, p1, u2, p2 in np.asarray(hits4, np.int64):
+        h1, h2 = int(hap_of[u1]), int(hap_of[u2])
+        if h1 == 0 or h2 == 0:
+            continue                      # unlabeled (hom/ambiguous)
+        if u1 == u2:
+            trans[0] += 1
+            recs.append((abs(int(p2) - int(p1)) << 1))
+            continue
+        it = int(h1 != h2)
+        trans[it] += 1
+        if it and homolog.get(int(u1)) == int(u2):
+            recs.append((abs(int(p2) - int(p1)) << 1) | 1)
+    recs.sort()
+    for r in recs:
+        out.write(f"{r >> 1}\t{r & 1}\n")
+    log("hic_benchmark",
+        f"{trans[0]} cis + {trans[1]} trans labeled hits, "
+        f"trans rate {trans[1] / max(trans[0] + trans[1], 1):.4f}")
+    return trans[0], trans[1]
+
+
 def combine_phase_weights(trans_links: dict, hic_links: dict,
                           hic_scale: float = 1.0, min_evidence: int = 2
                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
