@@ -75,7 +75,15 @@ def consensus_decide(q: np.ndarray, votes: np.ndarray, ins_tot: np.ndarray,
                      het_sites: np.ndarray, occ_tot: int = 3,
                      occ_exact: float = 0.500001):
     """Per-column edit decisions (host reference; the device finalize in
-    ec/device_ec.py computes the identical integer form)."""
+    ec/device_ec.py computes the identical integer form).
+
+    Thin-coverage corner rescue: a column with exactly ONE aligned voter
+    (cov == 2 with the query self-vote) corrects to that voter's symbol
+    when it disagrees — the reference's DAG threshold counts only the
+    overlap edges, so one voter is 100% >= CORRECT_THRESHOLD and always
+    corrects (Correct.cpp:5579, Correct.h:14).  These columns are the
+    read ends at genome/coverage boundaries, where the reference's
+    residual is near zero and a self-vote majority rule can never act."""
     qlen = len(q)
     qa = np.clip(q, 0, 3)
     cov = votes.sum(axis=1)
@@ -83,7 +91,16 @@ def consensus_decide(q: np.ndarray, votes: np.ndarray, ins_tot: np.ndarray,
     win_votes = votes[np.arange(qlen), winner]
     pass_sub = (cov >= occ_tot) & (win_votes > occ_exact * cov) & \
         (winner != qa)
-    pass_ins = (cov >= occ_tot) & (ins_tot > occ_exact * cov)
+    # single-voter rescue: voter-only votes (self-vote removed)
+    vq = votes.copy()
+    vq[np.arange(qlen), qa] -= 1
+    v_tot = vq.sum(axis=1)
+    v_win = np.argmax(vq, axis=1).astype(np.int64)
+    thin = (cov == 2) & (v_tot == 1) & (v_win != qa)
+    pass_sub = pass_sub | thin
+    winner = np.where(thin, v_win, winner)
+    pass_ins = ((cov >= occ_tot) & (ins_tot > occ_exact * cov)) | \
+        ((cov == 2) & (ins_tot == 1))
     if len(het_sites):
         pass_sub[het_sites] = False
         pass_ins[het_sites] = False
@@ -252,11 +269,29 @@ def _star_msa_consensus(strs, backbone: bytes, occ_exact: float):
     bb = np.frombuffer(backbone, np.uint8)
     sub = np.zeros((B, 5), np.int64)            # base 0..3, 4 = deleted
     ins: list = [dict() for _ in range(B + 1)]  # before backbone pos i
+    # backbone homopolymer runs, for the deletion-bundle
+    # canonicalization below (~the same-base node merging of
+    # Merge_DAGCon, Correct.cpp:4700,4806): per VOTER, count symbols
+    # emitted inside each run — placement-invariant, so voters whose
+    # private errors shift the DP's in-run deletion column still agree
+    # on the emitted run LENGTH
+    run_id = np.concatenate([[0], np.cumsum(bb[1:] != bb[:-1])]) \
+        if B else np.zeros(0, np.int64)
+    n_runs = int(run_id[-1]) + 1 if B else 0
+    run_len = np.bincount(run_id, minlength=n_runs)
+    run_sup: list = [dict() for _ in range(n_runs)]  # L_v -> #voters
+
+    def _run_vote(lv):
+        for r in range(n_runs):
+            k = int(lv[r])
+            run_sup[r][k] = run_sup[r].get(k, 0) + 1
+
     for s in strs:
         if len(s) > MSA_MAX_VOTER:
             return None
         if s == backbone:
             sub[np.arange(B), bb] += 1
+            _run_vote(run_len)
             continue
         sv = np.frombuffer(s, np.uint8)
         m = len(sv)
@@ -282,11 +317,13 @@ def _star_msa_consensus(strs, backbone: bytes, occ_exact: float):
             return []
 
         pend: list = []                   # reversed insertion collector
+        lv = np.zeros(n_runs, np.int64)
         while i > 0 or j > 0:
             if i > 0 and j > 0 and \
                     dp[i][j] == dp[i - 1][j - 1] + (sv[j - 1] != bb[i - 1]):
                 pend = _flush(pend, i)
                 sub[i - 1][sv[j - 1]] += 1
+                lv[run_id[i - 1]] += 1
                 i -= 1
                 j -= 1
             elif i > 0 and dp[i][j] == dp[i - 1][j] + 1:
@@ -297,11 +334,54 @@ def _star_msa_consensus(strs, backbone: bytes, occ_exact: float):
                 pend.append(int(sv[j - 1]))
                 j -= 1
         _flush(pend, 0)
+        _run_vote(lv)
+    # deletion-bundle canonicalization per homopolymer run: a run is
+    # canonicalized when nothing but its own base (or deletion) wins any
+    # of its columns and no insertion lands strictly inside it; the kept
+    # length walks down from the backbone length, deleting the k-th
+    # symbol only when the voters emitting < k symbols clear the same
+    # occ threshold a column deletion needs.  Voters whose private
+    # errors shifted their in-run deletion to a different column agree
+    # here even though the per-column 'del' votes are spread too thin.
+    run_start = np.concatenate([[0], np.cumsum(run_len)[:-1]]) \
+        if n_runs else np.zeros(0, np.int64)
+    canon = np.zeros(n_runs, bool)
+    keep_len = np.zeros(n_runs, np.int64)
+    for r in range(n_runs):
+        R = int(run_len[r])
+        if R < 2:
+            continue
+        i0 = int(run_start[r])
+        if any(ins[i] for i in range(i0 + 1, i0 + R)):
+            continue
+        b_r = int(bb[i0])
+        ok = True
+        for i in range(i0, i0 + R):
+            col = sub[i]
+            winner = int(np.argmax(col))
+            if winner not in (b_r, 4) and col[winner] > occ_exact * n:
+                ok = False
+                break
+        if not ok:
+            continue
+        sup = run_sup[r]
+        kept = 0
+        for k in range(1, R + 1):
+            ge_k = sum(c for L, c in sup.items() if L >= k)
+            if not ((n - ge_k) > occ_exact * n):
+                kept += 1
+        canon[r] = True
+        keep_len[r] = kept
     out = []
     for i in range(B + 1):
         if ins[i]:
             out.extend(_ins_bundle_walk(ins[i], n, occ_exact))
         if i < B:
+            r = int(run_id[i])
+            if canon[r]:
+                if i == int(run_start[r]):
+                    out.extend([int(bb[i])] * int(keep_len[r]))
+                continue
             col = sub[i]
             winner = int(np.argmax(col))      # ties -> smallest symbol
             if col[winner] > occ_exact * n:

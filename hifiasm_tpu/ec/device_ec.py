@@ -557,7 +557,18 @@ def _decide_planes(L: int, votes, ins_tot, ins_bc, ins_lc, het_u8,
     het = het_u8 > 0
     pass_sub = (cov >= 3) & (2 * wv > cov) & (winner != qa) & in_r & \
         ~het
-    pass_ins = (cov >= 3) & (2 * it > cov) & in_r & ~het
+    # thin-coverage corner rescue (mirrors consensus_decide): exactly
+    # one aligned voter corrects when it disagrees (the reference's DAG
+    # threshold counts only overlap edges, Correct.cpp:5579)
+    vq = jnp.stack([v[k] - ((qa == k) & in_r) for k in range(4)]
+                   + [v[4]])
+    v_tot = jnp.sum(vq, axis=0)
+    v_win = jnp.argmax(vq, axis=0).astype(jnp.int32)
+    thin = (cov == 2) & (v_tot == 1) & (v_win != qa) & in_r & ~het
+    pass_sub = pass_sub | thin
+    winner = jnp.where(thin, v_win, winner)
+    pass_ins = ((cov >= 3) & (2 * it > cov) |
+                ((cov == 2) & (it == 1))) & in_r & ~het
     dels = v[4]
     amb = (cov >= 3) & ((2 * wv <= cov) |
                         ((4 * dels > cov) & (2 * dels <= cov)) |

@@ -1275,12 +1275,25 @@ static bool star_msa_consensus(const std::vector<std::string>& strs,
     std::vector<std::array<int64_t, 5>> sub(
         (size_t)B, std::array<int64_t, 5>{0, 0, 0, 0, 0});
     std::vector<std::map<std::string, int64_t>> ins((size_t)B + 1);
+    // backbone homopolymer runs for the deletion-bundle
+    // canonicalization (mirrors ec/consensus.py bit-for-bit; the
+    // same-base node merging of Merge_DAGCon, Correct.cpp:4700,4806)
+    std::vector<int64_t> run_id((size_t)B, 0);
+    for (int64_t i = 1; i < B; ++i)
+        run_id[i] = run_id[i - 1] + (backbone[i] != backbone[i - 1]);
+    const int64_t n_runs = B ? run_id[B - 1] + 1 : 0;
+    std::vector<int64_t> run_len((size_t)n_runs, 0);
+    for (int64_t i = 0; i < B; ++i) run_len[run_id[i]]++;
+    std::vector<std::map<int64_t, int64_t>> run_sup((size_t)n_runs);
+    std::vector<int64_t> lv((size_t)n_runs, 0);
     std::vector<int64_t> dp;
     for (const std::string& s : strs) {
         if ((int64_t)s.size() > 128) return false;
         if (s == backbone) {
             for (int64_t i = 0; i < B; ++i)
                 sub[i][(uint8_t)backbone[i]]++;
+            for (int64_t r = 0; r < n_runs; ++r)
+                run_sup[r][run_len[r]]++;
             continue;
         }
         const int64_t m = (int64_t)s.size();
@@ -1307,12 +1320,14 @@ static bool star_msa_consensus(const std::vector<std::string>& strs,
                 pend.clear();
             }
         };
+        std::fill(lv.begin(), lv.end(), 0);
         while (i > 0 || j > 0) {
             if (i > 0 && j > 0 &&
                 D(i, j) == D(i - 1, j - 1) +
                                (s[j - 1] != backbone[i - 1])) {
                 flush(i);
                 sub[i - 1][(uint8_t)s[j - 1]]++;
+                lv[run_id[i - 1]]++;
                 --i;
                 --j;
             } else if (i > 0 && D(i, j) == D(i - 1, j) + 1) {
@@ -1325,11 +1340,55 @@ static bool star_msa_consensus(const std::vector<std::string>& strs,
             }
         }
         flush(0);
+        for (int64_t r = 0; r < n_runs; ++r) run_sup[r][lv[r]]++;
+    }
+    // per-run eligibility + canonical kept length (mirrors the python
+    // emission exactly: delete the k-th symbol only when the voters
+    // emitting < k symbols clear the column-deletion occ threshold)
+    std::vector<int64_t> run_start((size_t)n_runs, 0);
+    for (int64_t r = 1; r < n_runs; ++r)
+        run_start[r] = run_start[r - 1] + run_len[r - 1];
+    std::vector<uint8_t> canon((size_t)n_runs, 0);
+    std::vector<int64_t> keep_len((size_t)n_runs, 0);
+    for (int64_t r = 0; r < n_runs; ++r) {
+        const int64_t R = run_len[r];
+        if (R < 2) continue;
+        const int64_t i0 = run_start[r];
+        bool inner_ins = false;
+        for (int64_t i = i0 + 1; i < i0 + R && !inner_ins; ++i)
+            inner_ins = !ins[i].empty();
+        if (inner_ins) continue;
+        const int b_r = (uint8_t)backbone[i0];
+        bool ok = true;
+        for (int64_t i = i0; i < i0 + R && ok; ++i) {
+            int w = 0;
+            for (int c = 1; c < 5; ++c)
+                if (sub[i][c] > sub[i][w]) w = c;
+            if (w != b_r && w != 4 &&
+                (double)sub[i][w] > occ_exact * n)
+                ok = false;
+        }
+        if (!ok) continue;
+        int64_t kept = 0;
+        for (int64_t k = 1; k <= R; ++k) {
+            int64_t ge_k = 0;
+            for (const auto& kv : run_sup[r])
+                if (kv.first >= k) ge_k += kv.second;
+            if (!((double)(n - ge_k) > occ_exact * n)) kept++;
+        }
+        canon[r] = 1;
+        keep_len[r] = kept;
     }
     out.clear();
     for (int64_t i = 0; i <= B; ++i) {
         if (!ins[i].empty()) ins_bundle_walk(ins[i], n, occ_exact, out);
         if (i < B) {
+            const int64_t r = run_id[i];
+            if (canon[r]) {
+                if (i == run_start[r])
+                    out.append((size_t)keep_len[r], backbone[i]);
+                continue;
+            }
             int w = 0;
             for (int c = 1; c < 5; ++c)
                 if (sub[i][c] > sub[i][w]) w = c;
@@ -1720,11 +1779,29 @@ static int64_t ec_read_one(
         const int qa = q[p] <= 3 ? q[p] : 3;
         const int32_t cov = covv[p];
         const int32_t wv = wvv[p];
-        const int winner = winv[p];
+        int winner = winv[p];
         bool pass_sub = cov >= occ_tot && (double)wv > occ_exact * cov &&
                         winner != qa && !het[p];
-        bool pass_ins = cov >= occ_tot &&
-                        (double)ins_tot[p] > occ_exact * cov && !het[p];
+        // thin-coverage corner rescue (mirrors consensus_decide): one
+        // aligned voter corrects — the reference's DAG threshold counts
+        // only overlap edges (Correct.cpp:5579)
+        if (!pass_sub && cov == 2 && !het[p]) {
+            int v_win = 0;
+            int32_t v_tot = 0, v_max = -1;
+            for (int a = 0; a < 5; ++a) {
+                const int32_t c =
+                    votes[p * 5 + a] - (a == qa ? 1 : 0);
+                v_tot += c;
+                if (c > v_max) { v_max = c; v_win = a; }
+            }
+            if (v_tot == 1 && v_win != qa) {
+                pass_sub = true;
+                winner = v_win;
+            }
+        }
+        bool pass_ins = ((cov >= occ_tot &&
+                          (double)ins_tot[p] > occ_exact * cov) ||
+                         (cov == 2 && ins_tot[p] == 1)) && !het[p];
         if (w_out + 10 >= out_cap) return -1;      // caller falls back
         if (pass_sub) {
             if (winner != 4) out_seq[w_out++] = (uint8_t)winner;

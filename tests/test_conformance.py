@@ -603,15 +603,23 @@ def test_hic_mapping_and_phasing_matches_reference(rng, tmp_path):
         (ours_h, ref_h)
 
 
-def test_write_ec_parity_homopolymer_indel(tmp_path):
+@pytest.mark.parametrize("seed,max_ratio", [(3, 1.0), (7, 1.0),
+                                             (11, 1.2)])
+def test_write_ec_parity_homopolymer_indel(tmp_path, seed, max_ratio):
     """EC residual parity on the HiFi homopolymer-indel profile (~90%
     indels at runs — the regime the reference's POA bundle machinery
-    absorbs).  r4: seam repair + insertion bundle walk + run-extended
-    DAG clusters bring this below the reference (VERDICT r3 item 10)."""
+    absorbs).  Measured SYMMETRICALLY: residuals compare over the reads
+    BOTH tools correct well enough to band-align at e=31 — the one-sided
+    form silently dropped a tool's failed reads from its own
+    denominator, so correcting MORE reads (we align 7-10 more than the
+    reference on these seeds) raised the apparent residual.  r5: the
+    thin-coverage single-voter rescue + run canonicalization put seeds
+    3/7 below the reference; seed 11 is locked at <1.2x (residual seam
+    tail, ROADMAP r5)."""
     from hifiasm_tpu.io.readstore import revcomp_codes
     from tests.synth import inject_errors_hifi
 
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(seed)
     L = 25000
     g = make_genome(rng, L)
     n_reads, rl = 100, 3000
@@ -651,35 +659,39 @@ def test_write_ec_parity_homopolymer_indel(tmp_path):
                 seqs[name] += ln.strip()
         return seqs
 
-    def residual(seqs):
+    def per_read_err(seqs):
         e = 31
-        xs, ys = [], []
+        errs = {}
         for i in range(n_reads):
             seq = seq_to_codes(seqs[f"r{i}"].encode())
             src = g[starts[i]:starts[i] + rl]
             if strands[i]:
                 src = revcomp_codes(src)
             if abs(len(seq) - len(src)) > 100:
+                errs[i] = None
                 continue
-            xs.append(seq)
-            ys.append(src)
-        XL = max(len(x) for x in xs)
-        YL = XL + 2 * e
-        xb = np.full((len(xs), XL), 4, np.uint8)
-        yb = np.full((len(xs), YL), 4, np.uint8)
-        xl = np.zeros(len(xs), np.int64)
-        yl = np.zeros(len(xs), np.int64)
-        for j, (x, y) in enumerate(zip(xs, ys)):
-            xb[j, :len(x)] = x
-            yb[j, :min(len(y), YL)] = y[:YL]
-            xl[j] = len(x)
-            yl[j] = min(len(y), YL)
-        out = banded_batch_native(xb, xl, yb, yl, e, traceback=False)
-        ok = out.err >= 0
-        return float(out.err[ok].sum()) / max(int(xl[ok].sum()), 1)
+            XL = len(seq)
+            YL = XL + 2 * e
+            yb = np.full((1, YL), 4, np.uint8)
+            m = min(len(src), YL)
+            yb[0, :m] = src[:m]
+            out = banded_batch_native(
+                seq[None, :].copy(), np.array([XL]), yb, np.array([m]),
+                e, traceback=False)
+            errs[i] = int(out.err[0]) if out.err[0] >= 0 else None
+        return errs
 
-    r_ours = residual(read_fa(str(tmp_path / "ours.ec.fa")))
-    r_ref = residual(read_fa(str(tmp_path / "ref.ec.fa")))
-    # BELOW the reference on this profile (plus an absolute floor for
-    # the case where both residuals are ~0)
-    assert r_ours < max(r_ref, 1e-5), (r_ours, r_ref)
+    e_ours = per_read_err(read_fa(str(tmp_path / "ours.ec.fa")))
+    e_ref = per_read_err(read_fa(str(tmp_path / "ref.ec.fa")))
+    both = [i for i in range(n_reads)
+            if e_ours[i] is not None and e_ref[i] is not None]
+    assert len(both) >= 60, len(both)
+    s_ours = sum(e_ours[i] for i in both)
+    s_ref = sum(e_ref[i] for i in both)
+    # we must never correct FEWER reads to alignability than the
+    # reference minus slack (aligning more reads is the other half of
+    # correction quality the residual alone cannot see)
+    n_ours = sum(1 for i in range(n_reads) if e_ours[i] is not None)
+    n_ref = sum(1 for i in range(n_reads) if e_ref[i] is not None)
+    assert n_ours >= n_ref - 5, (n_ours, n_ref)
+    assert s_ours <= max_ratio * max(s_ref, 5), (s_ours, s_ref)
