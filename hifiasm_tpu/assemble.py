@@ -176,6 +176,14 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
         _drop_edges_by_trio(ec.paf, store.trio_flags)
 
     paf = normalize_paf(ec.paf, store.lens, rescue_el=cfg.is_ont)
+    # per-read coverage = overlap-RECORD count (~2x the base depth:
+    # each neighbour contributes one record regardless of span).  The
+    # purge/cleaning thresholds downstream are calibrated against this
+    # scale; switching to base-weighted depth (the reference's ma_sub_t
+    # scale, which the rd:i GFA tags then match) halves utg_cov under
+    # the purge dup threshold and demotes haplotypes — the rd:i 2x
+    # offset vs the reference is a documented cosmetic deviation
+    # (scripts/tiebreak_diff.py)
     read_cov = np.array([len(paf[i]) for i in range(store.n_reads)],
                         np.int64)
     sg, cov, r_to_u = gen_init_sg(

@@ -97,10 +97,23 @@ def consensus_decide(q: np.ndarray, votes: np.ndarray, ins_tot: np.ndarray,
     v_tot = vq.sum(axis=1)
     v_win = np.argmax(vq, axis=1).astype(np.int64)
     thin = (cov == 2) & (v_tot == 1) & (v_win != qa)
+    thin_ins = (cov == 2) & (ins_tot == 1)
+    # burst guard: a MISALIGNED lone voter disagrees in runs, a genuine
+    # one at isolated columns — rescue only where at most 2 rescue
+    # events fall in the +-8 bp neighbourhood (a lone voter's own ~1%
+    # errors stay isolated; copying an alignment burst rewrote whole
+    # read tails, measured as 14-error bursts)
+    ch = (thin | thin_ins).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(ch)])
+    ax = np.arange(qlen)
+    loc = cs[np.minimum(ax + 9, qlen)] - cs[np.maximum(ax - 8, 0)]
+    keep = loc <= 2
+    thin &= keep
+    thin_ins &= keep
     pass_sub = pass_sub | thin
     winner = np.where(thin, v_win, winner)
     pass_ins = ((cov >= occ_tot) & (ins_tot > occ_exact * cov)) | \
-        ((cov == 2) & (ins_tot == 1))
+        thin_ins
     if len(het_sites):
         pass_sub[het_sites] = False
         pass_ins[het_sites] = False

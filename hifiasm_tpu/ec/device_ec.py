@@ -509,6 +509,9 @@ def _het_planes(L: int, cnt, bank_rows, qlen_rows):
     minor = jnp.minimum(occ0, occ1)
     het = (occ0 >= 2) & (occ1 >= 2) & (q <= 3) & \
         (4 * minor >= occ0 + occ1) & in_r
+    # deletion-majority veto (mirrors het_from_counts): del votes
+    # outnumbering every base vote mark an indel column, not a SNP
+    het = het & ~(c[4] > jnp.sum(c4, axis=0))
     # alignment-SHIFT veto, integer-identical with the host rule
     # (ec/phase.het_from_counts): adjacent pseudo-SNP pairs whose alt
     # alleles are the query shifted by one are indel artifacts
@@ -565,10 +568,22 @@ def _decide_planes(L: int, votes, ins_tot, ins_bc, ins_lc, het_u8,
     v_tot = jnp.sum(vq, axis=0)
     v_win = jnp.argmax(vq, axis=0).astype(jnp.int32)
     thin = (cov == 2) & (v_tot == 1) & (v_win != qa) & in_r & ~het
+    thin_ins = (cov == 2) & (it == 1) & in_r & ~het
+    # burst guard (mirrors consensus_decide): <= 2 rescue events per
+    # +-8 bp neighbourhood, zero-padded at row edges like the host's
+    # clamped cumsum window
+    ch = (thin | thin_ins).astype(jnp.int32)
+    loc = ch
+    for d in range(1, 9):
+        z = jnp.zeros_like(ch[:, :d])
+        loc = loc + jnp.concatenate([ch[:, d:], z], axis=1) \
+            + jnp.concatenate([z, ch[:, :-d]], axis=1)
+    keep = loc <= 2
+    thin = thin & keep
+    thin_ins = thin_ins & keep
     pass_sub = pass_sub | thin
     winner = jnp.where(thin, v_win, winner)
-    pass_ins = ((cov >= 3) & (2 * it > cov) |
-                ((cov == 2) & (it == 1))) & in_r & ~het
+    pass_ins = ((cov >= 3) & (2 * it > cov) | thin_ins) & in_r & ~het
     dels = v[4]
     amb = (cov >= 3) & ((2 * wv <= cov) |
                         ((4 * dels > cov) & (2 * dels <= cov)) |

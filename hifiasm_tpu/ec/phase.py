@@ -46,8 +46,8 @@ def _positions(ov: OverlapRegions, tbs: OverlapTracebacks, usable: np.ndarray):
     return oidx[keep], qpos[keep], keep
 
 
-def het_from_counts(q: np.ndarray, cnt: np.ndarray, min_het_occ: int = 2
-                    ) -> tuple:
+def het_from_counts(q: np.ndarray, cnt: np.ndarray, min_het_occ: int = 2,
+                    del_cnt=None) -> tuple:
     """(het_sites, site_alt) from an allele-count matrix cnt [qlen, 4]
     that ALREADY includes the query's own vote.
 
@@ -71,6 +71,13 @@ def het_from_counts(q: np.ndarray, cnt: np.ndarray, min_het_occ: int = 2
     minor = np.minimum(occ0, occ1)
     het = (occ0 >= min_het_occ) & (occ1 >= min_het_occ) & (q <= 3) & \
         (minor * 4 >= occ0 + occ1)
+    if del_cnt is not None:
+        # deletion-majority veto: a column where DELETION votes outnumber
+        # every base vote combined is an uncorrected indel, not a SNP —
+        # the few base votes that remain can split 2-2 and freeze the
+        # site as het, blocking the deletion forever (the reference's
+        # SNP matrix only ever sees base-vs-base splits)
+        het &= ~(np.asarray(del_cnt, np.int64) > cnt.sum(axis=1))
     # alignment-SHIFT veto (~the reference's non_homopolymer_errors
     # discounting, ecovlp.cpp:2849): an uncorrected indel shifts the
     # voters' columns by one, minting ADJACENT pseudo-SNP pairs whose
@@ -135,7 +142,9 @@ def phase_overlaps(q: np.ndarray, ov: OverlapRegions, tbs: OverlapTracebacks,
     cnt = np.bincount(qpos_a * 4 + tb_a, minlength=qlen * 4
                       ).reshape(qlen, 4).astype(np.int32)
     cnt[np.arange(qlen), np.clip(q, 0, 3)] += np.int32(1)
-    het_sites, site_alt = het_from_counts(q, cnt, min_het_occ)
+    del_cnt = np.bincount(qpos[tb == 4], minlength=qlen)[:qlen]
+    het_sites, site_alt = het_from_counts(q, cnt, min_het_occ,
+                                          del_cnt=del_cnt)
     if len(het_sites) == 0:
         return PhaseResult(is_match, het_sites, site_alt[het_sites])
 

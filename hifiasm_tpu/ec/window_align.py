@@ -92,6 +92,27 @@ def _window_threshold(wlen: int, e_rate: float) -> int:
     return max(2, min(t, THRESHOLD_MAX_SIZE))
 
 
+_MIN_PHASE_WIN = 64
+
+
+def _grid_phase(y_id, rev, wl: int):
+    """Per-overlap window-grid phase = first-window length in
+    [_MIN_PHASE_WIN, wl) (0 keeps the x_s-anchored grid).
+
+    With every overlap extended to the read boundary (x_s == 0), all
+    voters' window seams land on the SAME query columns, so an indel
+    that an alignment tie hides at a seam is hidden for every voter at
+    once (measured: half the residual EC errors sat within +-8 of the
+    775 grid).  A deterministic per-target phase scatters the seams:
+    each seam column is interior to almost every other voter's window,
+    restoring full evidence there.  The reference instead tracks each
+    overlap's y continuation ACROSS windows (Correct.cpp window loop),
+    which breaks the tie the other way; phase scatter reaches the same
+    place without per-window sequential dependencies."""
+    ph = (y_id.astype(np.int64) * 197 + rev.astype(np.int64)) % wl
+    return np.where(ph < _MIN_PHASE_WIN, 0, ph)
+
+
 def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float,
                       with_tws: bool = True):
     """Window coordinates for every overlap of one read.
@@ -110,14 +131,18 @@ def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float,
         return dict(ov_idx=z, ws=z, wlen=z, t_ws=z, thre=z,
                     last=np.zeros(0, bool))
     spans = (ov.x_e - ov.x_s + 1).astype(np.int64)
-    n_win = -(-spans // wl)                      # ceil per overlap
+    p0 = _grid_phase(ov.y_id, ov.rev, wl)
+    P = np.where(p0 == 0, wl, p0)                # first-window length
+    n_win = 1 + np.maximum(-(-(spans - P) // wl), 0)
     tot = int(n_win.sum())
     ov_idx = np.repeat(np.arange(n_ov), n_win)
     woff = np.concatenate([[0], np.cumsum(n_win)])
     local = np.arange(tot) - np.repeat(woff[:-1], n_win)
-    ws = np.repeat(ov.x_s.astype(np.int64), n_win) + local * wl
+    xs_r = np.repeat(ov.x_s.astype(np.int64), n_win)
+    P_r = np.repeat(P, n_win)
+    ws = xs_r + np.where(local == 0, 0, P_r + (local - 1) * wl)
     xe_r = np.repeat(ov.x_e.astype(np.int64), n_win)
-    wlen = np.minimum(wl, xe_r - ws + 1)
+    wlen = np.minimum(xs_r + P_r + local * wl, xe_r + 1) - ws
     last = ws + wlen > xe_r
     thre = np.clip(np.ceil(wlen * e_rate).astype(np.int64), 2,
                    THRESHOLD_MAX_SIZE)
@@ -153,17 +178,23 @@ def plan_windows_many(items, wl: int, e_rate: float):
                          if len(ov)])
     xe = np.concatenate([ov.x_e.astype(np.int64) for _, ov in items
                          if len(ov)])
+    yid = np.concatenate([ov.y_id for _, ov in items if len(ov)])
+    rev = np.concatenate([ov.rev for _, ov in items if len(ov)])
     ov_read = np.repeat(np.arange(len(items)), n_ovs)
     ov_base = np.concatenate([[0], np.cumsum(n_ovs)])
     spans = xe - xs + 1
-    n_win = -(-spans // wl)
+    p0 = _grid_phase(yid, rev, wl)
+    P = np.where(p0 == 0, wl, p0)
+    n_win = 1 + np.maximum(-(-(spans - P) // wl), 0)
     tot = int(n_win.sum())
     ov_idx_g = np.repeat(np.arange(len(xs)), n_win)
     woff = np.concatenate([[0], np.cumsum(n_win)])
     local = np.arange(tot) - np.repeat(woff[:-1], n_win)
-    ws = np.repeat(xs, n_win) + local * wl
+    xs_r = np.repeat(xs, n_win)
+    P_r = np.repeat(P, n_win)
+    ws = xs_r + np.where(local == 0, 0, P_r + (local - 1) * wl)
     xe_r = np.repeat(xe, n_win)
-    wlen = np.minimum(wl, xe_r - ws + 1)
+    wlen = np.minimum(xs_r + P_r + local * wl, xe_r + 1) - ws
     last = ws + wlen > xe_r
     thre = np.clip(np.ceil(wlen * e_rate).astype(np.int64), 2,
                    THRESHOLD_MAX_SIZE)
@@ -284,14 +315,20 @@ class WindowBatcher:
 
         wl = self.wl
         spans = (x_e - x_s + 1).astype(np.int64)
-        n_win = -(-spans // wl)                  # ceil per overlap
+        yid = np.concatenate([ov.y_id for ov in ovs])
+        rev = np.concatenate([ov.rev for ov in ovs])
+        p0 = _grid_phase(yid, rev, wl)
+        P = np.where(p0 == 0, wl, p0)
+        n_win = 1 + np.maximum(-(-(spans - P) // wl), 0)
         tot = int(n_win.sum())
         ov_g = np.repeat(np.arange(NO), n_win)
         woff = np.zeros(NO + 1, np.int64)
         np.cumsum(n_win, out=woff[1:])
         local = np.arange(tot) - np.repeat(woff[:-1], n_win)
-        ws = x_s[ov_g] + local * wl
-        wlen = np.minimum(wl, x_e[ov_g] - ws + 1)
+        ws = x_s[ov_g] + np.where(local == 0, 0,
+                                  P[ov_g] + (local - 1) * wl)
+        wlen = np.minimum(x_s[ov_g] + P[ov_g] + local * wl,
+                          x_e[ov_g] + 1) - ws
         last = ws + wlen > x_e[ov_g]
         # nearest chain hit at-or-after each window start
         ov_of_hit = np.repeat(np.arange(NO), n_hits)

@@ -1011,9 +1011,16 @@ extern "C" int64_t ht_ec_batch(
         // flat per-read window bookkeeping so SIMD lane groups can
         // cross overlap boundaries
         ov_w0.assign(n_ov_r + 1, 0);
+        // phased window grid (mirrors window_align._grid_phase): the
+        // per-target phase de-correlates seam columns across voters
         for (int64_t o = o0; o < o1; ++o) {
             const int64_t span = x_e[o] - x_s[o] + 1;
-            ov_w0[o - o0 + 1] = ov_w0[o - o0] + (span + wl - 1) / wl;
+            int64_t ph = ((int64_t)y_id[o] * 197 + rev_arr[o]) % wl;
+            if (ph < 64) ph = 0;
+            const int64_t P = ph ? ph : wl;
+            const int64_t extra =
+                span > P ? (span - P + wl - 1) / wl : 0;
+            ov_w0[o - o0 + 1] = ov_w0[o - o0] + 1 + extra;
         }
         const int64_t nw_r = ov_w0[n_ov_r];
         werr.assign(nw_r, -1);
@@ -1032,10 +1039,16 @@ extern "C" int64_t ht_ec_batch(
             err_sum[o] = 0;
             const int64_t hs0 = hit_off[o], hn = n_hits[o];
             int64_t hi = 0;
+            int64_t ph_o = ((int64_t)y_id[o] * 197 + rev_arr[o]) % wl;
+            if (ph_o < 64) ph_o = 0;
+            const int64_t P_o = ph_o ? ph_o : wl;
             for (int64_t wi = 0; wi < nw; ++wi) {
                 const int64_t gw = ov_w0[o - o0] + wi;
-                const int64_t ws = xs + wi * wl;
-                const int64_t wlen = (wl < xe - ws + 1) ? wl : xe - ws + 1;
+                const int64_t ws =
+                    xs + (wi == 0 ? 0 : P_o + (wi - 1) * wl);
+                const int64_t wend_g = xs + P_o + wi * wl;
+                const int64_t wlen =
+                    ((wend_g < xe + 1) ? wend_g : xe + 1) - ws;
                 const int is_last = (ws + wlen > xe) ? 1 : 0;
                 // nearest chain hit at-or-after the window start
                 // (searchsorted-left semantics, clamped)
@@ -1109,11 +1122,17 @@ extern "C" int64_t ht_ec_batch(
             // (backward) — instead of the minimizer-hit projection that
             // missed.  The plan reads ONLY pass-1 results (one batched
             // retry round; keeps host/device engines bit-identical).
+            int64_t ph_o2 = ((int64_t)y_id[o] * 197 + rev_arr[o]) % wl;
+            if (ph_o2 < 64) ph_o2 = 0;
+            const int64_t P_o2 = ph_o2 ? ph_o2 : wl;
             for (int64_t wi = 0; wi < nw; ++wi) {
                 const int64_t gw = w0g + wi;
                 if (werr0[gw] != -1) continue;
-                const int64_t ws = xs + wi * wl;
-                const int64_t wlen = (wl < xe - ws + 1) ? wl : xe - ws + 1;
+                const int64_t ws =
+                    xs + (wi == 0 ? 0 : P_o2 + (wi - 1) * wl);
+                const int64_t wend_g = xs + P_o2 + wi * wl;
+                const int64_t wlen =
+                    ((wend_g < xe + 1) ? wend_g : xe + 1) - ws;
                 int64_t t2 = -(int64_t)1 << 62;
                 if (wi > 0 && werr0[gw - 1] >= 0) {
                     t2 = (wtws[gw - 1] - e) + wyn[gw - 1];
@@ -1155,9 +1174,11 @@ extern "C" int64_t ht_ec_batch(
             for (int64_t wi = 0; wi + 1 < nw; ++wi) {
                 const int64_t gw = w0g + wi;
                 if (werr[gw] < 0 || werr[gw + 1] < 0) continue;
-                const int64_t ws = xs + wi * wl;
-                const int64_t wlen = (wl < xe - ws + 1) ? wl
-                                                        : xe - ws + 1;
+                const int64_t ws =
+                    xs + (wi == 0 ? 0 : P_o2 + (wi - 1) * wl);
+                const int64_t wend_g = xs + P_o2 + wi * wl;
+                const int64_t wlen =
+                    ((wend_g < xe + 1) ? wend_g : xe + 1) - ws;
                 if (wlen != wl) continue;          // grid-consecutive
                 const int64_t lend = (wtws[gw] - e) + wyn[gw];
                 const int64_t rstart = (wtws[gw + 1] - e) + wys[gw + 1];
@@ -1445,7 +1466,7 @@ static int64_t ec_read_one(
     int64_t* ed_delta,        // [ed_cap] out (mirrors ConsensusResult.edits)
     int64_t ed_cap,
     int64_t* ed_n) {          // [1] out
-    std::vector<int32_t> cnt4(qlen * 4, 0);
+    std::vector<int32_t> cnt4(qlen * 4, 0), cnt_del(qlen, 0);
     std::vector<uint8_t> het(qlen, 0), alt(qlen, 0);
 #if defined(__AVX2__)
     const bool small_counts = (n_ov + 2) < 250;   // uint8 planes safe
@@ -1456,17 +1477,21 @@ static int64_t ec_read_one(
     // pass 1: allele counts over usable overlaps (substitution slots)
 #if defined(__AVX2__)
     if (small_counts) {
-        plane.assign((size_t)(4 * qlen), 0);
+        plane.assign((size_t)(5 * qlen), 0);
         for (int64_t o = 0; o < n_ov; ++o) {
             if (!usable[o]) { is_match[o] = 0; continue; }
             is_match[o] = 1;
             count_planes_avx2(tb + off[o], off[o + 1] - off[o],
-                              plane.data(), x_s[o], qlen, 4);
+                              plane.data(), x_s[o], qlen, 5);
         }
         for (int a = 0; a < 4; ++a) {
             const uint8_t* pl = plane.data() + (int64_t)a * qlen;
             for (int64_t p = 0; p < qlen; ++p)
                 cnt4[p * 4 + a] = pl[p];
+        }
+        {
+            const uint8_t* pl = plane.data() + (int64_t)4 * qlen;
+            for (int64_t p = 0; p < qlen; ++p) cnt_del[p] = pl[p];
         }
     } else
 #endif
@@ -1478,6 +1503,7 @@ static int64_t ec_read_one(
         for (int64_t t = s; t < e; ++t) {
             const uint8_t v = tb[t];
             if (v <= 3) cnt4[(p0 + (t - s)) * 4 + v]++;
+            else if (v == 4) cnt_del[p0 + (t - s)]++;
         }
     }
     int64_t n_het = 0;
@@ -1499,8 +1525,13 @@ static int64_t ec_read_one(
         // else coincident errors / divergent repeat reads freeze the
         // site as het and invert the cis/trans split
         const int32_t minor = occ0 < best_c ? occ0 : best_c;
+        // deletion-majority veto (mirrors het_from_counts): del votes
+        // outnumbering every base vote mark an indel column, not a SNP
+        const int64_t tot4 = (int64_t)cnt4[p * 4] + cnt4[p * 4 + 1] +
+                             cnt4[p * 4 + 2] + cnt4[p * 4 + 3];
         if (occ0 >= min_het_occ && best_c >= min_het_occ && q[p] <= 3 &&
-            (int64_t)minor * 4 >= (int64_t)occ0 + best_c) {
+            (int64_t)minor * 4 >= (int64_t)occ0 + best_c &&
+            !((int64_t)cnt_del[p] > tot4)) {
             het[p] = 1;
             ++n_het;
         }
@@ -1733,6 +1764,39 @@ static int64_t ec_read_one(
             gs = gi;
         }
     }
+    // thin-coverage corner rescue pre-pass (mirrors consensus_decide):
+    // one aligned voter corrects (the reference's DAG threshold counts
+    // only overlap edges, Correct.cpp:5579), gated so at most 2 rescue
+    // events fall in any +-8 bp neighbourhood (a misaligned lone voter
+    // disagrees in bursts; a genuine one at isolated columns)
+    std::vector<uint8_t> thin_sub(qlen, 0), thin_ins_v(qlen, 0),
+        thin_win(qlen, 0);
+    {
+        for (int64_t p = 0; p < qlen; ++p) {
+            if (covv[p] != 2 || het[p]) continue;
+            const int qa = q[p] <= 3 ? q[p] : 3;
+            int v_win = 0;
+            int32_t v_tot = 0, v_max = -1;
+            for (int a = 0; a < 5; ++a) {
+                const int32_t c = votes[p * 5 + a] - (a == qa ? 1 : 0);
+                v_tot += c;
+                if (c > v_max) { v_max = c; v_win = a; }
+            }
+            if (v_tot == 1 && v_win != qa) {
+                thin_sub[p] = 1;
+                thin_win[p] = (uint8_t)v_win;
+            }
+            if (ins_tot[p] == 1) thin_ins_v[p] = 1;
+        }
+        std::vector<int64_t> cs(qlen + 1, 0);
+        for (int64_t p = 0; p < qlen; ++p)
+            cs[p + 1] = cs[p] + (thin_sub[p] || thin_ins_v[p] ? 1 : 0);
+        for (int64_t p = 0; p < qlen; ++p) {
+            const int64_t lo = p - 8 < 0 ? 0 : p - 8;
+            const int64_t hi = p + 9 > qlen ? qlen : p + 9;
+            if (cs[hi] - cs[lo] > 2) thin_sub[p] = thin_ins_v[p] = 0;
+        }
+    }
     int64_t w_out = 0, n_edits = 0, n_ed = 0;
     // emit a length-changing edit event (pos, delta); cap overflow falls
     // back to the python path (which computes the same trace)
@@ -1782,26 +1846,14 @@ static int64_t ec_read_one(
         int winner = winv[p];
         bool pass_sub = cov >= occ_tot && (double)wv > occ_exact * cov &&
                         winner != qa && !het[p];
-        // thin-coverage corner rescue (mirrors consensus_decide): one
-        // aligned voter corrects — the reference's DAG threshold counts
-        // only overlap edges (Correct.cpp:5579)
-        if (!pass_sub && cov == 2 && !het[p]) {
-            int v_win = 0;
-            int32_t v_tot = 0, v_max = -1;
-            for (int a = 0; a < 5; ++a) {
-                const int32_t c =
-                    votes[p * 5 + a] - (a == qa ? 1 : 0);
-                v_tot += c;
-                if (c > v_max) { v_max = c; v_win = a; }
-            }
-            if (v_tot == 1 && v_win != qa) {
-                pass_sub = true;
-                winner = v_win;
-            }
+        if (thin_sub[p]) {
+            pass_sub = true;
+            winner = thin_win[p];
         }
-        bool pass_ins = ((cov >= occ_tot &&
-                          (double)ins_tot[p] > occ_exact * cov) ||
-                         (cov == 2 && ins_tot[p] == 1)) && !het[p];
+        bool pass_ins = (cov >= occ_tot &&
+                         (double)ins_tot[p] > occ_exact * cov &&
+                         !het[p]) ||
+                        thin_ins_v[p];
         if (w_out + 10 >= out_cap) return -1;      // caller falls back
         if (pass_sub) {
             if (winner != 4) out_seq[w_out++] = (uint8_t)winner;

@@ -39,6 +39,13 @@ from hifiasm_tpu.utils.devsync import prefetch
 _BUCKETS = (32, 128, 512, 2048)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _slice_rows(Gp: int, *arrs):
+    """Flatten [C, slab(, m)] device stacks and keep the first Gp rows —
+    the d2h fetch then moves only real groups, not the pow2 padding."""
+    return tuple(a.reshape((-1,) + a.shape[2:])[:Gp] for a in arrs)
+
+
 def _bucket_n(size: int) -> int:
     for b in _BUCKETS:
         if size <= b:
@@ -206,16 +213,23 @@ class DeviceChunkChains:
                     params.mcopy_khit_cut, params.mcopy_q16)
             part = len(self._parts)
             self._parts.append((so_c.reshape(-1), to_c.reshape(-1)))
-            pend.append((Nb, C, slab, gids, part,
-                         (quick, cnt, sc, nh, exs, exe, ets, ete)))
-        prefetch(x for _, _, _, _, _, devs in pend for x in devs)
-        for Nb, C, slab, gids, part, devs in pend:
+            # slice the per-group outputs to the REAL row count on
+            # device before fetching: the [C, slab] stacks carry up to
+            # 2x pow2 padding, and the d2h fetch is the chain stage's
+            # wall through the tunnel (Gp pow2-padded so the slicer's
+            # compile set stays bounded)
             G = len(gids)
-            quick_h = np.asarray(devs[0]).reshape(C * slab)[:G]
-            cnt_h = np.asarray(devs[1]).reshape(C * slab)[:G]
+            Gp = min(1 << max(G - 1, 0).bit_length(), C * slab)
+            pend.append((Nb, C, slab, gids, part, Gp,
+                         _slice_rows(Gp, quick, cnt, sc, nh, exs, exe,
+                                     ets, ete)))
+        prefetch(x for _, _, _, _, _, _, devs in pend for x in devs)
+        for Nb, C, slab, gids, part, Gp, devs in pend:
+            G = len(gids)
+            quick_h = np.asarray(devs[0])[:G]
+            cnt_h = np.asarray(devs[1])[:G]
             sc_h, nh_h, xs_h, xe_h, ts_h, te_h = \
-                (np.asarray(x).reshape(C * slab, m)[:G]
-                 for x in devs[2:])
+                (np.asarray(x)[:G] for x in devs[2:])
             # non-quick groups (measured ~0.1%): host scalar DP,
             # bit-identical with the device full-DP engine
             self._host_groups.extend(int(g) for g in gids[~quick_h])

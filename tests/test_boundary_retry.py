@@ -49,9 +49,20 @@ def _mk_case(rng, bad_window: int):
     return q, t, ov
 
 
+def _n_win_expected():
+    # phased window grid (window_align._grid_phase): y_id=1 -> first
+    # window 197 bp, then full 775 windows over the 3100 bp span
+    from hifiasm_tpu.ec.window_align import _grid_phase
+    p0 = int(_grid_phase(np.array([1], np.uint32),
+                         np.array([0], np.uint8), WL)[0])
+    P = p0 if p0 else WL
+    return 1 + max(-(-(3100 - P) // WL), 0)
+
+
 def _check(tbs, q):
-    assert tbs.win_tot[0] == 4
-    assert tbs.win_ok[0] == 4, "retry did not recover the rejected window"
+    assert tbs.win_tot[0] == _n_win_expected()
+    assert tbs.win_ok[0] == tbs.win_tot[0], \
+        "retry did not recover the rejected window"
     assert tbs.err[0] == 0
     assert tbs.ts[0] == 0 and tbs.te[0] == 3099
     np.testing.assert_array_equal(tbs.tb[:3100], q)
@@ -86,7 +97,7 @@ def test_retry_fused_matches(rng):
     res = ec_batch_native([q], bank_off, bank, cols,
                           (WL, THRESHOLD_MAX_SIZE, E_RATE,
                            THRESHOLD_MAX_SIZE, 2, 3, 0.500001), True)
-    assert res["win_tot"][0] == 4 and res["win_ok"][0] == 4
+    assert res["win_tot"][0] == _n_win_expected() and res["win_ok"][0] == res["win_tot"][0]
     assert res["err"][0] == 0
     assert res["ts"][0] == 0 and res["te"][0] == 3099
     np.testing.assert_array_equal(res["arena"][0][:3100], q)
@@ -100,6 +111,6 @@ def test_retry_device_matches(rng):
     dev = DeviceEC(store, wl=WL, e_rate=E_RATE)
     outs, _ = dev.process([(0, ov)])
     eco = outs[0]
-    assert eco.win_tot[0] == 4 and eco.win_ok[0] == 4
+    assert eco.win_tot[0] == _n_win_expected() and eco.win_ok[0] == eco.win_tot[0]
     assert eco.err[0] == 0
     assert eco.ts[0] == 0 and eco.te[0] == 3099

@@ -42,7 +42,7 @@ def test_device_decide_matches_host(rng):
         qr = q[r, :n]
         c4 = cnt[:4, r, :n].T.astype(np.int32).copy()
         c4[np.arange(n), np.clip(qr, 0, 3)] += 1
-        hs, alt = het_from_counts(qr, c4)
+        hs, alt = het_from_counts(qr, c4, del_cnt=cnt[4, r, :n].astype(np.int64))
         exp_het = np.zeros(n, bool)
         exp_het[hs] = True
         assert (het_b[r, :n] == exp_het).all(), f"row {r}: het"
