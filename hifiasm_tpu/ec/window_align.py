@@ -92,25 +92,33 @@ def _window_threshold(wlen: int, e_rate: float) -> int:
     return max(2, min(t, THRESHOLD_MAX_SIZE))
 
 
-_MIN_PHASE_WIN = 64
-
-
 def _grid_phase(y_id, rev, wl: int):
-    """Per-overlap window-grid phase = first-window length in
-    [_MIN_PHASE_WIN, wl) (0 keeps the x_s-anchored grid).
+    """Per-overlap window-grid phase = first-window length, QUANTIZED
+    to multiples of wl//5 (0 keeps the x_s-anchored grid).
 
     With every overlap extended to the read boundary (x_s == 0), all
     voters' window seams land on the SAME query columns, so an indel
     that an alignment tie hides at a seam is hidden for every voter at
     once (measured: half the residual EC errors sat within +-8 of the
     775 grid).  A deterministic per-target phase scatters the seams:
-    each seam column is interior to almost every other voter's window,
-    restoring full evidence there.  The reference instead tracks each
-    overlap's y continuation ACROSS windows (Correct.cpp window loop),
-    which breaks the tie the other way; phase scatter reaches the same
-    place without per-window sequential dependencies."""
-    ph = (y_id.astype(np.int64) * 197 + rev.astype(np.int64)) % wl
-    return np.where(ph < _MIN_PHASE_WIN, 0, ph)
+    each seam column is interior to ~4/5 of the other voters' windows,
+    restoring the evidence there.  The QUANTIZATION (5 classes instead
+    of per-base phases) keeps the native kernel's 4-lane SIMD viable
+    for the partial first windows: within a read they take only 4
+    distinct lengths, so same-length lane groups form across overlaps
+    (per-base phases forced every first window through the scalar
+    lane — a measured ~10-15% host EC wall hit).  The reference instead
+    tracks each overlap's y continuation ACROSS windows (Correct.cpp
+    window loop), which breaks the seam ties the other way; phase
+    scatter reaches the same place without per-window sequential
+    dependencies."""
+    q5 = wl // 5
+    y = np.asarray(y_id)
+    if q5 < 64:
+        return np.zeros(len(y), np.int64)
+    cls = (y.astype(np.int64) * 197 + np.asarray(rev).astype(np.int64)) \
+        % 5
+    return cls * q5
 
 
 def plan_read_windows(ov: OverlapRegions, wl: int, e_rate: float,

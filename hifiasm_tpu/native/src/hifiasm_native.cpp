@@ -850,7 +850,7 @@ static int64_t win_finish_lane(
 struct EcWinJob {
     const uint8_t* xb;
     const uint8_t* t;
-    int64_t tl_full, t_ws, acc, dst, gw, o;
+    int64_t tl_full, t_ws, acc, dst, gw, o, tl;
     int rev;
 };
 
@@ -889,14 +889,14 @@ extern "C" int64_t ht_ec_batch(
 #endif
     std::vector<uint8_t> usable;
     std::vector<int64_t> werr, wys, wyn, wtws, ov_w0;
-    EcWinJob Q[4];
-    int nq = 0;
+    EcWinJob Q[5][4];
+    int nq[5] = {0, 0, 0, 0, 0};
 
     // resolve one job's result bookkeeping (shared by both engines)
     auto settle = [&](const EcWinJob& jb, int64_t err, int64_t ys,
                       int64_t yn) {
         if (err < 0)
-            std::memset(tb_arena + jb.dst, 5, (size_t)wl);
+            std::memset(tb_arena + jb.dst, 5, (size_t)jb.tl);
         if (err == -2) {
 #ifdef _OPENMP
 #pragma omp atomic write
@@ -910,8 +910,11 @@ extern "C" int64_t ht_ec_batch(
         wyn[jb.gw] = yn;
     };
 
-    auto flush = [&]() {
-        if (nq == 0) return;
+    auto flush_cls = [&](int cls) {
+        const int n = nq[cls];
+        if (n == 0) return;
+        EcWinJob* const Qc = Q[cls];
+        const int64_t tl = Qc[0].tl;     // all group members share tl
 #if defined(__AVX2__)
         // per-lane prep: clamp + exact fast path (same decisions as
         // win_align_one); survivors run the 4-lane DP
@@ -920,24 +923,24 @@ extern "C" int64_t ht_ec_batch(
         int64_t pls[4];
         int real_j[4];
         int k = 0;
-        for (int b = 0; b < nq; ++b) {
-            const EcWinJob& jb = Q[b];
+        for (int b = 0; b < n; ++b) {
+            const EcWinJob& jb = Qc[b];
             const int64_t y0 = jb.t_ws - e;
-            int64_t pl = wl + 2 * e;
+            int64_t pl = tl + 2 * e;
             if (jb.tl_full - y0 < pl) pl = jb.tl_full - y0;
             if (pl < 0) pl = 0;
-            // queued jobs are never is_last, so tl stays wl (> 0)
-            if (pl - wl >= e && jb.t_ws >= 0) {
+            // queued jobs are never is_last, so tl stays > 0
+            if (pl - tl >= e && jb.t_ws >= 0) {
                 bool eq = true;
                 if (!jb.rev) {
                     const uint8_t* yc = jb.t + jb.t_ws;
-                    for (int64_t i2 = 0; i2 < wl; ++i2)
+                    for (int64_t i2 = 0; i2 < tl; ++i2)
                         if (jb.xb[i2] >= 4 || jb.xb[i2] != yc[i2]) {
                             eq = false;
                             break;
                         }
                 } else {
-                    for (int64_t i2 = 0; i2 < wl; ++i2)
+                    for (int64_t i2 = 0; i2 < tl; ++i2)
                         if (jb.xb[i2] >= 4 ||
                             jb.xb[i2] !=
                                 tgt_at(jb.t, jb.tl_full, 1,
@@ -947,8 +950,8 @@ extern "C" int64_t ht_ec_batch(
                         }
                 }
                 if (eq) {
-                    std::memcpy(tb_arena + jb.dst, jb.xb, (size_t)wl);
-                    settle(jb, 0, e, wl + e);
+                    std::memcpy(tb_arena + jb.dst, jb.xb, (size_t)tl);
+                    settle(jb, 0, e, tl + e);
                     continue;
                 }
             }
@@ -974,12 +977,12 @@ extern "C" int64_t ht_ec_batch(
             }
             uint64_t VPf[4], VNf[4];
             int64_t errf[4];
-            win_dp_avx4(xbs, wl, ybs, pls, e, S4, VPf, VNf, errf);
+            win_dp_avx4(xbs, tl, ybs, pls, e, S4, VPf, VNf, errf);
             for (int l = 0; l < k; ++l) {
-                const EcWinJob& jb = Q[real_j[l]];
+                const EcWinJob& jb = Qc[real_j[l]];
                 int64_t ys = -1, yn = 0;
                 const int64_t err = win_finish_lane(
-                    xbs[l], wl, ybs[l], pls[l], e, jb.acc, S4, l,
+                    xbs[l], tl, ybs[l], pls[l], e, jb.acc, S4, l,
                     VPf[l], VNf[l], errf[l],
                     tb_arena + jb.dst, ic_arena + jb.dst,
                     ib_arena + jb.dst, &ys, &yn);
@@ -987,17 +990,20 @@ extern "C" int64_t ht_ec_batch(
             }
         }
 #else
-        for (int b = 0; b < nq; ++b) {
-            const EcWinJob& jb = Q[b];
+        for (int b = 0; b < n; ++b) {
+            const EcWinJob& jb = Qc[b];
             int64_t ys = -1, yn = 0, tl_eff = 0;
             const int64_t err = win_align_one(
-                jb.xb, wl, jb.t, jb.tl_full, jb.rev, jb.t_ws, 0, e,
+                jb.xb, tl, jb.t, jb.tl_full, jb.rev, jb.t_ws, 0, e,
                 jb.acc, 1, tb_arena + jb.dst, ic_arena + jb.dst,
                 ib_arena + jb.dst, S, &ys, &yn, &tl_eff);
             settle(jb, err, ys, yn);
         }
 #endif
-        nq = 0;
+        nq[cls] = 0;
+    };
+    auto flush = [&]() {
+        for (int c = 0; c < 5; ++c) flush_cls(c);
     };
 
 #ifdef _OPENMP
@@ -1013,10 +1019,12 @@ extern "C" int64_t ht_ec_batch(
         ov_w0.assign(n_ov_r + 1, 0);
         // phased window grid (mirrors window_align._grid_phase): the
         // per-target phase de-correlates seam columns across voters
+        const int64_t q5p = wl / 5;
         for (int64_t o = o0; o < o1; ++o) {
             const int64_t span = x_e[o] - x_s[o] + 1;
-            int64_t ph = ((int64_t)y_id[o] * 197 + rev_arr[o]) % wl;
-            if (ph < 64) ph = 0;
+            int64_t ph = (q5p >= 64)
+                ? (((int64_t)y_id[o] * 197 + rev_arr[o]) % 5) * q5p
+                : 0;
             const int64_t P = ph ? ph : wl;
             const int64_t extra =
                 span > P ? (span - P + wl - 1) / wl : 0;
@@ -1039,8 +1047,10 @@ extern "C" int64_t ht_ec_batch(
             err_sum[o] = 0;
             const int64_t hs0 = hit_off[o], hn = n_hits[o];
             int64_t hi = 0;
-            int64_t ph_o = ((int64_t)y_id[o] * 197 + rev_arr[o]) % wl;
-            if (ph_o < 64) ph_o = 0;
+            const int64_t q5o = wl / 5;
+            int64_t ph_o = (q5o >= 64)
+                ? (((int64_t)y_id[o] * 197 + rev_arr[o]) % 5) * q5o
+                : 0;
             const int64_t P_o = ph_o ? ph_o : wl;
             for (int64_t wi = 0; wi < nw; ++wi) {
                 const int64_t gw = ov_w0[o - o0] + wi;
@@ -1067,17 +1077,32 @@ extern "C" int64_t ht_ec_batch(
                 std::memset(ic_arena + dst, 0, (size_t)wlen);
                 std::memset(ib_arena + dst, 0, (size_t)wlen);
                 wtws[gw] = t_ws;
-                if (wlen == wl && !is_last) {
-                    Q[nq].xb = q + ws;
-                    Q[nq].t = t;
-                    Q[nq].tl_full = tl_full;
-                    Q[nq].t_ws = t_ws;
-                    Q[nq].acc = acc;
-                    Q[nq].dst = dst;
-                    Q[nq].gw = gw;
-                    Q[nq].o = o;
-                    Q[nq].rev = rev;
-                    if (++nq == 4) flush();
+                // SIMD-eligible: full windows (class 4) and the
+                // QUANTIZED partial first windows (classes 0..3 by
+                // length wl/5 multiple) — same-length lane groups
+                // form across the read's overlaps
+                const int64_t q5e = wl / 5;
+                int cls_e = -1;
+                if (!is_last) {
+                    if (wlen == wl) cls_e = 4;
+                    else if (q5e > 0 && wlen >= q5e && wlen < wl &&
+                             wlen % q5e == 0 &&
+                             wlen / q5e <= 4)
+                        cls_e = (int)(wlen / q5e) - 1;
+                }
+                if (cls_e >= 0) {
+                    EcWinJob& jb = Q[cls_e][nq[cls_e]];
+                    jb.xb = q + ws;
+                    jb.t = t;
+                    jb.tl_full = tl_full;
+                    jb.t_ws = t_ws;
+                    jb.acc = acc;
+                    jb.dst = dst;
+                    jb.gw = gw;
+                    jb.o = o;
+                    jb.rev = rev;
+                    jb.tl = wlen;
+                    if (++nq[cls_e] == 4) flush_cls(cls_e);
                     continue;
                 }
                 int64_t ys = -1, yn = 0, tl_eff = 0;
@@ -1122,8 +1147,10 @@ extern "C" int64_t ht_ec_batch(
             // (backward) — instead of the minimizer-hit projection that
             // missed.  The plan reads ONLY pass-1 results (one batched
             // retry round; keeps host/device engines bit-identical).
-            int64_t ph_o2 = ((int64_t)y_id[o] * 197 + rev_arr[o]) % wl;
-            if (ph_o2 < 64) ph_o2 = 0;
+            const int64_t q5o2 = wl / 5;
+            int64_t ph_o2 = (q5o2 >= 64)
+                ? (((int64_t)y_id[o] * 197 + rev_arr[o]) % 5) * q5o2
+                : 0;
             const int64_t P_o2 = ph_o2 ? ph_o2 : wl;
             for (int64_t wi = 0; wi < nw; ++wi) {
                 const int64_t gw = w0g + wi;
