@@ -76,15 +76,14 @@ def main():
     print(f"[bench] bank upload {t_up:.2f}s "
           f"({bank.R}x{bank.L} x2 planes)", file=sys.stderr)
 
-    C = -(-n_windows // chunk)
-
-    def run_once():
+    def run_n(nw):
         # one scan launch over [C, chunk] stacks (the production form)
+        Cn = max(-(-nw // chunk), 1)
         st = []
         for v in (q_rid, q_ws, xlen, t_rid, t_rev, t_ws, last):
-            b = np.zeros(C * chunk, v.dtype)
-            b[:n_windows] = v
-            st.append(jnp.asarray(b.reshape(C, chunk)))
+            b = np.zeros(Cn * chunk, v.dtype)
+            b[:nw] = v[:nw]
+            st.append(jnp.asarray(b.reshape(Cn, chunk)))
         err, ys, yn, tb, ic, ib = _align_scan(
             wl, E_BAND, bank.NB, engine, bank.blocks, bank.lens, *st)
         # NB: jax.block_until_ready does NOT reliably block through the
@@ -93,18 +92,32 @@ def main():
         # np.asarray of a small output is the only trustworthy sync.
         return int(np.asarray(err)[0, 0])
 
+    n_small = max(chunk, n_windows // 8)
     t0 = time.time()
-    run_once()                     # warmup + compile
+    run_n(n_windows)               # warmup + compile
+    run_n(n_small)
     t_compile = time.time() - t0
     print(f"[bench] first pass (compile) {t_compile:.1f}s", file=sys.stderr)
-    walls = []
+    walls, walls_s = [], []
     for _ in range(3):
         t0 = time.time()
-        run_once()
+        run_n(n_windows)
         walls.append(time.time() - t0)
+        t0 = time.time()
+        run_n(n_small)
+        walls_s.append(time.time() - t0)
     dev_wall = sorted(walls)[1]
-    dev_wps = n_windows / dev_wall
-    print(f"[bench] device: {dev_wall:.2f}s = {dev_wps:,.0f} windows/s "
+    wall_small = sorted(walls_s)[1]
+    # MARGINAL throughput: the per-launch floor (tunnel sync + upload
+    # setup, 33 ms-to-seconds depending on the link's mood) cancels in
+    # the two-size difference — this is the rate extra windows actually
+    # cost at production batch sizes, robust to the link's day-to-day
+    # variance (the r4 figures undercounted the kernel ~3x on a bad day)
+    dev_wps = (n_windows - n_small) / max(dev_wall - wall_small, 1e-9)
+    dev_wps_raw = n_windows / dev_wall
+    print(f"[bench] device: {dev_wall:.2f}s @{n_windows} vs "
+          f"{wall_small:.2f}s @{n_small} -> marginal {dev_wps:,.0f} "
+          f"win/s (raw {dev_wps_raw:,.0f}) "
           f"(runs: {[f'{w:.2f}' for w in walls]})", file=sys.stderr)
 
     # ---- host native on identical windows ----
@@ -156,6 +169,7 @@ def main():
         "engine": engine,
         "compile_s": round(t_compile, 1),
         "bank_upload_s": round(t_up, 2),
+        "raw_windows_per_s": round(dev_wps_raw, 1),
         "host_native_windows_per_s": round(host_wps, 1),
         "device_vs_host": round(dev_wps / host_wps, 3),
         "device_band_cells_per_s": round(cells_s),
