@@ -209,6 +209,12 @@ def assemble(store: ReadStore, cfg: HifiasmConfig,
     clean_rounds(sg, cfg, read_cov, protect=telo, paf=paf, cov=cov,
                  r_to_u=r_to_u, rev_paf=ec.reverse_paf)
     ug = ma_ug_gen(sg)
+    # base-exact junction snapping BEFORE any sequence consumer: arc
+    # overlap lengths passed through the EC edit-trace remap and drift
+    # +-1-2 bases, planting an error at every affected read junction
+    # (67 of 73 contig-vs-truth errors at 500 kb sat at junctions)
+    from hifiasm_tpu.graph.unitig import refine_junction_lens
+    refine_junction_lens(ug, store, cov)
     from hifiasm_tpu.graph.unitig import break_by_coverage, ug_cut_tips
     n_tip = ug_cut_tips(ug, cfg.max_contig_tip)
     if n_tip:

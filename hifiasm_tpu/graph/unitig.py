@@ -423,6 +423,66 @@ def unitig_seq(u: Unitig, store: ReadStore, cov: CoverageCut) -> np.ndarray:
     return out
 
 
+def refine_junction_lens(ug: UnitigGraph, store: ReadStore,
+                         cov: CoverageCut, max_shift: int = 4,
+                         probe: int = 32) -> int:
+    """Base-exact junction refinement of ``node_len`` (~the exactness
+    ``ma_ug_seq`` inherits from the reference's final overlap records).
+
+    node_len derives from arc overlap lengths whose coordinates passed
+    through the EC edit-trace remap (approximate to +-1-2 bases after
+    length-changing corrections); a wrong length duplicates or drops
+    bases at every affected junction — measured: 67 of 73 contig-vs-
+    truth errors sat within 10 bp of a read junction at 500 kb.  For
+    each consecutive path pair, search the next read's leading PROBE
+    bases around the current cut at +-max_shift in the current read
+    (both in path orientation, coverage-trimmed) and snap node_len to
+    the exact continuation.  Shift 0 is tested first, so already-exact
+    junctions never move; no exact match leaves the junction as-is.
+    Returns the number of junctions adjusted."""
+    cache: dict = {}
+
+    def oriented(v: int) -> np.ndarray:
+        r = cache.get(v)
+        if r is None:
+            rid, d = v >> 1, v & 1
+            c = store.get_codes(rid)[int(cov.s[rid]):int(cov.e[rid])]
+            if d:
+                from hifiasm_tpu.io.readstore import revcomp_codes
+                c = revcomp_codes(c)
+            r = cache[v] = c
+        return r
+
+    n_fix = 0
+    for u in ug.utgs:
+        n = len(u.vs)
+        if n < 2:
+            continue
+        nl_arr = np.asarray(u.node_len, np.int64).copy()
+        changed = False
+        for i in range(n - 1):
+            a = oriented(int(u.vs[i]))
+            b = oriented(int(u.vs[i + 1]))
+            nl = int(nl_arr[i])
+            if len(b) < probe or nl < max_shift or \
+                    nl + max_shift + probe > len(a):
+                continue
+            head = b[:probe]
+            for d in (0, -1, 1, -2, 2, -3, 3, -4, 4):
+                if np.array_equal(a[nl + d:nl + d + probe], head):
+                    if d:
+                        nl_arr[i] = nl + d
+                        changed = True
+                        n_fix += 1
+                    break
+        if changed:
+            u.node_len = nl_arr
+            u.len = int(nl_arr.sum())
+    if n_fix:
+        log("refine_junction_lens", f"snapped {n_fix} read junctions")
+    return n_fix
+
+
 def unitig_coverage(u: Unitig, paf_counts: np.ndarray) -> int:
     """Mean read coverage proxy: overlaps per read on the path (rd:i tag)."""
     if len(u.vs) == 0:

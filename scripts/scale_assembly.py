@@ -89,8 +89,10 @@ def main():
           flush=True)
     store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
                                   reads)
+    from hifiasm_tpu.native import set_threads
+    set_threads(os.cpu_count())          # -t equivalent for the harness
     cfg = HifiasmConfig(output_prefix="/tmp/scale_asm", n_rounds_ec=1,
-                        ignore_bin=True)
+                        ignore_bin=True, threads=os.cpu_count())
     if USE_TPU:
         cfg.align_engine = "jax"     # force the device-EC path
     genomes = [h1, h2] if diploid else [g]
