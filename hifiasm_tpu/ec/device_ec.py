@@ -77,16 +77,27 @@ def build_bank(store: ReadStore, l_bucket: int = 2048) -> DeviceBank:
     maxlen = int(store.lens.max()) if R else 1
     L = ((maxlen + l_bucket - 1) // l_bucket) * l_bucket
     Lp = _PAD_L + L + _PAD_R
-    arr = np.full((R, 2, Lp), 4, np.uint8)
+    # READ-COUNT pow2 bucketing: every jitted stage traces against the
+    # bank's array shapes, so a raw R keys a fresh ~10-minute remote
+    # compile of L1-L4 PER INPUT SIZE.  Pow2-padded rows (all-4 pads,
+    # len 0; never referenced by real jobs) make every store size from
+    # the same bucket share the compiled programs — the dryrun/suite
+    # warm the caches once and 24 Mb/120 Mb runs reuse them.  Cost:
+    # <=2x bank HBM (3.5 -> 4.8 GB at 120 Mb).
+    Rp = 1024
+    while Rp < R:
+        Rp *= 2
+    arr = np.full((Rp, 2, Lp), 4, np.uint8)
     for rid in range(R):
         c = store.get_codes(rid)
         arr[rid, 0, _PAD_L:_PAD_L + len(c)] = c
         arr[rid, 1, _PAD_L:_PAD_L + len(c)] = revcomp_codes(c)
     NB = Lp // _BLK
-    blocks = jnp.asarray(arr.reshape(R * 2 * NB, _BLK))
+    blocks = jnp.asarray(arr.reshape(Rp * 2 * NB, _BLK))
     fwd = jnp.asarray(arr[:, 0, _PAD_L:_PAD_L + L])
-    return DeviceBank(blocks, fwd,
-                      jnp.asarray(store.lens.astype(np.int32)), L, R, NB)
+    lens_p = np.zeros(Rp, np.int32)
+    lens_p[:R] = store.lens.astype(np.int32)
+    return DeviceBank(blocks, fwd, jnp.asarray(lens_p), L, R, NB)
 
 
 def _take_windows(blocks, NB: int, rid, plane, start, span: int):

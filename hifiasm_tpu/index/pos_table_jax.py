@@ -304,7 +304,16 @@ def collect_anchors_device(mzs, table: DevicePositionTable, rids,
     wl[hi_m] = np.floor(np.power(wh.astype(np.float64), 1.1)).astype(
         np.int64)
     wlut = jnp.asarray(np.minimum(wl, 0xFFFFFF).astype(np.int32))
-    lens_d = jnp.asarray(np.asarray(tlens, np.int64).astype(np.int32))
+    # pow2-padded read-length gather source: a raw store size keys a
+    # fresh remote compile of the anchor kernels per input size (pad
+    # entries are never indexed — postings only name real reads)
+    _tl = np.asarray(tlens, np.int64).astype(np.int32)
+    _rp = 1024
+    while _rp < len(_tl):
+        _rp *= 2
+    _tlp = np.zeros(_rp, np.int32)
+    _tlp[:len(_tl)] = _tl
+    lens_d = jnp.asarray(_tlp)
 
     empty = lambda: Anchors(*(np.zeros(0, t) for t in (
         np.uint32, np.uint8, np.int64, np.int64, np.int64, np.int64)))
@@ -513,7 +522,16 @@ def collect_anchor_groups_device(mzs, table: DevicePositionTable, rids,
     wl[hi_m] = np.floor(np.power(wh.astype(np.float64), 1.1)).astype(
         np.int64)
     wlut = jnp.asarray(np.minimum(wl, 0xFFFFFF).astype(np.int32))
-    lens_d = jnp.asarray(np.asarray(tlens, np.int64).astype(np.int32))
+    # pow2-padded read-length gather source: a raw store size keys a
+    # fresh remote compile of the anchor kernels per input size (pad
+    # entries are never indexed — postings only name real reads)
+    _tl = np.asarray(tlens, np.int64).astype(np.int32)
+    _rp = 1024
+    while _rp < len(_tl):
+        _rp *= 2
+    _tlp = np.zeros(_rp, np.int32)
+    _tlp[:len(_tl)] = _tl
+    lens_d = jnp.asarray(_tlp)
 
     c0 = 0
     while c0 < len(rids):

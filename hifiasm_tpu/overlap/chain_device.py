@@ -166,7 +166,15 @@ class DeviceChunkChains:
         sizes_all = meta["g_end"] - meta["g_start"]
         ng = len(sizes_all)
         m = params.mcopy_num
-        g_start_d = jnp.asarray(meta["g_start"].astype(np.int32))
+        # pow2-padded gather source: a raw per-chunk group count keys a
+        # fresh compile of every slab scan PER CHUNK (pad entries are
+        # never indexed — gids only reference real groups)
+        ngp = 1024
+        while ngp < ng:
+            ngp *= 2
+        gs_pad = np.zeros(ngp, np.int32)
+        gs_pad[:ng] = meta["g_start"].astype(np.int32)
+        g_start_d = jnp.asarray(gs_pad)
         # assign groups to pow2 size buckets; groups longer than the top
         # bucket (rare, heavy repeats) route through the host scalar
         # kernel — bit-identical, so the split is invisible downstream
@@ -178,6 +186,8 @@ class DeviceChunkChains:
             else:
                 per_bucket.setdefault(_bucket_n(int(sizes_all[g])),
                                       []).append(g)
+        import time as _time
+        _t0 = _time.time()
         chain_rows = []          # (g, score, nh, xs, xe, ts, te, part, lo)
         # one FIXED slab shape per bucket size: every compiled program is
         # reused forever (each new shape costs minutes of TPU compile);
@@ -223,7 +233,9 @@ class DeviceChunkChains:
             pend.append((Nb, C, slab, gids, part, Gp,
                          _slice_rows(Gp, quick, cnt, sc, nh, exs, exe,
                                      ets, ete)))
+        _t_dispatch = _time.time() - _t0
         prefetch(x for _, _, _, _, _, _, devs in pend for x in devs)
+        _t_pref = _time.time() - _t0 - _t_dispatch
         for Nb, C, slab, gids, part, Gp, devs in pend:
             G = len(gids)
             quick_h = np.asarray(devs[0])[:G]
@@ -285,6 +297,11 @@ class DeviceChunkChains:
                         np.array([int(to_h[s + idx[-1]])], np.int64),
                         np.array([-1], np.int64),
                         np.array([ref], np.int64)))
+        from hifiasm_tpu.utils.logging import log as _log
+        _log("chain_slabs",
+             f"dispatch {_t_dispatch:.1f}s prefetch {_t_pref:.1f}s "
+             f"fetch+host {_time.time() - _t0 - _t_dispatch - _t_pref:.1f}s "
+             f"({ng} groups)")
         # groups in ascending order, chains in copy order — the host
         # chain_many emits regions in exactly this order (stable sort
         # keeps the per-group copy order from each slab block)
