@@ -77,18 +77,36 @@ def main():
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     diploid = "--diploid" in sys.argv
     rng = np.random.default_rng(11)
-    if diploid:
-        h1, h2 = make_genome(rng, L, het_rate=0.001)
-        r1, _, _ = sample_reads(rng, h1, 11, 15000, 0.003)
-        r2, _, _ = sample_reads(rng, h2, 11, 15000, 0.003)
-        reads = r1 + r2
-    else:
-        g = make_genome(rng, L)
-        reads, _, _ = sample_reads(rng, g, 12, 15000, 0.003)
-    print(f"reads={len(reads)} bases={sum(len(r) for r in reads)}",
-          flush=True)
-    store = ReadStore.from_arrays([f"r{i}" for i in range(len(reads))],
-                                  reads)
+    # deterministic store cache: the single-threaded synthetic data gen
+    # costs ~45 min at 10 Gb — reruns at the same (L, ploidy) reuse it
+    cache = f"/tmp/scale_store_{L}_{int(diploid)}"
+    from hifiasm_tpu.io.binfiles import load_reads, write_reads
+    store = None
+    if os.path.exists(cache + ".npz"):
+        try:
+            store = load_reads(cache + ".npz")
+            print(f"reads={store.n_reads} bases={store.total_bases} "
+                  f"(cached)", flush=True)
+        except Exception:
+            store = None
+    if store is None:
+        if diploid:
+            h1, h2 = make_genome(rng, L, het_rate=0.001)
+            r1, _, _ = sample_reads(rng, h1, 11, 15000, 0.003)
+            r2, _, _ = sample_reads(rng, h2, 11, 15000, 0.003)
+            reads = r1 + r2
+        else:
+            g = make_genome(rng, L)
+            reads, _, _ = sample_reads(rng, g, 12, 15000, 0.003)
+        print(f"reads={len(reads)} bases={sum(len(r) for r in reads)}",
+              flush=True)
+        store = ReadStore.from_arrays(
+            [f"r{i}" for i in range(len(reads))], reads)
+        del reads
+        try:
+            write_reads(cache + ".npz", store)
+        except Exception:
+            pass
     from hifiasm_tpu.native import set_threads
     set_threads(os.cpu_count())          # -t equivalent for the harness
     cfg = HifiasmConfig(output_prefix="/tmp/scale_asm", n_rounds_ec=1,
