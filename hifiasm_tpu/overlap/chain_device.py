@@ -301,7 +301,7 @@ class DeviceChunkChains:
         _log("chain_slabs",
              f"dispatch {_t_dispatch:.1f}s prefetch {_t_pref:.1f}s "
              f"fetch+host {_time.time() - _t0 - _t_dispatch - _t_pref:.1f}s "
-             f"({ng} groups)")
+             f"({ng} groups, {len(self._host_groups)} host-fallback)")
         # groups in ascending order, chains in copy order — the host
         # chain_many emits regions in exactly this order (stable sort
         # keeps the per-group copy order from each slab block)
