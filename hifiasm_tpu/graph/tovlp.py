@@ -65,6 +65,14 @@ def hap_align_pair(a: np.ndarray, b: np.ndarray,
     ov = ovs[0]
     if len(ov) == 0:
         return 0.0, 0.0, None
+    return _hap_eval_chains(a, b, ov, max_windows)
+
+
+def _hap_eval_chains(a: np.ndarray, b: np.ndarray, ov,
+                     max_windows: int = 24):
+    """Coverage + identity evaluation of an already-chained candidate
+    (shared by the per-pair and the batched confirmation paths)."""
+    from hifiasm_tpu.ops.banded_batch import banded_batch_np
     # union of chained a-intervals = aligned extent of a. Region extents
     # are projected to full-overlap ranges, so only credible chains
     # (enough hits/score) may contribute to coverage.
@@ -129,6 +137,57 @@ def hap_align_pair(a: np.ndarray, b: np.ndarray,
     return frac, ident, span
 
 
+def hap_align_pairs_batch(utg_seqs: List[np.ndarray], live_pairs,
+                          max_windows: int = 24):
+    """Batched ``hap_align_pair`` over ONE shared partner table.
+
+    The per-pair form rebuilt a position table over the KEPT unitig for
+    every candidate (~130 s/pair on multi-Mb unitigs at 455 Mb-diploid
+    scale; 238 pairs = hours).  All partners index once; each purged
+    unitig sketches once, anchors against the shared table, and chains
+    only the anchors naming its own partner — the same chain/verify
+    semantics per pair.  Returns {(a, b): (frac, ident, span)}."""
+    from hifiasm_tpu.index.pos_table import build_position_table
+    from hifiasm_tpu.ops.chain import ChainParams
+    from hifiasm_tpu.ops.sketch import sketch_read
+    from hifiasm_tpu.overlap.anchors import Anchors, chain_many, \
+        collect_anchors
+
+    partners = sorted({int(b) for _, b, _ in live_pairs})
+    pidx = {b: i for i, b in enumerate(partners)}
+    pt, _, _, _ = build_position_table(
+        [utg_seqs[b] for b in partners], HAP_ALIGN_K, HAP_ALIGN_W,
+        ft=None, keep_min=1)
+    tlens = np.array([len(utg_seqs[b]) for b in partners], np.int64)
+    n_t = len(partners)
+    an_cache: dict = {}
+    cp = ChainParams.for_k(HAP_ALIGN_K, is_accurate=False, bw_rate=0.1)
+    out = {}
+    for a, b, _frac in live_pairs:
+        a, b = int(a), int(b)
+        an = an_cache.get(a)
+        if an is None:
+            mz = sketch_read(utg_seqs[a], HAP_ALIGN_K, HAP_ALIGN_W,
+                             None)
+            an = an_cache[a] = collect_anchors(
+                mz, pt, n_t, tlens, hom_cov=20)
+        m = np.flatnonzero(an.tid == pidx[b])
+        if len(m) == 0:
+            out[(a, b)] = (0.0, 0.0, None)
+            continue
+        sub = Anchors(an.tid[m], an.rev[m], an.self_off[m],
+                      an.t_off[m], an.span[m], an.weight[m])
+        ovs = chain_many([(n_t, sub, len(utg_seqs[a]))], tlens, cp,
+                         max_n_chain=50)
+        ov = ovs[0]
+        if len(ov) == 0:
+            out[(a, b)] = (0.0, 0.0, None)
+            continue
+        out[(a, b)] = _hap_eval_chains(utg_seqs[a], utg_seqs[b], ov,
+                                       max_windows)
+    return out
+
+
 def confirm_purge_pairs(utg_seqs: List[np.ndarray], pairs,
                         simi_rate: float, k: int = TOVLP_K,
                         min_identity: float = 0.85, ug=None):
@@ -149,12 +208,16 @@ def confirm_purge_pairs(utg_seqs: List[np.ndarray], pairs,
             log("confirm_purge_pairs",
                 f"{len(pairs) - len(live)} pairs rejected as "
                 f"graph-adjacent")
-    out = []
+    pre = []
     for a, b, frac in live:
         sim = unitig_similarity(utg_seqs[a], utg_seqs[b], k)
         if sim < simi_rate * 0.25:     # clearly unrelated: skip alignment
             continue
-        afrac, ident, span = hap_align_pair(utg_seqs[a], utg_seqs[b])
+        pre.append((a, b, frac))
+    aligned = hap_align_pairs_batch(utg_seqs, pre) if pre else {}
+    out = []
+    for a, b, frac in pre:
+        afrac, ident, span = aligned[(int(a), int(b))]
         if afrac >= simi_rate and ident >= min_identity:
             out.append((a, b, afrac, ident, span))
     log("confirm_purge_pairs",
