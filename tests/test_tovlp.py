@@ -85,3 +85,39 @@ def test_drop_graph_close_pairs():
     out = drop_graph_close_pairs(ug, cand)
     assert (1, 2) in out
     assert (0, 1) not in out and (0, 3) not in out
+
+
+def test_batched_pair_alignment_matches_per_pair(rng):
+    """hap_align_pairs_batch must reproduce hap_align_pair's verdicts:
+    the shared-table form only changes WHERE the partner index lives."""
+    from hifiasm_tpu.graph.tovlp import (
+        hap_align_pair, hap_align_pairs_batch,
+    )
+    from hifiasm_tpu.io.readstore import revcomp_codes
+    from tests.synth import make_genome, inject_errors
+
+    base = make_genome(rng, 30_000)
+    seqs = []
+    # 0/1: homolog pair (1% divergence); 2/3: another pair, one end
+    # reversed; 4: unrelated
+    hom = base.copy()
+    snp = rng.choice(len(hom), 300, replace=False)
+    hom[snp] = (hom[snp] + 1 + rng.integers(0, 3, len(snp))) % 4
+    seqs.append(base[:20_000].copy())
+    seqs.append(hom[:22_000].copy())
+    other = make_genome(rng, 25_000)
+    oth2 = inject_errors(rng, other.copy(), 0.01)
+    seqs.append(other[:18_000].copy())
+    seqs.append(revcomp_codes(oth2))
+    seqs.append(make_genome(rng, 15_000))
+    pairs = [(0, 1, 0.9), (2, 3, 0.9), (4, 1, 0.1)]
+    got = hap_align_pairs_batch(seqs, pairs)
+    for a, b, _f in pairs:
+        ef, ei, es = hap_align_pair(seqs[a], seqs[b])
+        gf, gi, gs = got[(a, b)]
+        # verdict-level agreement: aligned fraction and identity within
+        # tight tolerance (occurrence-class weights can differ at
+        # repeated minimizers between the shared and single tables)
+        assert abs(gf - ef) < 0.02, (a, b, gf, ef)
+        assert abs(gi - ei) < 0.02, (a, b, gi, ei)
+        assert (gs is None) == (es is None), (a, b, gs, es)
